@@ -1,0 +1,59 @@
+"""Benchmark runner — the driver's per-round performance probe.
+
+Runs the headline queries (tag ``bench`` in the registry) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed twice and the faster run is kept: run 1 warms
+the JVM/code-cache, run 2 measures steady-state — the regime that
+matters at the 100 TB design point where per-query JIT warmup is
+amortized away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from datafusion_rdbms_ext_spark.queries import REGISTRY
+from datafusion_rdbms_ext_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("engine-bench")
+    bench_specs = [s for s in REGISTRY.values() if "bench" in s.tags]
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            n = df.count()  # forces full execution of the plan
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 4)
+        print(f"# {spec.name}: {timings[spec.name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Catalog bootstrap: self-describing Parquet → registered views.
+
+Rebuilds the reference's catalog-inference entry point
+(``PostgresConnection::load_catalog``,
+/root/reference/src/sqldb/postgres/mod.rs:67-125) Spark-first: where
+the reference issues two ``information_schema`` queries against
+Postgres and hand-converts column metadata to Arrow schemas
+(src/sqldb/postgres/datatypes.rs:110-184), Parquet footers are
+already self-describing, so registration is one ``spark.read.parquet``
+per table — schema inferred once at registration, fixed thereafter
+(the same contract as the reference, SURVEY.md §1.2).
+
+The reference exposes tables under a 3-part name
+(``bench.public.lineitem``, src/parser.rs:459-465); driver fixtures
+are unambiguous, so names flatten to 1-part temp views (SURVEY.md §7
+"What's genuinely hard" #2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Every table the driver fixture set provides (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+) -> dict[str, DataFrame]:
+    """Register one temp view per Parquet table under ``sf_dir``.
+
+    Mirror of the reference's ``load_catalog`` → ``register_table``
+    loop (src/sqldb/postgres/mod.rs:88-120, src/catalog.rs:84-95).
+    Idempotent: re-registering repoints the view. Also pins the
+    session timezone to UTC so timestamp semantics are stable and
+    oracle-comparable regardless of the ambient session default.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark's vectorized Parquet reader rejects TIMESTAMP(NANOS) (the
+    # events.ts physical type); read nanos as raw int64 and rebase to
+    # a microsecond TimestampType column JVM-side below. Same class of
+    # work as the reference's epoch rebasing on its wire decoder
+    # (src/sqldb/postgres/binary_reader.rs:19-20, 425-431).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df = _rebase_nanos(df, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+#: Columns stored as TIMESTAMP(NANOS) in the fixtures, surfaced as
+#: µs TimestampType (truncating, matching DuckDB's ns→µs cast).
+_NANOS_COLS = {"events": ("ts",)}
+
+
+def _rebase_nanos(df: DataFrame, table: str) -> DataFrame:
+    for col in _NANOS_COLS.get(table, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # Integer division — float division loses precision above
+            # 2^53 ns (~1970+104 days); epoch-ns values are ~1.7e18.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def table_names(spark: SparkSession) -> list[str]:
+    """List registered tables (reference: ``SchemaCatalog::table_names``,
+    src/catalog.rs:69-74)."""
+    return [t.name for t in spark.catalog.listTables()]
+
+
+def table_exist(spark: SparkSession, name: str) -> bool:
+    """Reference: ``SchemaCatalog::table_exist`` (src/catalog.rs:78-82)."""
+    return spark.catalog.tableExists(name)
+
+
+def deregister_table(spark: SparkSession, name: str) -> bool:
+    """Reference: ``register/deregister_table`` (src/catalog.rs:84-102)."""
+    return spark.catalog.dropTempView(name)

@@ -1,0 +1,62 @@
+"""Registry plumbing for the query inventory.
+
+The reference tracked its capability surface as a hand-maintained
+README checklist (/root/reference/README.md:44-87) verified by
+eyeballing printed rows (tests/tpch.rs:38-44). Here the checklist is
+executable: each entry carries its Spark implementation and a DuckDB
+oracle so correctness is machine-checked (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name → spec, in registration order.
+REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    #: DuckDB-runnable ANSI SQL producing identical (name-aligned)
+    #: columns; None → driver falls back to a rows-only check.
+    oracle: str | None
+    #: Reference citation (file:line) or rationale for the entry.
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query to the inventory.
+
+    Wraps the callable so tables for the requested ``sf_dir`` are
+    (re-)registered before the query builds its plan — the same
+    catalog-first lifecycle as the reference (SURVEY.md §3.3).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_tables(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags)
+        return wrapped
+
+    return deco
