@@ -63,7 +63,9 @@ def register_tables(
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
-            continue
+            # Fail loudly: silently skipping would leave any previously
+            # registered view for `name` pointing at stale data.
+            raise FileNotFoundError(f"fixture table {name!r} not found at {path}")
         df = spark.read.parquet(path)
         df = _rebase_nanos(df, name)
         df.createOrReplaceTempView(name)

@@ -288,3 +288,570 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         (F.lit(100.00) * dsum(promo) / dsum(_disc_price())).alias("promo_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-equivalent — correlated scalar MIN/MAX subquery. The original
+# needs partsupp (absent); the operator row it covers — correlated
+# scalar subquery in WHERE (reference parser.rs:936-939, which could
+# build the AST but never execute it, README.md:49) — is kept: top
+# account-balance customer(s) per nation. Catalyst decorrelates this
+# into an aggregate + join automatically; no hand rewrite.
+# ---------------------------------------------------------------------------
+_Q02_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name
+FROM customer, nation
+WHERE c_nationkey = n_nationkey
+  AND c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c_nationkey)
+ORDER BY n_name, c_custkey
+"""
+
+
+@register(
+    "q02_top_balance_per_nation",
+    oracle=_Q02_SQL,
+    doc="reference testdata/queries/q2.sql (correlated scalar subquery); parser.rs:936-939",
+    tags=("tpch", "subquery"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q02_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking: EXISTS correlated subquery → Spark
+# plans a left-semi join (free in Spark; reference rejects semi/anti,
+# parser.rs:1180-1189). l_commitdate/l_receiptdate absent → the
+# correlated predicate uses l_shipdate > o_orderdate.
+# Scale: semi-join shuffles both sides on orderkey once.
+# ---------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="reference testdata/queries/q4.sql; README.md:51-52 (blocked on intervals)",
+    tags=("tpch", "exists", "bench"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-07-01"))
+    )
+    lineitem = spark.table("lineitem")
+    matched = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping: nation self-join (n1 supplier-side, n2
+# customer-side — reference q7 uses the same aliased self-join) +
+# EXTRACT(year). Scale: nation broadcasts twice; one orderkey shuffle.
+# ---------------------------------------------------------------------------
+_Q07_SQL_BODY = """
+SELECT supp_nation, cust_nation, l_year,
+       {dsum} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+_Q07_SQL = _Q07_SQL_BODY.format(dsum=sql_dsum("volume"))
+
+
+@register(
+    "q07_volume_shipping",
+    oracle=_Q07_SQL,
+    doc="reference testdata/queries/q7.sql (nation n1/n2 self-join); README.md:57",
+    tags=("tpch", "self-join"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q07_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: the reference's widest join (8 factors,
+# README.md:58-59). partsupp-free adaptation keeps all 8: part,
+# supplier, lineitem, orders, customer, nation×2, region. CASE-in-agg
+# ratio. Scale: dims broadcast; fact shuffles on orderkey then custkey.
+# ---------------------------------------------------------------------------
+_Q08_SQL_BODY = """
+SELECT o_year,
+       CAST({num} / {den} AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+_Q08_SQL = _Q08_SQL_BODY.format(
+    num=sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END"),
+    den=sql_dsum("volume"),
+)
+
+
+@register(
+    "q08_market_share",
+    oracle=_Q08_SQL,
+    doc="reference testdata/queries/q8.sql (8-way join); README.md:58-59",
+    tags=("tpch", "join", "bench"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q08_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit: LIKE on p_name, EXTRACT(year), group by
+# (nation, year). ps_supplycost absent → cost proxied from
+# p_retailprice so the amount expression keeps its two-term shape.
+# ---------------------------------------------------------------------------
+_Q09_SQL_BODY = """
+SELECT nation, o_year, {dsum} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01 AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+_Q09_SQL = _Q09_SQL_BODY.format(dsum=sql_dsum("amount"))
+
+
+@register(
+    "q09_product_profit",
+    oracle=_Q09_SQL,
+    doc="reference testdata/queries/q9.sql; README.md:60-61",
+    tags=("tpch", "join"),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q09_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q11-equivalent — HAVING against a scalar subquery over the whole
+# table (the reference notes "group by x having y is not parsed
+# correctly", README.md:78; partsupp-free adaptation over lineitem).
+# Scale: the scalar subquery is one extra full-scan aggregate —
+# Catalyst runs it as an independent subquery stage and broadcasts
+# the single-row result into the HAVING filter.
+# ---------------------------------------------------------------------------
+_Q11_SQL_BODY = """
+SELECT l_partkey, {dsum} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {dsum} > (SELECT {dsum_inner} * 0.0007 FROM lineitem)
+ORDER BY part_value DESC
+"""
+_Q11_SQL = _Q11_SQL_BODY.format(
+    dsum=sql_dsum("l_extendedprice * (1 - l_discount)"),
+    dsum_inner=sql_dsum("l_extendedprice * (1 - l_discount)"),
+)
+
+
+@register(
+    "q11_important_stock",
+    oracle=_Q11_SQL,
+    doc="reference testdata/queries/q11.sql (HAVING + scalar subquery); README.md:65,78",
+    tags=("tpch", "having"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q11_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-mode CASE-in-aggregate. l_shipmode/l_commitdate
+# absent → buckets over o_orderpriority, grouped by l_linestatus.
+# SUM(CASE...1 ELSE 0) cast to BIGINT on both engines (DuckDB sums
+# ints to HUGEINT, Spark to BIGINT — alignment matters for the hash).
+# ---------------------------------------------------------------------------
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="reference testdata/queries/q12.sql; README.md:66-67",
+    tags=("tpch", "case"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(spark.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: LEFT OUTER JOIN (the one
+# outer join in the reference suite, parser.rs:330-340) + derived
+# table with aggregate-of-aggregate. o_comment absent → NOT LIKE
+# conjunct dropped (FIXTURES.md). COUNT(o_orderkey) counts non-null
+# only — exercised by customers with no orders surviving the outer
+# join. Scale: two shuffles (custkey, then c_count) — both unavoidable.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="reference testdata/queries/q13.sql; README.md:68-69",
+    tags=("tpch", "outer-join", "bench"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c_orders = (
+        spark.table("customer")
+        .join(spark.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier via a VIEW + scalar MAX subquery (the reference's
+# multi-statement session: CREATE VIEW / query / DROP VIEW,
+# testdata/queries/q15.sql; CreateView is todo!() in parser.rs:544).
+# Spark: CREATE OR REPLACE TEMP VIEW, then the query; oracle inlines
+# the view as a CTE.
+# ---------------------------------------------------------------------------
+_Q15_REVENUE = sql_dsum("l_extendedprice * (1 - l_discount)")
+_Q15_VIEW = f"""
+SELECT l_suppkey AS supplier_no, {_Q15_REVENUE} AS total_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+GROUP BY l_suppkey
+"""
+_Q15_MAIN = """
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"WITH revenue0 AS ({_Q15_VIEW}) {_Q15_MAIN}",
+    doc="reference testdata/queries/q15.sql (CREATE VIEW session); parser.rs:544",
+    tags=("tpch", "view"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW revenue0 AS {_Q15_VIEW}")
+    return spark.sql(_Q15_MAIN)
+
+
+# ---------------------------------------------------------------------------
+# Q16 — COUNT(DISTINCT) + NOT IN subquery + <> and NOT LIKE predicates
+# (reference README.md:72-73: failed on `count(distinct)`).
+# partsupp-free: supplier counts come from lineitem.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_part_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="reference testdata/queries/q16.sql; README.md:72-73",
+    tags=("tpch", "count-distinct"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.table("part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36)
+    )
+    excluded = spark.table("supplier").filter(F.col("s_acctbal") < 1000.0).select("s_suppkey")
+    lineitem = spark.table("lineitem").join(
+        excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated AVG subquery per
+# part (reference README.md:74-75 "Scalar subqueries not supported").
+# AVG(l_quantity) is exact in double (integer-valued), so plain AVG is
+# deterministic; the outer money sum uses the decimal path.
+# Scale: Catalyst rewrites the correlation into an aggregate on
+# l_partkey joined back — one shuffle on partkey each side.
+# ---------------------------------------------------------------------------
+_Q17_SQL = f"""
+SELECT CAST({sql_dsum('l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "q17_small_quantity",
+    oracle=_Q17_SQL,
+    doc="reference testdata/queries/q17.sql (correlated scalar subquery); README.md:74-75",
+    tags=("tpch", "subquery", "bench"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: IN over a grouped-HAVING subquery.
+# SUM(l_quantity) is integer-valued → plain SUM is exact/deterministic.
+# Scale: the subquery is a reuse of the lineitem scan; Spark's
+# ReuseExchange dedups the two lineitem shuffles on orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate
+    LIMIT 100
+    """,
+    doc="reference testdata/queries/q18.sql; README.md:76-78",
+    tags=("tpch", "in-subquery", "bench"),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = spark.table("lineitem")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(big_orders.withColumnRenamed("l_orderkey", "big_orderkey")),
+            F.col("l_orderkey") == F.col("big_orderkey"),
+            "left_semi",
+        )
+        .join(spark.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(spark.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue: OR-of-AND predicate blocks over a join
+# (the reference's hardest predicate shape, README.md:79-80).
+# p_container/l_shipmode absent → blocks over brand/size/quantity.
+# Scale: the equi-join key is extracted from all OR branches by
+# Catalyst so this still plans as a hash join on partkey, with the
+# OR residual as post-join filter — not a cartesian product.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {sql_dsum(_SQL_DISC_PRICE)} AS revenue
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+           AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+           AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="reference testdata/queries/q19.sql; README.md:79-80",
+    tags=("tpch", "predicate"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p = spark.table("lineitem"), spark.table("part")
+    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(block("Brand#12", 15, 1, 11) | block("Brand#23", 25, 10, 20) | block("Brand#3", 35, 20, 30))
+        .agg(dsum(_disc_price()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-equivalent — nested IN subqueries (IN inside IN, with a grouped
+# HAVING): suppliers who shipped substantial volume of 'small %' parts.
+# ---------------------------------------------------------------------------
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 2000
+)
+ORDER BY s_name
+"""
+
+
+@register(
+    "q20_potential_promotion",
+    oracle=_Q20_SQL,
+    doc="reference testdata/queries/q20.sql (nested IN subqueries); README.md:81-83",
+    tags=("tpch", "in-subquery"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q20_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q21-equivalent — EXISTS + NOT EXISTS against self-joined lineitem
+# (l1/l2/l3 aliases like the reference's q21). l_receiptdate/
+# l_commitdate absent → "late" means l_shipdate > o_orderdate + the
+# l3 condition compares shipdates across suppliers in the same order.
+# Scale: three scans of lineitem, all shuffled on orderkey; Spark
+# plans the NOT EXISTS as a left-anti join (no per-row subquery).
+# ---------------------------------------------------------------------------
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register(
+    "q21_suppliers_who_kept_waiting",
+    oracle=_Q21_SQL,
+    doc="reference testdata/queries/q21.sql (EXISTS/NOT EXISTS self-joins); README.md:84-85",
+    tags=("tpch", "exists", "bench"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global-sales opportunity: SUBSTRING-derived key (reference
+# parser.rs:796-800 is one of only two scalar functions it supports),
+# uncorrelated scalar AVG subquery, NOT EXISTS anti-join. c_phone
+# absent → country code proxied from the customer-number digits.
+# The AVG over non-integer doubles goes through the exact-decimal
+# path on BOTH sides to stay order-independent.
+# ---------------------------------------------------------------------------
+_Q22_SQL_BODY = """
+SELECT cntrycode, COUNT(*) AS numcust, {dsum} AS totacctbal
+FROM (
+  SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE SUBSTRING(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+    AND c_acctbal > (SELECT {davg} FROM customer
+                     WHERE c_acctbal > 0.0
+                       AND SUBSTRING(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17'))
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+_Q22_SQL = _Q22_SQL_BODY.format(dsum=sql_dsum("c_acctbal"), davg=sql_davg("c_acctbal"))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=_Q22_SQL,
+    doc="reference testdata/queries/q22.sql; README.md:86-87; substring parser.rs:796-800",
+    tags=("tpch", "anti-join"),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q22_SQL)
