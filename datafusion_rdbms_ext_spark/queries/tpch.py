@@ -93,9 +93,12 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q3 — shipping priority (customer ⋈ orders ⋈ lineitem, top-10 by
 # revenue). o_shippriority is absent from fixtures → dropped.
-# Scale: customer filtered on segment then broadcast; orders⋈lineitem
-# is the one real shuffle (both sides hashed on orderkey); top-10 via
-# TakeOrderedAndProject — no global sort materializes.
+# Scale: no broadcast hint — customer scales linearly with SF, so the
+# choice is AQE's (runtime sizes decide broadcast vs shuffle; a forced
+# hint OOMs the build side at 100×). orders⋈lineitem is the one real
+# shuffle (both sides hashed on orderkey); top-10 via
+# TakeOrderedAndProject — no global sort materializes. l_orderkey
+# tie-breaks the cutoff so top-10 is deterministic across engines.
 # ---------------------------------------------------------------------------
 @register(
     "q03_shipping_priority",
@@ -110,7 +113,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1997-06-15'
       AND l_shipdate > TIMESTAMP '1997-06-15'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
     doc="reference testdata/queries/q3.sql; README.md:50 (accurate)",
@@ -122,13 +125,13 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = spark.table("lineitem").filter(F.col("l_shipdate") > ts("1997-06-15"))
     return (
         lineitem.join(
-            orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")),
+            orders.join(customer, F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(_disc_price()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
     )
 
@@ -137,9 +140,11 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q5 — local supplier volume: the reference's 6-way join target
 # (README.md:53, accurate). region ⋈ nation ⋈ supplier ⋈ customer ⋈
 # orders ⋈ lineitem with the c_nationkey = s_nationkey co-location
-# constraint. Scale: region/nation/supplier broadcast (tiny at any
-# SF); orders⋈lineitem shuffles on orderkey; the customer join hashes
-# on custkey. AQE reorders/broadcasts at runtime from real sizes.
+# constraint. Scale: region/nation broadcast (FIXED cardinality — 5
+# and 25 rows at every SF, the only tables where a hint is safe);
+# supplier scales with SF so its join is left to AQE;
+# orders⋈lineitem shuffles on orderkey; the customer join hashes on
+# custkey. AQE reorders/broadcasts at runtime from real sizes.
 # ---------------------------------------------------------------------------
 @register(
     "q05_local_supplier_volume",
@@ -172,7 +177,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("lineitem")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             spark.table("customer"),
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -236,7 +241,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_returnflag = 'R'
       AND c_nationkey = n_nationkey
     GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC
+    ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
     doc="reference testdata/queries/q10.sql; README.md:62-64",
@@ -254,7 +259,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_disc_price()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.col("revenue").desc())
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
 
@@ -295,27 +300,44 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needs partsupp (absent); the operator row it covers — correlated
 # scalar subquery in WHERE (reference parser.rs:936-939, which could
 # build the AST but never execute it, README.md:49) — is kept: top
-# account-balance customer(s) per nation. Catalyst decorrelates this
-# into an aggregate + join automatically; no hand rewrite.
+# account-balance customer(s) per nation. The oracle qualifies the
+# correlation against the OUTER alias c1 (round-1 ADVICE: a bare
+# c_nationkey resolved to the inner c2, computing the global max).
+# Engine side is an independent DataFrame formulation: per-nation max
+# aggregate joined back — exactly the decorrelated plan Catalyst
+# produces for the subquery form, so the differential check compares
+# two genuinely different implementations.
+# Scale: the per-nation max is a tiny (≤25-row) aggregate — AQE
+# broadcasts it into the equality join; one shuffle on nationkey.
 # ---------------------------------------------------------------------------
-_Q02_SQL = """
-SELECT c_custkey, c_name, c_acctbal, n_name
-FROM customer, nation
-WHERE c_nationkey = n_nationkey
-  AND c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
-                   WHERE c2.c_nationkey = c_nationkey)
-ORDER BY n_name, c_custkey
-"""
-
-
 @register(
     "q02_top_balance_per_nation",
-    oracle=_Q02_SQL,
+    oracle="""
+    SELECT c1.c_custkey, c1.c_name, c1.c_acctbal, n_name
+    FROM customer c1, nation
+    WHERE c1.c_nationkey = n_nationkey
+      AND c1.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                          WHERE c2.c_nationkey = c1.c_nationkey)
+    ORDER BY n_name, c1.c_custkey
+    """,
     doc="reference testdata/queries/q2.sql (correlated scalar subquery); parser.rs:936-939",
     tags=("tpch", "subquery"),
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q02_SQL)
+    customer = spark.table("customer")
+    max_bal = customer.groupBy(F.col("c_nationkey").alias("mb_nationkey")).agg(
+        F.max("c_acctbal").alias("mb_acctbal")
+    )
+    return (
+        customer.join(
+            max_bal,
+            (F.col("c_nationkey") == F.col("mb_nationkey"))
+            & (F.col("c_acctbal") == F.col("mb_acctbal")),
+        )
+        .join(F.broadcast(spark.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+        .orderBy("n_name", "c_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -609,9 +631,13 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q16 — COUNT(DISTINCT) + NOT IN subquery + <> and NOT LIKE predicates
-# (reference README.md:72-73: failed on `count(distinct)`).
-# partsupp-free: supplier counts come from lineitem.
+# Q16 — COUNT(DISTINCT) + excluded-supplier subquery + <> and NOT LIKE
+# predicates (reference README.md:72-73: failed on `count(distinct)`).
+# partsupp-free: supplier counts come from lineitem. The oracle uses
+# NOT EXISTS (not NOT IN) to match left-anti-join semantics exactly —
+# they diverge when the subquery yields NULL keys (round-1 ADVICE).
+# Scale: part scales with SF → no broadcast hint, AQE decides; the
+# distinct-aggregate shuffles on the (brand,type,size) grouping key.
 # ---------------------------------------------------------------------------
 @register(
     "q16_part_supplier_relationship",
@@ -622,7 +648,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND p_brand <> 'Brand#1'
       AND p_type NOT LIKE 'PROMO%'
       AND p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_acctbal < 1000.0)
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
@@ -640,7 +667,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -678,8 +705,10 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q18 — large-volume customers: IN over a grouped-HAVING subquery.
 # SUM(l_quantity) is integer-valued → plain SUM is exact/deterministic.
-# Scale: the subquery is a reuse of the lineitem scan; Spark's
-# ReuseExchange dedups the two lineitem shuffles on orderkey.
+# Scale: big_orders' size is data-dependent (HAVING qty>250), so no
+# broadcast hint — AQE sees the post-aggregate size at runtime and
+# picks broadcast vs shuffle semi-join itself. o_orderkey tie-breaks
+# the LIMIT cutoff.
 # ---------------------------------------------------------------------------
 @register(
     "q18_large_volume_customer",
@@ -691,7 +720,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
                          GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    ORDER BY o_totalprice DESC, o_orderdate
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
     LIMIT 100
     """,
     doc="reference testdata/queries/q18.sql; README.md:76-78",
@@ -707,7 +736,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(big_orders.withColumnRenamed("l_orderkey", "big_orderkey")),
+            big_orders.withColumnRenamed("l_orderkey", "big_orderkey"),
             F.col("l_orderkey") == F.col("big_orderkey"),
             "left_semi",
         )
@@ -715,7 +744,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(spark.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
         .limit(100)
     )
 
@@ -726,7 +755,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p_container/l_shipmode absent → blocks over brand/size/quantity.
 # Scale: the equi-join key is extracted from all OR branches by
 # Catalyst so this still plans as a hash join on partkey, with the
-# OR residual as post-join filter — not a cartesian product.
+# OR residual as post-join filter — not a cartesian product. part
+# scales with SF → no broadcast hint; AQE decides from runtime sizes.
 # ---------------------------------------------------------------------------
 @register(
     "q19_discounted_revenue",
@@ -751,7 +781,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(block("Brand#12", 15, 1, 11) | block("Brand#23", 25, 10, 20) | block("Brand#3", 35, 20, 30))
         .agg(dsum(_disc_price()).alias("revenue"))
     )

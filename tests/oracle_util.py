@@ -55,10 +55,14 @@ def assert_matches(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = 
         f"duckdb={sorted(duck_pdf.columns)}"
     )
     srows, drows = canonical_rows(spark_pdf), canonical_rows(duck_pdf)
-    mismatches = [
-        (i, s, d) for i, (s, d) in enumerate(zip(srows, drows)) if s != d
-    ]
-    assert not mismatches, (
-        f"{name}: {len(mismatches)}/{len(srows)} rows differ; first 3: "
-        + "; ".join(f"spark={s} vs duckdb={d}" for _, s, d in mismatches[:3])
-    )
+    if srows != drows:
+        # Multiset difference, not positional zip: one extra/missing row
+        # early in sort order must not misreport every later row.
+        from collections import Counter
+
+        only_s = list((Counter(srows) - Counter(drows)).elements())
+        only_d = list((Counter(drows) - Counter(srows)).elements())
+        raise AssertionError(
+            f"{name}: {len(only_s)} spark-only / {len(only_d)} duckdb-only rows; "
+            f"first spark-only: {only_s[:2]}; first duckdb-only: {only_d[:2]}"
+        )
