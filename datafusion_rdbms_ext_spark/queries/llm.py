@@ -1,1 +1,857 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-training-data pipeline operators over ``documents``/``embeddings``.
+
+These extend the reference's relational surface (the reference is
+read-only batch SQL over Postgres — /root/reference/README.md:4 — and
+has no text/vector operators at all) with the data-processing
+capabilities a 100 TB training-data pipeline needs: deduplication
+(exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force + partition-pruned ANN), and text analysis (stats,
+quality scoring, language-ID, token counting, fingerprinting).
+
+Cross-engine exactness strategy
+-------------------------------
+Every operator here is *differentially tested* against DuckDB, so all
+randomness is replaced by a portable deterministic hash: the first 15
+hex chars of ``md5(seed || ':' || value)`` parsed as a 60-bit integer
+— computable bit-identically in Spark (``conv(substring(md5(..)))``)
+and DuckDB (``('0x' || substr(md5(..)))::BIGINT``). Floating-point
+similarity scores are rounded to 6 dp after identical sequential
+folds so the driver's exact value-hash comparison is stable.
+
+Scale design (100 TB / 1000-executor intent) — per operator:
+* Dedup never does all-pairs ``crossJoin``: MinHash-LSH shuffles on
+  (band, band-hash) and compares within buckets only; SimHash bands
+  the fingerprint halves (pigeonhole: hamming<=1 pairs share a half);
+  n-gram Jaccard uses an inverted shingle index with a document-
+  frequency cap so hot shingles can't quadratically explode a bucket.
+* Similarity search broadcasts only the *fixed-size query set*; the
+  corpus side streams map-side (brute force) or co-partitions on the
+  IVF cell id (``label``) so each cell is searched locally.
+* Everything stays JVM-side in built-in functions except the one
+  deliberately-UDF variant (``llm_sim_topk_udf``), which uses an
+  Arrow-batched pandas UDF (vectorized numpy, never per-row Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.compat import sql_dsum
+from .base import register
+
+# ---------------------------------------------------------------------------
+# Portable deterministic hashing (identical in Spark and DuckDB).
+# ---------------------------------------------------------------------------
+
+
+def _phash(col: Column, seed: str) -> Column:
+    """60-bit deterministic hash: int(md5(seed:value)[:15], 16)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _sql_phash(expr: str, seed: str) -> str:
+    """DuckDB mirror of :func:`_phash`."""
+    return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
+
+
+# Word 3-gram shingles, distinct per doc. Spark arrays are 0-based,
+# DuckDB lists 1-based; both forms below enumerate the same shingles.
+_SHINGLE_EXPR = (
+    "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+)
+
+_SQL_DS = """
+  docs AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  ),
+  ds AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+    FROM docs
+  ),
+  cnt AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id)
+"""
+
+
+def _doc_shingles(spark: SparkSession) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs. Scale: one narrow explode —
+    no shuffle until the consumer aggregates."""
+    return (
+        spark.table("documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact deduplication — hash-groupBy (the 100 TB-safe baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="LLM-pipeline north star: exact dedup via content digest. "
+    "Beyond reference surface (read-only SQL, README.md:4).",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate audit via md5 digest.
+
+    Scale: a single hash-aggregate on a 128-bit digest — uniform key
+    distribution, no skew; the digest (16 B) shuffles instead of the
+    document body (KBs), so shuffle volume is ~0.1% of input."""
+    d = spark.table("documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Canonical-form (bag-of-words) fingerprint dedup clusters.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dedup_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS f
+      FROM documents
+    )
+    SELECT f AS fingerprint, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper
+    FROM fp GROUP BY f HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    doc="Document fingerprinting: canonical token-set digest catches "
+    "word-order-shuffled duplicates exact hashing misses.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters of documents with identical distinct-token sets.
+
+    Scale: same single-shuffle shape as exact dedup; the canonical
+    form (sorted distinct tokens) is computed map-side per document."""
+    f = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))))
+    return (
+        spark.table("documents")
+        .select("doc_id", f.alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("cluster_size") > 1)
+        .select(F.col("f").alias("fingerprint"), "cluster_size", "keeper")
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH near-duplicate detection (the scale path).
+# ---------------------------------------------------------------------------
+_K = 12  # minhash functions
+_B = 4  # LSH bands (r = _K/_B = 3 rows/band)
+_R = 3
+
+
+def _sql_minhash_sig() -> str:
+    mins = ",\n           ".join(
+        f"MIN({_sql_phash('s', str(i))}) AS m{i}" for i in range(_K)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id)"
+
+
+def _sql_bands() -> str:
+    parts = []
+    for b in range(_B):
+        cols = " || ',' || ".join(
+            f"CAST(m{b * _R + j} AS VARCHAR)" for j in range(_R)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5('{b},' || {cols}) AS bh FROM sig"
+        )
+    return "bands AS (" + " UNION ALL ".join(parts) + ")"
+
+
+@register(
+    "llm_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_DS},
+    {_sql_minhash_sig()},
+    {_sql_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS i
+      FROM cand c
+      JOIN ds x ON x.doc_id = c.da
+      JOIN ds y ON y.doc_id = c.db AND y.s = x.s
+      GROUP BY c.da, c.db
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           ROUND(i.i * 1.0 / (ca.n + cb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.da
+    JOIN cnt cb ON cb.doc_id = i.db
+    WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash(K=12) + LSH(4 bands x 3 rows) near-dedup with exact "
+    "Jaccard verification of candidates. Beyond reference surface.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (Jaccard >= 0.5 on word 3-gram shingles).
+
+    Pipeline: shingle -> K minhashes -> banded signature -> bucket
+    join -> exact-Jaccard verify of candidates only.
+
+    Scale: the only joins are (a) self-join on (band, band-hash) —
+    buckets are tiny because 60-bit band hashes collide only for
+    near-identical signatures — and (b) candidate-restricted shingle
+    intersection. Nothing is all-pairs; shuffle keys (band-hash,
+    doc_id) are uniform. At 1000 executors each band bucket lands on
+    one task; skewed mega-buckets cannot form unless the corpus
+    contains thousands of true near-identical copies, in which case a
+    preceding exact-dedup pass (llm_dedup_exact) removes them."""
+    ds = _doc_shingles(spark)
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    hashed = ds.select(
+        "doc_id", *[_phash(F.col("s"), str(i)).alias(f"h{i}") for i in range(_K)]
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_K)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", F.lit(b), *[F.col(f"m{b * _R + j}") for j in range(_R)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(_B)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
+        "doc_id", "x.band", "x.bh"
+    )
+
+    ba = bands.select(F.col("doc_id").alias("da"), "band", "bh")
+    bb = bands.select(
+        F.col("doc_id").alias("db"), F.col("band").alias("band2"), F.col("bh").alias("bh2")
+    )
+    cand = (
+        ba.join(bb, (F.col("band") == F.col("band2")) & (F.col("bh") == F.col("bh2")) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .distinct()
+    )
+
+    dsa = ds.select(F.col("doc_id").alias("da"), F.col("s").alias("s"))
+    dsb = ds.select(F.col("doc_id").alias("db"), F.col("s").alias("s"))
+    inter = (
+        cand.join(dsa, "da").join(dsb, ["db", "s"]).groupBy("da", "db").agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .filter(jac >= 0.5)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Exact n-gram Jaccard via inverted shingle index (ground truth).
+# ---------------------------------------------------------------------------
+_DF_CAP = 100  # document-frequency cap: hot shingles are dropped from the index
+
+
+@register(
+    "llm_dedup_ngram_exact",
+    oracle=f"""
+    WITH {_SQL_DS},
+    sdf AS (SELECT s, COUNT(*) AS c FROM ds GROUP BY s),
+    rare AS (SELECT ds.doc_id, ds.s FROM ds JOIN sdf ON sdf.s = ds.s WHERE sdf.c <= {_DF_CAP}),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           ROUND(i.i * 1.0 / (ca.n + cb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.da
+    JOIN cnt cb ON cb.doc_id = i.db
+    WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Exact n-gram Jaccard dedup through an inverted shingle index "
+    "with a document-frequency cap (no crossJoin).",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup pairs (Jaccard >= 0.5), inverted-index form.
+
+    Scale: the shingle self-join is the classic inverted-index plan —
+    shuffle on the shingle string, pairs generated only within one
+    shingle's posting list. The df-cap (<= 100 docs/shingle) bounds
+    any posting list, so bucket work is O(cap^2) worst-case and the
+    quadratic blowup of stop-shingles is structurally impossible. At
+    100 TB the cap also acts as the standard "drop boilerplate
+    shingles" cleaning step."""
+    ds = _doc_shingles(spark)
+    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sdf = ds.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    rare = ds.join(sdf.filter(F.col("c") <= _DF_CAP), "s").select("doc_id", "s")
+
+    a = rare.select(F.col("doc_id").alias("da"), "s")
+    b = rare.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .filter(jac >= 0.5)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. SimHash near-duplicate detection (32-bit fingerprint, hamming <= 1).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (SELECT doc_id, {_sql_phash('t', 'sh')} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sb
+      FROM th, range(32) r(j) GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN sb >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS f
+      FROM bits GROUP BY doc_id
+    ),
+    halves AS (
+      SELECT doc_id, f, (f >> 16) & 65535 AS hi, f & 65535 AS lo FROM fp
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.f AS fa, b.f AS fb
+      FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+      UNION
+      SELECT DISTINCT a.doc_id, b.doc_id, a.f, b.f
+      FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    )
+    SELECT da AS doc_a, db AS doc_b, bit_count(xor(fa, fb)) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash (32-bit, term-frequency weighted) near-dedup; "
+    "pigeonhole banding on fingerprint halves finds hamming<=1 pairs "
+    "without all-pairs comparison.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance <= 1.
+
+    Scale: fingerprints are 8 bytes/doc; the candidate join keys on a
+    16-bit fingerprint half (pigeonhole guarantee for hamming <= 1).
+    Half-buckets are bounded by fingerprint entropy; a skewed bucket
+    means thousands of near-identical docs — handled upstream by
+    exact dedup, same argument as MinHash-LSH."""
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    th = tok.select("doc_id", _phash(F.col("t"), "sh").alias("h"))
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("sb")
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("sb") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("f")
+    )
+    halves = fp.select(
+        "doc_id",
+        "f",
+        F.expr("(f >> 16) & 65535").alias("hi"),
+        F.expr("f & 65535").alias("lo"),
+    )
+    a_hi = halves.select(F.col("doc_id").alias("da"), F.col("f").alias("fa"), "hi")
+    b_hi = halves.select(F.col("doc_id").alias("db"), F.col("f").alias("fb"), F.col("hi").alias("hi2"))
+    a_lo = halves.select(F.col("doc_id").alias("da"), F.col("f").alias("fa"), "lo")
+    b_lo = halves.select(F.col("doc_id").alias("db"), F.col("f").alias("fb"), F.col("lo").alias("lo2"))
+    cand = (
+        a_hi.join(b_hi, (F.col("hi") == F.col("hi2")) & (F.col("da") < F.col("db")))
+        .select("da", "db", "fa", "fb")
+        .union(
+            a_lo.join(b_lo, (F.col("lo") == F.col("lo2")) & (F.col("da") < F.col("db"))).select(
+                "da", "db", "fa", "fb"
+            )
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(fa ^ fb)")
+    return (
+        cand.filter(ham <= 1)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-8. Similarity search over embeddings (64-dim float vectors).
+# ---------------------------------------------------------------------------
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_SQL_BASE = f"base AS (SELECT vec_id, label, embedding, {_SQL_NORM} AS nrm FROM embeddings)"
+_SQL_PAIR_DOT = (
+    "list_sum(list_transform(range(1, len(b.embedding) + 1),"
+    " i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+
+
+def _vectors_with_norm(spark: SparkSession) -> DataFrame:
+    return spark.table("embeddings").select(
+        "vec_id", "label", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
+    )
+
+
+@register(
+    "llm_sim_topk_brute",
+    oracle=f"""
+    WITH {_SQL_BASE},
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM base WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.q_id, b.vec_id,
+             {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+      FROM q, base b WHERE b.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+    doc="Brute-force cosine top-k: the exact ANN baseline. Built-in "
+    "zip_with/aggregate dot product — zero Python in the hot path.",
+    tags=("llm", "similarity", "bench"),
+)
+def llm_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for a fixed query set (vec_id < 5).
+
+    Scale: the query side is a small fixed set -> broadcast it; the
+    corpus side then streams map-side with NO shuffle of the big
+    table. Per-partition top-k would further cut the window input
+    (AQE handles the final per-query ranking shuffle, which carries
+    only (q_id, vec_id, cos) triples — 24 B/row, not vectors)."""
+    base = _vectors_with_norm(spark)
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos = (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos")
+    scored = pairs.select("q_id", "vec_id", cos)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+@register(
+    "llm_sim_topk_udf",
+    oracle=f"""
+    WITH {_SQL_BASE},
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM base WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.q_id, b.vec_id,
+             {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+      FROM q, base b WHERE b.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+    doc="Same top-k search through the engine's pandas-UDF surface "
+    "(reference UDF slots are todo!(): parser.rs:813,894): Arrow-"
+    "batched vectorized numpy cosine, never row-at-a-time.",
+    tags=("llm", "similarity", "udf"),
+)
+def llm_sim_topk_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF variant of brute-force top-k (UDF surface coverage).
+
+    Scale: Arrow batches move columnar data to numpy with zero-copy;
+    the UDF computes a whole batch of cosines per call (~10k rows),
+    so Python overhead is amortized 10^4:1 versus a row UDF."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def cos_udf(qe: pd.Series, e: pd.Series) -> pd.Series:
+        qm = np.stack(qe.values).astype(np.float64)
+        em = np.stack(e.values).astype(np.float64)
+        num = (qm * em).sum(axis=1)
+        den = np.sqrt((qm * qm).sum(axis=1)) * np.sqrt((em * em).sum(axis=1))
+        return pd.Series(num / den)
+
+    base = spark.table("embeddings")
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select("q_id", "vec_id", cos_udf(F.col("q_emb"), F.col("embedding")).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+@register(
+    "llm_sim_topk_ivf",
+    oracle=f"""
+    WITH {_SQL_BASE},
+    q AS (SELECT vec_id AS q_id, label, embedding AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id < 30),
+    pairs AS (
+      SELECT q.q_id, b.vec_id,
+             {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+      FROM q JOIN base b ON b.label = q.label AND b.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc="IVF-style partition-pruned ANN: search only the query's "
+    "coarse cell (label = cluster assignment), the scale path where "
+    "brute force stops being affordable.",
+    tags=("llm", "similarity"),
+)
+def llm_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors within the query vector's IVF cell.
+
+    Scale: both sides hash-partition on the cell id, so each cell's
+    search is task-local (a co-partitioned equi-join, not a cross
+    join); cells are the standard sqrt(N)-sized IVF lists, giving
+    ~sqrt(N) work per query instead of N. Skewed cells are split by
+    AQE skew-join handling."""
+    base = _vectors_with_norm(spark)
+    q = base.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = base.join(
+        q, (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id"))
+    )
+    cos = (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos")
+    scored = pairs.select("q_id", "vec_id", cos)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9-12. Text analysis.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) AS avg_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           (CAST(SUM(n_tok) AS DOUBLE) / COUNT(*)) AS avg_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Corpus-level text statistics rollup (length/token counts).",
+    tags=("llm", "text"),
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics.
+
+    Scale: single partial-aggregated rollup; only (lang, partial
+    sums) shuffle — bytes shuffled independent of corpus size."""
+    t = spark.table("documents").select(
+        "lang", "n_chars", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum("n_tok").alias("sum_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+@register(
+    "llm_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             ROUND(
+               0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                            t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                            / len(string_split(text, ' '))), 6) AS score
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           {sql_dsum('score')} AS sum_score
+    FROM t GROUP BY source ORDER BY source
+    """,
+    doc="Heuristic quality scoring (length, lexical diversity, "
+    "stopword ratio) — the standard pre-training filter shape.",
+    tags=("llm", "text"),
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution per source.
+
+    Score = 0.3*min(tokens/100, 1) + 0.4*uniq_ratio + 0.3*(1 - stopword_ratio).
+    Scale: per-row map work + one rollup; the exact-decimal sum keeps
+    the aggregate order-independent (functions/compat.py)."""
+    w = F.split(F.col("text"), " ")
+    n_tok = F.size(w)
+    uniq_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(*_STOPWORDS))) * F.lit(1.0) / n_tok
+    )
+    score = F.round(
+        F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio),
+        6,
+    )
+    t = spark.table("documents").select("source", score.alias("score"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.col("score").cast("decimal(30,8)")).cast("double").alias("sum_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "llm_text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             CASE
+               WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               ELSE (
+                 CASE
+                   WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and')))
+                        >= greatest(
+                          len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','y'))),
+                          len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))),
+                          len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','du'))))
+                     THEN 'en'
+                   WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','y')))
+                        >= greatest(
+                          len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))),
+                          len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','du'))))
+                     THEN 'es'
+                   WHEN len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das')))
+                        >= len(list_filter(string_split(text,' '), t -> t IN ('le','les','et','du')))
+                     THEN 'de'
+                   ELSE 'fr'
+                 END)
+             END AS pred_lang
+      FROM documents
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM scored GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    doc="N-gram/stopword language-ID heuristic -> confusion matrix "
+    "against the labeled lang column.",
+    tags=("llm", "text"),
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (marker-token heuristic).
+
+    Scale: pure map-side scoring + tiny rollup. The heuristic is the
+    deterministic stand-in for a fastText-style classifier (model
+    libs aren't in this container); the Spark plumbing — per-row
+    scoring then confusion rollup — is the real shape."""
+    w = F.split(F.col("text"), " ")
+
+    def score(words):
+        return F.size(F.filter(w, lambda t: t.isin(*words)))
+
+    s_en = score(("the", "a", "of", "and"))
+    s_es = score(("el", "la", "los", "y"))
+    s_de = score(("der", "die", "und", "das"))
+    s_fr = score(("le", "les", "et", "du"))
+    pred = (
+        F.when(F.col("text").rlike("[\\x{4e00}-\\x{9fff}]"), F.lit("zh"))
+        .when((s_en >= F.greatest(s_es, s_de, s_fr)), F.lit("en"))
+        .when((s_es >= F.greatest(s_de, s_fr)), F.lit("es"))
+        .when((s_de >= s_fr), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        spark.table("documents")
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+"
+
+
+@register(
+    "llm_token_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS freq
+    FROM tok GROUP BY token
+    ORDER BY freq DESC, token LIMIT 20
+    """,
+    doc="Token counting: regex (BPE-ish word/number pieces) "
+    "tokenizer -> global frequency top-k.",
+    tags=("llm", "text", "bench"),
+)
+def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by corpus frequency.
+
+    Scale: classic word-count — partial map-side counts per token,
+    one shuffle of (token, count), TakeOrdered for the top-k (no
+    global sort materializes)."""
+    tok = spark.table("documents").select(
+        F.explode(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
