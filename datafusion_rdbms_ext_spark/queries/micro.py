@@ -1,1 +1,756 @@
-"""Placeholder — populated in later milestones."""
+"""Micro-queries closing the reference's scalar/aggregate/operator tail.
+
+The reference's parser leaves ~45 scalar builtins (abs..trunc,
+ascii..upper, regexp, digests, to_timestamp, now, coalesce, nullif —
+/root/reference/src/parser.rs:738-812), the aggregate tail
+(approx/variance/stddev/covar/corr/percentile/array_agg/grouping,
+parser.rs:879-891), set ops (parser.rs:398-399), cross join
+(parser.rs:354-397), OFFSET (parser.rs:493-503), grouping sets
+(parser.rs:940), IS [NOT] DISTINCT FROM (parser.rs:672-673),
+try_cast (parser.rs:734) and array/struct access (parser.rs:698) as
+``todo!()``. Every one is a Spark builtin; each family below lands as
+one differential query so the inventory row is machine-checked.
+
+Exactness ground rules (see functions/compat.py): transcendentals
+(exp/ln/pow) are rounded to 6 dp — JVM StrictMath and C libm may
+differ in the last ulp; sqrt is IEEE-correctly-rounded so it's exact;
+statistical aggregates run over small-magnitude columns and round to
+6 dp; collect_list/set are sorted then joined to strings of ints so
+array ordering and float formatting can't drift; approximate
+aggregates (HLL, t-digest) can't hash-match a different engine's
+sketch, so their oracle asserts *properties* (within-bounds flags)
+instead of values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register
+
+_DEC = "decimal(30,8)"
+
+
+# ---------------------------------------------------------------------------
+# Math scalar tail (ref parser.rs:739-759 todo!()).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_math_scalars",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS v_abs,
+           round(l_extendedprice, 1) AS v_round,
+           CAST(ceil(l_quantity) AS BIGINT) AS v_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS v_floor,
+           sqrt(l_quantity) AS v_sqrt,
+           round(exp(l_discount), 6) AS v_exp,
+           round(ln(l_quantity + 1), 6) AS v_ln,
+           round(log10(l_extendedprice), 6) AS v_log10,
+           round(pow(l_quantity, 2), 6) AS v_pow,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS v_sign,
+           CAST(l_quantity AS BIGINT) % 7 AS v_mod
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Math scalar family (ref todo!() parser.rs:739-759): "
+    "abs/round/ceil/floor/sqrt/exp/ln/log10/pow/sign/mod.",
+    tags=("micro", "scalar"),
+)
+def micro_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All math scalars evaluate JVM-side inside whole-stage codegen —
+    zero Python. Scale: pure map work, no shuffle."""
+    li = spark.table("lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("v_abs"),
+        F.round("l_extendedprice", 1).alias("v_round"),
+        F.ceil("l_quantity").alias("v_ceil"),
+        F.floor("l_quantity").alias("v_floor"),
+        F.sqrt("l_quantity").alias("v_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("v_exp"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("v_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("v_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("v_pow"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("v_sign"),
+        (F.col("l_quantity").cast("long") % 7).alias("v_mod"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# String scalar tail (ref parser.rs:761-812 todo!()).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_string_scalars",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_type) AS v_lower,
+           upper(p_name) AS v_upper,
+           trim('  ' || p_brand || ' ') AS v_trim,
+           ltrim(rtrim('  ' || p_brand || ' ')) AS v_lrtrim,
+           length(p_name) AS v_len,
+           p_brand || '/' || CAST(p_size AS VARCHAR) AS v_concat,
+           lpad(p_brand, 12, '.') AS v_lpad,
+           rpad(p_brand, 12, '.') AS v_rpad,
+           replace(p_type, 'A', '@') AS v_replace,
+           reverse(p_brand) AS v_reverse,
+           left(p_type, 3) AS v_left,
+           right(p_type, 3) AS v_right,
+           repeat(substr(p_brand, 1, 2), 2) AS v_repeat,
+           strpos(p_type, 'AN') AS v_instr,
+           translate(p_type, 'AEI', 'aei') AS v_translate,
+           ascii(p_type) AS v_ascii,
+           substr(p_type, 2, 4) AS v_substr
+    FROM part WHERE p_partkey < 100
+    ORDER BY p_partkey
+    """,
+    doc="String scalar family (ref todo!() parser.rs:761-812): "
+    "case/trim/pad/replace/reverse/left/right/repeat/instr/translate/"
+    "ascii/substring + || concat (ref binary op StringConcat).",
+    tags=("micro", "scalar"),
+)
+def micro_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.table("part").filter(F.col("p_partkey") < 100)
+    padded = F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("v_lower"),
+        F.upper("p_name").alias("v_upper"),
+        F.trim(padded).alias("v_trim"),
+        F.ltrim(F.rtrim(padded)).alias("v_lrtrim"),
+        F.length("p_name").cast("long").alias("v_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_size").cast("string")).alias("v_concat"),
+        F.lpad("p_brand", 12, ".").alias("v_lpad"),
+        F.rpad("p_brand", 12, ".").alias("v_rpad"),
+        F.replace(F.col("p_type"), F.lit("A"), F.lit("@")).alias("v_replace"),
+        F.reverse("p_brand").alias("v_reverse"),
+        F.expr("left(p_type, 3)").alias("v_left"),
+        F.expr("right(p_type, 3)").alias("v_right"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("v_repeat"),
+        F.instr("p_type", "AN").cast("long").alias("v_instr"),
+        F.translate("p_type", "AEI", "aei").alias("v_translate"),
+        F.ascii("p_type").cast("long").alias("v_ascii"),
+        F.substring("p_type", 2, 4).alias("v_substr"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Regexp + digests (ref parser.rs:675-678, 746, 778, 782, 789-792, 810).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_regex_hash",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           regexp_replace(n_name, '[AEIOU]', '_', 'g') AS v_re_replace,
+           regexp_extract(n_name, '([A-Z]+)', 1) AS v_re_extract,
+           md5(n_name) AS v_md5,
+           sha256(n_name) AS v_sha256
+    FROM nation
+    WHERE regexp_matches(n_name, '^[A-J]')
+    ORDER BY n_nationkey
+    """,
+    doc="RLIKE filter (ref RegexMatch ops parser.rs:675-678) + "
+    "regexp_replace/extract + md5/sha digests (ref todo!()s).",
+    tags=("micro", "scalar"),
+)
+def micro_regex_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Note: Spark regexp_replace is global by default; DuckDB needs
+    the explicit 'g' flag — same semantics, spelled per dialect."""
+    na = spark.table("nation").filter(F.col("n_name").rlike("^[A-J]"))
+    return na.select(
+        "n_nationkey",
+        "n_name",
+        F.regexp_replace("n_name", "[AEIOU]", "_").alias("v_re_replace"),
+        F.regexp_extract("n_name", "([A-Z]+)", 1).alias("v_re_extract"),
+        F.md5("n_name").alias("v_md5"),
+        F.sha2(F.col("n_name"), 256).alias("v_sha256"),
+    ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Datetime tail: EXTRACT beyond year, date_trunc, to_timestamp,
+# interval arithmetic (the reference's hard blocker, README.md:52), now().
+# ---------------------------------------------------------------------------
+@register(
+    "micro_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year  FROM o_orderdate) AS BIGINT) AS v_year,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS v_month,
+           CAST(extract(day   FROM o_orderdate) AS BIGINT) AS v_day,
+           date_trunc('month', o_orderdate) AS v_month_start,
+           o_orderdate + INTERVAL 3 MONTH AS v_plus_3m,
+           o_orderdate + INTERVAL 10 DAY AS v_plus_10d,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS v_days_since,
+           TIMESTAMP '2024-03-05 06:07:08' AS v_ts_parsed,
+           (now() > TIMESTAMP '2020-01-01') AS v_now_sane
+    FROM orders WHERE o_custkey < 10
+    ORDER BY o_orderkey
+    """,
+    doc="EXTRACT month/day (ref supports year only, parser.rs:1199-1201), "
+    "date_trunc, interval arithmetic (ref hard blocker README.md:52), "
+    "to_timestamp (ref todo!() parser.rs:802-805), now() (parser.rs:806).",
+    tags=("micro", "scalar"),
+)
+def micro_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """now() is nondeterministic, so its differential check is the
+    property now() > 2020 (true on both engines), not the value."""
+    o = spark.table("orders").filter(F.col("o_custkey") < 10)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("v_year"),
+        F.month("o_orderdate").cast("long").alias("v_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("v_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("v_month_start"),
+        F.expr("o_orderdate + INTERVAL '3' MONTH").alias("v_plus_3m"),
+        F.expr("o_orderdate + INTERVAL '10' DAY").alias("v_plus_10d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("v_days_since"),
+        F.to_timestamp(F.lit("2024-03-05 06:07:08")).alias("v_ts_parsed"),
+        (F.now() > F.lit("2020-01-01").cast("timestamp")).alias("v_now_sane"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Interval-driven range query (re-expressing a date window via INTERVAL).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_interval_range",
+    oracle="""
+    SELECT COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01' + INTERVAL 3 MONTH
+    """,
+    doc="The reference's q4/q20 blocker (README.md:52): a date range "
+    "expressed with interval arithmetic instead of precomputed literals.",
+    tags=("micro", "scalar"),
+)
+def micro_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the interval bound folds to a constant at plan time, so
+    the filter still pushes into the Parquet scan (constant folding —
+    free from Catalyst, SURVEY §4)."""
+    o = spark.table("orders")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    return o.filter(
+        (F.col("o_orderdate") >= lo)
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-01-01' + INTERVAL '3' MONTH"))
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Conditional / null tail: coalesce, nullif, null-safe equality,
+# try_cast, greatest/least, isnull.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_conditional_null",
+    oracle="""
+    SELECT n_nationkey,
+           coalesce(nullif(n_name, 'GERMANY'), '<masked>') AS v_coalesce,
+           (nullif(n_name, 'GERMANY') IS NOT DISTINCT FROM nullif(n_name, 'FRANCE')) AS v_nullsafe_eq,
+           (nullif(n_name, 'GERMANY') IS NULL) AS v_isnull,
+           TRY_CAST(n_name AS INTEGER) AS v_trycast_bad,
+           TRY_CAST(CAST(n_nationkey AS VARCHAR) AS INTEGER) AS v_trycast_ok,
+           greatest(n_nationkey, n_regionkey * 5) AS v_greatest,
+           least(n_nationkey, n_regionkey * 5) AS v_least
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="coalesce/nullif (ref todo!() parser.rs:744,779), IS NOT "
+    "DISTINCT FROM -> eqNullSafe (ref todo!() parser.rs:672-673), "
+    "try_cast (ref todo!() parser.rs:734), greatest/least.",
+    tags=("micro", "scalar"),
+)
+def micro_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = spark.table("nation")
+    masked_de = F.nullif(F.col("n_name"), F.lit("GERMANY"))
+    masked_fr = F.nullif(F.col("n_name"), F.lit("FRANCE"))
+    return na.select(
+        "n_nationkey",
+        F.coalesce(masked_de, F.lit("<masked>")).alias("v_coalesce"),
+        masked_de.eqNullSafe(masked_fr).alias("v_nullsafe_eq"),
+        masked_de.isNull().alias("v_isnull"),
+        F.expr("try_cast(n_name AS INT)").alias("v_trycast_bad"),
+        F.expr("try_cast(CAST(n_nationkey AS STRING) AS INT)").alias("v_trycast_ok"),
+        F.greatest(F.col("n_nationkey"), F.col("n_regionkey") * 5).alias("v_greatest"),
+        F.least(F.col("n_nationkey"), F.col("n_regionkey") * 5).alias("v_least"),
+    ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Bitwise ops (ref BinaryOperator::BitwiseAnd/Or, parser.rs:679-682).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_bitwise",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey & 12 AS v_and,
+           n_nationkey | 3 AS v_or,
+           xor(n_nationkey, 5) AS v_xor,
+           n_nationkey << 2 AS v_shl,
+           n_nationkey >> 1 AS v_shr,
+           bit_count(n_nationkey) AS v_popcount
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="Bitwise and/or/xor/shifts/popcount (ref parser.rs:679-682; "
+    "shifts and popcount beyond the reference surface).",
+    tags=("micro", "scalar"),
+)
+def micro_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = spark.table("nation")
+    k = F.col("n_nationkey")
+    return na.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("v_and"),
+        k.bitwiseOR(F.lit(3)).alias("v_or"),
+        k.bitwiseXOR(F.lit(5)).alias("v_xor"),
+        F.shiftleft(k, 2).cast("long").alias("v_shl"),
+        F.shiftright(k, 1).cast("long").alias("v_shr"),
+        F.bit_count(k).cast("long").alias("v_popcount"),
+    ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate tail (ref todo!() parser.rs:879-891).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS v_stddev,
+           round(stddev_pop(l_quantity), 6) AS v_stddev_pop,
+           round(var_samp(l_quantity), 6) AS v_variance,
+           round(var_pop(l_quantity), 6) AS v_var_pop,
+           round(corr(l_discount, l_tax), 6) + 0.0 AS v_corr,
+           round(covar_samp(l_discount, l_tax), 6) + 0.0 AS v_covar,
+           round(covar_pop(l_discount, l_tax), 6) + 0.0 AS v_covar_pop
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="stddev/variance/corr/covar family — all todo!() in the "
+    "reference (parser.rs:879-891), all Spark builtins.",
+    tags=("micro", "aggregate", "bench"),
+)
+def micro_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded to 6 dp: merge-order effects on these small-magnitude
+    columns are ~1e-12, far below the rounding grain.
+
+    Scale: all are single-pass partial aggregates — same shuffle
+    shape as SUM; nothing materializes per-group state larger than a
+    few doubles."""
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("v_stddev"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("v_stddev_pop"),
+            F.round(F.var_samp("l_quantity"), 6).alias("v_variance"),
+            F.round(F.var_pop("l_quantity"), 6).alias("v_var_pop"),
+            # + 0.0 folds IEEE negative zero to +0.0 (round can yield
+            # -0.0 from a tiny negative on one engine only).
+            (F.round(F.corr("l_discount", "l_tax"), 6) + 0.0).alias("v_corr"),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("v_covar"),
+            (F.round(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias("v_covar_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate extras: MIN (never exercised by the TPC-H set), DISTINCT
+# aggregates, median, collect_list/collect_set (ArrayAgg todo!()).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_agg_extras",
+    oracle="""
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS v_min,
+           MAX(o_totalprice) AS v_max,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS v_count_distinct,
+           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS v_sum_distinct,
+           median(CAST(o_totalprice AS DOUBLE)) AS v_median,
+           array_to_string(list_sort(list(DISTINCT CAST(o_custkey % 10 AS BIGINT))), ',') AS v_set_str
+    FROM orders WHERE o_custkey < 40
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="MIN (ref parser.rs:819-878, never exercised), DISTINCT "
+    "sum/count, exact median (ApproxMedian todo!() parser.rs:889), "
+    "collect_set -> sorted string (ArrayAgg todo!() parser.rs:886).",
+    tags=("micro", "aggregate"),
+)
+def micro_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set is order-nondeterministic, so it is sorted and
+    string-joined before comparison — the canonical form both engines
+    agree on."""
+    o = spark.table("orders").filter(F.col("o_custkey") < 40)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("v_min"),
+            F.max("o_totalprice").alias("v_max"),
+            F.countDistinct("o_custkey").alias("v_count_distinct"),
+            F.sum_distinct(F.col("o_totalprice").cast(_DEC)).cast("double").alias("v_sum_distinct"),
+            F.median(F.col("o_totalprice").cast("double")).alias("v_median"),
+            F.array_join(
+                F.sort_array(F.collect_set((F.col("o_custkey") % 10).cast("long"))), ","
+            ).alias("v_set_str"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates: property-based differential check.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_agg_approx",
+    oracle="""
+    SELECT o_orderpriority, TRUE AS acd_within_10pct, TRUE AS pctl_within_range
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="approx_count_distinct + percentile_approx (ref todo!() "
+    "parser.rs:880,888). Sketches are engine-specific, so the oracle "
+    "asserts accuracy properties, not sketch values.",
+    tags=("micro", "aggregate"),
+)
+def micro_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate must land within 10% of the exact count and the
+    approximate p50 must lie inside [min, max] — the engine-portable
+    contract of an approximate aggregate.
+
+    Scale: this is the pair that REPLACES exact distinct/percentile
+    at 100 TB — fixed-size sketch state per group instead of a
+    per-key shuffle."""
+    o = spark.table("orders")
+    acd = F.approx_count_distinct("o_custkey")
+    exact = F.countDistinct("o_custkey")
+    pctl = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            ((acd >= exact * 0.9) & (acd <= exact * 1.1)).alias("acd_within_10pct"),
+            ((pctl >= F.min("o_totalprice")) & (pctl <= F.max("o_totalprice"))).alias(
+                "pctl_within_range"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (ref todo!() parser.rs:398-399).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_acctbal < 0),
+         sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000)
+    SELECT 'union_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT k FROM cn UNION ALL SELECT k FROM sn) t
+    UNION ALL
+    SELECT 'union_distinct', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM cn UNION SELECT k FROM sn) t
+    UNION ALL
+    SELECT 'intersect', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn) t
+    UNION ALL
+    SELECT 'except', CAST(COUNT(*) AS BIGINT) FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn) t
+    ORDER BY op
+    """,
+    doc="UNION [ALL] / INTERSECT / EXCEPT — all todo!() in the "
+    "reference (parser.rs:398-399); Spark: union/intersect/exceptAll.",
+    tags=("micro", "setop"),
+)
+def micro_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: set ops on the deduplicated key domain; UNION goes
+    through a hash-distinct shuffle, UNION ALL is shuffle-free
+    concatenation — the plan difference that matters at volume."""
+    cn = (
+        spark.table("customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_nationkey").alias("k"))
+        .distinct()
+    )
+    sn = (
+        spark.table("supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("k"))
+        .distinct()
+    )
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union_all", cn.union(sn))
+        .union(one("union_distinct", cn.union(sn).distinct()))
+        .union(one("intersect", cn.intersect(sn)))
+        .union(one("except", cn.exceptAll(sn)))
+        .orderBy("op")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right / full outer joins (listed in ref parser.rs:309-353, never
+# exercised) + cross join (parser.rs:354-397).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_join_right",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    doc="RIGHT OUTER join (ref join_factor_to_ast parser.rs:1152-1191; "
+    "right variant never exercised by the TPC-H set).",
+    tags=("micro", "join"),
+)
+def micro_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = spark.table("orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        big.join(
+            spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"), "right"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_orderless"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "micro_join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+                FROM customer WHERE c_acctbal < -500 GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+                FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey)
+    SELECT coalesce(cn.k, sn.k) AS nationkey,
+           coalesce(cn.n_cust, 0) AS n_cust,
+           coalesce(sn.n_supp, 0) AS n_supp,
+           (cn.k IS NULL) AS missing_cust_side,
+           (sn.k IS NULL) AS missing_supp_side
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    ORDER BY nationkey
+    """,
+    doc="FULL OUTER join with nulls surviving on both sides "
+    "(ref parser.rs:1152-1191, full variant never exercised).",
+    tags=("micro", "join"),
+)
+def micro_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        spark.table("customer")
+        .filter(F.col("c_acctbal") < -500)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        spark.table("supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.join(sn, F.col("ck") == F.col("sk"), "full_outer")
+        .select(
+            F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+            F.col("ck").isNull().alias("missing_cust_side"),
+            F.col("sk").isNull().alias("missing_supp_side"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "micro_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+    doc="Cartesian product (ref CrossJoin parser.rs:354-397) over two "
+    "fixed-cardinality dims — the only scale-safe cross join shape.",
+    tags=("micro", "join"),
+)
+def micro_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: 5 x 25 rows. Cross joins are reserved for bounded dims;
+    every large-table pairing in this engine goes through an equi or
+    bucketed join instead (see llm dedup operators)."""
+    return (
+        spark.table("region")
+        .crossJoin(spark.table("nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIMIT ... OFFSET (ref Limit unparse parser.rs:493-503; offset never
+# exercised).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 5
+    """,
+    doc="LIMIT + OFFSET pagination (ref parser.rs:493-503).",
+    tags=("micro",),
+)
+def micro_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ORDER BY + LIMIT/OFFSET plans as TakeOrdered over
+    partial top-(limit+offset) per partition — no global sort."""
+    return (
+        spark.table("orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube + GROUPING() (ref todo!() parser.rs:940).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders WHERE o_custkey < 200
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+    """,
+    doc="ROLLUP with GROUPING() disambiguation (ref GroupingSet "
+    "todo!() parser.rs:940; Grouping agg todo!() parser.rs:890).",
+    tags=("micro", "aggregate"),
+)
+def micro_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders").filter(F.col("o_custkey") < 200)
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        )
+        .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
+    )
+
+
+@register(
+    "micro_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem WHERE l_orderkey < 1000
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    doc="CUBE: all 2^k grouping combinations (ref todo!() parser.rs:940).",
+    tags=("micro", "aggregate"),
+)
+def micro_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: cube expands each input row into 2^k grouping tuples
+    BEFORE the shuffle — partial aggregation keeps the blowup to the
+    distinct-group count, not the row count."""
+    li = spark.table("lineitem").filter(F.col("l_orderkey") < 1000)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inline VALUES relation (ref LogicalPlan::Values todo!() parser.rs:504).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_values_inline",
+    oracle="""
+    SELECT v.prio, CAST(v.weight AS BIGINT) AS weight, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('5-LOW', 1)) AS v(prio, weight)
+    LEFT JOIN orders o ON o.o_orderpriority = v.prio
+    GROUP BY v.prio, v.weight
+    ORDER BY v.prio
+    """,
+    doc="Inline VALUES / createDataFrame relation joined against a "
+    "table (ref Values todo!() parser.rs:504).",
+    tags=("micro",),
+)
+def micro_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the literal relation is driver-built and broadcast —
+    the canonical small-dim pattern."""
+    v = spark.createDataFrame(
+        [("1-URGENT", 5), ("2-HIGH", 4), ("5-LOW", 1)], "prio string, weight long"
+    )
+    return (
+        v.join(
+            spark.table("orders"), F.col("o_orderpriority") == F.col("prio"), "left"
+        )
+        .groupBy("prio", "weight")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("prio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Struct / array construction + indexed access (ref GetIndexedField
+# todo!() parser.rs:698; Struct/Array ctors todo!() parser.rs:760,811).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_nested_access",
+    oracle="""
+    SELECT n_nationkey,
+           (struct_pack(name := n_name, region := n_regionkey)).name AS v_field,
+           ([n_name, 'x', CAST(n_regionkey AS VARCHAR)])[1] AS v_item0,
+           ([n_name, 'x', CAST(n_regionkey AS VARCHAR)])[3] AS v_item2,
+           len([n_name, 'x']) AS v_arr_len,
+           list_contains([0, 2, 4], n_regionkey) AS v_contains
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    doc="struct/array constructors + getField/getItem access (ref "
+    "todo!()s parser.rs:698,760,811). Spark 0-based vs DuckDB 1-based "
+    "indexing reconciled per dialect.",
+    tags=("micro", "scalar"),
+)
+def micro_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = spark.table("nation")
+    arr = F.array(F.col("n_name"), F.lit("x"), F.col("n_regionkey").cast("string"))
+    return na.select(
+        "n_nationkey",
+        F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+        .getField("name")
+        .alias("v_field"),
+        arr.getItem(0).alias("v_item0"),
+        arr.getItem(2).alias("v_item2"),
+        F.size(F.array(F.col("n_name"), F.lit("x"))).cast("long").alias("v_arr_len"),
+        F.array_contains(F.array(F.lit(0), F.lit(2), F.lit(4)), F.col("n_regionkey")).alias(
+            "v_contains"
+        ),
+    ).orderBy("n_nationkey")
