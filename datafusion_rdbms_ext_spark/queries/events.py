@@ -1,1 +1,242 @@
-"""Placeholder — populated in later milestones."""
+"""Event-time windowing over the ``events`` fixture (SURVEY §7 phase 4).
+
+The reference has no streaming/time-series surface at all (SURVEY §2D:
+"streaming operators ABSENT") — this module is the batch half of the
+driver's events extension: tumbling/sliding windows via ``F.window``,
+session windows via ``F.session_window``, and JSON property access via
+``from_json`` (the ``getField`` path over semi-structured data). The
+true Structured Streaming half (readStream + watermark) lives in
+``datafusion_rdbms_ext_spark/streaming``; the window *semantics* are
+identical in both modes, which is why batch differential testing of
+the windowing is meaningful.
+
+Oracle note: DuckDB ``time_bucket`` and Spark ``F.window`` agree on
+bucket boundaries for midnight-aligned intervals (day/hour/minute)
+because both align to midnight epochs; session windows are oracled
+with the standard gaps-and-islands SQL.
+
+Scale: every window aggregate shuffles once on (bucket-or-user,
+keys); buckets are time-uniform so there is no skew; session windows
+partition by user_id (high cardinality). ``events.ts`` arrives as
+TIMESTAMP(NANOS) parquet and is rebased to microseconds at catalog
+registration (catalog.py), mirroring the reference's epoch rebasing
+(src/sqldb/postgres/binary_reader.rs:19-20,425-431).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.compat import dsum, sql_dsum
+from .base import register
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_tumbling_daily",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY bucket_start, event_type
+    ORDER BY bucket_start, event_type
+    """,
+    doc="Tumbling event-time window (F.window 1 day) x event_type; "
+    "streaming-identical semantics, batch-verified vs time_bucket.",
+    tags=("events", "window", "bench"),
+)
+def ev_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts and value sums per type."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value")
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_sliding_6h_3h",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '3 hours', ts),
+                     time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours']) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    doc="Sliding event-time window (6h window, 3h slide): each event "
+    "lands in window/slide = 2 overlapping windows.",
+    tags=("events", "window"),
+)
+def ev_sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 6-hour aggregates every 3 hours.
+
+    Scale: F.window with a slide replicates each row window/slide
+    times BEFORE the shuffle — the replication factor (2 here) is the
+    thing to keep small at volume, which is why the slide is half the
+    window, not a fine-grained fraction."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window (gap-based).
+# ---------------------------------------------------------------------------
+@register(
+    "ev_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events WHERE user_id < 20
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '6 hours' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Session windows (6h inactivity gap) via F.session_window; "
+    "oracled with gaps-and-islands SQL. Spark session end = last "
+    "event + gap, mirrored in the oracle.",
+    tags=("events", "window", "bench"),
+)
+def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions separated by >6h of inactivity.
+
+    Scale: session_window is the one window type that cannot
+    pre-bucket map-side — rows shuffle on user_id and sessions merge
+    in-state; high user cardinality keeps partitions balanced. The
+    same expression works under readStream with a watermark (see
+    streaming module)."""
+    ev = spark.table("events").filter(F.col("user_id") < 20)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property access (from_json / get_json_object).
+# ---------------------------------------------------------------------------
+@register(
+    "ev_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                           THEN 1 END) AS BIGINT) AS n_high_k,
+           MIN(json_extract_string(props, '$.k')) AS min_k_str
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured access: from_json -> typed struct getField + "
+    "get_json_object string path (ref GetIndexedField todo!() "
+    "parser.rs:698, extended to JSON).",
+    tags=("events", "json"),
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed and string-path JSON extraction over the props column.
+
+    Scale: from_json is JVM-side (Jackson) and codegen-friendly; the
+    projection prunes to (event_type, props) at the scan."""
+    ev = spark.table("events")
+    k_typed = F.from_json("props", "k INT").getField("k")
+    k_str = F.get_json_object("props", "$.k")
+    return (
+        ev.select("event_type", k_typed.alias("k"), k_str.alias("ks"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high_k"),
+            F.min("ks").alias("min_k_str"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation surface).
+# ---------------------------------------------------------------------------
+@register(
+    "ev_pivot_daily_types",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+    doc="Pivot: event-type columns per day (DataFrame pivot with an "
+    "explicit value list; oracle = conditional aggregation).",
+    tags=("events", "aggregate"),
+)
+def ev_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted into one column per event type.
+
+    Scale: the explicit pivot value list avoids the extra
+    distinct-values job Spark otherwise runs before planning the
+    pivot — at 100 TB that pre-pass is a full scan worth skipping."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            F.col("w.start").alias("day"),
+            "click",
+            "error",
+            "purchase",
+            "signup",
+            "view",
+        )
+        .orderBy("day")
+    )

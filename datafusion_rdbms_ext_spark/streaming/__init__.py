@@ -1,0 +1,236 @@
+"""Structured Streaming surface over the ``events`` fixture.
+
+The reference has zero streaming capability (SURVEY §2D: nothing in
+src/ touches streams beyond tokio channel plumbing) — this module is
+the driver-brief extension: the same event-time window semantics as
+``queries/events.py`` executed through ``readStream`` micro-batches,
+plus a custom stateful operator via ``applyInPandasWithState``.
+
+Design notes (100 TB / continuous-ingest intent):
+* ``withWatermark`` bounds state: windows older than max-event-time
+  minus the watermark delay are finalized and evicted, so state size
+  tracks the watermark horizon, not the stream length.
+* ``Trigger.AvailableNow`` drains the backlog in bounded micro-batches
+  then stops — the batch-parity mode that lets the driver's oracle
+  hash-check streaming results against plain SQL.
+* The stateful operator keeps ONE small tuple per group key
+  (per-user running count); keys hash-partition across executors, so
+  state scales horizontally with users, never with events.
+
+Each public query here is registered in the driver inventory with a
+DuckDB oracle: streaming and batch must agree bit-for-bit on the
+drained fixture, which is exactly Spark's unified-semantics promise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.compat import dsum, sql_dsum
+from ..queries.base import register
+
+#: Physical schema of events.parquet: ts is TIMESTAMP(NANOS), read as
+#: raw int64 (catalog.py sets the same conf for the batch path).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: Monotonic suffix so each invocation gets a fresh memory-sink table.
+_RUN_SEQ = [0]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events fixture with the ns->us rebase.
+
+    File-source streams need an explicit schema (no inference at
+    plan time); the nanos column arrives as int64 and is rebased
+    exactly like the batch catalog does (catalog.py:81-87)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source wants a directory/glob, not a bare file;
+    # the glob keeps the scan to events.parquet inside the shared dir.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "events*.parquet"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(stream_result: DataFrame, name: str, output_mode: str) -> None:
+    """Run one AvailableNow drain of ``stream_result`` into a memory
+    sink table called ``name`` and wait for it to finish."""
+    q = (
+        stream_result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY bucket_start, event_type
+    ORDER BY bucket_start, event_type
+    """,
+    doc="Streaming tumbling-window aggregation (readStream + "
+    "watermark + AvailableNow drain) hash-checked against the batch "
+    "oracle — the unified-semantics guarantee, machine-verified.",
+    tags=("streaming", "window"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type counts computed through the streaming engine.
+
+    Watermark: 1 day of allowed lateness. Complete output mode emits
+    every window on the final micro-batch, so the drained result is
+    the full history (equal to the batch aggregation)."""
+    _RUN_SEQ[0] += 1
+    name = f"stream_tumbling_counts_{_RUN_SEQ[0]}"
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value")
+    )
+    _drain(agg, name, "complete")
+    return spark.table(name).orderBy("bucket_start", "event_type")
+
+
+@register(
+    "stream_stateful_user_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events WHERE user_id < 40
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState; "
+    "SURVEY §2C UDF row + streaming state): per-user running counter "
+    "whose final state must equal the batch group-by.",
+    tags=("streaming", "udf"),
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event counter with explicit GroupState.
+
+    Each micro-batch updates one (count,) tuple per user and emits
+    the running total; the max over emissions is the final total,
+    which the oracle checks against a plain batch aggregation.
+
+    Scale: state is O(distinct users) tuples hash-partitioned by
+    key; event volume only affects per-batch update cost."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("running", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "running": [total]})
+
+    _RUN_SEQ[0] += 1
+    name = f"stream_stateful_user_counts_{_RUN_SEQ[0]}"
+    stream = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Final total per user = last (max) emitted running count.
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("running").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events WHERE user_id < 10
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming session windows (session_window + watermark under "
+    "readStream) vs the gaps-and-islands batch oracle.",
+    tags=("streaming", "window"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions (6h gap) computed through the streaming engine.
+
+    Complete mode emits all merged sessions on the final drain.
+    session_window under streaming merges overlapping per-batch
+    sessions in state — the drained fixture must produce exactly the
+    batch sessionization."""
+    _RUN_SEQ[0] += 1
+    name = f"stream_session_windows_{_RUN_SEQ[0]}"
+    agg = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < 10)
+        .withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    _drain(agg, name, "complete")
+    return spark.table(name).orderBy("user_id", "session_start")
