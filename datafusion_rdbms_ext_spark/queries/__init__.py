@@ -15,6 +15,7 @@ from . import windows  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from .. import streaming  # noqa: E402,F401
+from ..sources import multimodal  # noqa: E402,F401
 
 
 def queries():

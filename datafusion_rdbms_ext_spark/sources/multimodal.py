@@ -1,0 +1,230 @@
+"""Multimodal column plumbing: opaque binary assets + typed metadata.
+
+The reference is text/relational only; the driver brief extends the
+engine to image/audio/video columns for training-data pipelines. The
+container has no codec libraries (PIL/librosa/ffmpeg), so the DECODE
+step is a clearly-marked deterministic fake (`_fake_decode`) behind
+an import-try for the real library — but everything Spark-side is
+real and tested: the asset schema (binary content + metadata
+struct), the Arrow-batched ``mapInPandas`` signature, the per-batch
+processing shape, and the downstream relational handling of
+extracted features.
+
+Assets are synthesized deterministically from the ``documents``
+fixture (content = UTF-8 bytes of the text), which makes byte-level
+features SQL-derivable — so even the binary path gets a DuckDB
+oracle (ascii-sum over characters), keeping the multimodal operators
+under the same differential gate as everything else.
+
+Scale: binary payloads stay columnar in Arrow record batches end to
+end; ``mapInPandas`` processes whole batches (no per-row Python
+dispatch); feature outputs are tiny fixed-width rows, so the
+post-extract shuffle carries features, never payloads. On a real
+lake the content column would be Parquet BINARY (or file pointers
+for >100 MB assets) with identical plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.base import register
+
+#: Feature schema produced by the extractor (kept integer/string so
+#: the oracle comparison is exact; means are derived downstream).
+_FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, byte_sum long, digest string, n_frames long"
+)
+
+_POOL_SCHEMA = "doc_id long, " + ", ".join(f"p{i} double" for i in range(16))
+
+_FRAME_STRIDE = 16
+
+
+def load_assets(spark: SparkSession) -> DataFrame:
+    """Deterministic multimodal asset table derived from documents.
+
+    Schema: (doc_id, modality, content: binary, meta: struct) — the
+    engine's canonical multimodal layout. Metadata is typed per
+    modality; content is an opaque byte payload."""
+    d = spark.table("documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 48 + 16).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        F.lit("raw").alias("format"),
+    )
+    return d.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> np.ndarray:
+    """STUB decoder — deterministic stand-in for a real codec.
+
+    Real pipelines would do ``PIL.Image.open(io.BytesIO(content))``
+    / ``librosa.load`` here; those libraries are not in this
+    container, so the payload bytes themselves act as the decoded
+    sample array. The contract this preserves: bytes in, uint8
+    ndarray out, deterministic."""
+    try:  # pragma: no cover - the real-codec path never runs here
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode is intentionally stubbed in this environment"
+        )
+    except ImportError:
+        pass
+    return np.frombuffer(content, dtype=np.uint8)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    ``mapInPandas``: each call receives a pandas batch of assets and
+    yields one batch of fixed-width features — byte count, byte sum,
+    content digest, and a strided frame-sample count (the
+    video-frame-sampling shape: every ``_FRAME_STRIDE``-th sample)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            decoded = [_fake_decode(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "modality": pdf["modality"].values,
+                    "n_bytes": [a.size for a in decoded],
+                    "byte_sum": [int(a.sum(dtype=np.int64)) for a in decoded],
+                    "digest": [hashlib.md5(bytes(c)) .hexdigest() for c in pdf["content"]],
+                    "n_frames": [len(a[::_FRAME_STRIDE]) for a in decoded],
+                }
+            )
+
+    return assets.mapInPandas(fn, _FEATURE_SCHEMA)
+
+
+def resize_pool(assets: DataFrame) -> DataFrame:
+    """'Resize' stub: average-pool the decoded sample array into a
+    fixed 16-bin vector (the thumbnail/embedding-prep shape).
+
+    Chunk i covers samples [floor(i*n/16), floor((i+1)*n/16)) — the
+    deterministic adaptive pooling used when inputs vary in size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": list(pdf["doc_id"].values)}
+            pools: list[list[float]] = []
+            for c in pdf["content"]:
+                a = _fake_decode(c).astype(np.float64)
+                n = a.size
+                bounds = [(i * n) // 16 for i in range(17)]
+                pools.append(
+                    [
+                        float(a[bounds[i] : bounds[i + 1]].mean()) if bounds[i + 1] > bounds[i] else 0.0
+                        for i in range(16)
+                    ]
+                )
+            for i in range(16):
+                out[f"p{i}"] = [p[i] for p in pools]
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(fn, _POOL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_binary_features",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                        i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
+           md5(text) AS digest,
+           CAST((length(text) + {_FRAME_STRIDE} - 1) // {_FRAME_STRIDE} AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    doc="Multimodal feature extraction through mapInPandas over "
+    "binary content; byte-level features re-derived in SQL by the "
+    "oracle (content is deterministic UTF-8 of ASCII fixture text).",
+    tags=("multimodal", "udf"),
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = load_assets(spark).filter(F.col("doc_id") < 100)
+    return extract_features(assets).orderBy("doc_id")
+
+
+@register(
+    "mm_modality_rollup",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+             length(text) AS n_bytes,
+             list_sum(list_transform(range(1, length(text) + 1),
+                                     i -> ascii(substr(text, i, 1)))) AS byte_sum,
+             md5(text) AS digest
+      FROM documents
+    )
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(byte_sum) AS DOUBLE) / SUM(n_bytes), 6) AS mean_byte,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique
+    FROM feat GROUP BY modality ORDER BY modality
+    """,
+    doc="Relational rollup over extracted multimodal features — "
+    "binary ingest, UDF extract, then pure-SQL analytics (the "
+    "training-pipeline composition).",
+    tags=("multimodal",),
+)
+def mm_modality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the rollup happens on the tiny feature rows — payload
+    bytes never cross a shuffle."""
+    feats = extract_features(load_assets(spark))
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(
+                F.sum("byte_sum").cast("double") / F.sum("n_bytes"), 6
+            ).alias("mean_byte"),
+            F.countDistinct("digest").alias("n_unique"),
+        )
+        .orderBy("modality")
+    )
+
+
+@register(
+    "mm_resize_pool",
+    oracle=None,  # pooled float means over variable chunks: not SQL-expressible
+    doc="Adaptive 16-bin average pooling of decoded samples (resize/"
+    "thumbnail stub; decode is a deterministic fake — codec libs "
+    "absent). Rows-only gate entry by design.",
+    tags=("multimodal", "udf"),
+)
+def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = load_assets(spark).filter(F.col("doc_id") < 50)
+    return resize_pool(assets).orderBy("doc_id")
