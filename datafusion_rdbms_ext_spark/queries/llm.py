@@ -169,13 +169,23 @@ def llm_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K = 12  # minhash functions
 _B = 4  # LSH bands (r = _K/_B = 3 rows/band)
 _R = 3
+#: Universal-family modulus (Mersenne prime 2^31-1). One md5 per
+#: shingle yields two 32-bit seeds (a, b); h_i = (a + i*b) mod p is
+#: the standard affine minhash family — 12x fewer digest calls than
+#: hashing per-function, which dominates the cost at volume.
+_P = 2147483647
 
 
 def _sql_minhash_sig() -> str:
-    mins = ",\n           ".join(
-        f"MIN({_sql_phash('s', str(i))}) AS m{i}" for i in range(_K)
+    ab = (
+        "ab AS (SELECT doc_id, s, "
+        "(('0x' || substr(md5(s), 1, 8))::BIGINT) AS a, "
+        "(('0x' || substr(md5(s), 9, 8))::BIGINT) AS b FROM ds)"
     )
-    return f"sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id)"
+    mins = ",\n           ".join(
+        f"MIN((a + {i} * b) % {_P}) AS m{i}" for i in range(_K)
+    )
+    return f"{ab},\n    sig AS (SELECT doc_id, {mins} FROM ab GROUP BY doc_id)"
 
 
 def _sql_bands() -> str:
@@ -237,11 +247,17 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _doc_shingles(spark)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
+    hx = F.md5(F.col("s"))
     hashed = ds.select(
-        "doc_id", *[_phash(F.col("s"), str(i)).alias(f"h{i}") for i in range(_K)]
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("b"),
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_K)]
+        *[
+            F.min((F.col("a") + i * F.col("b")) % _P).alias(f"m{i}")
+            for i in range(_K)
+        ]
     )
     band_structs = F.array(
         *[
@@ -362,6 +378,21 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 5. SimHash near-duplicate detection (32-bit fingerprint, hamming <= 1).
 # ---------------------------------------------------------------------------
+def _sql_simhash_fp() -> str:
+    """Bit-sums as 32 aggregate expressions in ONE group-by — no
+    32-way row explosion before the shuffle (the naive bits-unnest
+    multiplies shuffle volume by the fingerprint width)."""
+    sums = ", ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return (
+        f"sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),\n"
+        f"    fp AS (SELECT doc_id, {fp} AS f FROM sums)"
+    )
+
+
 @register(
     "llm_dedup_simhash",
     oracle=f"""
@@ -369,15 +400,7 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
     ),
     th AS (SELECT doc_id, {_sql_phash('t', 'sh')} AS h FROM tok),
-    bits AS (
-      SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS sb
-      FROM th, range(32) r(j) GROUP BY doc_id, j
-    ),
-    fp AS (
-      SELECT doc_id,
-             SUM(CASE WHEN sb >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS f
-      FROM bits GROUP BY doc_id
-    ),
+    {_sql_simhash_fp()},
     halves AS (
       SELECT doc_id, f, (f >> 16) & 65535 AS hi, f & 65535 AS lo FROM fp
     ),
@@ -409,22 +432,21 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     )
     th = tok.select("doc_id", _phash(F.col("t"), "sh").alias("h"))
-    bits = (
-        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-        .groupBy("doc_id", "j")
-        .agg(
+    # 32 bit-sums as aggregate expressions in ONE group-by — avoids
+    # the 32x row explosion of a bits-unnest before the shuffle.
+    sums = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias("sb")
-        )
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(32)
+        ]
     )
-    fp = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("sb") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("f")
-    )
+    fp_expr = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = sums.select("doc_id", fp_expr.cast("long").alias("f"))
     halves = fp.select(
         "doc_id",
         "f",
