@@ -413,7 +413,33 @@ _Q07_SQL = _Q07_SQL_BODY.format(dsum=sql_dsum("volume"))
     tags=("tpch", "self-join"),
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q07_SQL)
+    """DataFrame form (independent of the oracle SQL): the nation
+    self-join materializes as two renamed copies of the 25-row dim,
+    both broadcast; the only real shuffle is lineitem⋈orders on
+    orderkey then the customer join on custkey."""
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate").between(ts("1996-01-01"), ts("1997-12-31"))
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(spark.table("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(spark.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(spark.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(dsum(_disc_price()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -453,7 +479,37 @@ _Q08_SQL = _Q08_SQL_BODY.format(
     tags=("tpch", "join", "bench"),
 )
 def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q08_SQL)
+    """DataFrame form: all 8 factors joined explicitly; region/nation
+    broadcast (fixed cardinality), part/supplier/customer left to AQE
+    since they scale with SF."""
+    part = spark.table("part").filter(F.col("p_type") == "ECONOMY")
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = spark.table("region").filter(F.col("r_name") == "AMERICA")
+    orders = spark.table("orders").filter(
+        F.col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31"))
+    )
+    volume = _disc_price()
+    joined = (
+        spark.table("lineitem")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(spark.table("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    national = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((dsum(national) / dsum(volume)).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +541,23 @@ _Q09_SQL = _Q09_SQL_BODY.format(dsum=sql_dsum("amount"))
     tags=("tpch", "join"),
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q09_SQL)
+    """DataFrame form: LIKE-filtered part drives the join; amount
+    keeps the reference's two-term profit shape."""
+    part = spark.table("part").filter(F.col("p_name").like("%bolt%"))
+    amount = _disc_price() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)
+    return (
+        spark.table("lineitem")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(spark.table("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(spark.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(spark.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +588,18 @@ _Q11_SQL = _Q11_SQL_BODY.format(
     tags=("tpch", "having"),
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q11_SQL)
+    """DataFrame form: the HAVING-vs-global-aggregate decorrelates
+    into a 1-row threshold joined back — AQE broadcasts the single
+    row without a hint."""
+    li = spark.table("lineitem")
+    per_part = li.groupBy("l_partkey").agg(dsum(_disc_price()).alias("part_value"))
+    threshold = li.agg((dsum(_disc_price()) * F.lit(0.0007)).alias("thr"))
+    return (
+        per_part.crossJoin(threshold)
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -699,7 +782,20 @@ WHERE p_partkey = l_partkey
     tags=("tpch", "subquery", "bench"),
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q17_SQL)
+    """DataFrame form: the correlated AVG decorrelates into a
+    per-part aggregate joined back on partkey — exactly the plan
+    Catalyst builds for the subquery SQL, here written explicitly."""
+    li = spark.table("lineitem")
+    part = spark.table("part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_cap")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ap_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).cast("double").alias("avg_yearly"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -811,7 +907,24 @@ ORDER BY s_name
     tags=("tpch", "in-subquery"),
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q20_SQL)
+    """DataFrame form: nested INs become two chained semi-joins —
+    part-filter semi-join prunes lineitem BEFORE the per-supplier
+    aggregate, so the heavy HAVING runs on the reduced set."""
+    small_parts = spark.table("part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    qualifying = (
+        spark.table("lineitem")
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2000)
+        .select("l_suppkey")
+    )
+    return (
+        spark.table("supplier")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -848,7 +961,43 @@ ORDER BY numwait DESC, s_name
     tags=("tpch", "exists", "bench"),
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q21_SQL)
+    """DataFrame form: EXISTS -> left_semi, NOT EXISTS -> left_anti,
+    both with non-equi residuals on the orderkey equi-join — the
+    exact plan Catalyst derives from the subquery SQL."""
+    l1 = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders").filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    )
+    l2 = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (F.col("l3_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        waited.join(spark.table("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -884,4 +1033,21 @@ _Q22_SQL = _Q22_SQL_BODY.format(dsum=sql_dsum("c_acctbal"), davg=sql_davg("c_acc
     tags=("tpch", "anti-join"),
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q22_SQL)
+    """DataFrame form: the uncorrelated AVG threshold is a 1-row
+    aggregate cross-joined back (AQE broadcasts it); NOT EXISTS is a
+    left_anti against the big-spender orders."""
+    code = F.substring("c_name", 17, 2)
+    codes = ("13", "31", "23", "29", "30", "18", "17")
+    cust = spark.table("customer").filter(code.isin(*codes))
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    big_orders = spark.table("orders").filter(F.col("o_totalprice") > 450000.0).select("o_custkey")
+    return (
+        cust.crossJoin(threshold)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big_orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(code.alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )

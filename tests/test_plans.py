@@ -77,13 +77,23 @@ def test_broadcast_hints_only_on_fixed_dims():
     """Source-level guard: F.broadcast() may target only tables whose
     cardinality is independent of scale factor (region: 5, nation: 25)
     or engine-built bounded sets (query vectors, inline VALUES)."""
+    # n1/n2 are renamed copies of the 25-row nation dim; q is the
+    # bounded similarity-search query set.
+    allowed = {"n1", "n2", "q", "region", "nation"}
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
     for py in root.rglob("*.py"):
         src = py.read_text()
         for m in re.finditer(r"F\.broadcast\(([^)]*)\)", src):
-            arg = m.group(1)
-            if not any(tok in arg for tok in ("nation", "region", "q", "v")):
+            arg = m.group(1).strip()
+            # The regex stops at the first ')', so nested calls like
+            # spark.table("nation") arrive truncated — match prefixes.
+            ok = (
+                arg in allowed
+                or 'table("nation"' in arg
+                or 'table("region"' in arg
+            )
+            if not ok:
                 offenders.append(f"{py.name}: {arg}")
     assert not offenders, f"broadcast hint on SF-scaling table(s): {offenders}"
 
