@@ -1,0 +1,10 @@
+"""Custom operators built as compositions of Spark primitives.
+
+The reference implements physical operators by hand (PostgresExec,
+DatabaseExec — SURVEY §2A); in the Spark-first rebuild, operators the
+platform lacks are expressed as compositions of DataFrame primitives
+(temporal.py: as-of join, range join) so Catalyst/Tungsten still own
+execution.
+"""
+
+from .temporal import asof_join, range_count  # noqa: F401

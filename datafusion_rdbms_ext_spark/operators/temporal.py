@@ -1,0 +1,179 @@
+"""Custom temporal operators: as-of join and range join.
+
+Spark has no native ASOF JOIN (DuckDB and kdb-style engines do; the
+reference has nothing temporal at all) — so the engine provides it as
+a *composition of built-in operators*, per the design rule: (a)
+DataFrame-op composition first, (b) pandas UDF only if semantics
+can't be expressed, (c) mapPartitions last. Both operators here are
+pure composition — zero Python in the execution path.
+
+As-of join (union + last-over-window):
+  tag right rows 0 and left rows 1, union, then one window pass per
+  key ordered by (time, side) carrying the last non-null right
+  payload forward. Each left row then holds the most recent right
+  row with t_right <= t_left.
+  Scale: ONE shuffle on the by-keys (the union is shuffle-free), one
+  in-partition sort — strictly cheaper than the per-row subquery a
+  naive formulation runs, and it never materializes candidate pairs.
+
+Range join (bucketed band join):
+  count right events in [t-W, t) by hashing both sides to W-sized
+  time buckets; each right row is visible in its own bucket and the
+  next, so every qualifying pair meets in exactly one (key, bucket)
+  join cell. Scale: pair generation is bounded per bucket instead of
+  per key — the standard guard against hot keys turning a plain
+  user-equi join + residual into a quadratic blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.base import register
+
+_HOUR_US = 3_600_000_000
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    right_alias: str = "matched",
+) -> DataFrame:
+    """Most-recent-prior join: for each left row, the latest right row
+    with ``right.on <= left.on`` within the same ``by`` keys.
+
+    Returns the left rows plus a struct column ``right_alias`` holding
+    the matched right row (null when no prior right row exists —
+    filter it for inner-asof semantics)."""
+    r_struct = F.struct(*[F.col(c) for c in right.columns]).alias("_r")
+    l_struct = F.struct(*[F.col(c) for c in left.columns]).alias("_l")
+    r2 = right.select(
+        *by, F.col(on).alias("_t"), F.lit(0).alias("_side"), r_struct
+    )
+    l2 = left.select(*by, F.col(on).alias("_t"), F.lit(1).alias("_side"), l_struct)
+    r2 = r2.withColumn("_l", F.lit(None).cast(l2.schema["_l"].dataType))
+    l2 = l2.withColumn("_r", F.lit(None).cast(r2.schema["_r"].dataType))
+    # side 0 before side 1 at equal timestamps => ties match (<=).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r2.unionByName(l2.select(r2.columns))
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select("_l.*", F.col("_m").alias(right_alias))
+    )
+
+
+def range_count(
+    left: DataFrame,
+    right: DataFrame,
+    window_us: int,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    out: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows with ``t in [left.t - window, left.t)`` per
+    left row, via the bucketed band join described in the module doc."""
+    lb = left.withColumn("_b", (F.unix_micros(F.col(on)) / window_us).cast("long"))
+    rb = right.select(
+        *by,
+        F.unix_micros(F.col(on)).alias("_rt"),
+        F.explode(
+            F.array(
+                (F.unix_micros(F.col(on)) / window_us).cast("long"),
+                (F.unix_micros(F.col(on)) / window_us).cast("long") + 1,
+            )
+        ).alias("_b"),
+    )
+    lt = F.unix_micros(F.col(on))
+    pairs = lb.join(rb, [*by, "_b"]).filter(
+        (F.col("_rt") >= lt - window_us) & (F.col("_rt") < lt)
+    )
+    counts = pairs.groupBy(*[F.col(c) for c in left.columns]).agg(
+        F.count(F.lit(1)).alias(out)
+    )
+    # Left semantics: rows with zero matches come back with count 0.
+    return left.join(counts, left.columns, "left").na.fill({out: 0})
+
+
+# ---------------------------------------------------------------------------
+# Registered queries over the events fixture.
+# ---------------------------------------------------------------------------
+@register(
+    "op_asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 50) p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join (operator Spark lacks; built as union+window "
+    "composition) vs DuckDB's native ASOF JOIN — each purchase "
+    "matched to the user's most recent prior click.",
+    tags=("operator", "asof", "bench"),
+)
+def op_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    purchases = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50)).select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks.withColumnRenamed("c_user", "user_id").withColumnRenamed("c_ts", "ts"),
+        on="ts",
+        by=("user_id",),
+        right_alias="m",
+    )
+    return (
+        joined.filter(F.col("m").isNotNull())  # inner-asof, like the oracle
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("m.ts").alias("click_ts"),
+            (F.unix_micros("ts") - F.unix_micros(F.col("m.ts"))).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "op_range_join_count",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id < 50),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_in_range
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id
+    """,
+    doc="Range (band) join via time-bucketed equi-join composition — "
+    "clicks in the hour before each purchase; no unbounded "
+    "inequality join.",
+    tags=("operator", "range-join"),
+)
+def op_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    purchases = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50)).select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_count(
+        purchases, clicks, _HOUR_US, on="ts", by=("user_id",), out="n_in_range"
+    ).orderBy("event_id")

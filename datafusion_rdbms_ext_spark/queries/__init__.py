@@ -16,6 +16,8 @@ from . import events  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from .. import streaming  # noqa: E402,F401
 from ..sources import multimodal  # noqa: E402,F401
+from ..operators import temporal  # noqa: E402,F401
+from ..sources import federation  # noqa: E402,F401
 
 
 def queries():

@@ -2,81 +2,90 @@
 
 Correctness tests prove the small-SF answer; these prove the PLAN is
 the one that survives a 1000-executor scale-up: filters pushed to the
-Parquet scan, columns pruned, no accidental cartesian products, and
-broadcast hints reserved for fixed-cardinality dimensions (VERDICT r1
-"what's wrong" #3 — forced broadcasts of SF-scaling tables OOM at
-100x).
+Parquet scan, columns pruned, no accidental cartesian products,
+bounded shuffle counts, and broadcast hints reserved for
+fixed-cardinality dimensions (VERDICT r1 "what's wrong" #3 — forced
+broadcasts of SF-scaling tables OOM at 100x).
 """
 
 from __future__ import annotations
 
-import io
 import re
-from contextlib import redirect_stdout
 from pathlib import Path
 
+from datafusion_rdbms_ext_spark.plans import (
+    broadcast_joins,
+    count_exchanges,
+    has_cartesian,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+)
 from datafusion_rdbms_ext_spark.queries import REGISTRY
 
 from .conftest import SF_DIR
 
 
-def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_DIR)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+def _df(spark, name: str):
+    return REGISTRY[name].fn(spark, SF_DIR)
 
 
 def test_q03_no_cartesian_and_pushdown(spark):
-    plan = _plan(spark, "q03_shipping_priority")
-    assert "CartesianProduct" not in plan
-    # The date filters must reach the Parquet scans.
-    assert "PushedFilters" in plan
-    pushed = "".join(
-        line for line in plan.splitlines() if "PushedFilters" in line
-    )
+    df = _df(spark, "q03_shipping_priority")
+    assert not has_cartesian(df)
+    pushed = "".join(pushed_filters(df))
     assert "l_shipdate" in pushed and "o_orderdate" in pushed
+    # customer⋈orders, orders⋈lineitem, final agg: the plan must not
+    # exceed a handful of shuffles.
+    assert count_exchanges(df) <= 5
 
 
 def test_q01_column_pruning(spark):
-    plan = _plan(spark, "q01_pricing_summary")
+    df = _df(spark, "q01_pricing_summary")
     # q01 touches 7 lineitem columns; join keys it does not need must
     # be pruned from the Parquet read schema.
-    assert "l_partkey" not in plan
-    assert "l_suppkey" not in plan
+    schemas = "".join(read_schemas(df))
+    assert "l_partkey" not in schemas
+    assert "l_suppkey" not in schemas
+    # One aggregation: exactly one shuffle.
+    assert count_exchanges(df) <= 1
 
 
 def test_q06_filter_pushed_to_scan(spark):
-    plan = _plan(spark, "q06_forecast_revenue")
-    assert "PushedFilters" in plan
-    pushed = plan.split("PushedFilters", 1)[1].splitlines()[0]
+    df = _df(spark, "q06_forecast_revenue")
+    pushed = "".join(pushed_filters(df))
     assert "l_shipdate" in pushed or "l_discount" in pushed
+    assert count_exchanges(df) == 0  # scalar agg: partial+final, no hash shuffle
+
+
+def test_q05_broadcasts_fixed_dims(spark):
+    df = _df(spark, "q05_local_supplier_volume")
+    assert broadcast_joins(df) >= 1  # region/nation side
+    assert not has_cartesian(df)
 
 
 def test_minhash_lsh_no_cartesian(spark):
     # The LSH design promise: candidate generation is a bucket join,
     # never an all-pairs product.
-    plan = _plan(spark, "llm_dedup_minhash_lsh")
-    assert "CartesianProduct" not in plan
+    df = _df(spark, "llm_dedup_minhash_lsh")
+    assert not has_cartesian(df)
 
 
 def test_ngram_dedup_no_cartesian(spark):
-    plan = _plan(spark, "llm_dedup_ngram_exact")
-    assert "CartesianProduct" not in plan
+    assert not has_cartesian(_df(spark, "llm_dedup_ngram_exact"))
 
 
 def test_topk_brute_broadcasts_query_side(spark):
-    # The fixed-size query set must broadcast; the corpus must not
-    # shuffle into a cartesian.
-    plan = _plan(spark, "llm_sim_topk_brute")
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # The fixed-size query set must broadcast; the corpus must never
+    # be the build side.
+    p = plan_string(_df(spark, "llm_sim_topk_brute"))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
 
 
 def test_broadcast_hints_only_on_fixed_dims():
     """Source-level guard: F.broadcast() may target only tables whose
     cardinality is independent of scale factor (region: 5, nation: 25)
-    or engine-built bounded sets (query vectors, inline VALUES)."""
+    or engine-built bounded sets (query vectors)."""
     # n1/n2 are renamed copies of the 25-row nation dim; q is the
     # bounded similarity-search query set.
     allowed = {"n1", "n2", "q", "region", "nation"}
