@@ -34,11 +34,17 @@ def has_cartesian(df: DataFrame) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges (broadcast exchanges excluded) —
-    the unit of 100 TB cost a plan should minimize."""
+    the unit of 100 TB cost a plan should minimize.
+
+    Handles both explain formats: formatted mode prints a bare
+    ``(n) Exchange`` node header (arguments on the next line), simple
+    mode prints ``+- Exchange hashpartitioning(...)`` inline."""
     p = plan_string(df)
-    return len(re.findall(r"\bExchange hashpartitioning", p)) + len(
-        re.findall(r"\bExchange rangepartitioning", p)
+    formatted = len(re.findall(r"^\(\d+\)\s+Exchange\s*$", p, re.M))
+    simple = len(
+        re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", p)
     )
+    return max(formatted, simple)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

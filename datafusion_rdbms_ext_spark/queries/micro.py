@@ -754,3 +754,53 @@ def micro_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_contains"
         ),
     ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Sort null-ordering variants (ref Sort unparse parser.rs:284-308
+# handles nulls_first, but no query ever exercised it).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_sort_nulls",
+    oracle="""
+    SELECT n_nationkey, nullif(n_name, 'GERMANY') AS maybe_name
+    FROM nation
+    ORDER BY maybe_name ASC NULLS FIRST, n_nationkey
+    """,
+    doc="ORDER BY ... NULLS FIRST (ref parser.rs:284-308 nulls_first "
+    "flag, never exercised by the TPC-H set).",
+    tags=("micro",),
+)
+def micro_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = spark.table("nation")
+    return na.select(
+        "n_nationkey", F.nullif(F.col("n_name"), F.lit("GERMANY")).alias("maybe_name")
+    ).orderBy(F.col("maybe_name").asc_nulls_first(), F.col("n_nationkey"))
+
+
+# ---------------------------------------------------------------------------
+# Repartition (ref LogicalPlan::Repartition todo!() parser.rs:492).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_repartition",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Explicit hash repartition before aggregation (ref "
+    "Repartition todo!() parser.rs:492). Semantics-invisible; the "
+    "point is the operator executes and the aggregate reuses the "
+    "partitioning (no second shuffle).",
+    tags=("micro",),
+)
+def micro_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pre-partitioning on the grouping key lets the aggregate
+    run shuffle-free on top — the manual form of what bucketing gives
+    persistently (see operators/bucketing.py)."""
+    return (
+        spark.table("orders")
+        .repartition(8, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )

@@ -47,15 +47,16 @@ def test_q01_column_pruning(spark):
     schemas = "".join(read_schemas(df))
     assert "l_partkey" not in schemas
     assert "l_suppkey" not in schemas
-    # One aggregation: exactly one shuffle.
-    assert count_exchanges(df) <= 1
+    # One aggregation shuffle + the final 2-key sort.
+    assert 1 <= count_exchanges(df) <= 2
 
 
 def test_q06_filter_pushed_to_scan(spark):
     df = _df(spark, "q06_forecast_revenue")
     pushed = "".join(pushed_filters(df))
     assert "l_shipdate" in pushed or "l_discount" in pushed
-    assert count_exchanges(df) == 0  # scalar agg: partial+final, no hash shuffle
+    # Scalar agg: at most the partial->final single-partition exchange.
+    assert count_exchanges(df) <= 1
 
 
 def test_q05_broadcasts_fixed_dims(spark):
