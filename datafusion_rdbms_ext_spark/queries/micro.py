@@ -804,3 +804,42 @@ def micro_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (beyond rollup/cube; ref todo!() parser.rs:940).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders WHERE o_custkey < 100
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+    """,
+    doc="Arbitrary GROUPING SETS via the DataFrame groupingSets API "
+    "(ref GroupingSet todo!() parser.rs:940) — per-dimension totals "
+    "plus grand total in one pass.",
+    tags=("micro", "aggregate"),
+)
+def micro_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one pass over the input expands rows per grouping set
+    pre-shuffle; with partial aggregation the shuffle carries only
+    distinct group tuples."""
+    o = spark.table("orders").filter(F.col("o_custkey") < 100)
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        )
+        .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
+    )

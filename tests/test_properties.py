@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+The reference has zero property/randomized testing (SURVEY §5); the
+differential oracle covers fixture data, and these cover the
+input-space corners the fixtures can't: duplicate timestamps, empty
+sides, singleton groups, adversarial near-duplicate structures.
+
+Strategy note: one shared SparkSession, small generated frames, and
+a per-property row cap keep each example under ~100 ms so hypothesis
+can actually explore; deadline is disabled because JVM round-trips
+have high variance, and max_examples stays deliberately small.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datafusion_rdbms_ext_spark.operators.temporal import asof_join, range_count
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+#: (key, time) event rows; small domains force key collisions and
+#: duplicate timestamps — the corners that break naive as-of logic.
+_EVENTS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=_EVENTS, right=_EVENTS)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == per-row brute force: for every left row, the
+    matched right time is max{rt <= lt} within the key."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "user_id long, ts long, row_id long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t) for k, t in right] or [(99, -1)], "user_id long, ts long"
+    )
+    out = {
+        (r["row_id"]): (r["m"]["ts"] if r["m"] is not None else None)
+        for r in asof_join(ldf, rdf, on="ts", by=("user_id",), right_alias="m").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        candidates = [rt for rk, rt in (right or [(99, -1)]) if rk == k and rt <= t]
+        expected = max(candidates) if candidates else None
+        assert out[i] == expected, (i, k, t)
+
+
+@given(left=_EVENTS, right=_EVENTS, window=st.integers(1, 20))
+@settings(**_SETTINGS)
+def test_range_count_matches_bruteforce(spark, left, right, window):
+    """range_count == per-row brute force over [t-window, t)."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "user_id long, ts long, row_id long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t) for k, t in right] or [(99, -1)], "user_id long, ts long"
+    )
+    # range_count expects timestamps in microseconds via unix_micros;
+    # feed integer "timestamps" as microsecond epochs.
+    ldf = ldf.withColumn("ts", F.timestamp_micros("ts"))
+    rdf = rdf.withColumn("ts", F.timestamp_micros("ts"))
+    out = {
+        r["row_id"]: r["n_in_range"]
+        for r in range_count(ldf, rdf, window, on="ts", by=("user_id",)).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        expected = sum(
+            1 for rk, rt in (right or [(99, -1)]) if rk == k and t - window <= rt < t
+        )
+        assert out[i] == expected, (i, k, t, window)
