@@ -7,4 +7,6 @@ platform lacks are expressed as compositions of DataFrame primitives
 execution.
 """
 
+from .bucketing import bucketed_join, write_bucketed  # noqa: F401
+from .skew import salted_agg, salted_join  # noqa: F401
 from .temporal import asof_join, range_count  # noqa: F401
