@@ -877,3 +877,62 @@ def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. Embedding-cosine near-duplicate pairs (cell-bucketed).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH {_SQL_BASE},
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_sum(list_transform(range(1, len(b.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm) AS cos
+      FROM base a JOIN base b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup detection, bucketed by IVF cell "
+    "(label) so pair generation is per-cell, never corpus-wide "
+    "all-pairs — the vector analogue of LSH-banded text dedup.",
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= 0.4) within IVF cells.
+
+    Scale: the self-join keys on the cell id — each cell's pairs are
+    generated task-locally (cells are ~sqrt(N) sized), and AQE skew
+    handling splits an oversized cell. Cross-cell near-dups are
+    caught by probing neighboring cells in a multi-probe pass (same
+    plan, label-neighborhood join key) when recall demands it."""
+    base = _vectors_with_norm(spark)
+    a = base.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        .select("va", "vb", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -41,6 +41,13 @@ def get_spark(app_name: str = "datafusion_rdbms_ext_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split planning: maxPartitionBytes stays at the 128 MB
+        # default (scan parallelism scales with data), but the
+        # file-open cost model is tuned for fast local/object storage
+        # so small files still split wide enough to feed all cores.
+        # At 100 TB files are >=128 MB and these two are no-ops.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        .config("spark.sql.files.minPartitionNum", os.environ.get("SPARK_GRAFT_CPUS", "32"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
