@@ -234,3 +234,59 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(agg, name, "complete")
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 30) p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream interval join (purchases x clicks within the "
+    "preceding hour) under readStream — the join-with-state surface; "
+    "batch SQL oracle proves the drained result identical.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-bounded stream-stream inner join.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions — that is what lets the engine evict
+    matched state instead of buffering each side forever. State is
+    O(events within the interval horizon), not O(stream length)."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "purchase_ts", "click_ts")
+
+    _RUN_SEQ[0] += 1
+    name = f"stream_stream_join_{_RUN_SEQ[0]}"
+    _drain(joined, name, "append")
+    return spark.table(name).orderBy("purchase_id", "click_id")
