@@ -61,3 +61,23 @@ def test_parquet_sink_round_trip(spark, tmp_path_factory):
     back = spark.read.parquet(str(out)).select("o_orderpriority", "n")
     assert sorted(back.collect()) == sorted(src.collect())
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_csv_and_json_source_round_trip(spark):
+    """CSV/JSON sources (the reference's only non-DB format is CSV
+    test infra, testdata/tpch-postgres.sql:17): write the same frame
+    to both formats, read back with explicit schemas, get identical
+    relational content."""
+    ensure_tables(spark, SMOKE_SF_DIR)
+    src = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    base = Path("spark-warehouse") / "_fmt_roundtrip"
+    shutil.rmtree(base, ignore_errors=True)
+    src.write.mode("overwrite").option("header", True).csv(str(base / "csv"))
+    src.write.mode("overwrite").json(str(base / "json"))
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    from_csv = spark.read.schema(schema).option("header", True).csv(str(base / "csv"))
+    from_json = spark.read.schema(schema).json(str(base / "json"))
+    expected = sorted(src.collect())
+    assert sorted(from_csv.collect()) == expected
+    assert sorted(from_json.collect()) == expected
+    shutil.rmtree(base, ignore_errors=True)
