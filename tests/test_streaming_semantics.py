@@ -1,0 +1,92 @@
+"""Late-data semantics: watermark drops, checkpoint restores.
+
+The differential gate proves drained-stream == batch on the fixture;
+this test proves the *incremental* semantics the gate can't see:
+with a checkpointed append-mode aggregation, an event arriving after
+the watermark has passed its window is DROPPED, not merged — the
+late-data contract a 100 TB continuous pipeline depends on for
+bounded state.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path: Path, rows):
+    spark.createDataFrame(rows, "event_id long, ts timestamp, v long").coalesce(
+        1
+    ).write.mode("append").parquet(str(path))
+
+
+def _drain_counts(spark, src: Path, ckpt: Path, out: Path):
+    """AvailableNow drain into a checkpointed parquet sink (the memory
+    sink cannot recover from a checkpoint); returns all rows emitted
+    so far as {window_start: count}."""
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v long")
+        .format("parquet")
+        .load(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(out)).collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r["ws"]] = counts.get(r["ws"], 0) + r["n"]
+    return counts
+
+
+def test_watermark_drops_late_rows(spark):
+    base = Path("spark-warehouse") / "_late_data"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, out = base / "src", base / "ckpt", base / "out"
+    src.mkdir(parents=True)
+
+    ts = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+    # Batch 1: three events in the 10:00 window, one at 20:00 that
+    # advances the watermark to 19:00 — far past the 10:00 window.
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, ts("2024-01-01 10:05:00"), 1),
+            (2, ts("2024-01-01 10:15:00"), 1),
+            (3, ts("2024-01-01 10:45:00"), 1),
+            (4, ts("2024-01-01 20:00:00"), 1),
+        ],
+    )
+    first = _drain_counts(spark, src, ckpt, out)
+    # Append mode emits the 10:00 window once it is below the watermark.
+    assert first.get(ts("2024-01-01 10:00:00")) == 3
+
+    # Batch 2: a straggler for the already-finalized 10:00 window plus
+    # one on-time event. The straggler must be dropped by the restored
+    # watermark, never re-opening the emitted window.
+    _write_batch(
+        spark,
+        src,
+        [
+            (5, ts("2024-01-01 10:30:00"), 1),  # LATE: watermark is 19:00
+            (6, ts("2024-01-01 21:00:00"), 1),
+        ],
+    )
+    second = _drain_counts(spark, src, ckpt, out)
+    assert second.get(ts("2024-01-01 10:00:00")) == 3, (
+        "late row re-opened a finalized window — watermark state was not restored"
+    )
+    shutil.rmtree(base, ignore_errors=True)
