@@ -936,3 +936,84 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Winnowing fingerprints (rolling-hash document fingerprinting).
+# ---------------------------------------------------------------------------
+_FP_K = 8  # character k-gram width
+_FP_W = 8  # winnowing window (k-grams per window)
+
+
+@register(
+    "llm_fingerprint_winnow",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - {_FP_K} + 2)) AS i
+      FROM documents WHERE length(text) >= {_FP_K + _FP_W - 1}
+    ),
+    grams AS (
+      SELECT doc_id, i, {_sql_phash(f"substr(text, i, {_FP_K})", "fp")} AS h,
+             length(text) - {_FP_K} + 1 AS maxpos
+      FROM pos
+    ),
+    wmins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {_FP_W - 1} FOLLOWING) AS fp
+      FROM grams WHERE i <= maxpos - {_FP_W} + 1
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmins)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_digest
+    FROM fps
+    WHERE doc_id < 100
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Winnowing document fingerprints (rolling char 8-gram hash, "
+    "window-minimum selection — the MOSS scheme): the brief's "
+    "'rolling hash' fingerprinting item, per-doc fingerprint set "
+    "digests.",
+    tags=("llm", "text", "dedup"),
+)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint sets per document.
+
+    Winnowing guarantees any shared substring of length k+w-1 (15
+    chars here) yields a shared fingerprint — the substring-overlap
+    dedup primitive that token-set methods miss.
+
+    Scale: gram hashing and window minima are per-doc local (one
+    shuffle on doc_id for the window sort); fingerprint sets are
+    ~n/w values per doc, and downstream near-dup detection joins an
+    inverted fingerprint index exactly like the shingle path."""
+    k, w = _FP_K, _FP_W
+    d = spark.table("documents").filter(
+        (F.length("text") >= k + w - 1) & (F.col("doc_id") < 100)
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(F.expr(f"sequence(1, length(text) - {k} + 1)")).alias("_p", "i"),
+        F.length("text").alias("_len"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "i",
+        _phash(F.expr(f"substr(text, i, {k})"), "fp").alias("h"),
+        (F.col("_len") - k + 1).alias("maxpos"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fps = (
+        grams.filter(F.col("i") <= F.col("maxpos") - w + 1)
+        .select("doc_id", F.min("h").over(win).alias("fp"))
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("fp")))).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
