@@ -318,7 +318,8 @@ _DF_CAP = 100  # document-frequency cap: hot shingles are dropped from the index
     oracle=f"""
     WITH {_SQL_DS},
     sdf AS (SELECT s, COUNT(*) AS c FROM ds GROUP BY s),
-    rare AS (SELECT ds.doc_id, ds.s FROM ds JOIN sdf ON sdf.s = ds.s WHERE sdf.c <= {_DF_CAP}),
+    rare AS (SELECT ds.doc_id, ds.s FROM ds JOIN sdf ON sdf.s = ds.s
+             WHERE sdf.c BETWEEN 2 AND {_DF_CAP}),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -349,7 +350,11 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _doc_shingles(spark)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sdf = ds.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-    rare = ds.join(sdf.filter(F.col("c") <= _DF_CAP), "s").select("doc_id", "s")
+    # df=1 shingles can never produce a pair — drop them from the
+    # index (they only self-match, filtered by da<db anyway).
+    rare = ds.join(
+        sdf.filter((F.col("c") >= 2) & (F.col("c") <= _DF_CAP)), "s"
+    ).select("doc_id", "s")
 
     a = rare.select(F.col("doc_id").alias("da"), "s")
     b = rare.select(F.col("doc_id").alias("db"), "s")
