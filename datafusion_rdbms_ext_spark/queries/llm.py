@@ -1022,3 +1022,46 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. Deterministic dataset splitting (train/val/test).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_train_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_sql_phash('CAST(doc_id AS VARCHAR)', 'split')} % 100 < 80 THEN 'train'
+                  WHEN {_sql_phash('CAST(doc_id AS VARCHAR)', 'split')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="Deterministic 80/10/10 train/val/test split via content-"
+    "stable hash bucketing (no rand(): assignments survive reruns, "
+    "backfills, and engine changes) — the split every training "
+    "pipeline runs first.",
+    tags=("llm", "text"),
+)
+def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, lang) document counts under hash-bucket assignment.
+
+    Scale: pure map-side assignment + one rollup. Hash-stability is
+    the operational point: adding documents never reassigns existing
+    ones (unlike randomSplit), so train/test contamination can't
+    creep in across incremental runs."""
+    bucket = _phash(F.col("doc_id").cast("string"), "split") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        spark.table("documents")
+        .select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )

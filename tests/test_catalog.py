@@ -68,3 +68,14 @@ def test_compile_scan_and_count():
         "WHERE (c_acctbal > 0) AND (c_nationkey = 3) LIMIT 10"
     )
     assert count_records(SF_DIR, "SELECT * FROM region") == 5
+
+
+def test_missing_fixture_fails_loudly(spark, tmp_path):
+    """A missing table must raise, not silently leave a stale view
+    (catalog.py's fail-loud contract)."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="region"):
+        register_tables(spark, str(tmp_path))
+    # Recover the session's registration for later tests.
+    register_tables(spark, SF_DIR)

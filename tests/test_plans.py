@@ -114,3 +114,17 @@ def test_session_confs(spark):
     # every plan above.
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_all_bench_queries_have_sane_plans(spark):
+    """Blanket 100 TB guard over every bench-tagged query: no
+    cartesian products anywhere, and shuffle-exchange counts stay
+    within the multi-stage ceiling (dedup pipelines are the deepest
+    at ~a dozen; a regression past that means a lost reuse or an
+    accidental re-shuffle)."""
+    for name, spec in REGISTRY.items():
+        if "bench" not in spec.tags:
+            continue
+        df = spec.fn(spark, SF_DIR)
+        assert not has_cartesian(df), name
+        assert count_exchanges(df) <= 14, name
