@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: session-id → sf_dir currently registered for that session. Owned
+#: here (not by the query registry) so deregistration invalidates it.
+_SESSION_DIR: dict[int, str] = {}
+
 #: Every table the driver fixture set provides (TESTDATA.md).
 TABLES = (
     "region",
@@ -70,6 +74,7 @@ def register_tables(
         df = _rebase_nanos(df, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    _SESSION_DIR[id(spark)] = sf_dir
     return out
 
 
@@ -99,5 +104,10 @@ def table_exist(spark: SparkSession, name: str) -> bool:
 
 
 def deregister_table(spark: SparkSession, name: str) -> bool:
-    """Reference: ``register/deregister_table`` (src/catalog.rs:84-102)."""
+    """Reference: ``register/deregister_table`` (src/catalog.rs:84-102).
+
+    Also invalidates the registration memo so the next registered
+    query re-registers instead of trusting a catalog this call just
+    made incomplete."""
+    _SESSION_DIR.pop(id(spark), None)
     return spark.catalog.dropTempView(name)

@@ -24,7 +24,6 @@ both sides must use the same count for the co-location to hold.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -67,6 +66,8 @@ def bucketed_join(
     With matching bucket specs Catalyst proves both sides already
     satisfy the join's required distribution and plans a
     SortMergeJoin with NO Exchange on either side."""
-    return spark.table(left_table).join(
-        spark.table(right_table), F.col(left_key) == F.col(right_key)
-    )
+    lt, rt = spark.table(left_table), spark.table(right_table)
+    # Keys resolved through the DataFrame handles so identical key
+    # names on both sides (the natural bucketing case) don't raise
+    # an ambiguous-reference error.
+    return lt.join(rt, lt[left_key] == rt[right_key])

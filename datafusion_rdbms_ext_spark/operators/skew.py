@@ -34,28 +34,32 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase aggregation for skewed grouping keys.
 
-    ``aggs`` maps output names to REASSOCIABLE aggregate expressions
-    over the partial columns (sum/count/min/max shapes): phase one
-    computes them per (keys, salt), phase two re-aggregates the
-    partials per keys."""
+    ``aggs`` maps output names to REASSOCIABLE aggregate expressions:
+    phase one computes them per (keys, salt), phase two refolds the
+    partials per keys. The refold is dispatched on the output-name
+    prefix — ``sum_``/``n_`` partials re-sum (a count of counts is a
+    sum), ``min_`` re-mins, ``max_`` re-maxes; any other prefix is
+    rejected because this function cannot know how to merge it
+    (avg/median etc. are not refoldable from per-salt results —
+    express avg as sum_x / n_x over two entries)."""
     salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
         .agg(*[expr.alias(name) for name, expr in aggs.items()])
     )
-    refold = {
-        name: F.sum(name) if name.startswith(("sum_", "n_")) else None
-        for name in aggs
-    }
     final_aggs = []
     for name in aggs:
-        fold = refold[name]
-        if fold is None:
+        if name.startswith(("sum_", "n_")):
+            final_aggs.append(F.sum(name).alias(name))
+        elif name.startswith("min_"):
+            final_aggs.append(F.min(name).alias(name))
+        elif name.startswith("max_"):
+            final_aggs.append(F.max(name).alias(name))
+        else:
             raise ValueError(
-                f"salted_agg only refolds sum_*/n_* outputs; got {name!r}"
+                f"salted_agg refolds sum_*/n_*/min_*/max_* outputs; got {name!r}"
             )
-        final_aggs.append(fold.alias(name))
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
@@ -77,10 +81,13 @@ def salted_join(
     r_replicated = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
+    # Keys resolved through the DataFrame handles so left_key ==
+    # right_key (the common case) is not an ambiguous reference.
     return (
         l_salted.join(
             r_replicated,
-            (F.col(left_key) == F.col(right_key)) & (l_salted["_salt"] == r_replicated["_salt"]),
+            (l_salted[left_key] == r_replicated[right_key])
+            & (l_salted["_salt"] == r_replicated["_salt"]),
         )
         .drop("_salt")
     )

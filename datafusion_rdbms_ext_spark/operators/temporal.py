@@ -79,8 +79,13 @@ def range_count(
     out: str = "n_in_range",
 ) -> DataFrame:
     """Count right rows with ``t in [left.t - window, left.t)`` per
-    left row, via the bucketed band join described in the module doc."""
-    lb = left.withColumn("_b", (F.unix_micros(F.col(on)) / window_us).cast("long"))
+    left row, via the bucketed band join described in the module doc.
+
+    Counting keys on an internal per-row id, not the left row's
+    content — two fully-identical left rows must each keep their own
+    count, not share a doubled one."""
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    lb = lid.withColumn("_b", (F.unix_micros(F.col(on)) / window_us).cast("long"))
     rb = right.select(
         *by,
         F.unix_micros(F.col(on)).alias("_rt"),
@@ -95,11 +100,13 @@ def range_count(
     pairs = lb.join(rb, [*by, "_b"]).filter(
         (F.col("_rt") >= lt - window_us) & (F.col("_rt") < lt)
     )
-    counts = pairs.groupBy(*[F.col(c) for c in left.columns]).agg(
-        F.count(F.lit(1)).alias(out)
-    )
+    counts = pairs.groupBy("_lid").agg(F.count(F.lit(1)).alias(out))
     # Left semantics: rows with zero matches come back with count 0.
-    return left.join(counts, left.columns, "left").na.fill({out: 0})
+    return (
+        lid.join(counts, "_lid", "left")
+        .na.fill({out: 0})
+        .drop("_lid")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -14,25 +14,24 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import register_tables
+from ..catalog import _SESSION_DIR, register_tables
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name → spec, in registration order.
 REGISTRY: dict[str, "QuerySpec"] = {}
 
-#: session-id → sf_dir whose tables that session currently has
-#: registered. Views are session-global names, so only the *latest*
-#: sf_dir per session is valid (switching dirs re-registers).
-_REGISTERED: dict[int, str] = {}
-
 
 def ensure_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Register fixture tables once per (session, sf_dir)."""
-    key = id(spark)
-    if _REGISTERED.get(key) != sf_dir:
+    """Register fixture tables once per (session, sf_dir).
+
+    The memo lives in ``catalog._SESSION_DIR`` (set by
+    register_tables, cleared by deregister_table) so a deregistered
+    view can never be mistaken for a complete catalog. Views are
+    session-global names, so only the *latest* sf_dir per session is
+    valid — switching dirs re-registers."""
+    if _SESSION_DIR.get(id(spark)) != sf_dir:
         register_tables(spark, sf_dir)
-        _REGISTERED[key] = sf_dir
 
 
 @dataclass

@@ -963,12 +963,15 @@ _FP_W = 8  # winnowing window (k-grams per window)
       FROM pos
     ),
     wmins AS (
-      SELECT doc_id,
+      SELECT doc_id, i, maxpos,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
                           ROWS BETWEEN CURRENT ROW AND {_FP_W - 1} FOLLOWING) AS fp
-      FROM grams WHERE i <= maxpos - {_FP_W} + 1
+      FROM grams
     ),
-    fps AS (SELECT DISTINCT doc_id, fp FROM wmins)
+    full_windows AS (
+      SELECT doc_id, fp FROM wmins WHERE i <= maxpos - {_FP_W} + 1
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM full_windows)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_fp,
            md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_digest
@@ -1008,10 +1011,18 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _phash(F.expr(f"substr(text, i, {k})"), "fp").alias("h"),
         (F.col("_len") - k + 1).alias("maxpos"),
     )
+    # Window-min FIRST, filter to full windows AFTER: the tail grams
+    # must stay visible inside earlier windows' frames even though
+    # they anchor no window of their own (filtering first would both
+    # shrink the last window and drop tail grams entirely, breaking
+    # the shared-substring guarantee).
     win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
     fps = (
-        grams.filter(F.col("i") <= F.col("maxpos") - w + 1)
-        .select("doc_id", F.min("h").over(win).alias("fp"))
+        grams.select(
+            "doc_id", "i", "maxpos", F.min("h").over(win).alias("fp")
+        )
+        .filter(F.col("i") <= F.col("maxpos") - w + 1)
+        .select("doc_id", "fp")
         .distinct()
     )
     return (

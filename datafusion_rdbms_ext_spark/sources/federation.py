@@ -171,8 +171,12 @@ def federated_scan(
                 if row["cnt"] <= 0:
                     continue
                 con = _connect(sf_dir)
+                # Wrap the base query: its own LIMIT (if any) must
+                # apply BEFORE the deterministic partition ordering,
+                # and appending a second LIMIT directly would be
+                # invalid SQL.
                 part_sql = (
-                    f"{base_sql} ORDER BY {order_cols} "
+                    f"SELECT * FROM ({base_sql}) _t ORDER BY {order_cols} "
                     f"LIMIT {int(row['cnt'])} OFFSET {int(row['off'])}"
                 )
                 yield con.execute(part_sql).fetchdf()

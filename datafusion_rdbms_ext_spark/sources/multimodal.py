@@ -73,6 +73,17 @@ def load_assets(spark: SparkSession) -> DataFrame:
     )
 
 
+# Probe codec availability ONCE at import — a failed import is not
+# cached by Python, so probing per row would re-scan sys.path inside
+# the mapInPandas hot loop.
+try:  # pragma: no cover - the real-codec path never runs here
+    import PIL.Image  # noqa: F401
+
+    _HAS_CODEC = True
+except ImportError:
+    _HAS_CODEC = False
+
+
 def _fake_decode(content: bytes) -> np.ndarray:
     """STUB decoder — deterministic stand-in for a real codec.
 
@@ -81,14 +92,10 @@ def _fake_decode(content: bytes) -> np.ndarray:
     container, so the payload bytes themselves act as the decoded
     sample array. The contract this preserves: bytes in, uint8
     ndarray out, deterministic."""
-    try:  # pragma: no cover - the real-codec path never runs here
-        import PIL.Image  # noqa: F401
-
+    if _HAS_CODEC:  # pragma: no cover
         raise NotImplementedError(
             "real image decode is intentionally stubbed in this environment"
         )
-    except ImportError:
-        pass
     return np.frombuffer(content, dtype=np.uint8)
 
 
