@@ -1076,3 +1076,64 @@ def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Incremental dedup: new batch vs historical corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS d,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS cf
+      FROM documents WHERE source <> 'src0'
+    ),
+    new_batch AS (
+      SELECT doc_id, md5(text) AS d,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS cf
+      FROM documents WHERE source = 'src0'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN h1.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN h2.cf IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical_dup,
+           CAST(SUM(CASE WHEN h1.d IS NULL AND h2.cf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM new_batch nb
+    LEFT JOIN (SELECT DISTINCT d FROM hist) h1 ON h1.d = nb.d
+    LEFT JOIN (SELECT DISTINCT cf FROM hist) h2 ON h2.cf = nb.cf
+    """,
+    doc="Incremental dedup: an arriving batch (source='src0') checked "
+    "against the historical corpus on exact and canonical digests — "
+    "the nightly-ingest shape where only the delta is re-examined.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission report for a new document batch.
+
+    Scale: the historical side reduces to DISTINCT digests (16 B/doc)
+    before the join; the new batch is typically tiny relative to
+    history, so AQE broadcasts it and history never re-shuffles its
+    full text. The same digests would live in a persisted bucketed
+    table in production (operators/bucketing.py)."""
+    d = spark.table("documents")
+    digest = F.md5("text")
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))))
+    hist = d.filter(F.col("source") != "src0").select(
+        digest.alias("hd"), canon.alias("hcf")
+    )
+    hist_d = hist.select("hd").distinct()
+    hist_cf = hist.select("hcf").distinct()
+    nb = d.filter(F.col("source") == "src0").select(
+        "doc_id", digest.alias("d"), canon.alias("cf")
+    )
+    joined = nb.join(hist_d, nb["d"] == hist_d["hd"], "left").join(
+        hist_cf, nb["cf"] == hist_cf["hcf"], "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.when(F.col("hd").isNotNull(), 1).otherwise(0)).alias("n_exact_dup"),
+        F.sum(F.when(F.col("hcf").isNotNull(), 1).otherwise(0)).alias("n_canonical_dup"),
+        F.sum(
+            F.when(F.col("hd").isNull() & F.col("hcf").isNull(), 1).otherwise(0)
+        ).alias("n_kept"),
+    )

@@ -290,3 +290,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_stream_join_{_RUN_SEQ[0]}"
     _drain(joined, name, "append")
     return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming deduplication of an at-least-once stream: the "
+    "source is unioned with itself (every event delivered twice) and "
+    "dropDuplicatesWithinWatermark restores exactly-once counts.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-delivery cleanup under readStream.
+
+    Scale: dedup state holds one key per event id only within the
+    watermark horizon — the bounded-state form (plain
+    dropDuplicates would keep every id forever)."""
+    doubled = (
+        events_stream(spark, sf_dir)
+        .unionByName(events_stream(spark, sf_dir))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    _RUN_SEQ[0] += 1
+    name = f"stream_dedup_{_RUN_SEQ[0]}"
+    _drain(doubled, name, "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
