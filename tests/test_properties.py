@@ -78,3 +78,50 @@ def test_range_count_matches_bruteforce(spark, left, right, window):
             1 for rk, rt in (right or [(99, -1)]) if rk == k and t - window <= rt < t
         )
         assert out[i] == expected, (i, k, t, window)
+
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_ROWS, buckets=st.integers(1, 8))
+@settings(**_SETTINGS)
+def test_salted_agg_invariant_to_salting(spark, rows, buckets):
+    """Salted two-phase aggregation must equal the direct group-by for
+    every refoldable shape, for any bucket count."""
+    from datafusion_rdbms_ext_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    salted = salted_agg(
+        df,
+        ["k"],
+        {
+            "sum_v": F.sum("v"),
+            "n_rows": F.count(F.lit(1)),
+            "min_v": F.min("v"),
+            "max_v": F.max("v"),
+        },
+        buckets=buckets,
+    )
+    direct = df.groupBy("k").agg(
+        F.sum("v").alias("sum_v"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    assert sorted(salted.collect()) == sorted(direct.collect())
+
+
+@given(left=_ROWS, right=_ROWS, buckets=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_salted_join_invariant_to_salting(spark, left, right, buckets):
+    from datafusion_rdbms_ext_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(left, "k long, lv long")
+    rdf = spark.createDataFrame(right, "j long, rv long")
+    salted = salted_join(ldf, rdf, "k", "j", buckets=buckets)
+    direct = ldf.join(rdf, F.col("k") == F.col("j"))
+    assert sorted(salted.collect()) == sorted(direct.collect())
