@@ -18,6 +18,7 @@ from .. import streaming  # noqa: E402,F401
 from ..sources import multimodal  # noqa: E402,F401
 from ..operators import temporal  # noqa: E402,F401
 from ..sources import federation  # noqa: E402,F401
+from ..sources import pyds  # noqa: E402,F401
 
 
 def queries():

@@ -50,6 +50,9 @@ def get_spark(app_name: str = "datafusion_rdbms_ext_spark") -> SparkSession:
         .config("spark.sql.files.minPartitionNum", os.environ.get("SPARK_GRAFT_CPUS", "32"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource API: let custom readers take filters
+        # (sources/pyds.py federation source).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

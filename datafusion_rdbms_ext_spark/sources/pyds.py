@@ -1,0 +1,206 @@
+"""Python DataSource API federation — the reference's TableProvider,
+Spark-4-native.
+
+``sources/federation.py`` re-expresses the reference's pushdown scan
+as library functions; this module goes one step further and mounts it
+as a first-class Spark data source (``spark.read.format("duckdb_fed")``)
+through PySpark 4's DataSource API — the exact architectural slot the
+reference's ``PostgresTableProvider`` occupies in DataFusion
+(/root/reference/src/sqldb/postgres/table_provider.rs:26-238):
+
+* ``schema()``        — information_schema inference (mod.rs:67-125)
+* ``pushFilters()``   — the Exact/Unsupported filter classifier
+                        (table_provider.rs:241-306): supported
+                        comparisons compile into the remote WHERE
+                        clause and are consumed; the rest stay in the
+                        Spark plan
+* ``partitions()``    — count_records + N LIMIT/OFFSET slices
+                        (mod.rs:170-189, table_provider.rs:123-158),
+                        with a deterministic ORDER BY the reference
+                        lacks
+* ``read(partition)`` — per-task database cursor streaming Arrow
+                        record batches (the COPY-decode loop,
+                        binary_reader.rs:24-209 — here DuckDB hands
+                        us Arrow directly)
+
+Scale: identical to the JDBC-partitioned-read shape — each Spark task
+holds one remote cursor; pushed filters mean only qualifying rows
+cross the wire.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from .federation import _connect, load_catalog
+
+_DEFAULT_PARTITIONS = 4
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return repr(v)
+
+
+def _filter_to_sql(f: Filter) -> str | None:
+    """Translate one Spark filter to a remote SQL conjunct; None =
+    unsupported (stays in the Spark plan) — the reference's
+    Exact/Unsupported classification (table_provider.rs:241-306)."""
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for cls, op in ops.items():
+        if isinstance(f, cls):
+            if len(f.attribute) != 1:  # no nested-field pushdown
+                return None
+            return f"{f.attribute[0]} {op} {_sql_literal(f.value)}"
+    if isinstance(f, IsNotNull) and len(f.attribute) == 1:
+        return f"{f.attribute[0]} IS NOT NULL"
+    return None
+
+
+class _Slice(InputPartition):
+    def __init__(self, offset: int, count: int):
+        self.offset = offset
+        self.count = count
+
+
+class DuckDBFederatedSource(DataSource):
+    """``spark.read.format("duckdb_fed")`` with options:
+    ``sf_dir`` (fixture database dir), ``table``, ``partitions``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "duckdb_fed"
+
+    def schema(self):
+        return load_catalog(self.options["sf_dir"])[self.options["table"]]
+
+    def reader(self, schema) -> "DuckDBFederatedReader":
+        return DuckDBFederatedReader(self.options, schema)
+
+
+class DuckDBFederatedReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self._sf_dir = options["sf_dir"]
+        self._table = options["table"]
+        self._n_parts = int(options.get("partitions", _DEFAULT_PARTITIONS))
+        self._schema = schema
+        self._pushed: list[str] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            sql = _filter_to_sql(f)
+            if sql is None:
+                yield f  # unsupported: Spark keeps evaluating it
+            else:
+                self._pushed.append(sql)
+
+    def _base_sql(self) -> str:
+        cols = ", ".join(field.name for field in self._schema.fields)
+        sql = f"SELECT {cols} FROM {self._table}"
+        if self._pushed:
+            sql += " WHERE " + " AND ".join(f"({p})" for p in self._pushed)
+        return sql
+
+    def partitions(self) -> list[_Slice]:
+        con = _connect(self._sf_dir)
+        total = con.execute(
+            f"SELECT COUNT(*) FROM ({self._base_sql()}) a"
+        ).fetchone()[0]
+        con.close()
+        per = (total + self._n_parts - 1) // self._n_parts if total else 0
+        return [
+            _Slice(i * per, per) for i in range(self._n_parts) if per > 0
+        ] or [_Slice(0, 0)]
+
+    def read(self, partition: _Slice):
+        if partition.count <= 0:
+            return iter(())
+        order_cols = ", ".join(field.name for field in self._schema.fields)
+        sql = (
+            f"SELECT * FROM ({self._base_sql()}) _t ORDER BY {order_cols} "
+            f"LIMIT {partition.count} OFFSET {partition.offset}"
+        )
+        con = _connect(self._sf_dir)
+        reader = con.execute(sql).fetch_record_batch()
+        try:
+            for batch in reader:
+                yield batch
+        finally:
+            con.close()
+
+
+def register_duckdb_source(spark) -> None:
+    """Idempotently register the format with the session."""
+    spark.dataSource.register(DuckDBFederatedSource)
+
+
+# ---------------------------------------------------------------------------
+# Registered query through the mounted format.
+# ---------------------------------------------------------------------------
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..queries.base import register  # noqa: E402
+
+
+@register(
+    "fed_datasource_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 300000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Scan through the mounted Python DataSource "
+    "(spark.read.format('duckdb_fed')): filters push into the remote "
+    "WHERE via pushFilters, partitions fetch in parallel tasks — the "
+    "reference's PostgresTableProvider slot (table_provider.rs:26-238).",
+    tags=("federation",),
+)
+def fed_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_duckdb_source(spark)
+    # Required for pushFilters; runtime-settable, harmless if already on
+    # (the engine's session factory sets it too).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    orders = (
+        spark.read.format("duckdb_fed")
+        .option("sf_dir", sf_dir)
+        .option("table", "orders")
+        .option("partitions", 4)
+        .load()
+    )
+    return (
+        orders.filter((F.col("o_totalprice") > 300000.0) & (F.col("o_orderstatus") == "F"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

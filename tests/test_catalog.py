@@ -79,3 +79,17 @@ def test_missing_fixture_fails_loudly(spark, tmp_path):
         register_tables(spark, str(tmp_path))
     # Recover the session's registration for later tests.
     register_tables(spark, SF_DIR)
+
+
+def test_pyds_filter_translation():
+    """The pushFilters classifier must translate supported comparisons
+    and decline the rest (the reference's Exact/Unsupported split,
+    table_provider.rs:241-306)."""
+    from pyspark.sql.datasource import EqualTo, IsNull, StringContains
+
+    from datafusion_rdbms_ext_spark.sources.pyds import _filter_to_sql
+
+    assert _filter_to_sql(EqualTo(("c_name",), "Bob's")) == "c_name = 'Bob''s'"
+    assert _filter_to_sql(IsNull(("c_name",))) is None
+    assert _filter_to_sql(StringContains(("c_name",), "x")) is None
+    assert _filter_to_sql(EqualTo(("a", "b"), 1)) is None  # nested: declined
