@@ -14,6 +14,7 @@ from . import micro  # noqa: E402,F401
 from . import windows  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import olap  # noqa: E402,F401
 from .. import streaming  # noqa: E402,F401
 from ..sources import multimodal  # noqa: E402,F401
 from ..operators import temporal  # noqa: E402,F401
