@@ -204,3 +204,73 @@ def fed_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource: replay the events table as a stream.
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+_STREAM_STEP = 2500  # events per micro-batch
+
+
+class DuckDBEventsStreamSource(DataSource):
+    """``spark.readStream.format("duckdb_fed_stream")``: replays the
+    remote events table in event_id order as micro-batches — the
+    streaming half of the federation source (CDC-replay shape)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "duckdb_fed_stream"
+
+    def schema(self):
+        return load_catalog(self.options["sf_dir"])["events"]
+
+    def simpleStreamReader(self, schema) -> "DuckDBEventsStreamReader":
+        return DuckDBEventsStreamReader(self.options)
+
+
+class DuckDBEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset = position in event_id order. ``read`` serves the next
+    chunk and advances; at end-of-table it reports no progress, which
+    lets ``processAllAvailable``/AvailableNow terminate. Recovery
+    replays any offset range exactly (``readBetweenOffsets``) — the
+    source is a database, so ranges are always re-fetchable."""
+
+    def __init__(self, options):
+        self._sf_dir = options["sf_dir"]
+        self._step = int(options.get("step", _STREAM_STEP))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _fetch(self, lo: int, hi: int):
+        con = _connect(self._sf_dir)
+        rows = con.execute(
+            "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY event_id, ts) - 1 AS _rn"
+            " FROM events) t WHERE _rn >= ? AND _rn < ? ORDER BY _rn",
+            [lo, hi],
+        ).fetchall()
+        con.close()
+        return [r[:-1] for r in rows]  # drop _rn
+
+    def _total(self) -> int:
+        con = _connect(self._sf_dir)
+        n = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+        con.close()
+        return int(n)
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        total = self._total()
+        if pos >= total:
+            return iter(()), {"pos": pos}  # no progress: stream is drained
+        nxt = min(pos + self._step, total)
+        return iter(self._fetch(pos, nxt)), {"pos": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._fetch(start["pos"], end["pos"]))
+
+
+def register_duckdb_stream_source(spark) -> None:
+    spark.dataSource.register(DuckDBEventsStreamSource)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+from datafusion_rdbms_ext_spark.queries.base import ensure_tables  # noqa: E402
 from datafusion_rdbms_ext_spark.catalog import (
     TABLES,
     deregister_table,
@@ -93,3 +94,38 @@ def test_pyds_filter_translation():
     assert _filter_to_sql(IsNull(("c_name",))) is None
     assert _filter_to_sql(StringContains(("c_name",), "x")) is None
     assert _filter_to_sql(EqualTo(("a", "b"), 1)) is None  # nested: declined
+
+
+def test_streaming_datasource_replays_events(spark):
+    """The custom streaming source must deliver exactly the remote
+    table's rows across micro-batches (CDC-replay contract)."""
+    from datafusion_rdbms_ext_spark.sources.pyds import register_duckdb_stream_source
+
+    register_duckdb_stream_source(spark)
+    stream = (
+        spark.readStream.format("duckdb_fed_stream")
+        .option("sf_dir", SF_DIR)
+        .option("step", 3000)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("fed_stream_replay")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("fed_stream_replay")
+    ensure_tables(spark, SF_DIR)
+    import duckdb
+
+    con = duckdb.connect()
+    expected = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT event_id) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()
+    con.close()
+    assert got.count() == expected[0]
+    assert got.select("event_id").distinct().count() == expected[1]
