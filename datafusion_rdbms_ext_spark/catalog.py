@@ -24,9 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: session-id → sf_dir currently registered for that session. Owned
-#: here (not by the query registry) so deregistration invalidates it.
-_SESSION_DIR: dict[int, str] = {}
+#: Runtime-conf key recording which sf_dir is registered in a session.
+#: Stored on the session itself (not a module-level dict keyed by
+#: id(spark) — CPython can reuse a GC'd id for a new session, which
+#: would falsely skip registration) so the memo's lifetime IS the
+#: session's lifetime. Owned here (not by the query registry) so
+#: deregistration invalidates it.
+REGISTERED_DIR_CONF = "spark.datafusion_rdbms_ext.registered_sf_dir"
+
+
+def registered_dir(spark: SparkSession) -> str | None:
+    """The sf_dir whose tables are currently registered, or None."""
+    return spark.conf.get(REGISTERED_DIR_CONF, None)
 
 #: Every table the driver fixture set provides (TESTDATA.md).
 TABLES = (
@@ -74,7 +83,7 @@ def register_tables(
         df = _rebase_nanos(df, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    _SESSION_DIR[id(spark)] = sf_dir
+    spark.conf.set(REGISTERED_DIR_CONF, sf_dir)
     return out
 
 
@@ -109,5 +118,5 @@ def deregister_table(spark: SparkSession, name: str) -> bool:
     Also invalidates the registration memo so the next registered
     query re-registers instead of trusting a catalog this call just
     made incomplete."""
-    _SESSION_DIR.pop(id(spark), None)
+    spark.conf.unset(REGISTERED_DIR_CONF)
     return spark.catalog.dropTempView(name)

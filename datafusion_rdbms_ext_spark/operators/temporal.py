@@ -57,9 +57,13 @@ def asof_join(
     r2 = r2.withColumn("_l", F.lit(None).cast(l2.schema["_l"].dataType))
     l2 = l2.withColumn("_r", F.lit(None).cast(r2.schema["_r"].dataType))
     # side 0 before side 1 at equal timestamps => ties match (<=).
+    # `_r` as the final order key makes ties among right rows sharing
+    # one timestamp deterministic: the greatest right-row struct (by
+    # field-lexicographic struct ordering) wins under F.last. Without
+    # it the winner would vary with partition-internal row order.
     w = (
         Window.partitionBy(*by)
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

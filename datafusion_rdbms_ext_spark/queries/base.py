@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import _SESSION_DIR, register_tables
+from ..catalog import register_tables, registered_dir
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -25,12 +25,12 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 def ensure_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register fixture tables once per (session, sf_dir).
 
-    The memo lives in ``catalog._SESSION_DIR`` (set by
+    The memo lives in the session's runtime conf (set by
     register_tables, cleared by deregister_table) so a deregistered
     view can never be mistaken for a complete catalog. Views are
     session-global names, so only the *latest* sf_dir per session is
     valid — switching dirs re-registers."""
-    if _SESSION_DIR.get(id(spark)) != sf_dir:
+    if registered_dir(spark) != sf_dir:
         register_tables(spark, sf_dir)
 
 

@@ -130,7 +130,12 @@ def compile_scan(
     if predicates:
         sql += " WHERE " + " AND ".join(f"({p})" for p in predicates)
     if limit is not None:
-        sql += f" LIMIT {limit}"
+        # A bare LIMIT is nondeterministic: the base query re-executes
+        # on a fresh connection per partition task (and once in
+        # count_records), so each execution must pick the SAME rows or
+        # the partition slices overlap/miss. ORDER BY ALL pins the
+        # selected row set across executions.
+        sql += f" ORDER BY ALL LIMIT {limit}"
     return sql
 
 

@@ -50,13 +50,20 @@ from .federation import _connect, load_catalog
 _DEFAULT_PARTITIONS = 4
 
 
-def _sql_literal(v) -> str:
+def _sql_literal(v) -> str | None:
+    """Compile a filter value to a SQL literal, or None if the type
+    has no safe literal form (datetime/date/Decimal/...): the
+    classifier's contract is to DECLINE what it cannot compile — a
+    ``repr`` fallback would emit invalid SQL like
+    ``ts > datetime.datetime(1996, 1, 1)`` and fail at read time."""
     if isinstance(v, str):
         escaped = v.replace("'", "''")
         return f"'{escaped}'"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    return repr(v)
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return None
 
 
 def _filter_to_sql(f: Filter) -> str | None:
@@ -74,7 +81,10 @@ def _filter_to_sql(f: Filter) -> str | None:
         if isinstance(f, cls):
             if len(f.attribute) != 1:  # no nested-field pushdown
                 return None
-            return f"{f.attribute[0]} {op} {_sql_literal(f.value)}"
+            lit = _sql_literal(f.value)
+            if lit is None:  # uncompilable value type: keep in Spark plan
+                return None
+            return f"{f.attribute[0]} {op} {lit}"
     if isinstance(f, IsNotNull) and len(f.attribute) == 1:
         return f"{f.attribute[0]} IS NOT NULL"
     return None

@@ -64,9 +64,11 @@ def test_compile_scan_and_count():
     sql = compile_scan(
         "customer", ["c_custkey"], ["c_acctbal > 0", "c_nationkey = 3"], limit=10
     )
+    # Limited scans carry ORDER BY ALL: the base query re-executes per
+    # partition task, so the limited row set must be deterministic.
     assert sql == (
         "SELECT c_custkey FROM customer "
-        "WHERE (c_acctbal > 0) AND (c_nationkey = 3) LIMIT 10"
+        "WHERE (c_acctbal > 0) AND (c_nationkey = 3) ORDER BY ALL LIMIT 10"
     )
     assert count_records(SF_DIR, "SELECT * FROM region") == 5
 
