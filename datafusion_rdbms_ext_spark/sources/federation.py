@@ -14,17 +14,33 @@ Postgres), and each partition's fetch runs ON AN EXECUTOR inside
 batches, exactly the reference's N concurrent COPY streams
 (PostgresExec). Differences by design:
 
-* Partition queries carry a deterministic ORDER BY before
-  LIMIT/OFFSET — the reference's unordered LIMIT/OFFSET split can
-  return overlapping/missing rows (SURVEY §3.2 hazard); ours cannot.
+* Partitioning is KEY-RANGE based (the Spark-JDBC
+  partitionColumn/lowerBound/upperBound shape, balanced by remote
+  quantiles) instead of the reference's LIMIT/OFFSET slices: each
+  partition query is a sort-free range predicate, so the remote
+  never re-sorts the qualifying rows N times, and the unordered
+  LIMIT/OFFSET overlap/miss hazard (SURVEY §3.2) is structurally
+  impossible. Keyless results fall back to ORDER BY ALL
+  LIMIT/OFFSET slices (deterministic, but N remote sorts — the
+  price of no key).
 * Schema inference maps ``information_schema`` type names to Spark
-  types (the ``PgDataType -> Field`` conversion, datatypes.rs:138-184).
+  types (the ``PgDataType -> Field`` conversion, datatypes.rs:138-184);
+  composed queries are described remotely (``DESCRIBE <sql>``).
 
-Scale: the pattern is the JDBC-partitioned-read shape; partition
-count is a parameter (the reference hardcodes 4). Pushdown means the
-database does the filtering/projection, so only result rows cross
-the wire — at 100 TB the win is identical to Parquet predicate
-pushdown: move the query to the data.
+Beyond the reference's projection+filter+limit scan, ``compile_query``
+/ ``federated_query`` push a WHOLE SUBTREE — projection, filters,
+GROUP BY aggregation, HAVING, ORDER BY, LIMIT — into ONE remote SQL,
+the reference's flagship ``QueryPushdownOptimizerRule`` +
+``logical_plan_to_ast`` path (optimizer.rs:14-39: try-rewrite the
+maximal pushable subtree, else recurse; parser.rs:28-181:
+Projection→Aggregate→TableScan special-case). A federation user's
+GROUP BY therefore executes on the database, and only the aggregated
+rows cross the wire.
+
+Scale: pushdown means the database does the filtering/projection/
+aggregation, so only result rows cross the wire — at 100 TB the win
+is identical to Parquet predicate pushdown: move the query to the
+data. Partition count is a parameter (the reference hardcodes 4).
 """
 
 from __future__ import annotations
@@ -117,6 +133,33 @@ def count_records(sf_dir: str, query: str) -> int:
     return int(n)
 
 
+_DECIMAL_RE = __import__("re").compile(r"DECIMAL\((\d+),\s*(\d+)\)")
+
+
+def _to_spark_type(duck_type: str) -> T.DataType:
+    """Remote type name -> Spark type (datatypes.rs:138-184 parity),
+    extended with DECIMAL(p,s) for described aggregate results."""
+    m = _DECIMAL_RE.fullmatch(duck_type)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if duck_type == "TIMESTAMP_NS":
+        return T.TimestampNTZType()
+    return _TYPE_MAP.get(duck_type, T.StringType())
+
+
+def describe_schema(sf_dir: str, sql: str) -> T.StructType:
+    """Schema of an arbitrary composed query, inferred REMOTELY via
+    ``DESCRIBE <sql>`` — the generalization of information_schema
+    inference to whole-subtree pushdown results (a pushed aggregate's
+    output shape exists only on the database side)."""
+    con = _connect(sf_dir)
+    cols = con.execute(f"DESCRIBE {sql}").fetchall()
+    con.close()
+    return T.StructType(
+        [T.StructField(name, _to_spark_type(dt), True) for name, dt, *_ in cols]
+    )
+
+
 def compile_scan(
     table: str,
     columns: list[str] | None = None,
@@ -139,6 +182,133 @@ def compile_scan(
     return sql
 
 
+def compile_query(
+    table: str,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
+    group_by: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    having: list[str] | None = None,
+    order_by: str | None = None,
+    limit: int | None = None,
+) -> str:
+    """Compile a whole relational subtree into ONE remote SQL — the
+    reference's ``logical_plan_to_ast`` (parser.rs:28-548), with the
+    Projection→Aggregate→Filter→TableScan special-case (parser.rs:39-181)
+    as the composition rule: filters under the aggregate, HAVING above
+    it, projection last, LIMIT with a deterministic order.
+
+    ``aggs`` maps output alias -> remote aggregate expression (the
+    caller casts to cross-engine-stable types, e.g.
+    ``CAST(SUM(x) AS BIGINT)``)."""
+    if predicates:
+        where = " WHERE " + " AND ".join(f"({p})" for p in predicates)
+    else:
+        where = ""
+    if group_by is not None:
+        sel = list(group_by) + [f"{expr} AS {alias}" for alias, expr in (aggs or {}).items()]
+        sql = f"SELECT {', '.join(sel)} FROM {table}{where} GROUP BY {', '.join(group_by)}"
+        if having:
+            sql += " HAVING " + " AND ".join(f"({h})" for h in having)
+    else:
+        cols = ", ".join(columns) if columns else "*"
+        sql = f"SELECT {cols} FROM {table}{where}"
+    if order_by:
+        sql += f" ORDER BY {order_by}"
+    if limit is not None:
+        if not order_by:
+            # A bare LIMIT is nondeterministic across the per-partition
+            # re-executions of this query; ORDER BY ALL pins the set.
+            sql += " ORDER BY ALL"
+        sql += f" LIMIT {limit}"
+    return sql
+
+
+#: Spark integral types usable as range-partition keys.
+_KEY_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _pick_partition_key(schema: T.StructType) -> str | None:
+    """First integral column — the default partitionColumn, like
+    Spark-JDBC's convention of keying on the integer PK."""
+    for f in schema.fields:
+        if isinstance(f.dataType, _KEY_TYPES):
+            return f.name
+    return None
+
+
+def plan_range_predicates(
+    sf_dir: str, base_sql: str, key: str, partitions: int
+) -> list[str]:
+    """Plan N disjoint, covering range predicates on ``key`` with
+    remote-quantile split points — balanced slices even for skewed
+    keys, where the naive (max-min)/N equi-width split is not.
+
+    One metadata query (min/max come free with the quantiles); each
+    partition's fetch is then a sort-free ``WHERE key >= lo AND
+    key < hi`` — no remote re-sorting, unlike LIMIT/OFFSET slicing."""
+    qs = [i / partitions for i in range(1, partitions)]
+    con = _connect(sf_dir)
+    row = con.execute(
+        f"SELECT quantile_disc({key}, {qs!r}) FROM ({base_sql}) _t "
+        f"WHERE {key} IS NOT NULL"
+    ).fetchone()
+    con.close()
+    points = row[0] if row and row[0] is not None else []
+    bounds: list = sorted(set(points))
+    if not bounds:
+        return ["TRUE"]  # empty or single-valued key set: one slice
+    preds = [f"({key} < {bounds[0]} OR {key} IS NULL)"]
+    preds += [
+        f"({key} >= {lo} AND {key} < {hi})" for lo, hi in zip(bounds, bounds[1:])
+    ]
+    preds.append(f"({key} >= {bounds[-1]})")
+    return preds
+
+
+def _fetch_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    base_sql: str,
+    schema: T.StructType,
+    partitions: int,
+    partition_key: str | None,
+) -> DataFrame:
+    """Execute ``base_sql`` remotely as N parallel partition fetches
+    (PostgresExec parity, executor-side): each Spark task opens its
+    own database cursor and streams its slice through ``mapInPandas``.
+
+    Keyed path: sort-free range predicates from remote quantiles.
+    Keyless fallback: deterministic ORDER BY ALL LIMIT/OFFSET slices
+    (N remote sorts — acceptable only because there is no key)."""
+    if partition_key is not None and partitions > 1:
+        preds = plan_range_predicates(sf_dir, base_sql, partition_key, partitions)
+        part_sqls = [f"SELECT * FROM ({base_sql}) _t WHERE {p}" for p in preds]
+    elif partitions > 1:
+        total = count_records(sf_dir, base_sql)
+        per = (total + partitions - 1) // partitions if total else 0
+        part_sqls = [
+            f"SELECT * FROM ({base_sql}) _t ORDER BY ALL LIMIT {per} OFFSET {i * per}"
+            for i in range(partitions)
+            if per > 0
+        ] or [base_sql]
+    else:
+        part_sqls = [base_sql]
+
+    spec = spark.createDataFrame(
+        [(i, sql) for i, sql in enumerate(part_sqls)], "pid int, part_sql string"
+    ).repartition(len(part_sqls), "pid")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for sql in pdf["part_sql"]:
+                con = _connect(sf_dir)
+                yield con.execute(sql).fetchdf()
+                con.close()
+
+    return spec.mapInPandas(fetch, schema)
+
+
 def federated_scan(
     spark: SparkSession,
     sf_dir: str,
@@ -147,47 +317,48 @@ def federated_scan(
     predicates: list[str] | None = None,
     limit: int | None = None,
     partitions: int = 4,
+    partition_key: str | None = None,
 ) -> DataFrame:
-    """Partitioned pushdown scan (PostgresExec parity, executor-side).
-
-    The driver plans N LIMIT/OFFSET partition queries (with a
-    deterministic ORDER BY — fixing the reference's soundness gap);
-    each Spark task opens its own database cursor and streams its
-    partition as Arrow batches through ``mapInPandas``."""
+    """Partitioned pushdown scan (projection+filter+limit compiled to
+    remote SQL — table_provider.rs:79-159 parity), fetched through
+    key-range partition predicates (``partition_key`` defaults to the
+    first integral projected column)."""
     schema = load_catalog(sf_dir)[table]
     if columns:
         schema = T.StructType([f for f in schema.fields if f.name in set(columns)])
-        order_cols = ", ".join(columns)
-    else:
-        order_cols = ", ".join(f.name for f in schema.fields)
-
     base_sql = compile_scan(table, columns, predicates, limit)
-    total = count_records(sf_dir, base_sql)
-    per_part = (total + partitions - 1) // partitions if total else 0
+    key = partition_key if partition_key is not None else _pick_partition_key(schema)
+    return _fetch_partitioned(spark, sf_dir, base_sql, schema, partitions, key)
 
-    spec = spark.createDataFrame(
-        [(i, i * per_part, per_part) for i in range(partitions)],
-        "pid int, off long, cnt long",
-    ).repartition(partitions, "pid")
 
-    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                if row["cnt"] <= 0:
-                    continue
-                con = _connect(sf_dir)
-                # Wrap the base query: its own LIMIT (if any) must
-                # apply BEFORE the deterministic partition ordering,
-                # and appending a second LIMIT directly would be
-                # invalid SQL.
-                part_sql = (
-                    f"SELECT * FROM ({base_sql}) _t ORDER BY {order_cols} "
-                    f"LIMIT {int(row['cnt'])} OFFSET {int(row['off'])}"
-                )
-                yield con.execute(part_sql).fetchdf()
-                con.close()
+def federated_query(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
+    group_by: list[str] | None = None,
+    aggs: dict[str, str] | None = None,
+    having: list[str] | None = None,
+    order_by: str | None = None,
+    limit: int | None = None,
+    partitions: int = 1,
+    partition_key: str | None = None,
+) -> DataFrame:
+    """Whole-subtree pushdown: the full projection/filter/aggregate/
+    having/order/limit pipeline executes as ONE remote SQL (the
+    reference's QueryPushdownOptimizerRule outcome, optimizer.rs:14-39)
+    and Spark only scans the result.
 
-    return spec.mapInPandas(fetch, schema)
+    Partitioning defaults to 1 because pushed aggregates/limits return
+    small results; pass ``partitions``/``partition_key`` for large
+    pushed projections."""
+    sql = compile_query(table, columns, predicates, group_by, aggs, having, order_by, limit)
+    schema = describe_schema(sf_dir, sql)
+    key = partition_key if partitions > 1 and partition_key else (
+        _pick_partition_key(schema) if partitions > 1 else None
+    )
+    return _fetch_partitioned(spark, sf_dir, sql, schema, partitions, key)
 
 
 # ---------------------------------------------------------------------------
@@ -245,4 +416,69 @@ def fed_join_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_rich"))
         .orderBy("n_name")
+    )
+
+
+@register(
+    "fed_agg_pushdown",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Whole-subtree pushdown — filter+aggregate+HAVING compiled "
+    "into ONE remote SQL (the reference's flagship "
+    "QueryPushdownOptimizerRule + logical_plan_to_ast path, "
+    "optimizer.rs:14-39, parser.rs:39-181): the GROUP BY executes on "
+    "the database; Spark's plan holds NO aggregate above the scan "
+    "(asserted in tests/test_plans.py).",
+    tags=("federation", "pushdown", "bench"),
+)
+def fed_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = federated_query(
+        spark,
+        sf_dir,
+        "lineitem",
+        predicates=["l_shipdate <= DATE '1998-09-02'"],
+        group_by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": "CAST(COUNT(*) AS BIGINT)",
+            "sum_qty": "CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)",
+            "sum_price": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)",
+        },
+        having=["COUNT(*) > 10"],
+    )
+    return df.orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "fed_limit_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    LIMIT 20
+    """,
+    doc="Source-limit pushdown (ref table_provider.rs:110-121): the "
+    "LIMIT executes remotely under an explicit total order, so only "
+    "20 rows ever cross the wire — exercises compile_query's "
+    "order+limit tail end-to-end.",
+    tags=("federation", "pushdown"),
+)
+def fed_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return federated_query(
+        spark,
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        predicates=["o_orderstatus = 'O'"],
+        order_by="o_orderkey",
+        limit=20,
     )

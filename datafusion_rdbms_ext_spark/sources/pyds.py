@@ -14,10 +14,13 @@ reference's ``PostgresTableProvider`` occupies in DataFusion
                         comparisons compile into the remote WHERE
                         clause and are consumed; the rest stay in the
                         Spark plan
-* ``partitions()``    — count_records + N LIMIT/OFFSET slices
+* ``partitions()``    — the reference's N-slice split
                         (mod.rs:170-189, table_provider.rs:123-158),
-                        with a deterministic ORDER BY the reference
-                        lacks
+                        upgraded from LIMIT/OFFSET to sort-free
+                        key-range predicates balanced by remote
+                        quantiles (Spark-JDBC partitionColumn shape);
+                        keyless fallback keeps a deterministic
+                        ORDER BY the reference lacks
 * ``read(partition)`` — per-task database cursor streaming Arrow
                         record batches (the COPY-decode loop,
                         binary_reader.rs:24-209 — here DuckDB hands
@@ -45,7 +48,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
-from .federation import _connect, load_catalog
+from .federation import _connect, _pick_partition_key, load_catalog, plan_range_predicates
 
 _DEFAULT_PARTITIONS = 4
 
@@ -91,9 +94,11 @@ def _filter_to_sql(f: Filter) -> str | None:
 
 
 class _Slice(InputPartition):
-    def __init__(self, offset: int, count: int):
-        self.offset = offset
-        self.count = count
+    """One partition = one fully-planned remote SQL (planned once on
+    the driver; executors only execute)."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
 
 
 class DuckDBFederatedSource(DataSource):
@@ -135,26 +140,33 @@ class DuckDBFederatedReader(DataSourceReader):
         return sql
 
     def partitions(self) -> list[_Slice]:
-        con = _connect(self._sf_dir)
-        total = con.execute(
-            f"SELECT COUNT(*) FROM ({self._base_sql()}) a"
-        ).fetchone()[0]
-        con.close()
-        per = (total + self._n_parts - 1) // self._n_parts if total else 0
-        return [
-            _Slice(i * per, per) for i in range(self._n_parts) if per > 0
-        ] or [_Slice(0, 0)]
+        """Key-range partition planning (the Spark-JDBC
+        partitionColumn shape): sort-free range predicates from remote
+        quantiles on the first integral column. Keyless tables fall
+        back to deterministic ORDER BY ALL LIMIT/OFFSET slices — the
+        only case that still pays N remote sorts."""
+        base = self._base_sql()
+        key = _pick_partition_key(self._schema)
+        if key is not None and self._n_parts > 1:
+            preds = plan_range_predicates(self._sf_dir, base, key, self._n_parts)
+            return [_Slice(f"SELECT * FROM ({base}) _t WHERE {p}") for p in preds]
+        if self._n_parts > 1:
+            con = _connect(self._sf_dir)
+            total = con.execute(f"SELECT COUNT(*) FROM ({base}) a").fetchone()[0]
+            con.close()
+            per = (total + self._n_parts - 1) // self._n_parts if total else 0
+            return [
+                _Slice(
+                    f"SELECT * FROM ({base}) _t ORDER BY ALL LIMIT {per} OFFSET {i * per}"
+                )
+                for i in range(self._n_parts)
+                if per > 0
+            ] or [_Slice(base)]
+        return [_Slice(base)]
 
     def read(self, partition: _Slice):
-        if partition.count <= 0:
-            return iter(())
-        order_cols = ", ".join(field.name for field in self._schema.fields)
-        sql = (
-            f"SELECT * FROM ({self._base_sql()}) _t ORDER BY {order_cols} "
-            f"LIMIT {partition.count} OFFSET {partition.offset}"
-        )
         con = _connect(self._sf_dir)
-        reader = con.execute(sql).fetch_record_batch()
+        reader = con.execute(partition.sql).fetch_record_batch()
         try:
             for batch in reader:
                 yield batch

@@ -1,0 +1,120 @@
+"""Whole-subtree pushdown + key-range partitioning tests.
+
+The two VERDICT r2 federation gaps, pinned: (1) an aggregate over a
+federated relation must execute REMOTELY (one SQL containing the
+GROUP BY; no Spark aggregate above the scan), (2) partitioned
+federated reads must be sort-free range predicates, never N remote
+re-sorts of the full qualifying set.
+"""
+
+from __future__ import annotations
+
+import re
+
+from datafusion_rdbms_ext_spark.plans import plan_string
+from datafusion_rdbms_ext_spark.queries import REGISTRY
+from datafusion_rdbms_ext_spark.sources.federation import (
+    compile_query,
+    describe_schema,
+    federated_query,
+    plan_range_predicates,
+)
+from datafusion_rdbms_ext_spark.sources.pyds import DuckDBFederatedReader
+
+from .conftest import SF_DIR
+
+
+def test_compile_query_whole_subtree():
+    sql = compile_query(
+        "lineitem",
+        predicates=["l_shipdate <= DATE '1998-09-02'"],
+        group_by=["l_returnflag"],
+        aggs={"n": "CAST(COUNT(*) AS BIGINT)"},
+        having=["COUNT(*) > 10"],
+        order_by="l_returnflag",
+        limit=5,
+    )
+    assert sql == (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
+        " WHERE (l_shipdate <= DATE '1998-09-02') GROUP BY l_returnflag"
+        " HAVING (COUNT(*) > 10) ORDER BY l_returnflag LIMIT 5"
+    )
+
+
+def test_fed_agg_pushdown_no_spark_aggregate(spark):
+    """The GROUP BY must run on the database: the Spark physical plan
+    above the federated scan contains no HashAggregate/SortAggregate
+    (only the presentation sort)."""
+    df = REGISTRY["fed_agg_pushdown"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(r"HashAggregate|SortAggregate|ObjectHashAggregate", p), p
+
+
+def test_fed_agg_remote_sql_contains_group_by():
+    sql = compile_query(
+        "lineitem",
+        predicates=["l_shipdate <= DATE '1998-09-02'"],
+        group_by=["l_returnflag", "l_linestatus"],
+        aggs={"n_rows": "CAST(COUNT(*) AS BIGINT)"},
+    )
+    assert "GROUP BY l_returnflag, l_linestatus" in sql
+    # The described result schema exists remotely.
+    schema = describe_schema(SF_DIR, sql)
+    assert [f.name for f in schema.fields] == ["l_returnflag", "l_linestatus", "n_rows"]
+
+
+def test_range_predicates_are_sort_free_and_partition_the_domain():
+    preds = plan_range_predicates(
+        SF_DIR, "SELECT c_custkey, c_acctbal FROM customer", "c_custkey", 4
+    )
+    assert len(preds) == 4
+    joined = " ".join(preds)
+    assert "ORDER BY" not in joined and "LIMIT" not in joined
+    # disjoint + covering: one unbounded-below (with NULLs), one
+    # unbounded-above, interior ranges half-open.
+    assert "IS NULL" in preds[0] and preds[0].count("<") == 1
+    assert preds[-1].count(">=") == 1 and "<" not in preds[-1]
+
+
+def test_datasource_partitions_are_range_predicated(spark):
+    """The mounted DataSource plans sort-free range slices for keyed
+    tables (the VERDICT r2 scale-killer: N remote full sorts)."""
+    from datafusion_rdbms_ext_spark.sources.pyds import DuckDBFederatedSource
+
+    src = DuckDBFederatedSource.__new__(DuckDBFederatedSource)
+    src.options = {"sf_dir": SF_DIR, "table": "orders", "partitions": "4"}
+    reader = DuckDBFederatedReader(src.options, src.schema())
+    slices = reader.partitions()
+    assert len(slices) == 4
+    for s in slices:
+        assert "ORDER BY" not in s.sql, s.sql
+        assert "o_orderkey" in s.sql  # range predicate on the key
+    # Disjointness/covering: union of slice counts == table count.
+    from datafusion_rdbms_ext_spark.sources.federation import _connect
+
+    con = _connect(SF_DIR)
+    total = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    sliced = sum(
+        con.execute(f"SELECT COUNT(*) FROM ({s.sql}) a").fetchone()[0] for s in slices
+    )
+    con.close()
+    assert sliced == total
+
+
+def test_federated_query_limit_only_fetches_limit_rows(spark, oracle):
+    df = federated_query(
+        spark,
+        SF_DIR,
+        "orders",
+        columns=["o_orderkey", "o_totalprice"],
+        order_by="o_orderkey",
+        limit=7,
+    )
+    got = sorted(r["o_orderkey"] for r in df.collect())
+    want = sorted(
+        r[0]
+        for r in oracle.execute(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 7"
+        ).fetchall()
+    )
+    assert got == want
