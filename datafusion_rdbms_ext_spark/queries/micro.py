@@ -843,3 +843,51 @@ def micro_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_prio", "g_status", "o_orderpriority", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface (absent from the reference entirely — SURVEY §1.3
+# "Map does not exist at all"; closes the last nested-type row next
+# to micro_nested_access's struct/array coverage).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_map_access",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             MAP(['qty', 'disc', 'tax'],
+                 [CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),
+                  CAST(l_tax AS DOUBLE)]) AS m
+      FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT l_orderkey, l_linenumber,
+           m['qty'][1] AS qty,
+           m['disc'][1] AS disc,
+           m['nope'][1] AS missing,
+           array_to_string(map_keys(m), ',') AS keys_csv,
+           CAST(cardinality(m) AS BIGINT) AS n_entries
+    FROM t ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="MapType construction + access: create_map, getItem (present "
+    "and missing key -> NULL), map_keys, size. Map is the one nested "
+    "type the reference lacks entirely (SURVEY §1.3).",
+    tags=("micro", "nested"),
+)
+def micro_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map construction/lookup is per-row codegen'd expression
+    work — no shuffle beyond the presentation sort."""
+    li = spark.table("lineitem").filter(F.col("l_orderkey") < 200)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("disc"), F.col("l_discount").cast("double"),
+        F.lit("tax"), F.col("l_tax").cast("double"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        m.getItem("qty").alias("qty"),
+        m.getItem("disc").alias("disc"),
+        m.getItem("nope").alias("missing"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.size(m).cast("long").alias("n_entries"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -118,6 +118,51 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_append_windows",
+    oracle=f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+             event_type,
+             COUNT(*) AS n_events,
+             {sql_dsum('value')} AS sum_value
+      FROM events
+      GROUP BY bucket_start, event_type
+    )
+    SELECT * FROM agg
+    WHERE bucket_start + INTERVAL '1 day' <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)
+    ORDER BY bucket_start, event_type
+    """,
+    doc="APPEND-mode streaming aggregation: the watermark actually "
+    "finalizes and EVICTS windows (unlike complete mode, which holds "
+    "every window in state forever) — the bounded-state execution "
+    "shape a 100 TB continuous stream requires. Oracle = batch "
+    "windows whose end precedes final-watermark (max event time - "
+    "1h delay); the still-open tail windows are correctly withheld.",
+    tags=("streaming", "window"),
+)
+def stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type counts, emitted only once finalized.
+
+    Append mode is the state-eviction proof: a window row reaches the
+    sink exactly when the watermark passes its end, after which its
+    state is dropped — so state size tracks the watermark horizon
+    (open windows only), not stream length. The drained fixture must
+    therefore yield exactly the batch windows older than
+    max-event-time minus the 1h delay."""
+    _RUN_SEQ[0] += 1
+    name = f"stream_append_windows_{_RUN_SEQ[0]}"
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value")
+    )
+    _drain(agg, name, "append")
+    return spark.table(name).orderBy("bucket_start", "event_type")
+
+
+@register(
     "stream_stateful_user_counts",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events
