@@ -891,3 +891,34 @@ def micro_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
         F.size(m).cast("long").alias("n_entries"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# 3-part table names (ref parser.rs:459-465: the reference exposes
+# `bench.public.lineitem`; driver fixtures flatten to 1-part temp
+# views by design — SURVEY §7 hard-item #2. This query closes the
+# fidelity note by demonstrating the real namespace path:
+# catalog.database.table through Spark's session catalog.)
+# ---------------------------------------------------------------------------
+@register(
+    "micro_three_part_names",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+    doc="3-part name resolution (ref parser.rs:459-465 "
+    "`bench.public.lineitem`): CREATE DATABASE bench + external "
+    "parquet table, queried as spark_catalog.bench.region — the "
+    "catalog.schema.table path the flattened temp views skip.",
+    tags=("micro", "catalog"),
+)
+def micro_three_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: external-table DDL is metadata-only (no data copy); the
+    scan is the same pruned parquet read as the 1-part path."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bench")
+    spark.sql("DROP TABLE IF EXISTS bench.region")
+    spark.sql(
+        f"CREATE TABLE bench.region USING parquet LOCATION '{sf_dir}/region.parquet'"
+    )
+    return spark.sql(
+        "SELECT r_regionkey, r_name FROM spark_catalog.bench.region ORDER BY r_regionkey"
+    )
