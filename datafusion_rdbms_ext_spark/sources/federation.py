@@ -458,6 +458,38 @@ def fed_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fed_join_pushdown",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rich,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 5000.0
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="JOIN + aggregate pushed remote as one SQL (the reference "
+    "translates joins too — parser.rs:309-397): the whole "
+    "join-filter-aggregate subtree executes on the database and only "
+    "25 nation rows return. Contrast fed_join_local, which fetches "
+    "qualifying customers and joins Spark-side.",
+    tags=("federation", "pushdown"),
+)
+def fed_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = federated_query(
+        spark,
+        sf_dir,
+        "customer JOIN nation ON c_nationkey = n_nationkey",
+        predicates=["c_acctbal > 5000.0"],
+        group_by=["n_name"],
+        aggs={
+            "n_rich": "CAST(COUNT(*) AS BIGINT)",
+            "total_bal": "CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)",
+        },
+    )
+    return df.orderBy("n_name")
+
+
+@register(
     "fed_limit_pushdown",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
