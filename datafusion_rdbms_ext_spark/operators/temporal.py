@@ -35,6 +35,20 @@ from ..queries.base import register
 _HOUR_US = 3_600_000_000
 
 
+def _orderable(dt) -> bool:
+    """True if a type can be a sort key (MapType cannot, anywhere in
+    the nesting)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -59,11 +73,16 @@ def asof_join(
     # side 0 before side 1 at equal timestamps => ties match (<=).
     # `_r` as the final order key makes ties among right rows sharing
     # one timestamp deterministic: the greatest right-row struct (by
-    # field-lexicographic struct ordering) wins under F.last. Without
-    # it the winner would vary with partition-internal row order.
+    # field-lexicographic struct ordering) wins under F.last. Structs
+    # containing non-orderable types (MapType) can't be sort keys, so
+    # those fall back to the documented arbitrary-tie contract rather
+    # than failing analysis.
+    order = ["_t", "_side"]
+    if _orderable(r2.schema["_r"].dataType):
+        order.append("_r")
     w = (
         Window.partitionBy(*by)
-        .orderBy("_t", "_side", "_r")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

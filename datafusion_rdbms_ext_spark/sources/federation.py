@@ -117,7 +117,7 @@ def load_catalog(sf_dir: str) -> dict[str, T.StructType]:
         ).fetchall()
         out[t] = T.StructType(
             [
-                T.StructField(c, _TYPE_MAP.get(dt, T.StringType()), nullable == "YES")
+                T.StructField(c, _to_spark_type(dt), nullable == "YES")
                 for c, dt, nullable in cols
             ]
         )
@@ -205,9 +205,15 @@ def compile_query(
         where = " WHERE " + " AND ".join(f"({p})" for p in predicates)
     else:
         where = ""
-    if group_by is not None:
-        sel = list(group_by) + [f"{expr} AS {alias}" for alias, expr in (aggs or {}).items()]
-        sql = f"SELECT {', '.join(sel)} FROM {table}{where} GROUP BY {', '.join(group_by)}"
+    if aggs or group_by:
+        # Aggregate subtree. Empty/None group_by with aggs = GLOBAL
+        # aggregate (one row, no GROUP BY clause).
+        sel = list(group_by or []) + [
+            f"{expr} AS {alias}" for alias, expr in (aggs or {}).items()
+        ]
+        sql = f"SELECT {', '.join(sel)} FROM {table}{where}"
+        if group_by:
+            sql += f" GROUP BY {', '.join(group_by)}"
         if having:
             sql += " HAVING " + " AND ".join(f"({h})" for h in having)
     else:
@@ -266,6 +272,20 @@ def plan_range_predicates(
     return preds
 
 
+def plan_offset_slices(sf_dir: str, base_sql: str, partitions: int) -> list[str]:
+    """Keyless fallback slicing: deterministic ORDER BY ALL
+    LIMIT/OFFSET partition SQLs (N remote sorts — acceptable only
+    when no range key exists). Shared by the library scan and the
+    DataSource reader so the arithmetic cannot drift apart."""
+    total = count_records(sf_dir, base_sql)
+    per = (total + partitions - 1) // partitions if total else 0
+    return [
+        f"SELECT * FROM ({base_sql}) _t ORDER BY ALL LIMIT {per} OFFSET {i * per}"
+        for i in range(partitions)
+        if per > 0
+    ] or [base_sql]
+
+
 def _fetch_partitioned(
     spark: SparkSession,
     sf_dir: str,
@@ -273,31 +293,42 @@ def _fetch_partitioned(
     schema: T.StructType,
     partitions: int,
     partition_key: str | None,
+    limited: bool = False,
 ) -> DataFrame:
     """Execute ``base_sql`` remotely as N parallel partition fetches
     (PostgresExec parity, executor-side): each Spark task opens its
     own database cursor and streams its slice through ``mapInPandas``.
 
     Keyed path: sort-free range predicates from remote quantiles.
-    Keyless fallback: deterministic ORDER BY ALL LIMIT/OFFSET slices
-    (N remote sorts — acceptable only because there is no key)."""
+    Keyless fallback: deterministic ORDER BY ALL LIMIT/OFFSET slices.
+    ``limited`` queries always fetch in ONE partition: a LIMIT under a
+    non-total ORDER BY may select different tie rows on each remote
+    re-execution, so slicing it across tasks could overlap/miss rows —
+    and a limited result is small by definition anyway."""
+    if limited:
+        partitions = 1
     if partition_key is not None and partitions > 1:
+        if not any(
+            f.name == partition_key and isinstance(f.dataType, _KEY_TYPES)
+            for f in schema.fields
+        ):
+            raise ValueError(
+                f"partition_key {partition_key!r} is not an integral column "
+                f"of the result schema {[f.name for f in schema.fields]}"
+            )
         preds = plan_range_predicates(sf_dir, base_sql, partition_key, partitions)
         part_sqls = [f"SELECT * FROM ({base_sql}) _t WHERE {p}" for p in preds]
     elif partitions > 1:
-        total = count_records(sf_dir, base_sql)
-        per = (total + partitions - 1) // partitions if total else 0
-        part_sqls = [
-            f"SELECT * FROM ({base_sql}) _t ORDER BY ALL LIMIT {per} OFFSET {i * per}"
-            for i in range(partitions)
-            if per > 0
-        ] or [base_sql]
+        part_sqls = plan_offset_slices(sf_dir, base_sql, partitions)
     else:
         part_sqls = [base_sql]
 
+    # repartitionByRange gives exactly one pid per task — a plain hash
+    # repartition collides pids (murmur3 on small ints), serializing
+    # two remote fetches in one task while another sits idle.
     spec = spark.createDataFrame(
         [(i, sql) for i, sql in enumerate(part_sqls)], "pid int, part_sql string"
-    ).repartition(len(part_sqls), "pid")
+    ).repartitionByRange(len(part_sqls), "pid")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -328,7 +359,9 @@ def federated_scan(
         schema = T.StructType([f for f in schema.fields if f.name in set(columns)])
     base_sql = compile_scan(table, columns, predicates, limit)
     key = partition_key if partition_key is not None else _pick_partition_key(schema)
-    return _fetch_partitioned(spark, sf_dir, base_sql, schema, partitions, key)
+    return _fetch_partitioned(
+        spark, sf_dir, base_sql, schema, partitions, key, limited=limit is not None
+    )
 
 
 def federated_query(
@@ -358,7 +391,9 @@ def federated_query(
     key = partition_key if partitions > 1 and partition_key else (
         _pick_partition_key(schema) if partitions > 1 else None
     )
-    return _fetch_partitioned(spark, sf_dir, sql, schema, partitions, key)
+    return _fetch_partitioned(
+        spark, sf_dir, sql, schema, partitions, key, limited=limit is not None
+    )
 
 
 # ---------------------------------------------------------------------------

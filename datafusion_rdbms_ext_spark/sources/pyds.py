@@ -48,7 +48,13 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
-from .federation import _connect, _pick_partition_key, load_catalog, plan_range_predicates
+from .federation import (
+    _connect,
+    _pick_partition_key,
+    load_catalog,
+    plan_offset_slices,
+    plan_range_predicates,
+)
 
 _DEFAULT_PARTITIONS = 4
 
@@ -59,13 +65,18 @@ def _sql_literal(v) -> str | None:
     classifier's contract is to DECLINE what it cannot compile — a
     ``repr`` fallback would emit invalid SQL like
     ``ts > datetime.datetime(1996, 1, 1)`` and fail at read time."""
+    import math
+
     if isinstance(v, str):
         escaped = v.replace("'", "''")
         return f"'{escaped}'"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, int):
         return repr(v)
+    if isinstance(v, float):
+        # repr(nan)/repr(inf) are not SQL literals — decline those too.
+        return repr(v) if math.isfinite(v) else None
     return None
 
 
@@ -151,17 +162,7 @@ class DuckDBFederatedReader(DataSourceReader):
             preds = plan_range_predicates(self._sf_dir, base, key, self._n_parts)
             return [_Slice(f"SELECT * FROM ({base}) _t WHERE {p}") for p in preds]
         if self._n_parts > 1:
-            con = _connect(self._sf_dir)
-            total = con.execute(f"SELECT COUNT(*) FROM ({base}) a").fetchone()[0]
-            con.close()
-            per = (total + self._n_parts - 1) // self._n_parts if total else 0
-            return [
-                _Slice(
-                    f"SELECT * FROM ({base}) _t ORDER BY ALL LIMIT {per} OFFSET {i * per}"
-                )
-                for i in range(self._n_parts)
-                if per > 0
-            ] or [_Slice(base)]
+            return [_Slice(s) for s in plan_offset_slices(self._sf_dir, base, self._n_parts)]
         return [_Slice(base)]
 
     def read(self, partition: _Slice):

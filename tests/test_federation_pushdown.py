@@ -17,6 +17,7 @@ from datafusion_rdbms_ext_spark.sources.federation import (
     compile_query,
     describe_schema,
     federated_query,
+    federated_scan,
     plan_range_predicates,
 )
 from datafusion_rdbms_ext_spark.sources.pyds import DuckDBFederatedReader
@@ -118,3 +119,91 @@ def test_federated_query_limit_only_fetches_limit_rows(spark, oracle):
         ).fetchall()
     )
     assert got == want
+
+
+def test_compile_query_global_aggregate():
+    """aggs without group_by = global aggregate (one row), not a
+    silent SELECT * — and group_by=[] must not emit 'GROUP BY '."""
+    sql = compile_query("lineitem", aggs={"n": "CAST(COUNT(*) AS BIGINT)"})
+    assert sql == "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem"
+    assert compile_query(
+        "orders", group_by=[], aggs={"n": "COUNT(*)"}
+    ) == "SELECT COUNT(*) AS n FROM orders"
+
+
+def test_federated_global_aggregate_end_to_end(spark, oracle):
+    df = federated_query(
+        spark,
+        SF_DIR,
+        "lineitem",
+        predicates=["l_quantity > 25.0"],
+        aggs={"n": "CAST(COUNT(*) AS BIGINT)"},
+    )
+    want = oracle.execute(
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 25.0"
+    ).fetchone()[0]
+    assert [r["n"] for r in df.collect()] == [want]
+
+
+def test_limited_query_fetches_single_partition(spark):
+    """LIMIT under a non-total order re-executes differently per
+    remote cursor, so limited scans must collapse to ONE partition
+    regardless of the partitions argument."""
+    df = federated_query(
+        spark,
+        SF_DIR,
+        "orders",
+        columns=["o_orderkey", "o_orderdate"],
+        order_by="o_orderdate",  # many ties: NOT a total order
+        limit=50,
+        partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 50
+
+
+def test_explicit_non_integral_partition_key_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not an integral column"):
+        federated_scan(
+            spark,
+            SF_DIR,
+            "orders",
+            columns=["o_orderkey", "o_orderdate"],
+            partition_key="o_orderdate",
+            partitions=4,
+        ).collect()
+
+
+def test_pushfilters_declines_non_finite_floats():
+    from pyspark.sql.datasource import GreaterThan
+
+    from datafusion_rdbms_ext_spark.sources.pyds import _filter_to_sql
+
+    assert _filter_to_sql(GreaterThan(("v",), float("nan"))) is None
+    assert _filter_to_sql(GreaterThan(("v",), float("inf"))) is None
+    assert _filter_to_sql(GreaterThan(("v",), 1.5)) == "v > 1.5"
+
+
+def test_asof_join_tolerates_map_payload(spark):
+    """A right side carrying MapType (non-orderable) must still plan
+    — falling back to the arbitrary-tie contract instead of failing
+    window analysis."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.operators.temporal import asof_join
+
+    left = (
+        spark.createDataFrame([(1, 100)], "user_id long, t long")
+        .withColumn("ts", F.timestamp_micros("t"))
+        .drop("t")
+    )
+    right = (
+        spark.createDataFrame([(1, 90, "a")], "user_id long, t long, k string")
+        .withColumn("ts", F.timestamp_micros("t"))
+        .withColumn("m", F.create_map(F.col("k"), F.lit(1)))
+        .select("user_id", "ts", "m")
+    )
+    out = asof_join(left, right, on="ts", by=("user_id",)).collect()
+    assert len(out) == 1 and out[0]["matched"]["m"] == {"a": 1}
