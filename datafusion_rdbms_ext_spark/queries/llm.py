@@ -1263,6 +1263,97 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 14b. End-to-end pipeline composition: quality filter -> exact dedup
+# -> deterministic split. The operators above are built to compose;
+# this query proves the composed DAG stays one differential-checkable
+# program (the actual shape of a pre-training data build).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_pipeline_end2end",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             ROUND(
+               0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                            t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                            / len(string_split(text, ' '))), 6) AS score
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE score >= 0.5),
+    surv AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    sdocs AS (SELECT k.doc_id, k.lang, k.score
+              FROM kept k JOIN surv s ON s.doc_id = k.doc_id),
+    assigned AS (
+      SELECT lang, score,
+             CASE WHEN {_sql_phash('CAST(doc_id AS VARCHAR)', 'split')} % 100 < 80 THEN 'train'
+                  WHEN {_sql_phash('CAST(doc_id AS VARCHAR)', 'split')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sdocs
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('score')} AS sum_score
+    FROM assigned GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="Composed pipeline (quality filter -> exact dedup keeping the "
+    "min-doc_id survivor -> deterministic hash split -> rollup): the "
+    "pre-training data build as ONE declarative DAG, end-to-end "
+    "differential-checked.",
+    tags=("llm", "text", "dedup", "bench"),
+)
+def llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter, dedup, split, rollup in one Catalyst plan.
+
+    Scale: scoring and split assignment are map-side; dedup is ONE
+    digest-keyed shuffle whose struct-min aggregate carries the
+    survivor row inline (no join-back); the rollup shuffles only
+    (split, lang) partials. Composition adds no extra passes over
+    the corpus — the win of declaring the pipeline as one DAG."""
+    w = F.split(F.col("text"), " ")
+    n_tok = F.size(w)
+    uniq_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(*_STOPWORDS))) * F.lit(1.0) / n_tok
+    )
+    score = F.round(
+        F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio),
+        6,
+    )
+    kept = (
+        spark.table("documents")
+        .select("doc_id", "lang", "text", score.alias("score"))
+        .filter(F.col("score") >= 0.5)
+    )
+    # Exact dedup, survivor = min doc_id: the struct min carries the
+    # whole survivor row through the digest shuffle (doc_id leads the
+    # struct and is unique, so the pick is total and deterministic).
+    surv = (
+        kept.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min(F.struct("doc_id", "lang", "score")).alias("s"))
+        .select("s.doc_id", "s.lang", "s.score")
+    )
+    h = _phash(F.col("doc_id").cast("string"), "split") % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        surv.select(split.alias("split"), "lang", "score")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("score").cast("decimal(30,8)")).cast("double").alias("sum_score"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 15. Deterministic dataset splitting (train/val/test).
 # ---------------------------------------------------------------------------
 @register(
