@@ -1263,7 +1263,184 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 14b. End-to-end pipeline composition: quality filter -> exact dedup
+# 14a. Benchmark decontamination: flag training documents sharing long
+# n-grams with a held-out evaluation set (the hygiene pass every
+# serious pre-training build runs before the final mix).
+# ---------------------------------------------------------------------------
+
+# Long-shingle width for contamination checks. Real pipelines use
+# ~13-grams on multi-KB documents; the fixture's documents average ~54
+# words, so 5 is the proportionally equivalent "long" n-gram (3-grams
+# flag 80% of the corpus — pure topical noise; 5-grams flag only true
+# cross-boundary near-copies).
+_DECON_N = 5
+_EVAL_SOURCE = "src0"  # the held-out benchmark stand-in
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {_DECON_N}
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                    i -> {" || ' ' || ".join(f"w[i+{k}]" for k in range(_DECON_N))})) AS s
+      FROM docs
+    ),
+    ev AS (SELECT DISTINCT s, doc_id FROM g WHERE source = '{_EVAL_SOURCE}'),
+    hits AS (
+      SELECT t.doc_id, t.s, ev.doc_id AS eval_doc
+      FROM g t JOIN ev ON ev.s = t.s
+      WHERE t.source <> '{_EVAL_SOURCE}'
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_overlap,
+           CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs
+    FROM hits GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing any long "
+    f"({_DECON_N}-word) n-gram with the held-out eval source are "
+    "flagged with their overlap counts — the contamination audit run "
+    "before a training mix ships.",
+    tags=("llm", "text", "dedup"),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by eval-set n-grams, with evidence
+    counts (distinct shared shingles, distinct eval docs matched).
+
+    Scale: the classic inverted-index shape — shuffle keys are the
+    long shingles themselves, and pairs exist only where a train and
+    an eval doc share one. The eval side is a *fixed benchmark suite*
+    (bounded, unlike the corpus), so its distinct-shingle set stays
+    small; AQE broadcasts it at runtime without a hint (a forced
+    broadcast would be wrong here only if the eval set scaled with the
+    corpus). Long shingles are self-selecting: common phrases are
+    structurally impossible at this width, so no df-cap is needed —
+    every hit is real evidence worth keeping."""
+    grams = (
+        spark.table("documents")
+        .select("doc_id", "source", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= _DECON_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - %d), i -> concat_ws(' ', %s))"
+                    % (_DECON_N, ", ".join(f"w[i+{k}]" for k in range(_DECON_N)))
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    ev = (
+        grams.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.col("s"), F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("source") != _EVAL_SOURCE)
+        .join(ev, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_overlap"),
+            F.count_distinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14b. Source-mixture sampling: hit per-source target rates with
+# deterministic hash sampling (the "data mixing" step that turns a
+# cleaned corpus into a training mix).
+# ---------------------------------------------------------------------------
+
+#: (source-prefix bucket, sampling rate %) — the mixture spec. Keyed
+#: on a *derived* source class so the spec stays a fixed-size constant
+#: while the source universe scales.
+_MIX_RATES: tuple[tuple[str, int], ...] = (
+    ("high_quality", 100),  # src0-src4: keep everything
+    ("mid", 50),  # src5-src12: downsample 2x
+    ("bulk", 20),  # src13+: heavy downsample
+)
+
+
+def _mix_class_sql() -> str:
+    return (
+        "CASE WHEN CAST(substr(source, 4) AS INTEGER) <= 4 THEN 'high_quality' "
+        "WHEN CAST(substr(source, 4) AS INTEGER) <= 12 THEN 'mid' "
+        "ELSE 'bulk' END"
+    )
+
+
+@register(
+    "llm_mixture_sample",
+    oracle=f"""
+    WITH classed AS (
+      SELECT doc_id, {_mix_class_sql()} AS cls FROM documents
+    ),
+    rates(cls, rate) AS (VALUES {", ".join(f"('{c}', {r})" for c, r in _MIX_RATES)}),
+    sampled AS (
+      SELECT c.cls, r.rate,
+             CASE WHEN {_sql_phash('CAST(doc_id AS VARCHAR)', 'mix')} % 100 < r.rate
+                  THEN 1 ELSE 0 END AS keep
+      FROM classed c JOIN rates r ON r.cls = c.cls
+    )
+    SELECT cls, CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           ROUND(SUM(keep) * 1.0 / COUNT(*), 6) AS realized_rate
+    FROM sampled GROUP BY cls ORDER BY cls
+    """,
+    doc="Source-mixture sampling: per-class target rates applied via "
+    "content-stable hash sampling (no rand()), with realized-rate "
+    "audit — the mixing step between a cleaned corpus and a training "
+    "set.",
+    tags=("llm", "text"),
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mixture-class kept/total counts under deterministic
+    hash sampling.
+
+    Scale: the mixture spec is a CONSTANT inline dim (3 rows) —
+    broadcast-joined for free — and sampling is a map-side hash
+    compare, so the whole operator is one (cls)-keyed rollup shuffle.
+    Hash-stability means re-running the mix over a grown corpus never
+    flips the keep/drop decision of an existing document (rand()-based
+    sampling re-rolls everything)."""
+    src_num = F.substring("source", 4, 10).cast("int")
+    cls = (
+        F.when(src_num <= 4, "high_quality")
+        .when(src_num <= 12, "mid")
+        .otherwise("bulk")
+    )
+    # len(_MIX_RATES) == 3 rows at ANY scale — a true constant dim.
+    mix_spec = spark.createDataFrame(list(_MIX_RATES), "cls string, rate int")
+    rates = F.broadcast(mix_spec)
+    keep = (
+        _phash(F.col("doc_id").cast("string"), "mix") % 100 < F.col("rate")
+    ).cast("int")
+    return (
+        spark.table("documents")
+        .select("doc_id", cls.alias("cls"))
+        .join(rates, "cls")
+        .select("cls", keep.alias("keep"))
+        .groupBy("cls")
+        .agg(
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("realized_rate"),
+        )
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14c. End-to-end pipeline composition: quality filter -> exact dedup
 # -> deterministic split. The operators above are built to compose;
 # this query proves the composed DAG stays one differential-checkable
 # program (the actual shape of a pre-training data build).

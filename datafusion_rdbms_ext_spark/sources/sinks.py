@@ -1,0 +1,86 @@
+"""Sink surface: partitioned parquet writes with pruned read-back.
+
+The reference is strictly read-only — no INSERT/CTAS/writer exists
+(``SetExpr::Insert`` is ``todo!()`` at reference src/parser.rs:218,280;
+SURVEY §2A "Sinks: none") — so this module is extension surface: the
+write path a real pipeline needs to persist its cleaned/mixed corpus,
+done the way a 100 TB table should be laid out.
+
+Scale design:
+* ``partitionBy(lang)`` produces hive-style ``lang=xx/`` directories,
+  so a downstream reader filtering on the partition column scans ONLY
+  the matching directories — partition pruning happens at file-listing
+  time, before any row is read (tests/test_plans.py asserts the scan's
+  PartitionFilters and its zero non-partition data filters).
+* The write itself is embarrassingly parallel: each task writes its
+  own files under each partition directory; no shuffle is forced
+  (a production build would add ``repartition(lang)`` only when
+  small-file pressure matters more than write parallelism).
+* Round-trip fidelity is differential-tested: what the sink persists
+  and the pruned scan returns must hash-match DuckDB reading the
+  ORIGINAL table — i.e. the write path loses nothing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.base import register
+
+#: One written copy per (session, sf_dir) — the sink equivalent of the
+#: catalog's registration memo. Keyed in the session conf so lifetime
+#: is the session's (catalog.py uses the same pattern).
+_SINK_DIR_CONF = "spark.datafusion_rdbms_ext.sink_dir"
+
+
+def partitioned_documents_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write ``documents`` partitioned by ``lang`` once per session,
+    returning the written path (memoized — repeat queries reuse it)."""
+    key = f"{_SINK_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return existing
+    out = tempfile.mkdtemp(prefix="sink_documents_")
+    (
+        spark.table("documents")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    spark.conf.set(key, out)
+    return out
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE lang = 'en'
+    ORDER BY doc_id
+    """,
+    doc="Partitioned parquet sink + pruned read-back: documents "
+    "written hive-partitioned by lang, re-read with a partition "
+    "filter that prunes at file-listing time; the round-trip must "
+    "hash-match DuckDB reading the original table (the write path "
+    "loses nothing).",
+    tags=("sink", "source"),
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English documents read back through the partitioned sink.
+
+    Scale: the ``lang = 'en'`` predicate binds to the partition
+    column, so Spark lists only ``lang=en/`` — at 1000 partitions of
+    a 100 TB table the scan cost is proportional to the selected
+    partition, not the table. The projection prunes to 2 data columns
+    + the partition column (text never leaves the files)."""
+    path = partitioned_documents_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -338,6 +338,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="Stream-static enrichment join: the event stream joins a "
+    "static dimension table (customer) micro-batch by micro-batch, "
+    "then rolls up by market segment — the dimension-enrichment "
+    "shape every streaming ETL pipeline runs.",
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment event rollup after joining the stream to a static
+    dimension.
+
+    Scale: a stream-static inner join is STATELESS — each micro-batch
+    joins against the (re-scannable) static side and emits; no join
+    state accumulates, unlike stream-stream joins. The dimension is
+    SF-scaling, so no forced broadcast: AQE picks broadcast vs
+    shuffled-hash per its runtime size, same as the batch planner.
+    The downstream segment rollup holds O(segments) state."""
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .join(dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+    _RUN_SEQ[0] += 1
+    name = f"stream_static_join_{_RUN_SEQ[0]}"
+    _drain(agg, name, "complete")
+    return spark.table(name).orderBy("segment")
+
+
+@register(
     "stream_dedup",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n

@@ -91,8 +91,9 @@ def test_broadcast_hints_only_on_fixed_dims():
     # bounded similarity-search query set; carry is the skyline
     # merge-pass table (exactly _SKYLINE_PARTS=32 rows at any scale);
     # cents_arr is the k-means centroid set collapsed to ONE row of
-    # _IVF_K structs.
-    allowed = {"n1", "n2", "q", "region", "nation", "carry", "cents_arr"}
+    # _IVF_K structs; mix_spec is the len(_MIX_RATES)==3-row constant
+    # mixture spec.
+    allowed = {"n1", "n2", "q", "region", "nation", "carry", "cents_arr", "mix_spec"}
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
     for py in root.rglob("*.py"):
@@ -161,6 +162,28 @@ def test_session_confs(spark):
     # every plan above.
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_sink_roundtrip_prunes_partitions(spark):
+    """The partitioned-sink read-back must prune at the partition
+    level: the lang='en' predicate binds to the hive partition column
+    (PartitionFilters), NOT to a row-level data filter — at 100 TB
+    that is the difference between listing one directory and scanning
+    the table. text must also be pruned from the read schema."""
+    df = _df(spark, "sink_partitioned_roundtrip")
+    plan = plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+    # The pruned scan needs no row-level pushed filter on lang.
+    pushed = "".join(pushed_filters(df))
+    assert "lang" not in pushed
+    schemas = "".join(read_schemas(df))
+    assert "text" not in schemas
+
+
+def test_decontaminate_no_cartesian(spark):
+    df = _df(spark, "llm_decontaminate")
+    assert not has_cartesian(df)
 
 
 def test_all_bench_queries_have_sane_plans(spark):
