@@ -199,6 +199,89 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gap-filled continuous rollup (the hypertable/continuous-aggregate
+# shape: every bucket in the span is present, empty ones as zeros).
+# ---------------------------------------------------------------------------
+
+#: The event-type enum — fixed by the schema, not SF-scaling (same
+#: rationale as the explicit pivot value list below).
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "ev_rollup_gapfill",
+    oracle=f"""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+             COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+      FROM events GROUP BY bucket_start, event_type
+    ),
+    span AS (
+      SELECT unnest(generate_series(date_trunc('hour', MIN(ts)),
+                                    date_trunc('hour', MAX(ts)),
+                                    INTERVAL '1 hour')) AS bucket_start
+      FROM events
+    ),
+    grid AS (
+      SELECT s.bucket_start, t.event_type
+      FROM span s, (SELECT unnest(list_value{_EVENT_TYPES}) AS event_type) t
+    )
+    SELECT g.bucket_start, g.event_type,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a
+      ON a.bucket_start = g.bucket_start AND a.event_type = g.event_type
+    ORDER BY g.bucket_start, g.event_type
+    """,
+    doc="Gap-filled hourly rollup (the hypertable continuous-"
+    "aggregate shape): a dense bucket x type grid generated from the "
+    "observed span, left-joined with the hourly aggregate so silent "
+    "hours surface as explicit zeros — what dashboards and "
+    "downstream ML featurizers need.",
+    tags=("events", "window"),
+)
+def ev_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup with empty buckets filled as zeros.
+
+    Scale: the grid's cardinality is hours-in-span x |type enum| —
+    a function of TIME RANGE, not event volume, so it stays tiny
+    while events grow 100x. It is built from one min/max scalar
+    aggregate plus ``sequence`` + two explodes (no crossJoin node,
+    no distinct pre-pass over the fact table); the fact-side rollup
+    is the usual single partial-aggregate shuffle, and AQE broadcasts
+    whichever join side is smaller at runtime."""
+    ev = spark.table("events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value")
+    )
+    grid = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket_start")
+        )
+        .select(
+            "bucket_start",
+            F.explode(F.array(*[F.lit(t) for t in _EVENT_TYPES])).alias("event_type"),
+        )
+    )
+    return (
+        grid.join(agg, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pivot (conditional aggregation surface).
 # ---------------------------------------------------------------------------
 @register(

@@ -755,14 +755,11 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def learned_ivf_cells(spark: SparkSession) -> DataFrame:
-    """(vec_id, cell) from ``_IVF_ITERS`` rounds of DataFrame-native
-    Lloyd's — the learned replacement for the fixture ``label`` column
-    (VERDICT r2 missing #6: a real ANN path computes its own cells).
-
-    Seeding is deterministic (portable md5 rank of vec_id, distributed
-    top-K via orderBy+limit — no data-sized global window), so engine
-    and oracle run the SAME k-means bit-for-bit."""
+def _learned_centroids(spark: SparkSession) -> DataFrame:
+    """(cid, cemb) after ``_IVF_ITERS`` rounds of DataFrame-native
+    Lloyd's. Seeding is deterministic (portable md5 rank of vec_id,
+    distributed top-K via orderBy+limit — no data-sized global
+    window), so engine and oracle run the SAME k-means bit-for-bit."""
     vecs = _quantize(spark)
     seed_rows = (
         vecs.withColumn("h", _phash(F.col("vec_id").cast("string"), "ivfseed"))
@@ -776,8 +773,43 @@ def learned_ivf_cells(spark: SparkSession) -> DataFrame:
     )
     for _ in range(_IVF_ITERS):
         cents = _update_centroids(_assign_cells(vecs, cents))
-    return _assign_cells(vecs, cents).select(
+    return cents
+
+
+def learned_ivf_cells(spark: SparkSession) -> DataFrame:
+    """(vec_id, cell) under the learned centroids — the learned
+    replacement for the fixture ``label`` column (VERDICT r2 missing
+    #6: a real ANN path computes its own cells)."""
+    return _assign_cells(_quantize(spark), _learned_centroids(spark)).select(
         "vec_id", F.col("cid").alias("cell")
+    )
+
+
+def _probe_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cell): each vector's ``nprobe`` NEAREST cells — the
+    IVF search-time recall knob. Same map-side shape as assignment
+    (broadcast centroid array), but keeps the first ``nprobe`` of the
+    distance-sorted struct array instead of the argmin."""
+    cents_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cs")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _l2q(F.col("eq"), c.getField("cemb")).alias("dist"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents_arr))
+        .select("vec_id", F.explode(ranked).alias("p"))
+        .select("vec_id", F.col("p.cid").alias("cell"))
     )
 
 
@@ -882,6 +914,87 @@ def llm_sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = base.join(
         q, (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id"))
+    )
+    cos = (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos")
+    scored = pairs.select("q_id", "vec_id", cos)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+_NPROBE = 2
+
+
+@register(
+    "llm_sim_topk_ivf_multiprobe",
+    oracle=f"""
+    WITH {_sql_lloyds_cells()},
+    base AS (SELECT b.vec_id, cl.cell, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN cells cl ON cl.vec_id = b.vec_id),
+    probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                          i -> (e.eq[i]-c.cemb[i])*(e.eq[i]-c.cemb[i]))), c.cid) AS rk
+        FROM eqv e CROSS JOIN cent{_IVF_ITERS} c
+        WHERE e.vec_id < 30) WHERE rk <= {_NPROBE}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id < 30),
+    pairs AS (
+      SELECT p.q_id, b.vec_id,
+             {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+      FROM probes p
+      JOIN q ON q.q_id = p.q_id
+      JOIN base b ON b.cell = p.cell AND b.vec_id <> p.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc=f"Multi-probe IVF ANN (nprobe={_NPROBE}): each query searches "
+    "its nprobe nearest LEARNED cells instead of one — the standard "
+    "recall/cost knob of every production IVF index, here as a pure "
+    "DataFrame composition with an identical SQL mirror.",
+    tags=("llm", "similarity"),
+)
+def llm_sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors across each query's ``_NPROBE`` nearest cells.
+
+    Scale: probe selection is map-side (broadcast centroid array,
+    slice of the distance-sorted struct list); the candidate join
+    still shuffles on the cell id only — work per query is
+    nprobe/K of the corpus, the IVF contract. Cells are disjoint, so
+    candidates across probes never need dedup."""
+    vecs = _quantize(spark)
+    cents = _learned_centroids(spark)
+    cells = _assign_cells(vecs, cents).select("vec_id", F.col("cid").alias("cell"))
+    base = _vectors_with_norm(spark).drop("label").join(cells, "vec_id")
+    probes = _probe_cells(vecs.filter(F.col("vec_id") < 30), cents, _NPROBE).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("p_cell")
+    )
+    q = base.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = (
+        probes.join(q, "q_id")
+        .join(base, (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("q_id")))
     )
     cos = (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos")
     scored = pairs.select("q_id", "vec_id", cos)

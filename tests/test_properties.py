@@ -185,6 +185,15 @@ def test_learned_ivf_recall_vs_brute(spark):
         got = {(r["q_id"], r["neighbor_id"]) for r in learned}
         recall = len(truth & got) / len(truth)
         assert recall >= 0.8, f"learned-IVF recall {recall:.2f} < 0.8"
+        # The nprobe knob must never lose recall: the single-probe
+        # cell is always among the nprobe nearest, so multi-probe
+        # candidates are a superset per query.
+        multi = REGISTRY["llm_sim_topk_ivf_multiprobe"].fn(spark, SF_DIR).collect()
+        got_m = {(r["q_id"], r["neighbor_id"]) for r in multi}
+        recall_m = len(truth & got_m) / len(truth)
+        assert recall_m >= recall, (
+            f"multiprobe recall {recall_m:.2f} < single-probe {recall:.2f}"
+        )
     finally:
         deregister_table(spark, "embeddings")
         ensure_tables(spark, SF_DIR)
