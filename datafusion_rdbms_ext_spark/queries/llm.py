@@ -244,6 +244,18 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task; skewed mega-buckets cannot form unless the corpus
     contains thousands of true near-identical copies, in which case a
     preceding exact-dedup pass (llm_dedup_exact) removes them."""
+    pairs = _lsh_verified_pairs(spark)
+    return pairs.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        F.round(F.col("jac"), 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
+    """Verified near-duplicate pairs ``(da, db, jac)`` with da < db —
+    the shared LSH pipeline behind the pair query and the cluster
+    (connected-components) query."""
     ds = _doc_shingles(spark)
     cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
@@ -298,12 +310,128 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(na, "da")
         .join(nb, "db")
         .filter(jac >= 0.5)
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+        .select("da", "db", jac.alias("jac"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3b. Near-duplicate CLUSTERS — connected components over the LSH
+#     pair graph (the production step after pair generation: group
+#     transitively-linked near-dups and elect one canonical survivor).
+# ---------------------------------------------------------------------------
+
+#: Label-propagation iteration ceiling. Convergence needs
+#: O(diameter) rounds; near-dup clusters are shallow (a hub document
+#: links its variants), so real corpora converge in 3-5. The loop
+#: exits early on fixpoint — this is only a runaway guard.
+_CC_MAX_ITERS = 16
+
+#: Shared CTE chain: LSH pipeline down to verified pairs (da < db).
+_SQL_LSH_PAIRS = """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS i
+      FROM cand c
+      JOIN ds x ON x.doc_id = c.da
+      JOIN ds y ON y.doc_id = c.db AND y.s = x.s
+      GROUP BY c.da, c.db
+    ),
+    pairs AS (
+      SELECT i.da, i.db
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.da
+      JOIN cnt cb ON cb.doc_id = i.db
+      WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.5
+    )
+"""
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DS},
+    {_sql_minhash_sig()},
+    {_sql_bands()},
+    {_SQL_LSH_PAIRS},
+    sym AS (SELECT da, db FROM pairs UNION SELECT db, da FROM pairs),
+    reach(src, node) AS (
+      SELECT DISTINCT da, da FROM sym
+      UNION
+      SELECT r.src, s.db FROM reach r JOIN sym s ON s.da = r.node
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           (doc_id = cluster_id) AS is_canonical
+    FROM comp ORDER BY doc_id
+    """,
+    doc="Connected components over the MinHash-LSH near-dup pair "
+    "graph: transitive closure of 'is a near-duplicate of', each "
+    "cluster labeled by its min doc_id, that minimum elected the "
+    "canonical survivor. The step every production dedup pipeline "
+    "runs after pair generation; oracle is a DuckDB recursive CTE — "
+    "a genuinely different algorithm (BFS closure vs label "
+    "propagation). Beyond reference surface.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via iterative min-label propagation.
+
+    Scale: the loop is the standard distributed connected-components
+    shape (GraphFrames/Pregel): each round is one shuffle of the
+    EDGE list (pairs only — tiny relative to the corpus) joined to
+    the label table, both truncated with ``localCheckpoint`` so the
+    plan never grows with iteration count. Rounds needed =
+    component diameter; near-dup components are shallow stars, and
+    the fixpoint test (an exact sum over labels, which strictly
+    decreases while any label moves) stops the loop the round after
+    convergence. Driver involvement is one scalar per round — no
+    ``collect`` of data rows."""
+    pairs = _lsh_verified_pairs(spark).select("da", "db")
+    edges = (
+        pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
+        .select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    prev = labels.agg(F.sum("lbl").alias("s")).first()["s"]
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlbl").alias("nlbl"))
+            .select(F.col("src").alias("node"), "nlbl")
         )
-        .orderBy("doc_a", "doc_b")
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("lbl").alias("s")).first()["s"]
+        if cur == prev:
+            break
+        prev = cur
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
     )
 
 
@@ -1683,6 +1811,158 @@ def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15b. Sequence packing — concat-and-chunk into fixed token budgets.
+# ---------------------------------------------------------------------------
+
+#: Tokens per training-sequence block (context length stand-in).
+_PACK_BUDGET = 256
+#: Independent packing streams; each is a window partition, so the
+#: prefix-sum parallelism equals the bucket count.
+_PACK_BUCKETS = 8
+
+
+@register(
+    "llm_seq_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             {_sql_phash('CAST(doc_id AS VARCHAR)', 'pack')} % {_PACK_BUCKETS} AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT bucket, doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                 / {_PACK_BUDGET}.0) AS BIGINT) AS pack_seq
+      FROM toks
+    )
+    SELECT bucket, pack_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY bucket, pack_seq
+    ORDER BY bucket, pack_seq
+    """,
+    doc=f"Sequence packing (concat-and-chunk): documents are "
+    f"concatenated in stable order inside {_PACK_BUCKETS} hash "
+    f"buckets and chunked into {_PACK_BUDGET}-token training blocks "
+    "— each doc's block index is its exclusive token prefix-sum div "
+    "budget, the standard pretraining packing scheme. Beyond "
+    "reference surface.",
+    tags=("llm", "text"),
+)
+def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(bucket, block) packing stats under concat-and-chunk.
+
+    Scale: the only non-map work is ONE window prefix-sum partitioned
+    by the hash bucket — parallelism = bucket count, so at cluster
+    scale the bucket constant is raised to O(executors) and each
+    partition's running sum stays a linear scan. No global ordering,
+    no driver loop; the doc->block assignment is deterministic
+    (content-stable bucket hash + doc_id order), so reruns and
+    backfills pack identically."""
+    toks = spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        (_phash(F.col("doc_id").cast("string"), "pack") % _PACK_BUCKETS).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_seq",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(_PACK_BUDGET))).cast("long"),
+    )
+    return (
+        packed.groupBy("bucket", "pack_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bucket", "pack_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15c. PII redaction — pattern scrub + entity denylist.
+# ---------------------------------------------------------------------------
+
+#: (name, regex) scrub patterns, dialect-safe between Java (Spark)
+#: and RE2 (DuckDB): no backrefs, no lookaround. The first two are
+#: the classic PII shapes; the denylist stands in for an NER-driven
+#: entity list (real pipelines plug a model-produced lexicon here).
+_PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("entity", r"\b(customer|supplier)\b"),
+)
+
+
+@register(
+    "llm_pii_redact",
+    oracle="""
+    WITH scrubbed AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS email_hits,
+             len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ipv4_hits,
+             len(regexp_extract_all(text, '\\b(customer|supplier)\\b')) AS entity_hits,
+             len(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[PII]', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+                 '\\b(customer|supplier)\\b', '[PII]', 'g')) AS clean_len
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(email_hits) AS BIGINT) AS email_hits,
+           CAST(SUM(ipv4_hits) AS BIGINT) AS ipv4_hits,
+           CAST(SUM(entity_hits) AS BIGINT) AS entity_hits,
+           CAST(SUM(clean_len) AS BIGINT) AS clean_chars
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+    doc="PII scrub: email/IPv4 regex shapes plus an entity denylist "
+    "redacted to [PII], with per-source hit counts and post-scrub "
+    "length — the privacy pass every training pipeline runs before "
+    "tokenization. Patterns are dialect-safe (Java regex == RE2 "
+    "semantics for this subset). Beyond reference surface.",
+    tags=("llm", "text"),
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source redaction counts + cleaned corpus size.
+
+    Scale: entirely map-side (regexp_count/regexp_replace are
+    codegen'd JVM expressions — no Python, no UDF) followed by one
+    small rollup on source; the scrub streams at scan bandwidth on
+    1000 executors."""
+    txt = F.col("text")
+    clean = txt
+    hits = []
+    for pname, pat in _PII_PATTERNS:
+        hits.append(
+            F.regexp_count(txt, F.lit(pat)).cast("long").alias(f"{pname}_hits")
+        )
+        clean = F.regexp_replace(clean, pat, "[PII]")
+    return (
+        spark.table("documents")
+        .select("source", *hits, F.length(clean).cast("long").alias("clean_len"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("email_hits").alias("email_hits"),
+            F.sum("ipv4_hits").alias("ipv4_hits"),
+            F.sum("entity_hits").alias("entity_hits"),
+            F.sum("clean_len").alias("clean_chars"),
+        )
+        .orderBy("source")
     )
 
 

@@ -922,3 +922,87 @@ def micro_three_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT r_regionkey, r_name FROM spark_catalog.bench.region ORDER BY r_regionkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long reshaping; absent from the reference's
+# parser entirely — no Unpivot/stack arm exists in parser.rs).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_unpivot",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    )
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(30,8))) AS DOUBLE) AS sum_val,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM u GROUP BY metric ORDER BY metric
+    """,
+    doc="Unpivot (wide->long melt) via DataFrame.unpivot, the "
+    "relational reshape the reference's parser has no arm for; "
+    "oracle is the equivalent UNION ALL expansion.",
+    tags=("micro", "relational"),
+)
+def micro_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt two part metrics into (metric, val) rows, then aggregate.
+
+    Scale: unpivot is a zero-shuffle row-local expansion (each input
+    row emits V rows map-side); the only exchange is the final
+    grouped rollup on the tiny metric key."""
+    melted = (
+        spark.table("part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "val")
+    )
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast(_DEC)).cast("double").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral positional expansion (posexplode vs LATERAL unnest).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_lateral_posexplode",
+    oracle="""
+    SELECT d.doc_id, CAST(t.i - 1 AS INTEGER) AS pos, d.w[t.i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 50) d
+    CROSS JOIN LATERAL (SELECT unnest(range(1, least(len(d.w), 3) + 1)) AS i) t
+    ORDER BY doc_id, pos
+    """,
+    doc="Positional lateral expansion: posexplode of each document's "
+    "leading tokens vs a DuckDB correlated LATERAL unnest — the "
+    "index-preserving flatten (reference parser has no lateral/"
+    "unnest arm).",
+    tags=("micro", "relational"),
+)
+def micro_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three tokens of each doc with their positions.
+
+    Scale: posexplode is generator-node row-local work (no join, no
+    shuffle); the lateral-join formulation Catalyst would plan for
+    the SQL spelling collapses to the same generate node."""
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice(F.split(F.col("text"), " "), 1, 3)).alias("pos", "tok"),
+        )
+        .orderBy("doc_id", "pos")
+    )
