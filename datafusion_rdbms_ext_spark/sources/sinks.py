@@ -84,3 +84,61 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+_JSONL_DIR_CONF = "spark.datafusion_rdbms_ext.jsonl_dir"
+
+
+def jsonl_documents_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write ``documents`` as JSON-lines once per session (memoized),
+    returning the written path — the interchange format web-scraped
+    training corpora actually arrive in."""
+    key = f"{_JSONL_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return existing
+    out = tempfile.mkdtemp(prefix="sink_documents_jsonl_")
+    spark.table("documents").write.mode("overwrite").json(out)
+    spark.conf.set(key, out)
+    return out
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
+           MIN(md5(text)) AS min_text_md5
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="JSON-lines sink + source roundtrip: documents written as "
+    "JSONL and re-read with an EXPLICIT schema (no runtime "
+    "inference pass), rolled up per lang with an md5 text probe — "
+    "proves the interchange path of web-scraped corpora loses "
+    "nothing. Reference has no JSON surface at all.",
+    tags=("sink", "source"),
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang rollup read back through the JSONL interchange path.
+
+    Scale: the explicit read schema matters — schema inference would
+    be a full extra pass over 100 TB before the first real batch;
+    pinning the schema makes the JSONL scan single-pass and lets the
+    line reader split files by byte ranges across executors. The md5
+    probe rides the same rollup shuffle (no extra pass)."""
+    path = jsonl_documents_path(spark, sf_dir)
+    schema = spark.table("documents").schema
+    return (
+        spark.read.schema(schema)
+        .json(path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text").cast("long")).alias("sum_text_len"),
+            F.min(F.md5("text")).alias("min_text_md5"),
+        )
+        .orderBy("lang")
+    )

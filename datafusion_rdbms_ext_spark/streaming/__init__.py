@@ -338,6 +338,86 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase' AND user_id < 30),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (
+      SELECT ((epoch_us(LEAST((SELECT MAX(purchase_ts) FROM p),
+                              (SELECT MAX(click_ts) FROM c))) // 1000)
+              - 86400000 - 3600000) * 1000 AS w
+    ),
+    j AS (
+      SELECT p.purchase_id, c.click_id, p.purchase_ts, c.click_ts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
+        AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'
+        AND c.click_ts <= p.purchase_ts
+    )
+    SELECT purchase_id, click_id, purchase_ts, click_ts
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR epoch_us(purchase_ts) < w
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join: unmatched purchases "
+    "emit with null click columns only after the watermark proves no "
+    "matching click can still arrive. The oracle reproduces the "
+    "engine's eviction frontier exactly — global watermark = "
+    "min(per-side max event time, ms-truncated) - 1 day delay, then "
+    "minus the 1 h interval width (Spark keeps outer state an extra "
+    "interval span so a conservatively-late match can't be missed).",
+    tags=("streaming", "join"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join with watermark-gated null emission.
+
+    The inner variant (stream_stream_join) emits matches eagerly;
+    outer rows need the WATERMARK to certify absence — a purchase
+    can only be declared click-less once the click-side watermark
+    passes its timestamp, so the unmatched tail newer than
+    (watermark - interval width) stays in state, deliberately
+    unemitted. State is evicted at the same frontier, so memory is
+    O(events within watermark + interval horizon), not O(stream).
+
+    The drained output is returned UNFILTERED: the oracle models the
+    eviction frontier, making the engine's outer-emission semantics
+    itself the thing under differential test."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "purchase_ts", "click_ts")
+
+    _RUN_SEQ[0] += 1
+    name = f"stream_stream_left_outer_{_RUN_SEQ[0]}"
+    _drain(joined, name, "append")
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+@register(
     "stream_static_join",
     oracle=f"""
     SELECT c.c_mktsegment AS segment,
