@@ -46,36 +46,37 @@ _PRIORITY: tuple[str, ...] = (
     "q09_product_profit",
     "q15_top_supplier",
     "q21_suppliers_who_kept_waiting",
-    # LLM training-data pipeline (17)
+    # LLM training-data pipeline (18)
     "llm_dedup_exact",
     "llm_dedup_fingerprint",
     "llm_dedup_minhash_lsh",
     "llm_dedup_ngram_exact",
     "llm_dedup_simhash",
+    "llm_dedup_clusters",
     "llm_dedup_embedding",
     "llm_dedup_incremental",
     "llm_fingerprint_winnow",
     "llm_train_split",
     "llm_sim_topk_brute",
-    "llm_sim_topk_udf",
     "llm_sim_topk_ivf",
     "llm_sim_topk_ivf_learned",
     "llm_text_stats",
     "llm_text_quality",
-    "llm_text_langid",
     "llm_token_topk",
-    # event-time analytics (5)
+    "llm_seq_pack",
+    "llm_pii_redact",
+    # event-time analytics (4; pivot rotates to the local gate)
     "ev_tumbling_daily",
     "ev_sliding_6h_3h",
     "ev_session_windows",
     "ev_json_props",
-    "ev_pivot_daily_types",
-    # Structured Streaming (6)
+    # Structured Streaming (6; session windows rotate to the local
+    # gate for the left-outer eviction-frontier query)
     "stream_tumbling_counts",
     "stream_append_windows",
     "stream_stateful_user_counts",
-    "stream_session_windows",
     "stream_stream_join",
+    "stream_stream_left_outer",
     "stream_dedup",
     # federation (6)
     "fed_pushdown_scan",
@@ -91,10 +92,12 @@ _PRIORITY: tuple[str, ...] = (
     # temporal operators (2)
     "op_asof_purchase_click",
     "op_range_join_count",
-    # multimodal (3)
+    # multimodal (2; mm_resize_pool is rows-only — a wasted hard-
+    # signal slot — and rotates to the local gate)
     "mm_binary_features",
     "mm_modality_rollup",
-    "mm_resize_pool",
+    # sink/source interchange (1)
+    "source_jsonl_roundtrip",
     # nested-type tail (1)
     "micro_map_access",
 )
