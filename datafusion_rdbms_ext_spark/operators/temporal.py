@@ -207,3 +207,71 @@ def op_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_count(
         purchases, clicks, _HOUR_US, on="ts", by=("user_id",), out="n_in_range"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Grouped custom aggregation via batch applyInPandas (the
+# full-group pandas surface; the streaming variant lives in
+# streaming/ as applyInPandasWithState).
+# ---------------------------------------------------------------------------
+def _gap_stats(pdf):
+    """Per-user inter-event gap stats — pure integer arithmetic on
+    microsecond timestamps, so Spark and the SQL oracle agree
+    bit-for-bit (no float summation anywhere)."""
+    import pandas as pd  # executor-side import
+
+    ts = pdf["ts"].sort_values()
+    us = ts.astype("int64") // 1000  # ns -> us, exact
+    gaps = us.diff().dropna().astype("int64")
+    if gaps.empty:  # singleton group: no gaps to report
+        return pd.DataFrame(
+            {"user_id": [], "n_events": [], "max_gap_us": [], "min_gap_us": []}
+        )
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(pdf)],
+            "max_gap_us": [int(gaps.max())],
+            "min_gap_us": [int(gaps.min())],
+        }
+    )
+
+
+@register(
+    "op_gap_stats_pandas",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+      FROM events WHERE user_id < 40
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(gap) AS max_gap_us,
+           MIN(gap) AS min_gap_us
+    FROM g GROUP BY user_id HAVING COUNT(*) >= 2
+    ORDER BY user_id
+    """,
+    doc="Batch groupBy().applyInPandas custom aggregate (per-user "
+    "inter-event gap extremes): the full-group pandas API surface "
+    "with EXACT integer parity against a SQL window oracle — "
+    "microsecond arithmetic only, no floats to drift.",
+    tags=("op", "udf"),
+)
+def op_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max/min inter-event gap per user through the pandas group API.
+
+    Scale: applyInPandas shuffles once on user_id and streams each
+    group through Arrow as a single pandas frame — right for
+    bounded per-key group sizes (events-per-user grows with time
+    span, not corpus width; a 100 TB deployment windows the input
+    first). The deliberate contrast: the SAME semantics is also
+    expressible as a pure window+agg (the oracle) — this entry
+    exists to keep the pandas full-group path tested, per the UDF
+    inventory row."""
+    ev = spark.table("events").filter(F.col("user_id") < 40).select("user_id", "ts")
+    out = ev.groupBy("user_id").applyInPandas(
+        _gap_stats,
+        "user_id long, n_events long, max_gap_us long, min_gap_us long",
+    )
+    return out.filter(F.col("n_events") >= 2).orderBy("user_id")

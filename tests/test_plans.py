@@ -198,3 +198,48 @@ def test_all_bench_queries_have_sane_plans(spark):
         df = spec.fn(spark, SF_DIR)
         assert not has_cartesian(df), name
         assert count_exchanges(df) <= 14, name
+
+
+def test_seq_pack_single_window_shuffle(spark):
+    """Packing must be ONE bucket-partitioned window pass + the final
+    rollup — no global sort, no data-sized single-partition window."""
+    df = _df(spark, "llm_seq_pack")
+    p = plan_string(df)
+    assert not has_cartesian(df)
+    # window partitioned by bucket, never an empty partition spec
+    # (a global window would show 'Window [...]' without partitionBy
+    # and a SinglePartition exchange).
+    assert "SinglePartition" not in p.replace(
+        "Exchange SinglePartition", "", 0
+    ) or "bucket" in p
+    assert count_exchanges(df) <= 4
+
+
+def test_upsert_is_join_plus_union(spark):
+    """The MERGE composition must stay an anti-join + union — no
+    cartesian, bounded exchanges."""
+    df = _df(spark, "llm_corpus_upsert")
+    assert not has_cartesian(df)
+    assert count_exchanges(df) <= 6
+
+
+def test_pii_redact_map_side_only(spark):
+    """Scrubbing is map-side: exactly the rollup exchange(s), and the
+    scan reads only source+text."""
+    df = _df(spark, "llm_pii_redact")
+    assert not has_cartesian(df)
+    schemas = "".join(read_schemas(df))
+    assert "doc_id" not in schemas and "n_chars" not in schemas
+    assert count_exchanges(df) <= 2
+
+
+def test_clusters_edges_bounded(spark):
+    """The CC result plan must contain no cartesian join; the
+    iteration itself is pre-collapsed by localCheckpoint so the final
+    plan is label-table-sized, not lineage-deep."""
+    df = _df(spark, "llm_dedup_clusters")
+    assert not has_cartesian(df)
+    p = plan_string(df)
+    # lineage truncation proof: the checkpointed scan feeds the plan,
+    # not the whole LSH pipeline re-derivation.
+    assert "ExistingRDD" in p or "LocalTableScan" in p or "Scan ExistingRDD" in p
