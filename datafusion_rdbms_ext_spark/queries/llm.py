@@ -376,7 +376,7 @@ _SQL_LSH_PAIRS = """
     "runs after pair generation; oracle is a DuckDB recursive CTE — "
     "a genuinely different algorithm (BFS closure vs label "
     "propagation). Beyond reference surface.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters via iterative min-label propagation.
@@ -1854,7 +1854,7 @@ _PACK_BUCKETS = 8
     "— each doc's block index is its exclusive token prefix-sum div "
     "budget, the standard pretraining packing scheme. Beyond "
     "reference surface.",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def llm_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(bucket, block) packing stats under concat-and-chunk.
@@ -1934,7 +1934,7 @@ _PII_PATTERNS = (
     "length — the privacy pass every training pipeline runs before "
     "tokenization. Patterns are dialect-safe (Java regex == RE2 "
     "semantics for this subset). Beyond reference surface.",
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source redaction counts + cleaned corpus size.
@@ -1963,6 +1963,99 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("clean_len").alias("clean_chars"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15c2. Fuzzy (edit-distance) dedup on short fields.
+# ---------------------------------------------------------------------------
+
+#: Leading-token count forming the pseudo-title (documents have no
+#: title column; the head of the text stands in for one).
+_FUZZY_HEAD = 4
+_FUZZY_MAXDIST = 3
+
+
+@register(
+    "llm_dedup_fuzzy",
+    oracle=f"""
+    WITH heads AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, {_FUZZY_HEAD}), ' ') AS head
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, head,
+             string_split(head, ' ')[1] AS first_tok,
+             len(head) // 4 AS len_bucket
+      FROM heads
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.head, b.head) AS dist
+      FROM keyed a JOIN keyed b
+        ON a.first_tok = b.first_tok
+       AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+    FROM pairs WHERE dist <= {_FUZZY_MAXDIST} AND dist > 0
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Fuzzy dedup on a short field (pseudo-title = leading "
+    f"{_FUZZY_HEAD} tokens): candidates blocked on (first token, "
+    "length bucket), then Levenshtein <= "
+    f"{_FUZZY_MAXDIST} verification — the classic blocking+edit-"
+    "distance record-linkage shape for titles/URLs/names. Beyond "
+    "reference surface.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical short-field pairs under edit distance.
+
+    Scale: never all-pairs — the self-join is blocked on
+    (first_token, length-bucket), the standard record-linkage
+    blocking key, so comparisons happen only inside buckets whose
+    size tracks head-prefix collision counts, not corpus size. The
+    quadratic-per-bucket residual is bounded by the blocking key's
+    selectivity; hot buckets would be re-blocked on a second token at
+    the 100 TB tier. Levenshtein runs JVM-side (codegen builtin), on
+    ~25-char strings — O(len^2) per pair but len is a constant."""
+    heads = spark.table("documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _FUZZY_HEAD)).alias(
+            "head"
+        ),
+    )
+    keyed = heads.select(
+        "doc_id",
+        "head",
+        F.split(F.col("head"), " ").getItem(0).alias("first_tok"),
+        (F.length("head").cast("long") / F.lit(4)).cast("long").alias("len_bucket"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+        "first_tok",
+        "len_bucket",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+        F.col("first_tok").alias("ft_b"),
+        F.col("len_bucket").alias("lb_b"),
+    )
+    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        a.join(
+            b,
+            (F.col("first_tok") == F.col("ft_b"))
+            & (F.col("len_bucket") == F.col("lb_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", dist.cast("long").alias("dist"))
+        .filter((F.col("dist") <= _FUZZY_MAXDIST) & (F.col("dist") > 0))
+        .orderBy("doc_a", "doc_b")
     )
 
 
