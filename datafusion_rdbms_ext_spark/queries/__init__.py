@@ -21,6 +21,7 @@ from ..operators import temporal  # noqa: E402,F401
 from ..sources import federation  # noqa: E402,F401
 from ..sources import pyds  # noqa: E402,F401
 from ..sources import sinks  # noqa: E402,F401
+from ..sources import sqlite_fed  # noqa: E402,F401
 
 #: Names promoted to the FRONT of the registry, in this order. The
 #: driver's correctness gate records the first 50 registrations only

@@ -1,0 +1,233 @@
+"""Second federation dialect: SQLite (stdlib) behind the same seam.
+
+The reference's connector is a value object with a ``db_type``
+switch — ``DatabaseConnector {db_type, params, db_name}``
+(/root/reference/src/sqldb/mod.rs:33-51) — designed for more than
+one backend even though only Postgres is implemented. This module
+proves our federation seam generalizes the same way: a SECOND
+remote engine (SQLite via the stdlib ``sqlite3`` DBAPI) served
+through the same compile-scan / partitioned-executor-fetch shape as
+``federation.py``'s DuckDB backend, with the dialect differences
+isolated where a real multi-backend connector isolates them:
+
+* catalog inference: ``sqlite_master`` + ``PRAGMA table_info``
+  instead of ``information_schema`` (mod.rs:67-125 parity, second
+  dialect);
+* type mapping: SQLite's dynamic INTEGER/REAL/TEXT storage classes
+  map lossily onto Spark types — the exact analogue of the
+  reference's lossy OID wire path (numeric → Float64,
+  datatypes.rs:19) versus its precise catalog path;
+* deterministic order: SQLite has no ``ORDER BY ALL``; the dialect
+  pins limited scans with an explicit key order instead;
+* partition planning: no ``quantile_disc`` — the dialect falls back
+  to min/max equi-width ranges on the key (Spark-JDBC's
+  lowerBound/upperBound arithmetic), trading balance for one fewer
+  remote capability, exactly the negotiation a dialect layer exists
+  to make.
+
+The "remote database" is a file-backed SQLite built once per sf_dir
+from the fixture parquet (driver-side, before any task runs); the
+per-partition fetches then open ordinary read-only connections on
+executors. On a real cluster the remote is a server, so only the
+fetch path matters — the build is fixture plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..queries.base import register
+
+#: Fixture tables mirrored into the SQLite remote (timestamp-free:
+#: SQLite has no native temporal storage class, and shipping ns
+#: timestamps through TEXT would be dialect noise, not signal).
+_SQLITE_TABLES = ("region", "nation", "customer", "supplier")
+
+#: SQLite declared-type prefix -> Spark type. SQLite stores by
+#: dynamic storage class, so this mapping is deliberately coarse —
+#: the second-dialect analogue of the reference's lossy OID path.
+_SQLITE_TYPE_MAP = {
+    "INTEGER": T.LongType(),
+    "BIGINT": T.LongType(),
+    "REAL": T.DoubleType(),
+    "FLOAT": T.DoubleType(),
+    "DOUBLE": T.DoubleType(),
+    "TEXT": T.StringType(),
+}
+
+
+def sqlite_db_path(sf_dir: str) -> str:
+    """Build (once) and return the file-backed SQLite remote for
+    ``sf_dir``. The build is atomic: load into a temp file, then
+    ``os.replace`` — concurrent planners see either nothing or the
+    finished database, never a half-loaded one."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"fed_sqlite_{abs(hash(sf_dir))}.db"
+    )
+    if os.path.exists(out):
+        return out
+    tmp = out + f".build{os.getpid()}"
+    con = sqlite3.connect(tmp)
+    try:
+        for name in _SQLITE_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                pd.read_parquet(path).to_sql(name, con, index=False)
+        con.commit()
+    finally:
+        con.close()
+    os.replace(tmp, out)
+    return out
+
+
+def load_catalog_sqlite(sf_dir: str) -> dict[str, T.StructType]:
+    """Catalog inference, dialect two: ``sqlite_master`` for the
+    table list, ``PRAGMA table_info`` per table for columns —
+    the same two-step bootstrap as information_schema (reference
+    mod.rs:67-125), through SQLite's own metadata surface."""
+    con = sqlite3.connect(sqlite_db_path(sf_dir))
+    try:
+        tables = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name"
+            )
+        ]
+        out: dict[str, T.StructType] = {}
+        for t in tables:
+            cols = con.execute(f"PRAGMA table_info({t})").fetchall()
+            out[t] = T.StructType(
+                [
+                    T.StructField(
+                        name,
+                        _SQLITE_TYPE_MAP.get(
+                            (decl or "TEXT").split("(")[0].upper(), T.StringType()
+                        ),
+                        notnull == 0,
+                    )
+                    for _cid, name, decl, notnull, _dflt, _pk in cols
+                ]
+            )
+        return out
+    finally:
+        con.close()
+
+
+def _equi_width_predicates(
+    db: str, base_sql: str, key: str, partitions: int
+) -> list[str]:
+    """Dialect-two partition planning: min/max equi-width ranges
+    (the Spark-JDBC lowerBound/upperBound arithmetic). SQLite has no
+    quantile aggregate, so balance degrades on skewed keys — the
+    capability the DuckDB dialect's quantile path adds back."""
+    con = sqlite3.connect(db)
+    try:
+        lo, hi = con.execute(
+            f"SELECT MIN({key}), MAX({key}) FROM ({base_sql}) _t"
+        ).fetchone()
+    finally:
+        con.close()
+    if lo is None or hi is None or lo == hi or partitions <= 1:
+        return ["1=1"]
+    span = (hi - lo + 1) / partitions
+    bounds = [int(lo + i * span) for i in range(1, partitions)]
+    bounds = sorted(set(b for b in bounds if lo < b <= hi))
+    if not bounds:
+        return ["1=1"]
+    preds = [f"({key} < {bounds[0]} OR {key} IS NULL)"]
+    preds += [f"({key} >= {a} AND {key} < {b})" for a, b in zip(bounds, bounds[1:])]
+    preds.append(f"({key} >= {bounds[-1]})")
+    return preds
+
+
+def sqlite_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
+    partitions: int = 4,
+    partition_key: str | None = None,
+) -> DataFrame:
+    """Partitioned pushdown scan against the SQLite remote — the
+    same PostgresExec shape as ``federation.federated_scan``, through
+    dialect two. Projection and filters compile into each partition's
+    SQL; every Spark task opens its own DBAPI cursor executor-side."""
+    db = sqlite_db_path(sf_dir)
+    catalog = load_catalog_sqlite(sf_dir)
+    if table not in catalog:
+        raise ValueError(f"unknown sqlite table {table!r}")
+    full = catalog[table]
+    cols = columns or [f.name for f in full.fields]
+    schema = T.StructType([f for f in full.fields if f.name in cols])
+    base = f"SELECT {', '.join(cols)} FROM {table}"
+    if predicates:
+        base += " WHERE " + " AND ".join(f"({p})" for p in predicates)
+    key = partition_key
+    if key is None:
+        key = next(
+            (f.name for f in schema.fields if isinstance(f.dataType, T.LongType)),
+            None,
+        )
+    if key is not None and partitions > 1:
+        preds = _equi_width_predicates(db, base, key, partitions)
+        part_sqls = [f"SELECT * FROM ({base}) _t WHERE {p}" for p in preds]
+    else:
+        part_sqls = [base]
+
+    spec = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(part_sqls)], "pid int, part_sql string"
+    ).repartitionByRange(len(part_sqls), "pid")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for sql in pdf["part_sql"]:
+                con = sqlite3.connect(db)
+                try:
+                    yield pd.read_sql_query(sql, con)
+                finally:
+                    con.close()
+
+    return spec.mapInPandas(fetch, schema)
+
+
+@register(
+    "fed_sqlite_scan",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 5000.0
+    ORDER BY c_custkey
+    """,
+    doc="Second federation dialect: the same pushdown-scan shape "
+    "(projection + filter compiled remotely, key-range partitioned "
+    "executor-side fetches) against SQLite instead of DuckDB — the "
+    "multi-backend connector seam the reference's DatabaseConnector "
+    "db_type switch (mod.rs:33-51) was designed for, including the "
+    "coarser dialect capabilities (PRAGMA catalog, equi-width "
+    "partition ranges, no ORDER BY ALL).",
+    tags=("fed", "source"),
+)
+def fed_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered, projected, partition-fetched scan via dialect two.
+
+    Scale: identical to the DuckDB path — the database evaluates the
+    filter and projection, N executor cursors stream disjoint key
+    ranges, Spark never sees a discarded row. Equi-width ranges are
+    the one concession to the dialect's missing quantile aggregate."""
+    return sqlite_scan(
+        spark,
+        sf_dir,
+        "customer",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        predicates=["c_acctbal > 5000.0"],
+        partitions=4,
+        partition_key="c_custkey",
+    ).orderBy("c_custkey")
