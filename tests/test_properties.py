@@ -197,3 +197,89 @@ def test_learned_ivf_recall_vs_brute(spark):
     finally:
         deregister_table(spark, "embeddings")
         ensure_tables(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator invariants.
+# ---------------------------------------------------------------------------
+
+from .conftest import SF_DIR  # noqa: E402
+
+
+def test_seq_pack_block_budget_invariant(spark):
+    """Concat-and-chunk guarantee: a block's token load never exceeds
+    budget + the largest single document that starts inside it (a doc
+    is assigned by its exclusive prefix, so only its own tail can
+    overhang), and block sequence numbers are gapless per bucket."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+    from datafusion_rdbms_ext_spark.queries.llm import _PACK_BUDGET
+
+    rows = REGISTRY["llm_seq_pack"].fn(spark, SF_DIR).collect()
+    max_doc = (
+        spark.table("documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        assert r["pack_tokens"] <= _PACK_BUDGET + max_doc, r
+        by_bucket.setdefault(r["bucket"], []).append(r["pack_seq"])
+    for bucket, seqs in by_bucket.items():
+        assert sorted(seqs) == list(range(len(seqs))), (bucket, seqs)
+
+
+def test_clusters_are_consistent_with_pairs(spark):
+    """Every near-dup pair must land in one cluster; every cluster id
+    is the min doc_id of its members; is_canonical marks exactly one
+    doc per cluster."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    clusters = {
+        r["doc_id"]: r for r in REGISTRY["llm_dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    pairs = REGISTRY["llm_dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    for p in pairs:
+        ca, cb = clusters[p["doc_a"]], clusters[p["doc_b"]]
+        assert ca["cluster_id"] == cb["cluster_id"], p
+    by_cluster: dict[int, list] = {}
+    for r in clusters.values():
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_pii_redaction_never_grows_entities(spark):
+    """Post-scrub character count plus redaction hits must be
+    consistent: every hit replaced a >=1-char span with '[PII]' (5
+    chars), so clean_chars <= original + 4*hits; and with zero hits
+    the text is untouched."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    rows = REGISTRY["llm_pii_redact"].fn(spark, SF_DIR).collect()
+    orig = {
+        r["source"]: r["s"]
+        for r in spark.table("documents")
+        .groupBy("source")
+        .agg(F.sum(F.length("text").cast("long")).alias("s"))
+        .collect()
+    }
+    for r in rows:
+        hits = r["email_hits"] + r["ipv4_hits"] + r["entity_hits"]
+        assert r["clean_chars"] <= orig[r["source"]] + 4 * hits, r
+        if hits == 0:
+            assert r["clean_chars"] == orig[r["source"]], r
+
+
+def test_upsert_counts(spark):
+    """MERGE accounting: replaced = update-batch overlap, inserted =
+    new keys, kept = the rest of the base corpus."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    rows = {r["origin"]: r for r in REGISTRY["llm_corpus_upsert"].fn(spark, SF_DIR).collect()}
+    n_docs = spark.table("documents").count()
+    assert rows["replaced"]["n_docs"] == 100
+    assert rows["inserted"]["n_docs"] == 20
+    assert rows["kept"]["n_docs"] == n_docs - 100
