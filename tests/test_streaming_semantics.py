@@ -90,3 +90,68 @@ def test_watermark_drops_late_rows(spark):
         "late row re-opened a finalized window — watermark state was not restored"
     )
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_foreachbatch_sink_is_exactly_once_across_redrains(spark):
+    """The production sink pattern: foreachBatch writes each epoch to
+    a batchId-keyed directory with overwrite (idempotent re-delivery),
+    and the checkpoint guarantees a finished epoch is never re-run —
+    re-draining the SAME checkpoint with no new input must write
+    nothing new, and the materialized rows equal the batch truth."""
+    import shutil
+
+    base = Path("spark-warehouse") / "_feb_sink"
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, out = base / "src", base / "ckpt", base / "out"
+    src.mkdir(parents=True)
+    out.mkdir(parents=True)
+
+    _write_batch(
+        spark,
+        src,
+        [(i, __import__("datetime").datetime(2024, 1, 1, h, 0, 0), i)
+         for i, h in enumerate([1, 1, 2, 3, 3, 3])],
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        # Idempotent epoch write: same batch re-delivered -> same dir
+        # overwritten, no duplicates (the foreachBatch contract).
+        batch_df.write.mode("overwrite").parquet(str(out / f"epoch={batch_id}"))
+
+    def drain():
+        q = (
+            spark.readStream.schema("event_id long, ts timestamp, v long")
+            .format("parquet")
+            .load(str(src))
+            .groupBy("ts")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = sorted(
+        (r["ts"], r["n"]) for r in spark.read.parquet(str(out)).collect()
+    )
+    epochs_after_first = set(p.name for p in out.iterdir())
+
+    drain()  # re-drain same checkpoint, no new files
+    second = sorted(
+        (r["ts"], r["n"]) for r in spark.read.parquet(str(out)).collect()
+    )
+    assert second == first, "re-drain duplicated or mutated sink rows"
+    assert set(p.name for p in out.iterdir()) == epochs_after_first
+
+    truth = sorted(
+        (r["ts"], r["n"])
+        for r in spark.read.parquet(str(src))
+        .groupBy("ts")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert first == truth
+    shutil.rmtree(base, ignore_errors=True)
