@@ -257,7 +257,11 @@ def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
     the shared LSH pipeline behind the pair query and the cluster
     (connected-components) query."""
     ds = _doc_shingles(spark)
-    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Candidate verification joins key on xxhash64(shingle), not the
+    # string — 8-byte shuffle keys (see llm_dedup_ngram_exact's
+    # docstring for the collision arithmetic).
+    hs = ds.select("doc_id", F.xxhash64("s").alias("hsh"))
+    cnt = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     hx = F.md5(F.col("s"))
     hashed = ds.select(
@@ -298,10 +302,10 @@ def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
         .distinct()
     )
 
-    dsa = ds.select(F.col("doc_id").alias("da"), F.col("s").alias("s"))
-    dsb = ds.select(F.col("doc_id").alias("db"), F.col("s").alias("s"))
+    dsa = hs.select(F.col("doc_id").alias("da"), "hsh")
+    dsb = hs.select(F.col("doc_id").alias("db"), "hsh")
     inter = (
-        cand.join(dsa, "da").join(dsb, ["db", "s"]).groupBy("da", "db").agg(F.count(F.lit(1)).alias("i"))
+        cand.join(dsa, "da").join(dsb, ["db", "hsh"]).groupBy("da", "db").agg(F.count(F.lit(1)).alias("i"))
     )
     na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
@@ -474,20 +478,31 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     any posting list, so bucket work is O(cap^2) worst-case and the
     quadratic blowup of stop-shingles is structurally impossible. At
     100 TB the cap also acts as the standard "drop boilerplate
-    shingles" cleaning step."""
+    shingles" cleaning step.
+
+    The index keys on ``xxhash64(shingle)`` rather than the shingle
+    string: every shuffle (the df count, the index build, the
+    posting-list self-join) then moves 8-byte longs instead of
+    ~25-byte strings — the standard token-dictionary compression of
+    inverted indexes. The output is unchanged: intersection sizes
+    count distinct hashes, identical to distinct strings barring a
+    64-bit collision inside one document pair's shingle sets
+    (P < 2^-40 per corpus here; at larger corpora the same trick is
+    still standard, with a 128-bit hash if the budget demands)."""
     ds = _doc_shingles(spark)
-    cnt = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sdf = ds.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    hashed = ds.select("doc_id", F.xxhash64("s").alias("h"))
+    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     # df=1 shingles can never produce a pair — drop them from the
     # index (they only self-match, filtered by da<db anyway).
-    rare = ds.join(
-        sdf.filter((F.col("c") >= 2) & (F.col("c") <= _DF_CAP)), "s"
-    ).select("doc_id", "s")
+    rare = hashed.join(
+        sdf.filter((F.col("c") >= 2) & (F.col("c") <= _DF_CAP)), "h"
+    ).select("doc_id", "h")
 
-    a = rare.select(F.col("doc_id").alias("da"), "s")
-    b = rare.select(F.col("doc_id").alias("db"), "s")
+    a = rare.select(F.col("doc_id").alias("da"), "h")
+    b = rare.select(F.col("doc_id").alias("db"), "h")
     inter = (
-        a.join(b, ["s"])
+        a.join(b, ["h"])
         .filter(F.col("da") < F.col("db"))
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("i"))
