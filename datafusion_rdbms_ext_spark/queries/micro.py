@@ -1006,3 +1006,54 @@ def micro_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (transform/filter/exists/aggregate) —
+# the lambda-expression surface; nothing comparable exists anywhere
+# in the reference's parser.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_hof_array",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> len(x) > 4)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS total_len,
+           array_to_string(list_transform(list_slice(w, 1, 3), x -> upper(x)), ',') AS head_upper,
+           list_contains(w, 'the') AS has_the
+    FROM d ORDER BY doc_id
+    """,
+    doc="Higher-order array functions: filter (predicate lambda), "
+    "aggregate (fold lambda), transform (map lambda), exists — "
+    "Spark's lambda-expression surface vs DuckDB's list_* family. "
+    "All-integer/string outputs, so parity is exact.",
+    tags=("micro", "scalar"),
+)
+def micro_hof_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda HOFs over token arrays.
+
+    Scale: HOFs evaluate inside whole-stage codegen per row — zero
+    shuffle, zero Python. (Measured note: for hot paths an
+    explode+groupBy sometimes beats a deep HOF chain because codegen
+    fuses the aggregate; this entry is the API-surface row, with the
+    explode formulation covered by the dedup/token queries.)"""
+    d = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("total_len"),
+        F.array_join(
+            F.transform(F.slice("w", 1, 3), lambda x: F.upper(x)), ","
+        ).alias("head_upper"),
+        F.exists("w", lambda x: x == F.lit("the")).alias("has_the"),
+    ).orderBy("doc_id")
