@@ -524,6 +524,119 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 4b. TF-IDF cosine similarity — the weighted IR complement to the
+#     set-based Jaccard family.
+# ---------------------------------------------------------------------------
+
+#: Candidate-generation df-cap (same role as _DF_CAP: a token seen in
+#: more docs than this is too common to nominate pairs).
+_TFIDF_CAP = 60
+_TFIDF_MIN_COS = 0.6
+
+
+@register(
+    "llm_sim_tfidf_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df, (SELECT COUNT(*) FROM documents) AS n
+           FROM tf GROUP BY t),
+    w AS (
+      -- integer-quantized idf: (N*1000)//df — monotone in 1/df and
+      -- bit-identical across engines (no transcendental ln).
+      SELECT tf.doc_id, tf.t, tf.tf * ((df.n * 1000) // df.df) AS w, df.df
+      FROM tf JOIN df ON df.t = tf.t
+    ),
+    nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      WHERE a.df BETWEEN 2 AND {_TFIDF_CAP}
+    ),
+    dot AS (
+      SELECT c.da, c.db, SUM(x.w * y.w) AS dot
+      FROM cand c
+      JOIN w x ON x.doc_id = c.da
+      JOIN w y ON y.doc_id = c.db AND y.t = x.t
+      GROUP BY c.da, c.db
+    )
+    SELECT d.da AS doc_a, d.db AS doc_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dot d
+    JOIN nrm na ON na.doc_id = d.da
+    JOIN nrm nb ON nb.doc_id = d.db
+    WHERE d.dot / (na.nrm * nb.nrm) >= {_TFIDF_MIN_COS}
+    ORDER BY doc_a, doc_b
+    """,
+    doc="TF-IDF cosine document similarity: term-frequency x "
+    "integer-quantized idf weights ((N*1000)//df — no transcendental "
+    "ln, so both engines compute bit-identical weights), candidates "
+    "nominated through the df-capped inverted index, weighted dot "
+    "product only for candidates. The weighted IR complement to the "
+    "set-based Jaccard/MinHash family. Beyond reference surface.",
+    tags=("llm", "similarity"),
+)
+def llm_sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with TF-IDF cosine >= threshold.
+
+    Scale: identical skeleton to llm_dedup_ngram_exact — inverted
+    index on the token, df-cap bounds posting lists, pair work only
+    inside candidate buckets. The weighting is all integer until the
+    final norm division (exact long dot products; sqrt and one
+    division are IEEE-deterministic), so the oracle needs no
+    tolerance. Long-range magnitudes: w <= tf * N*1000, dot sums
+    bounded well inside int64 at any per-doc token count the schema
+    allows."""
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = spark.table("documents").count()
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df, "t").select(
+        "doc_id",
+        "t",
+        "df",
+        (F.col("tf") * F.floor(F.lit(n_docs * 1000) / F.col("df")).cast("long")).alias(
+            "w"
+        ),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    rare = w.filter((F.col("df") >= 2) & (F.col("df") <= _TFIDF_CAP))
+    cand = (
+        rare.select(F.col("doc_id").alias("da"), "t")
+        .join(rare.select(F.col("doc_id").alias("db"), "t"), "t")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    wx = w.select(F.col("doc_id").alias("da"), "t", F.col("w").alias("wa"))
+    wy = w.select(F.col("doc_id").alias("db"), "t", F.col("w").alias("wb"))
+    dot = (
+        cand.join(wx, "da")
+        .join(wy, ["db", "t"])
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dot.join(na, "da")
+        .join(nb, "db")
+        .filter(cos >= _TFIDF_MIN_COS)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 5. SimHash near-duplicate detection (32-bit fingerprint, hamming <= 1).
 # ---------------------------------------------------------------------------
 def _sql_simhash_fp() -> str:
