@@ -210,3 +210,48 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sink_dynamic_partition_pruning",
+    oracle="""
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d
+    JOIN (VALUES ('en', 1), ('de', 1), ('zh', 2)) AS dim(lang, prio)
+      ON dim.lang = d.lang
+    WHERE dim.prio = 1
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="Dynamic partition pruning: the lang-partitioned sink joined "
+    "to a runtime-filtered dimension — Spark broadcasts the dim's "
+    "surviving keys into the scan's PartitionFilters "
+    "(dynamicpruningexpression), so only the matching partition "
+    "directories are read. THE optimizer feature that makes "
+    "star-schema joins over 100 TB partitioned fact tables viable; "
+    "plan-asserted in tests/test_plans.py.",
+    tags=("sink", "source"),
+)
+def sink_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang rollup where the scanned partitions are decided at
+    RUNTIME by the dimension filter.
+
+    Scale: static pruning needs the literal partition list in the
+    query; here the pruning values exist only after filtering the
+    dim, and Spark injects them as a broadcast subquery into the
+    fact scan — fact I/O is proportional to the SELECTED partitions
+    even though the query text names none of them."""
+    path = partitioned_documents_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 1), ("zh", 2)], "lang string, prio int"
+    )
+    return (
+        fact.join(dim.filter(F.col("prio") == 1), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -243,3 +243,11 @@ def test_clusters_edges_bounded(spark):
     # lineage truncation proof: the checkpointed scan feeds the plan,
     # not the whole LSH pipeline re-derivation.
     assert "ExistingRDD" in p or "LocalTableScan" in p or "Scan ExistingRDD" in p
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """The DPP query's fact scan must carry a dynamicpruning
+    partition filter — runtime-injected, not a static literal list."""
+    df = _df(spark, "sink_dynamic_partition_pruning")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p[:2000]
