@@ -5,10 +5,11 @@ Runs the headline queries (tag ``bench`` in the registry) at
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query is executed twice and the faster run is kept: run 1 warms
-the JVM/code-cache, run 2 measures steady-state — the regime that
-matters at the 100 TB design point where per-query JIT warmup is
-amortized away.
+Each query is executed three times and the fastest run kept: run 1
+warms the JVM/code-cache, the best of the rest measures steady-state
+— the regime that matters at the 100 TB design point where per-query
+JIT warmup is amortized away, and the extra run damps the multi-tenant
+noise of the measurement host (observed 2-3x run-to-run variance).
 """
 
 from __future__ import annotations
@@ -47,7 +48,7 @@ def main() -> None:
     for spec in bench_specs:
         n = spec.fn(spark, SF_DIR).count()  # untimed: row count for the log
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(spec.fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
