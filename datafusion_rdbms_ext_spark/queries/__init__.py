@@ -61,7 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     "llm_sim_topk_brute",
     "llm_sim_topk_ivf",
     "llm_sim_topk_ivf_learned",
-    "llm_text_stats",
+    # TF-IDF pair similarity replaces llm_text_stats (a simple map-
+    # side rollup, r3-local-proven) — the weighted inverted-index
+    # path is the stronger hard-signal claim.
+    "llm_sim_tfidf_pairs",
     "llm_text_quality",
     "llm_token_topk",
     "llm_seq_pack",
@@ -93,12 +96,15 @@ _PRIORITY: tuple[str, ...] = (
     # temporal operators (2)
     "op_asof_purchase_click",
     "op_range_join_count",
-    # multimodal (2; mm_resize_pool is rows-only — a wasted hard-
-    # signal slot — and rotates to the local gate)
+    # multimodal (1; mm_resize_pool is rows-only — a wasted hard-
+    # signal slot — and mm_modality_rollup rotates to the local gate
+    # to admit the second federation dialect)
     "mm_binary_features",
-    "mm_modality_rollup",
-    # sink/source interchange (1)
-    "source_jsonl_roundtrip",
+    # second federation dialect (SQLite behind the same pushdown seam)
+    "fed_sqlite_scan",
+    # sink surface (1): dynamic partition pruning is the stronger
+    # claim than the jsonl/csv roundtrips (both local-gate covered)
+    "sink_dynamic_partition_pruning",
     # nested-type tail (1)
     "micro_map_access",
 )
