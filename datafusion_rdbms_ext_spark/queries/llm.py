@@ -189,14 +189,17 @@ def _sql_minhash_sig() -> str:
 
 
 def _sql_bands() -> str:
+    # Band rows carry the R raw min-signature values as the bucket
+    # key (k1..kR) — no band hash at all. Buckets collide iff band
+    # signatures are equal: the exact LSH definition, bit-identical
+    # across engines, and 3x8-byte join keys instead of a 32-char
+    # digest string.
     parts = []
     for b in range(_B):
-        cols = " || ',' || ".join(
-            f"CAST(m{b * _R + j} AS VARCHAR)" for j in range(_R)
+        cols = ", ".join(
+            f"m{b * _R + j} AS k{j + 1}" for j in range(_R)
         )
-        parts.append(
-            f"SELECT doc_id, {b} AS band, md5('{b},' || {cols}) AS bh FROM sig"
-        )
+        parts.append(f"SELECT doc_id, {b} AS band, {cols} FROM sig")
     return "bands AS (" + " UNION ALL ".join(parts) + ")"
 
 
@@ -209,7 +212,8 @@ def _sql_bands() -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.k3 = b.k3 AND a.doc_id < b.doc_id
     ),
     inter AS (
       SELECT c.da, c.db, COUNT(*) AS i
@@ -236,9 +240,9 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle -> K minhashes -> banded signature -> bucket
     join -> exact-Jaccard verify of candidates only.
 
-    Scale: the only joins are (a) self-join on (band, band-hash) —
-    buckets are tiny because 60-bit band hashes collide only for
-    near-identical signatures — and (b) candidate-restricted shingle
+    Scale: the only joins are (a) self-join on the band's raw
+    min-signature longs — buckets are tiny because three 31-bit mins
+    coincide only for near-identical signatures — and (b) candidate-restricted shingle
     intersection. Nothing is all-pairs; shuffle keys (band-hash,
     doc_id) are uniform. At 1000 executors each band bucket lands on
     one task; skewed mega-buckets cannot form unless the corpus
@@ -275,29 +279,32 @@ def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
             for i in range(_K)
         ]
     )
+    # Band bucket key = the R raw min-signature longs themselves (no
+    # band hash): buckets collide iff band signatures are equal — the
+    # exact LSH definition, bit-identical to the DuckDB oracle, and
+    # the bucket join shuffles 3 longs instead of a 32-char digest.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", F.lit(b), *[F.col(f"m{b * _R + j}") for j in range(_R)]
-                    )
-                ).alias("bh"),
+                *[
+                    F.col(f"m{b * _R + j}").alias(f"k{j + 1}")
+                    for j in range(_R)
+                ],
             )
             for b in range(_B)
         ]
     )
+    keys = ["band"] + [f"k{j + 1}" for j in range(_R)]
     bands = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
-        "doc_id", "x.band", "x.bh"
+        "doc_id", *[F.col(f"x.{k}").alias(k) for k in keys]
     )
 
-    ba = bands.select(F.col("doc_id").alias("da"), "band", "bh")
-    bb = bands.select(
-        F.col("doc_id").alias("db"), F.col("band").alias("band2"), F.col("bh").alias("bh2")
-    )
+    ba = bands.select(F.col("doc_id").alias("da"), *keys)
+    bb = bands.select(F.col("doc_id").alias("db"), *keys)
     cand = (
-        ba.join(bb, (F.col("band") == F.col("band2")) & (F.col("bh") == F.col("bh2")) & (F.col("da") < F.col("db")))
+        ba.join(bb, keys)
+        .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
     )
@@ -335,7 +342,8 @@ _SQL_LSH_PAIRS = """
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.k3 = b.k3 AND a.doc_id < b.doc_id
     ),
     inter AS (
       SELECT c.da, c.db, COUNT(*) AS i
