@@ -1479,6 +1479,93 @@ def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 12b. Heavy hitters: per-partition Misra-Gries summaries + exact
+#      recount of the candidate set — provably-exact top-k without
+#      shuffling the full distinct-token table.
+# ---------------------------------------------------------------------------
+_MG_CAP = 2048  # summary capacity per partition (mergeable-summaries bound)
+_HH_K = 25
+
+
+@register(
+    "llm_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+    SELECT token, freq FROM freq, tot
+    WHERE freq * {_MG_CAP + 1} > n
+    ORDER BY freq DESC, token LIMIT {_HH_K}
+    """,
+    doc="Heavy hitters via per-partition Misra-Gries summaries "
+    "(Misra & Gries 1982; merge rule from Agarwal et al., "
+    "'Mergeable Summaries', PODS 2012) followed by an exact recount "
+    "of the candidate union — the two-pass sketch that makes global "
+    "top-k exact without shuffling every distinct token. Beyond "
+    "reference surface.",
+    tags=("llm", "text", "bench"),
+)
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provably-exact frequent tokens (freq > N/(CAP+1)), sketch-first.
+
+    Scale: pass 1 never shuffles tokens at all — each input partition
+    reduces to a <=CAP-entry Misra-Gries summary inside mapInPandas,
+    so the only shuffle is the candidate union (CAP rows/partition).
+    Pass 2 recounts ONLY candidates via a broadcast semi-join on the
+    token stream (map-side partial counts; the shuffled key space is
+    <=CAP * partitions, independent of corpus vocabulary). The MG
+    guarantee (underestimate <= n_p/(CAP+1) per partition, additive
+    across a union) means every token with true frequency >
+    N/(CAP+1) is in some summary, so after the exact recount the
+    threshold filter returns exactly the tokens the full count would
+    — verified by the oracle, which counts everything. llm_token_topk
+    is the same answer by brute force; this is the plan that survives
+    a vocabulary 1000x larger than executor memory."""
+    import numpy as np
+    import pandas as pd
+    import re as _re
+
+    docs = spark.table("documents").select("text")
+    pat = _re.compile(_TOKEN_RE)
+
+    def mg_partition(batches):
+        summary: dict = {}
+        for pdf in batches:
+            vc = pdf["text"].str.findall(pat).explode().value_counts()
+            for t, c in vc.items():
+                summary[t] = summary.get(t, 0) + int(c)
+            if len(summary) > _MG_CAP:
+                vals = np.fromiter(summary.values(), dtype=np.int64)
+                # Subtract the (CAP+1)-th largest value from every
+                # counter and drop the non-positive: <=CAP survivors,
+                # total underestimate bounded by n_p/(CAP+1).
+                d = int(np.partition(vals, -( _MG_CAP + 1))[-(_MG_CAP + 1)])
+                summary = {k: v - d for k, v in summary.items() if v > d}
+        yield pd.DataFrame({"token": list(summary)})
+
+    candidates = docs.mapInPandas(mg_partition, "token string").distinct()
+
+    tok = spark.table("documents").select(
+        F.explode(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")).alias("token")
+    )
+    counts = (
+        tok.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * (_MG_CAP + 1) > F.col("n"))
+        .select("token", "freq")
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(_HH_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # 13. Embedding-cosine near-duplicate pairs (cell-bucketed).
 # ---------------------------------------------------------------------------
 @register(

@@ -245,6 +245,18 @@ def test_clusters_edges_bounded(spark):
     assert "ExistingRDD" in p or "LocalTableScan" in p or "Scan ExistingRDD" in p
 
 
+def test_heavy_hitters_recount_is_broadcast(spark):
+    """Pass 2 must recount candidates via BROADCAST joins (the
+    candidate set is <=CAP*partitions rows by construction) — a
+    sort-merge join here would shuffle the whole token stream on a
+    high-cardinality string key, defeating the sketch."""
+    df = _df(spark, "llm_heavy_hitters")
+    assert not has_cartesian(df)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p, p[:2000]
+
+
 def test_dynamic_partition_pruning_in_plan(spark):
     """The DPP query's fact scan must carry a dynamicpruning
     partition filter — runtime-injected, not a static literal list."""
