@@ -212,6 +212,74 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_DIR_CONF = "spark.datafusion_rdbms_ext.orc_dir"
+
+
+def orc_embeddings_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write ``embeddings`` (nested ``array<float>`` column included)
+    as ORC once per session — the third columnar container after
+    parquet, exercising nested-type encode/decode through a different
+    file format."""
+    key = f"{_ORC_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return existing
+    out = tempfile.mkdtemp(prefix="sink_embeddings_orc_")
+    spark.table("embeddings").write.mode("overwrite").orc(out)
+    spark.conf.set(key, out)
+    return out
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim,
+           CAST(SUM(CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+              AS BIGINT)) AS BIGINT) AS sum_q,
+           MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    doc="ORC sink + source roundtrip of the embeddings table — the "
+    "nested array<float> column survives a different columnar "
+    "container bit-exactly, proven by an integer-quantized element "
+    "sum (order-independent long arithmetic) per label.",
+    tags=("sink", "source"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label rollup read back through the ORC interchange path.
+
+    Scale: ORC, like parquet, is splittable and column-pruned — the
+    rollup reads all three columns here by design (the probe is the
+    point), but a projection would prune stripes the same way. The
+    element probe quantizes each float to a long BEFORE summing, so
+    the aggregate is exact integer arithmetic — immune to float
+    summation order across partitions."""
+    path = orc_embeddings_path(spark, sf_dir)
+    q = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return (
+        spark.read.orc(path)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.size("embedding").cast("long")).alias("sum_dim"),
+            F.sum(q).alias("sum_q"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "sink_dynamic_partition_pruning",
     oracle="""
