@@ -2422,6 +2422,173 @@ def llm_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 15b. Data-quality constraint audit — the validation gate a corpus
+#      passes before any training run touches it.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_quality_audit",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id, '', 'xx', n_chars FROM documents WHERE doc_id % 97 = 0
+    ),
+    ev_aud AS (
+      SELECT user_id FROM events
+      UNION ALL
+      SELECT -event_id - 1 FROM events WHERE event_id % 101 = 0
+    )
+    SELECT 'dup_doc_id' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS violations
+    FROM aud
+    UNION ALL
+    SELECT 'n_chars_mismatch',
+           CAST(SUM(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT)
+    FROM aud
+    UNION ALL
+    SELECT 'null_or_empty_text',
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM aud
+    UNION ALL
+    SELECT 'orphan_event_user',
+           CAST(COUNT(*) AS BIGINT)
+    FROM ev_aud e WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    UNION ALL
+    SELECT 'unknown_lang',
+           CAST(SUM(CASE WHEN lang NOT IN ('en','es','de','fr','zh')
+                         OR lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM aud
+    ORDER BY check_name
+    """,
+    doc="Data-quality constraint audit: uniqueness, derived-column "
+    "consistency, non-null/non-empty, domain membership, and a "
+    "cross-table referential check (events.user_id -> customer), "
+    "each returned as a (check, violations) row — the validation "
+    "gate a pipeline runs before training. Audited over the corpus "
+    "plus a deterministic corruption batch (both engines construct "
+    "the same one) so every check is exercised with nonzero "
+    "violations, not vacuously green. Beyond reference surface.",
+    tags=("llm", "text"),
+)
+def llm_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint violations across the corpus, one row per check.
+
+    Scale: the three row-level document checks ride ONE aggregate
+    pass (conditional sums share the scan); uniqueness is the same
+    count-minus-distinct hash aggregate as exact dedup; the
+    referential check is a left-anti join on the key column only —
+    every shape is a standard single-shuffle plan, nothing is
+    row-by-row. The corruption union is a second narrow scan of the
+    same source, not a synthetic driver-side collect."""
+    d0 = spark.table("documents").select("doc_id", "text", "lang", "n_chars")
+    corrupt = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            "doc_id",
+            F.lit("").alias("text"),
+            F.lit("xx").alias("lang"),
+            "n_chars",
+        )
+    )
+    d = d0.unionByName(corrupt)
+    doc_checks = d.agg(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_doc_id"),
+        F.sum(
+            (F.col("n_chars") != F.length("text")).cast("long")
+        ).alias("n_chars_mismatch"),
+        F.sum(
+            (F.col("text").isNull() | (F.col("text") == "")).cast("long")
+        ).alias("null_or_empty_text"),
+        F.sum(
+            (
+                ~F.col("lang").isin("en", "es", "de", "fr", "zh")
+                | F.col("lang").isNull()
+            ).cast("long")
+        ).alias("unknown_lang"),
+    )
+    melted = doc_checks.select(
+        F.explode(
+            F.create_map(
+                F.lit("dup_doc_id"), F.col("dup_doc_id"),
+                F.lit("n_chars_mismatch"), F.col("n_chars_mismatch"),
+                F.lit("null_or_empty_text"), F.col("null_or_empty_text"),
+                F.lit("unknown_lang"), F.col("unknown_lang"),
+            )
+        ).alias("check_name", "violations")
+    )
+    ev = spark.table("events").select("user_id").unionByName(
+        spark.table("events")
+        .filter(F.col("event_id") % 101 == 0)
+        .select((-F.col("event_id") - 1).alias("user_id"))
+    )
+    orphans = (
+        ev.join(
+            spark.table("customer").select(F.col("c_custkey").alias("user_id")),
+            "user_id",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orphan_event_user").alias("check_name"), "violations")
+    )
+    return melted.unionByName(orphans).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# 15c. Incremental rollup maintenance — merge partial aggregates
+#      instead of recomputing the corpus-wide rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_rollup_maintenance",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Incremental materialized-rollup maintenance: a standing "
+    "per-source rollup of the historical corpus is merged with the "
+    "rollup of an arriving delta batch (sum-of-sums, max-of-maxes) "
+    "— NO recompute over history. The oracle recomputes from "
+    "scratch; merged partials must match it exactly, proving the "
+    "aggregate state is mergeable. Beyond reference surface.",
+    tags=("llm", "text"),
+)
+def llm_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup maintained by merging history + delta partials.
+
+    Scale: THE pattern that keeps a 100 TB corpus's dashboards cheap
+    — history's rollup is a few rows per source (never rescanned);
+    each incoming batch contributes its own partial rollup and the
+    merge is a groupBy over partial rows, not documents. Only
+    algebraic aggregates (count/sum/max) are maintained this way;
+    holistic ones (median) need sketches instead."""
+    d = spark.table("documents")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+
+    history = rollup(d.filter(F.col("doc_id") % 10 != 0))
+    delta = rollup(d.filter(F.col("doc_id") % 10 == 0))
+    return (
+        history.unionByName(delta)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_chars").cast("long").alias("sum_chars"),
+            F.max("max_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 16. Incremental dedup: new batch vs historical corpus.
 # ---------------------------------------------------------------------------
 @register(
