@@ -1483,7 +1483,7 @@ def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      recount of the candidate set — provably-exact top-k without
 #      shuffling the full distinct-token table.
 # ---------------------------------------------------------------------------
-_MG_CAP = 2048  # summary capacity per partition (mergeable-summaries bound)
+_MG_CAP = 4096  # summary capacity (per partition AND after the merge)
 _HH_K = 25
 
 
@@ -1496,33 +1496,39 @@ _HH_K = 25
     tot AS (SELECT COUNT(*) AS n FROM tok),
     freq AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
     SELECT token, freq FROM freq, tot
-    WHERE freq * {_MG_CAP + 1} > n
+    WHERE freq * {_MG_CAP + 1} > 2 * n
     ORDER BY freq DESC, token LIMIT {_HH_K}
     """,
     doc="Heavy hitters via per-partition Misra-Gries summaries "
-    "(Misra & Gries 1982; merge rule from Agarwal et al., "
-    "'Mergeable Summaries', PODS 2012) followed by an exact recount "
-    "of the candidate union — the two-pass sketch that makes global "
-    "top-k exact without shuffling every distinct token. Beyond "
-    "reference surface.",
+    "(Misra & Gries 1982), merged to one <=CAP global summary "
+    "(Agarwal et al., 'Mergeable Summaries', PODS 2012), then an "
+    "exact recount of the bounded candidate set — the two-pass "
+    "sketch that makes global top-k exact without ever shuffling "
+    "the vocabulary. Beyond reference surface.",
     tags=("llm", "text", "bench"),
 )
 def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Provably-exact frequent tokens (freq > N/(CAP+1)), sketch-first.
+    """Provably-exact frequent tokens (freq > 2N/(CAP+1)), sketch-first.
 
     Scale: pass 1 never shuffles tokens at all — each input partition
-    reduces to a <=CAP-entry Misra-Gries summary inside mapInPandas,
-    so the only shuffle is the candidate union (CAP rows/partition).
-    Pass 2 recounts ONLY candidates via a broadcast semi-join on the
-    token stream (map-side partial counts; the shuffled key space is
-    <=CAP * partitions, independent of corpus vocabulary). The MG
-    guarantee (underestimate <= n_p/(CAP+1) per partition, additive
-    across a union) means every token with true frequency >
-    N/(CAP+1) is in some summary, so after the exact recount the
-    threshold filter returns exactly the tokens the full count would
-    — verified by the oracle, which counts everything. llm_token_topk
-    is the same answer by brute force; this is the plan that survives
-    a vocabulary 1000x larger than executor memory."""
+    reduces to a <=CAP-entry Misra-Gries summary inside mapInPandas.
+    The per-partition summaries (CAP rows each) are merged by ONE
+    tiny shuffle (groupBy token over <=CAP*partitions sketch rows,
+    never corpus rows) and truncated to the CAP largest estimates,
+    so the candidate set is <=CAP rows at ANY scale — broadcastable
+    by construction, unlike the raw summary union, which would grow
+    linearly with partition count. Pass 2 recounts only candidates
+    via that broadcast semi-join (map-side partial counts). The
+    guarantees: MG underestimates by at most N/(CAP+1) in total, and
+    estimates never exceed true counts, so every token with true
+    frequency > 2N/(CAP+1) has estimate > N/(CAP+1), outranks every
+    light token, and survives the top-CAP truncation (fewer than
+    CAP+1 tokens can carry estimate > N/(CAP+1)). The final filter
+    at exactly 2N/(CAP+1) on exact recounts therefore returns
+    precisely what the full count would — verified by the oracle,
+    which counts everything. llm_token_topk is the same answer by
+    brute force; this is the plan that survives a vocabulary 1000x
+    larger than executor memory."""
     import numpy as np
     import pandas as pd
     import re as _re
@@ -1541,11 +1547,24 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Subtract the (CAP+1)-th largest value from every
                 # counter and drop the non-positive: <=CAP survivors,
                 # total underestimate bounded by n_p/(CAP+1).
-                d = int(np.partition(vals, -( _MG_CAP + 1))[-(_MG_CAP + 1)])
+                d = int(np.partition(vals, -(_MG_CAP + 1))[-(_MG_CAP + 1)])
                 summary = {k: v - d for k, v in summary.items() if v > d}
-        yield pd.DataFrame({"token": list(summary)})
+        yield pd.DataFrame(
+            {"token": list(summary), "est": np.fromiter(summary.values(), dtype=np.int64)}
+        )
 
-    candidates = docs.mapInPandas(mg_partition, "token string").distinct()
+    # Merge stage: sum sketch estimates per token (an over-merge of
+    # the subtract-style rule — still an underestimate of the true
+    # count and still >= true - N/(CAP+1) summed across partitions),
+    # keep the CAP largest. <=CAP rows at any corpus size.
+    candidates = (
+        docs.mapInPandas(mg_partition, "token string, est long")
+        .groupBy("token")
+        .agg(F.sum("est").alias("est"))
+        .orderBy(F.col("est").desc(), "token")
+        .limit(_MG_CAP)
+        .select("token")
+    )
 
     tok = spark.table("documents").select(
         F.explode(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")).alias("token")
@@ -1558,7 +1577,7 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = tok.agg(F.count(F.lit(1)).alias("n"))
     return (
         counts.crossJoin(F.broadcast(total))
-        .filter(F.col("freq") * (_MG_CAP + 1) > F.col("n"))
+        .filter(F.col("freq") * (_MG_CAP + 1) > 2 * F.col("n"))
         .select("token", "freq")
         .orderBy(F.col("freq").desc(), "token")
         .limit(_HH_K)

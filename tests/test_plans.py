@@ -92,8 +92,13 @@ def test_broadcast_hints_only_on_fixed_dims():
     # merge-pass table (exactly _SKYLINE_PARTS=32 rows at any scale);
     # cents_arr is the k-means centroid set collapsed to ONE row of
     # _IVF_K structs; mix_spec is the len(_MIX_RATES)==3-row constant
-    # mixture spec.
-    allowed = {"n1", "n2", "q", "region", "nation", "carry", "cents_arr", "mix_spec"}
+    # mixture spec; candidates is the heavy-hitter sketch merged and
+    # truncated to <=_MG_CAP rows at any scale, and total its 1-row
+    # global count.
+    allowed = {
+        "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
+        "mix_spec", "candidates", "total",
+    }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
     for py in root.rglob("*.py"):
@@ -243,6 +248,49 @@ def test_clusters_edges_bounded(spark):
     # lineage truncation proof: the checkpointed scan feeds the plan,
     # not the whole LSH pipeline re-derivation.
     assert "ExistingRDD" in p or "LocalTableScan" in p or "Scan ExistingRDD" in p
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Runtime bloom-filter join pruning: a selective dimension
+    filter must inject a might_contain() semi-filter into the fact
+    scan when the join is too big to broadcast. At 100 TB the
+    default thresholds (10 GB application side) activate this
+    natively; here they are scaled down to fixture size to prove the
+    session leaves the optimizer rule operable."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        lit = spark.table("lineitem")
+        df = (
+            lit.join(o, lit.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in p, p[:2000]
+        assert "bloom_filter_agg" in p, p[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_heavy_hitters_recount_is_broadcast(spark):
