@@ -198,6 +198,55 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ev_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(CASE WHEN json_extract(props, '$.missing') IS NULL
+                           THEN 1 END) AS BIGINT) AS n_no_missing,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="VARIANT semi-structured type (Spark 4): parse_json -> open "
+    "variant binary, typed path extraction via variant_get, safe "
+    "extraction of absent paths via try_variant_get — the "
+    "schema-on-read path for heterogeneous event payloads, vs "
+    "ev_json_props's fixed-schema from_json. Beyond reference "
+    "surface (no JSON at all there).",
+    tags=("events", "json"),
+)
+def ev_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction through the VARIANT type, per event_type.
+
+    Scale: VARIANT parses each payload ONCE into a binary form the
+    executors navigate without re-parsing per path access — at many
+    paths per row this beats repeated get_json_object scans; the
+    binary stays columnar through the aggregate. try_variant_get
+    returns null (not an error) for absent paths, so ingest of
+    heterogeneous payloads cannot fail mid-shuffle."""
+    ev = spark.table("events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            F.try_variant_get(v, "$.missing", "long").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count(F.when(F.col("m").isNull(), 1)).alias("n_no_missing"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gap-filled continuous rollup (the hypertable/continuous-aggregate
 # shape: every bucket in the span is present, empty ones as zeros).

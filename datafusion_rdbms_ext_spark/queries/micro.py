@@ -1057,3 +1057,54 @@ def micro_hof_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_upper"),
         F.exists("w", lambda x: x == F.lit("the")).alias("has_the"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): one input row -> many typed output rows,
+# consumed through a LATERAL join.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_udtf_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+|[0-9]+') AS l
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, l[u.i] AS token
+    FROM t CROSS JOIN unnest(range(1, len(l) + 1)) AS u(i)
+    ORDER BY doc_id, pos
+    """,
+    doc="Python user-defined TABLE function (Spark 4 @udtf): a "
+    "tokenizer yielding (pos, token) rows per document, applied via "
+    "SQL LATERAL join — the row-expanding UDF class the reference "
+    "parser has no arm for (scalar UDF todo!() parser.rs:813, let "
+    "alone table functions).",
+    tags=("micro", "udf"),
+)
+def micro_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokens via a lateral-joined Python UDTF.
+
+    Scale: UDTFs cross the Python boundary row-at-a-time, so this is
+    the API-surface row, deliberately bounded (doc_id < 40) — the
+    hot-path equivalent is the JVM-side explode(regexp_extract_all)
+    used by llm_token_topk. The filter is pushed beneath the lateral
+    join so only matching documents reach Python."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenPos:
+        def eval(self, text: str):
+            for i, t in enumerate(_re.findall("[a-zA-Z]+|[0-9]+", text or "")):
+                yield i, t
+
+    spark.udtf.register("token_pos", TokenPos)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL token_pos(d.text) t
+        WHERE d.doc_id < 40
+        ORDER BY d.doc_id, t.pos
+        """
+    )
