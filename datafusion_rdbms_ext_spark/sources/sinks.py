@@ -323,3 +323,143 @@ def sink_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+_EVO_DIR_CONF = "spark.datafusion_rdbms_ext.evo_dir"
+
+
+def evolved_documents_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write documents as TWO parquet batches with different schemas
+    (an old batch without ``n_chars``, a new batch with it) — the
+    schema-evolution situation every long-lived corpus hits."""
+    key = f"{_EVO_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return existing
+    out = tempfile.mkdtemp(prefix="sink_documents_evo_")
+    d = spark.table("documents")
+    (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "v1"))
+    )
+    (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "v2"))
+    )
+    spark.conf.set(key, out)
+    return out
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 3 <> 0 THEN 1 END) AS BIGINT) AS n_with_chars,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN n_chars END) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Parquet schema evolution: two batches written under "
+    "different schemas (n_chars added later) read back as ONE table "
+    "via mergeSchema — old rows surface the new column as null, "
+    "nothing is rewritten. The append-only evolution path a "
+    "long-lived 100 TB corpus requires (the reference's catalog has "
+    "a fixed column map, catalog.rs:8-45).",
+    tags=("sink", "source"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang rollup across schema generations.
+
+    Scale: mergeSchema unions footer schemas at planning time (one
+    footer read per file, not a data pass); old files are never
+    rewritten — the alternative, an ALTER + rewrite of 100 TB, is
+    exactly what this avoids. Readers see one logical schema; the
+    missing column decodes as null without any per-row branching."""
+    path = evolved_documents_path(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "v1"), os.path.join(path, "v2")
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CLUSTER_DIR_CONF = "spark.datafusion_rdbms_ext.clustered_dir"
+
+#: Range-cluster width: files per sorted layout write.
+_CLUSTER_PARTS = 8
+
+
+def clustered_documents_write_df(spark: SparkSession) -> DataFrame:
+    """The DataFrame whose write produces the clustered layout —
+    exposed separately so the plan test can assert RangePartitioning
+    + in-partition Sort without writing."""
+    return (
+        spark.table("documents")
+        .repartitionByRange(_CLUSTER_PARTS, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def clustered_documents_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write documents range-clustered and sorted by ``doc_id`` once
+    per session: each output file covers a disjoint doc_id range and
+    is internally sorted, so parquet row-group min/max statistics
+    become selective (data skipping)."""
+    key = f"{_CLUSTER_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return existing
+    out = tempfile.mkdtemp(prefix="sink_documents_clustered_")
+    clustered_documents_write_df(spark).write.mode("overwrite").parquet(out)
+    spark.conf.set(key, out)
+    return out
+
+
+@register(
+    "sink_clustered_layout",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id BETWEEN 100 AND 299
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Range-clustered sorted layout: documents written via "
+    "repartitionByRange(doc_id) + sortWithinPartitions, read back "
+    "with a doc_id range predicate. Because each file covers a "
+    "disjoint sorted key range, parquet min/max statistics prune "
+    "whole files/row-groups at scan time — the sort-key data-skipping "
+    "lever (Z-order's 1-D case). Write plan asserted in "
+    "tests/test_plans.py.",
+    tags=("sink", "source"),
+)
+def sink_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query over the clustered layout.
+
+    Scale: the predicate doc_id BETWEEN 100 AND 299 touches only the
+    files whose range overlaps — at 100 TB with 128 MB files that is
+    I/O proportional to selectivity, not table size. The pushed
+    filter + footer stats do the pruning; no index structure to
+    maintain beyond the write-time sort."""
+    path = clustered_documents_path(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id").between(100, 299))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -250,6 +250,23 @@ def test_clusters_edges_bounded(spark):
     assert "ExistingRDD" in p or "LocalTableScan" in p or "Scan ExistingRDD" in p
 
 
+def test_clustered_write_plan_is_range_partitioned(spark):
+    """The clustered-layout write DataFrame must carry
+    RangePartitioning on doc_id plus an in-partition Sort — the
+    shape that makes every output file a disjoint sorted key range
+    (file/row-group skipping at read time)."""
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        clustered_documents_write_df,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    p = plan_string(clustered_documents_write_df(spark))
+    assert "rangepartitioning(doc_id" in p.lower(), p[:2000]
+    assert re.search(r"\(\d+\) Sort\b", p), p[:2000]
+    assert "[doc_id" in p.split("Sort")[-1], p[:2000]
+
+
 def test_runtime_bloom_filter_injects(spark):
     """Runtime bloom-filter join pruning: a selective dimension
     filter must inject a might_contain() semi-filter into the fact
