@@ -47,9 +47,11 @@ _PRIORITY: tuple[str, ...] = (
     "q09_product_profit",
     "q15_top_supplier",
     "q21_suppliers_who_kept_waiting",
-    # LLM training-data pipeline (18)
+    # LLM training-data pipeline (18). llm_dedup_fingerprint (the
+    # second of two digest-rollup queries, r2-driver-proven) rotates
+    # to the local gate for the heavy-hitters sketch.
     "llm_dedup_exact",
-    "llm_dedup_fingerprint",
+    "llm_heavy_hitters",
     "llm_dedup_minhash_lsh",
     "llm_dedup_ngram_exact",
     "llm_dedup_simhash",

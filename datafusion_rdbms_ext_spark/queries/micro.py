@@ -1108,3 +1108,58 @@ def micro_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Datasketches HLL: mergeable distinct-count sketches (Spark 3.5+/4).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_hll_sketch_merge",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_5pct
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Apache DataSketches HLL surface (hll_sketch_agg / "
+    "hll_union_agg / hll_sketch_estimate): per-batch sketches built "
+    "on disjoint halves of the corpus, merged, and the estimate "
+    "checked within 5% of the exact distinct count. Sketch bytes are "
+    "engine-specific, so the oracle asserts the accuracy property "
+    "plus the exact count (which rides along as real differential "
+    "content).",
+    tags=("micro", "aggregate"),
+)
+def micro_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct doc_ids per lang via merged HLL sketches.
+
+    Scale: THE incremental-distinct pattern — each day/batch persists
+    a fixed-size (~KB) sketch per group instead of its raw key set;
+    any window of batches is answered by hll_union_agg over sketch
+    rows, never by re-scanning keys. The two disjoint halves here
+    stand in for two ingest batches; the merge is associative, so a
+    1000-batch daily cadence unions just as exactly."""
+    d = spark.table("documents")
+    skts = (
+        d.withColumn("half", (F.col("doc_id") % 2).cast("int"))
+        .groupBy("lang", "half")
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"))
+    )
+    merged = skts.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(merged, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("lang")
+    )
