@@ -1163,3 +1163,58 @@ def micro_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — iterative SQL surface.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(doc_id, root, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT d.doc_id, w.root, w.depth + 1
+      FROM documents d JOIN walk w ON w.doc_id = d.doc_id // 10
+      WHERE d.doc_id >= 10
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(root) AS BIGINT) AS sum_roots,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE, absent from the "
+    "reference's parser entirely): BFS over the derived parent "
+    "forest doc_id -> doc_id div 10 rooted at single-digit ids, "
+    "rolled up per depth. The oracle runs the same recursion in "
+    "DuckDB (// integer division is the only dialect delta).",
+    tags=("micro", "sql"),
+)
+def micro_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-depth rollup of a recursive forest traversal.
+
+    Scale: Spark executes each recursive step as a distributed join
+    of the frontier against the base relation — frontier size, not
+    table size, bounds per-step state, and steps end when the
+    frontier empties (max depth = digits of max doc_id). Same
+    union-frontier shape as llm_dedup_clusters' label propagation,
+    but expressed in pure SQL."""
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, root, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 10
+          UNION ALL
+          SELECT d.doc_id, w.root, w.depth + 1
+          FROM documents d JOIN walk w ON w.doc_id = d.doc_id div 10
+          WHERE d.doc_id >= 10
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(root) AS BIGINT) AS sum_roots,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
