@@ -1487,6 +1487,23 @@ _MG_CAP = 4096  # summary capacity (per partition AND after the merge)
 _HH_K = 25
 
 
+def _mg_update(summary: dict, counts: dict, cap: int) -> dict:
+    """Fold a batch of exact token counts into a Misra-Gries summary
+    of capacity ``cap`` (Agarwal et al. merge rule: add, then
+    subtract the (cap+1)-th largest value and drop the non-positive).
+    Module-level so the guarantee is property-testable without Spark
+    (tests/test_heavy_hitters_property.py)."""
+    import numpy as np
+
+    for t, c in counts.items():
+        summary[t] = summary.get(t, 0) + int(c)
+    if len(summary) > cap:
+        vals = np.fromiter(summary.values(), dtype=np.int64)
+        d = int(np.partition(vals, -(cap + 1))[-(cap + 1)])
+        summary = {k: v - d for k, v in summary.items() if v > d}
+    return summary
+
+
 @register(
     "llm_heavy_hitters",
     oracle=f"""
@@ -1540,15 +1557,7 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary: dict = {}
         for pdf in batches:
             vc = pdf["text"].str.findall(pat).explode().value_counts()
-            for t, c in vc.items():
-                summary[t] = summary.get(t, 0) + int(c)
-            if len(summary) > _MG_CAP:
-                vals = np.fromiter(summary.values(), dtype=np.int64)
-                # Subtract the (CAP+1)-th largest value from every
-                # counter and drop the non-positive: <=CAP survivors,
-                # total underestimate bounded by n_p/(CAP+1).
-                d = int(np.partition(vals, -(_MG_CAP + 1))[-(_MG_CAP + 1)])
-                summary = {k: v - d for k, v in summary.items() if v > d}
+            summary = _mg_update(summary, vc.to_dict(), _MG_CAP)
         yield pd.DataFrame(
             {"token": list(summary), "est": np.fromiter(summary.values(), dtype=np.int64)}
         )
