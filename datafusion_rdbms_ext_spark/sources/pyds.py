@@ -382,3 +382,185 @@ def fed_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Federated SINK: Python DataSource Arrow writer with two-phase
+# commit into the remote database. The reference is read-only —
+# SetExpr::Insert is todo!() (parser.rs:218,280) — so this is the
+# INSERT half of its TableProvider slot, done the way a distributed
+# writer must: tasks stage, the driver commits.
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+class _SinkCommit(WriterCommitMessage):
+    def __init__(self, path: str | None, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class DuckDBFederatedSink(DataSource):
+    """``df.write.format("duckdb_fed_sink")`` — options: ``db_path``
+    (remote DuckDB file), ``table``, ``staging_dir``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "duckdb_fed_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return DuckDBSinkWriter(self.options, overwrite)
+
+
+class DuckDBSinkWriter(DataSourceArrowWriter):
+    """Two-phase commit: executors stream their Arrow batches into
+    per-task parquet staging files (no remote connection, no lock
+    contention — 1000 writers scale linearly); the driver's single
+    ``commit()`` applies every staged file to the remote database in
+    ONE transaction, so readers see all-or-nothing. ``abort()``
+    removes staging — a failed job leaves the remote untouched."""
+
+    def __init__(self, options, overwrite: bool):
+        self.db_path = options["db_path"]
+        self.table = options["table"]
+        self.staging = options["staging_dir"]
+        self.overwrite = overwrite
+
+    def write(self, it):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in it:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _SinkCommit(None, 0)
+        writer.close()
+        return _SinkCommit(path, rows)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        import duckdb
+
+        files = [m.path for m in messages if m is not None and m.path]
+        con = duckdb.connect(self.db_path)
+        try:
+            if files:
+                flist = ", ".join(f"'{p}'" for p in files)
+                src = f"SELECT * FROM read_parquet([{flist}])"
+                if self.overwrite:
+                    con.execute(f"CREATE OR REPLACE TABLE {self.table} AS {src}")
+                else:
+                    con.execute(
+                        f"CREATE TABLE IF NOT EXISTS {self.table} AS {src} LIMIT 0"
+                    )
+                    con.execute(f"INSERT INTO {self.table} {src}")
+        finally:
+            con.close()
+        shutil.rmtree(self.staging, ignore_errors=True)
+        os.makedirs(self.staging, exist_ok=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+        os.makedirs(self.staging, exist_ok=True)
+
+
+def register_duckdb_sink(spark) -> None:
+    """Idempotently register the sink format with the session."""
+    spark.dataSource.register(DuckDBFederatedSink)
+
+
+_FED_SINK_CONF = "spark.datafusion_rdbms_ext.fed_sink_db"
+
+
+def _fed_sink_db(spark: SparkSession, sf_dir: str) -> str:
+    """Write the cleaned-documents table into a remote DuckDB file
+    once per session via the federated sink; return the db path."""
+    import os
+    import tempfile
+
+    key = f"{_FED_SINK_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.exists(existing):
+        return existing
+    register_duckdb_sink(spark)
+    base = tempfile.mkdtemp(prefix="fed_sink_")
+    db = os.path.join(base, "remote.db")
+    staging = os.path.join(base, "staging")
+    os.makedirs(staging, exist_ok=True)
+    from ..queries.base import ensure_tables
+
+    ensure_tables(spark, sf_dir)
+    (
+        spark.table("documents")
+        .filter(F.col("n_chars") >= 50)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.format("duckdb_fed_sink")
+        .mode("overwrite")
+        .option("db_path", db)
+        .option("table", "docs_clean")
+        .option("staging_dir", staging)
+        .save()
+    )
+    spark.conf.set(key, db)
+    return db
+
+
+@register(
+    "fed_sink_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents WHERE n_chars >= 50
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Federated SINK roundtrip: the cleaned corpus written INTO "
+    "the remote database through the Python DataSource Arrow writer "
+    "(two-phase commit: executor-staged parquet, single driver "
+    "transaction), then verified by a remote rollup — the INSERT "
+    "half of the reference's TableProvider, which is todo!() there "
+    "(parser.rs:218,280).",
+    tags=("federation", "sink"),
+)
+def fed_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote rollup of the table the federated sink just wrote.
+
+    Scale: the write path holds NO remote connection on executors —
+    staging is plain parquet, so write parallelism is Spark's, and
+    the remote ingests via one bulk transaction (the COPY shape every
+    warehouse loader uses). The verification rollup executes remotely
+    and ships back only result rows."""
+    import duckdb
+
+    db = _fed_sink_db(spark, sf_dir)
+    con = duckdb.connect(db)
+    try:
+        pdf = con.execute(
+            """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc
+            FROM docs_clean GROUP BY lang ORDER BY lang
+            """
+        ).fetchdf()
+    finally:
+        con.close()
+    return spark.createDataFrame(pdf)
