@@ -564,3 +564,188 @@ def fed_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         con.close()
     return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Federated STREAMING sink: exactly-once micro-batch ingest into the
+# remote database, batchId-keyed (the streaming half of the sink
+# above; pairs with the foreachBatch idempotence test in
+# tests/test_streaming_semantics.py).
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceStreamArrowWriter  # noqa: E402
+
+
+class DuckDBFederatedStreamSink(DataSource):
+    """``writeStream.format("duckdb_fed_stream_sink")`` — options:
+    ``db_path``, ``table``, ``staging_dir``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "duckdb_fed_stream_sink"
+
+    def streamWriter(self, schema, overwrite: bool):
+        return DuckDBStreamSinkWriter(self.options)
+
+
+class DuckDBStreamSinkWriter(DataSourceStreamArrowWriter):
+    """Exactly-once remote ingest: executors stage each micro-batch's
+    Arrow batches as parquet (no remote connections on tasks); the
+    driver's commit(batchId) applies the staged files and records the
+    batch id in ONE remote transaction. A replayed batch (restart,
+    retry, checkpoint re-drain) finds its id in ``_epochs`` and is
+    skipped whole — at-least-once delivery upgraded to exactly-once
+    by the idempotent commit, the same epoch-keyed scheme as the
+    foreachBatch sink test."""
+
+    def __init__(self, options):
+        self.db_path = options["db_path"]
+        self.table = options["table"]
+        self.staging = options["staging_dir"]
+
+    def write(self, it):
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in it:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _SinkCommit(None, 0)
+        writer.close()
+        return _SinkCommit(path, rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        import duckdb
+
+        files = [m.path for m in messages if m is not None and m.path]
+        con = duckdb.connect(self.db_path)
+        try:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS _epochs(batch BIGINT PRIMARY KEY)"
+            )
+            seen = con.execute(
+                "SELECT COUNT(*) FROM _epochs WHERE batch = ?", [batchId]
+            ).fetchone()[0]
+            if not seen and files:
+                flist = ", ".join(f"'{p}'" for p in files)
+                src = f"SELECT * FROM read_parquet([{flist}])"
+                con.execute("BEGIN")
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {self.table} AS {src} LIMIT 0"
+                )
+                con.execute(f"INSERT INTO {self.table} {src}")
+                con.execute("INSERT INTO _epochs VALUES (?)", [batchId])
+                con.execute("COMMIT")
+        finally:
+            con.close()
+        for p in files:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+def register_duckdb_stream_sink(spark) -> None:
+    """Idempotently register the streaming sink format."""
+    spark.dataSource.register(DuckDBFederatedStreamSink)
+
+
+_FED_STREAM_SINK_CONF = "spark.datafusion_rdbms_ext.fed_stream_sink_db"
+
+
+def _fed_stream_sink_db(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the events stream into the remote database once per
+    session through the streaming sink; return the db path."""
+    import os
+    import tempfile
+
+    key = f"{_FED_STREAM_SINK_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.exists(existing):
+        return existing
+    register_duckdb_stream_sink(spark)
+    from ..streaming import events_stream
+
+    base = tempfile.mkdtemp(prefix="fed_stream_sink_")
+    db = os.path.join(base, "remote.db")
+    staging = os.path.join(base, "staging")
+    os.makedirs(staging, exist_ok=True)
+    q = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("duckdb_fed_stream_sink")
+        .option("db_path", db)
+        .option("table", "events_ingest")
+        .option("staging_dir", staging)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.conf.set(key, db)
+    return db
+
+
+@register(
+    "stream_fed_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events WHERE user_id < 40
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming federated sink: the events stream drained through "
+    "writeStream.format('duckdb_fed_stream_sink') — per-micro-batch "
+    "executor staging, batchId-keyed exactly-once remote commits — "
+    "then verified by a remote rollup against the batch oracle. The "
+    "streaming INSERT the read-only reference cannot express.",
+    tags=("federation", "streaming", "sink"),
+)
+def stream_fed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote rollup of the streamed-in events table.
+
+    Scale: every micro-batch is a bulk parquet ingest, not row
+    INSERTs; remote transactions per batch, not per row; replays hit
+    the _epochs guard and are skipped whole, so end-to-end delivery
+    is exactly-once regardless of retries."""
+    import duckdb
+
+    db = _fed_stream_sink_db(spark, sf_dir)
+    con = duckdb.connect(db)
+    try:
+        pdf = con.execute(
+            """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(MIN(event_id) AS BIGINT) AS min_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_id
+            FROM events_ingest GROUP BY event_type ORDER BY event_type
+            """
+        ).fetchdf()
+    finally:
+        con.close()
+    return spark.createDataFrame(pdf)

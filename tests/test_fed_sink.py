@@ -55,3 +55,39 @@ def test_fed_sink_overwrite_then_append(spark):
     # append adds the disjoint half exactly once
     _write(spark, b, db, staging, "append")
     assert _count(db) == na + nb
+
+
+def test_stream_sink_replayed_batch_is_skipped(spark):
+    """Exactly-once: re-committing the SAME batchId (driver retry /
+    checkpoint re-drain redelivery) must not double-ingest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_rdbms_ext_spark.sources.pyds import (
+        DuckDBStreamSinkWriter,
+        _SinkCommit,
+    )
+
+    base = tempfile.mkdtemp(prefix="fed_stream_sink_test_")
+    db = os.path.join(base, "r.db")
+    staging = os.path.join(base, "staging")
+    os.makedirs(staging, exist_ok=True)
+    w = DuckDBStreamSinkWriter(
+        {"db_path": db, "table": "t", "staging_dir": staging}
+    )
+
+    def staged(n):
+        p = os.path.join(staging, f"f{n}.parquet")
+        pq.write_table(pa.table({"x": list(range(n))}), p)
+        return _SinkCommit(p, n)
+
+    w.commit([staged(5)], batchId=0)
+    # redelivery of batch 0 with fresh staged data: must be a no-op
+    w.commit([staged(7)], batchId=0)
+    w.commit([staged(3)], batchId=1)
+    con = duckdb.connect(db)
+    try:
+        assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 8
+        assert con.execute("SELECT COUNT(*) FROM _epochs").fetchone()[0] == 2
+    finally:
+        con.close()
