@@ -79,18 +79,6 @@ _SQL_DS = """
 """
 
 
-def _doc_shingles(spark: SparkSession) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs. Scale: one narrow explode —
-    no shuffle until the consumer aggregates."""
-    return (
-        spark.table("documents")
-        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
-        .filter(F.size("w") >= 3)
-        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
-        .distinct()
-    )
-
-
 # ---------------------------------------------------------------------------
 # 1. Exact deduplication — hash-groupBy (the 100 TB-safe baseline).
 # ---------------------------------------------------------------------------
@@ -259,21 +247,40 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
     """Verified near-duplicate pairs ``(da, db, jac)`` with da < db —
     the shared LSH pipeline behind the pair query and the cluster
-    (connected-components) query."""
-    ds = _doc_shingles(spark)
-    # Candidate verification joins key on xxhash64(shingle), not the
-    # string — 8-byte shuffle keys (see llm_dedup_ngram_exact's
-    # docstring for the collision arithmetic).
-    hs = ds.select("doc_id", F.xxhash64("s").alias("hsh"))
-    cnt = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    (connected-components) query.
 
+    Shuffle design: shingle STRINGS never cross a shuffle. Each
+    occurrence is hashed map-side (xxhash64 join key + md5-derived
+    minhash seeds), and the three shingle-scale consumers then need
+    only numeric keys:
+
+    * ``sig`` — min over the affine family is duplicate-insensitive
+      (min of a multiset equals min of its distinct set), so the
+      signature aggregates the RAW occurrence stream with map-side
+      partial mins; per partition only K running mins per doc reach
+      the shuffle — no distinct pass at all.
+    * ``hs``/``cnt`` — verification and set sizes are per-DISTINCT-
+      shingle, deduped on the 8-byte hash (collision arithmetic in
+      llm_dedup_ngram_exact's docstring), with distinct's map-side
+      partial dedup doing most of the work before the exchange.
+    """
+    ds0 = (
+        spark.table("documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+    )
     hx = F.md5(F.col("s"))
-    hashed = ds.select(
+    occ = ds0.select(
         "doc_id",
+        F.xxhash64("s").alias("hsh"),
         F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("a"),
         F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("b"),
     )
-    sig = hashed.groupBy("doc_id").agg(
+    hs = occ.select("doc_id", "hsh").distinct()
+    cnt = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    sig = occ.groupBy("doc_id").agg(
         *[
             F.min((F.col("a") + i * F.col("b")) % _P).alias(f"m{i}")
             for i in range(_K)
@@ -496,9 +503,19 @@ def llm_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     count distinct hashes, identical to distinct strings barring a
     64-bit collision inside one document pair's shingle sets
     (P < 2^-40 per corpus here; at larger corpora the same trick is
-    still standard, with a 128-bit hash if the budget demands)."""
-    ds = _doc_shingles(spark)
-    hashed = ds.select("doc_id", F.xxhash64("s").alias("h"))
+    still standard, with a 128-bit hash if the budget demands).
+
+    Like the LSH pipeline, shingle strings are hashed MAP-SIDE at the
+    explode, so the dedup-to-distinct shuffle itself moves only
+    (doc_id, hash) longs — strings never leave their scan partition."""
+    hashed = (
+        spark.table("documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
     cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     # df=1 shingles can never produce a pair — drop them from the
