@@ -67,15 +67,19 @@ _PRIORITY: tuple[str, ...] = (
     # side rollup, r3-local-proven) — the weighted inverted-index
     # path is the stronger hard-signal claim.
     "llm_sim_tfidf_pairs",
-    "llm_text_quality",
+    # llm_text_quality rotates to the local gate (one of four similar
+    # map-side text rollups) for the federated batch sink.
+    "fed_sink_roundtrip",
     "llm_token_topk",
     "llm_seq_pack",
     "llm_pii_redact",
-    # event-time analytics (4; pivot rotates to the local gate)
+    # event-time analytics (3; pivot and sliding rotate to the local
+    # gate — tumbling covers the F.window shape — admitting the
+    # exactly-once streaming federated sink)
     "ev_tumbling_daily",
-    "ev_sliding_6h_3h",
     "ev_session_windows",
     "ev_json_props",
+    "stream_fed_sink",
     # Structured Streaming (6; session windows rotate to the local
     # gate for the left-outer eviction-frontier query)
     "stream_tumbling_counts",
