@@ -1218,3 +1218,52 @@ def micro_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY depth ORDER BY depth
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe try_* arithmetic (Spark 4 runs ANSI mode: errors, not
+# silent wrap-around — try_* is the explicit null-instead-of-error path).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_try_arithmetic",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN NULL
+                ELSE n_nationkey // n_regionkey END AS safe_div,
+           CASE WHEN n_regionkey = 0 THEN NULL
+                ELSE 9223372036854775807 END AS safe_overflow,
+           TRY_CAST(n_name AS BIGINT) AS bad_num
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="ANSI-safe arithmetic: Spark 4 evaluates under ANSI mode "
+    "(division by zero / overflow RAISE, ref's engine silently "
+    "wrapped); try_divide / try_add / try_to_number return null "
+    "instead — the per-row fault isolation a 100 TB job needs (one "
+    "poisoned row must not kill a 10-hour pipeline). Oracle mirrors "
+    "with CASE guards + TRY_CAST.",
+    tags=("micro", "scalar"),
+)
+def micro_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-on-fault arithmetic over nation (regionkey 0 rows divide
+    by zero; n_name never parses as a number).
+
+    Scale: ANSI errors abort the whole job on one bad row — the
+    right default for correctness, the wrong one for 10^12-row
+    ingest; try_* scopes the fault to the row so downstream quality
+    filters can quarantine nulls instead of re-running the stage."""
+    n = spark.table("nation")
+    return (
+        n.select(
+            "n_nationkey",
+            F.try_divide(F.col("n_nationkey"), F.col("n_regionkey"))
+            .cast("long")
+            .alias("safe_div"),
+            F.when(
+                F.col("n_regionkey") == 0, F.try_add(F.lit(9223372036854775807), F.lit(1))
+            )
+            .otherwise(F.lit(9223372036854775807))
+            .alias("safe_overflow"),
+            F.try_to_number(F.col("n_name"), F.lit("999999")).cast("long").alias("bad_num"),
+        )
+        .orderBy("n_nationkey")
+    )
