@@ -275,3 +275,121 @@ def op_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_events long, max_gap_us long, min_gap_us long",
     )
     return out.filter(F.col("n_events") >= 2).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (the hypertable time_weight('LOCF') shape) and
+# counter-delta with reset handling (counter_agg) — both as pure
+# window compositions, exact via fixed-point integer arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "op_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 1000) AS BIGINT) AS v_q,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events WHERE user_id < 30
+    )
+    SELECT user_id,
+           CAST(SUM(v_q * ((t_next - t) // 1000)) AS BIGINT) AS weighted_sum_q,
+           CAST(SUM((t_next - t) // 1000) AS BIGINT) AS span_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Time-weighted aggregation (LOCF): each observation holds "
+    "until the next one, so its weight is the gap to the successor "
+    "— the hypertable time_weight/average for irregular series, as "
+    "one LEAD window + one rollup. Values quantized to integer "
+    "milli-units and gaps truncated to whole milliseconds so every "
+    "weighted product stays well inside long range and the sums are "
+    "exact order-independent integer arithmetic in both engines.",
+    tags=("op", "temporal"),
+)
+def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted value segments per user.
+
+    Scale: ONE shuffle (window partition by user) + the rollup —
+    versus the naive per-row interval self-join. The weighted mean
+    itself is weighted_sum_q / span_us / 1e6 driver-side; returning
+    the integer numerator and denominator keeps the differential
+    gate on exact longs, never float summation order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        spark.table("events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 1000).cast("long").alias("v_q"),
+            F.unix_micros(F.col("ts")).alias("t"),
+        )
+        .withColumn("t_next", F.lead(F.unix_micros(F.col("ts"))).over(w))
+        .filter(F.col("t_next").isNotNull())
+        .withColumn("gap_ms", F.expr("(t_next - t) div 1000"))
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_q") * F.col("gap_ms")).alias("weighted_sum_q"),
+            F.sum("gap_ms").alias("span_ms"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "op_counter_delta",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 1000000) AS BIGINT) AS v_q,
+             LAG(CAST(round(value * 1000000) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_q
+      FROM events WHERE user_id < 30
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN v_q >= prev_q THEN v_q - prev_q ELSE v_q END)
+                AS BIGINT) AS counter_delta_q,
+           CAST(COUNT(CASE WHEN v_q < prev_q THEN 1 END) AS BIGINT) AS n_resets
+    FROM seq WHERE prev_q IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Counter aggregation with reset detection (the hypertable "
+    "counter_agg/delta): a monotonic counter's true increase is the "
+    "sum of positive steps, and a drop means the counter reset (its "
+    "post-reset reading counts in full). One LAG window + one "
+    "rollup, quantized to exact longs.",
+    tags=("op", "temporal"),
+)
+def op_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter increase per user, reset-aware.
+
+    Scale: same single-shuffle window shape as the time-weighted
+    average; the alternative (self-join each reading to its
+    predecessor) doubles the shuffle volume for nothing."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vq = F.round(F.col("value") * 1000000).cast("long")
+    seq = (
+        spark.table("events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", vq.alias("v_q"))
+        .withColumn("prev_q", F.lag("v_q").over(w))
+        .filter(F.col("prev_q").isNotNull())
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v_q") >= F.col("prev_q"), F.col("v_q") - F.col("prev_q"))
+                .otherwise(F.col("v_q"))
+            ).alias("counter_delta_q"),
+            F.count(F.when(F.col("v_q") < F.col("prev_q"), 1)).alias("n_resets"),
+        )
+        .orderBy("user_id")
+    )
