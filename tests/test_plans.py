@@ -94,10 +94,12 @@ def test_broadcast_hints_only_on_fixed_dims():
     # _IVF_K structs; mix_spec is the len(_MIX_RATES)==3-row constant
     # mixture spec; candidates is the heavy-hitter sketch merged and
     # truncated to <=_MG_CAP rows at any scale, and total its 1-row
-    # global count.
+    # global count; ns is the drift audit's per-SOURCE totals (the
+    # training-mix catalog — dozens of rows, not data-scaling) and
+    # tot its 1-row corpus count.
     allowed = {
         "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
-        "mix_spec", "candidates", "total",
+        "mix_spec", "candidates", "total", "ns", "tot",
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
