@@ -403,6 +403,53 @@ class _SinkCommit(WriterCommitMessage):
         self.rows = rows
 
 
+def _stage_arrow_batches(staging: str, it) -> _SinkCommit:
+    """Stream a task's Arrow batches into one staged parquet file
+    (shared by the batch and streaming sink writers)."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+    writer = None
+    rows = 0
+    for batch in it:
+        if writer is None:
+            writer = pq.ParquetWriter(path, batch.schema)
+        writer.write_batch(batch)
+        rows += batch.num_rows
+    if writer is None:
+        return _SinkCommit(None, 0)
+    writer.close()
+    return _SinkCommit(path, rows)
+
+
+#: Spark -> DuckDB DDL types for the empty-relation edge (no staged
+#: files to CTAS from). Mirrors federation._TYPE_MAP's direction.
+_DDL_TYPES = {
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "short": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+}
+
+
+def _ddl_for(schema) -> str:
+    cols = []
+    for f in schema.fields:
+        t = _DDL_TYPES.get(f.dataType.simpleString(), "VARCHAR")
+        cols.append(f'"{f.name}" {t}')
+    return ", ".join(cols)
+
+
 class DuckDBFederatedSink(DataSource):
     """``df.write.format("duckdb_fed_sink")`` — options: ``db_path``
     (remote DuckDB file), ``table``, ``staging_dir``."""
@@ -412,7 +459,7 @@ class DuckDBFederatedSink(DataSource):
         return "duckdb_fed_sink"
 
     def writer(self, schema, overwrite: bool):
-        return DuckDBSinkWriter(self.options, overwrite)
+        return DuckDBSinkWriter(self.options, schema, overwrite)
 
 
 class DuckDBSinkWriter(DataSourceArrowWriter):
@@ -423,30 +470,15 @@ class DuckDBSinkWriter(DataSourceArrowWriter):
     ONE transaction, so readers see all-or-nothing. ``abort()``
     removes staging — a failed job leaves the remote untouched."""
 
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, schema, overwrite: bool):
         self.db_path = options["db_path"]
         self.table = options["table"]
         self.staging = options["staging_dir"]
+        self.ddl = _ddl_for(schema)
         self.overwrite = overwrite
 
     def write(self, it):
-        import os
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
-        writer = None
-        rows = 0
-        for batch in it:
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is None:
-            return _SinkCommit(None, 0)
-        writer.close()
-        return _SinkCommit(path, rows)
+        return _stage_arrow_batches(self.staging, it)
 
     def commit(self, messages):
         import os
@@ -457,6 +489,7 @@ class DuckDBSinkWriter(DataSourceArrowWriter):
         files = [m.path for m in messages if m is not None and m.path]
         con = duckdb.connect(self.db_path)
         try:
+            con.execute("BEGIN")
             if files:
                 flist = ", ".join(f"'{p}'" for p in files)
                 src = f"SELECT * FROM read_parquet([{flist}])"
@@ -464,9 +497,15 @@ class DuckDBSinkWriter(DataSourceArrowWriter):
                     con.execute(f"CREATE OR REPLACE TABLE {self.table} AS {src}")
                 else:
                     con.execute(
-                        f"CREATE TABLE IF NOT EXISTS {self.table} AS {src} LIMIT 0"
+                        f"CREATE TABLE IF NOT EXISTS {self.table} ({self.ddl})"
                     )
                     con.execute(f"INSERT INTO {self.table} {src}")
+            elif self.overwrite:
+                # Overwrite with an empty relation must still replace:
+                # stale rows may not survive, and a first write must
+                # create the (empty) table.
+                con.execute(f"CREATE OR REPLACE TABLE {self.table} ({self.ddl})")
+            con.execute("COMMIT")
         finally:
             con.close()
         shutil.rmtree(self.staging, ignore_errors=True)
@@ -603,37 +642,27 @@ class DuckDBStreamSinkWriter(DataSourceStreamArrowWriter):
         self.staging = options["staging_dir"]
 
     def write(self, it):
-        import os
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        path = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
-        writer = None
-        rows = 0
-        for batch in it:
-            if writer is None:
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
-            rows += batch.num_rows
-        if writer is None:
-            return _SinkCommit(None, 0)
-        writer.close()
-        return _SinkCommit(path, rows)
+        return _stage_arrow_batches(self.staging, it)
 
     def commit(self, messages, batchId: int) -> None:
         import os
+        import shutil
 
         import duckdb
 
         files = [m.path for m in messages if m is not None and m.path]
         con = duckdb.connect(self.db_path)
         try:
+            # Keyed on (table, batch): two streams sharing one remote
+            # db (different tables, both with batchIds from 0) must
+            # not consume each other's epoch marks.
             con.execute(
-                "CREATE TABLE IF NOT EXISTS _epochs(batch BIGINT PRIMARY KEY)"
+                "CREATE TABLE IF NOT EXISTS _epochs("
+                "tbl VARCHAR, batch BIGINT, PRIMARY KEY (tbl, batch))"
             )
             seen = con.execute(
-                "SELECT COUNT(*) FROM _epochs WHERE batch = ?", [batchId]
+                "SELECT COUNT(*) FROM _epochs WHERE tbl = ? AND batch = ?",
+                [self.table, batchId],
             ).fetchone()[0]
             if not seen and files:
                 flist = ", ".join(f"'{p}'" for p in files)
@@ -643,15 +672,19 @@ class DuckDBStreamSinkWriter(DataSourceStreamArrowWriter):
                     f"CREATE TABLE IF NOT EXISTS {self.table} AS {src} LIMIT 0"
                 )
                 con.execute(f"INSERT INTO {self.table} {src}")
-                con.execute("INSERT INTO _epochs VALUES (?)", [batchId])
+                con.execute(
+                    "INSERT INTO _epochs VALUES (?, ?)", [self.table, batchId]
+                )
                 con.execute("COMMIT")
         finally:
             con.close()
-        for p in files:
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+        # Sweep the whole staging dir, not just this batch's message
+        # files: failed/speculative task attempts leave uuid-named
+        # orphans that would otherwise accumulate for the stream's
+        # lifetime. Micro-batch commits serialize per query, so
+        # nothing else holds staged files at this point.
+        shutil.rmtree(self.staging, ignore_errors=True)
+        os.makedirs(self.staging, exist_ok=True)
 
     def abort(self, messages, batchId: int) -> None:
         import os
