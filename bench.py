@@ -45,29 +45,37 @@ def main() -> None:
     bench_specs = [s for s in REGISTRY.values() if "bench" in s.tags]
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for spec in bench_specs:
-        n = spec.fn(spark, SF_DIR).count()  # untimed: row count for the log
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _force(spec.fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+        # One broken query must cost its own entry, never the whole
+        # suite: round 3's bench recorded NOTHING because a single
+        # AnalysisException aborted the run (BENCH_r03.json rc=1).
+        try:
+            n = spec.fn(spark, SF_DIR).count()  # untimed: row count for the log
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(spec.fn(spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {spec.name}: ERROR {errors[spec.name]}", file=sys.stderr)
+            continue
         timings[spec.name] = round(best, 4)
         print(f"# {spec.name}: {timings[spec.name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -80,23 +80,34 @@ def register_tables(
             # registered view for `name` pointing at stale data.
             raise FileNotFoundError(f"fixture table {name!r} not found at {path}")
         df = spark.read.parquet(path)
-        df = _rebase_nanos(df, name)
+        df = normalize_ts(df, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     spark.conf.set(REGISTERED_DIR_CONF, sf_dir)
     return out
 
 
-#: Columns stored as TIMESTAMP(NANOS) in the fixtures, surfaced as
-#: µs TimestampType (truncating, matching DuckDB's ns→µs cast).
+#: Columns that fixture generations have stored as TIMESTAMP(NANOS)
+#: (read as raw int64 under the legacy conf) in some rounds and as
+#: TIMESTAMP(MICROS) (read as TimestampNTZType) in others. The driver
+#: regenerates /root/testdata between rounds, so the encoding is not
+#: ours to pin — normalization must accept every variant.
 _NANOS_COLS = {"events": ("ts",)}
 
 
-def _rebase_nanos(df: DataFrame, table: str) -> DataFrame:
+def normalize_ts(df: DataFrame, table: str) -> DataFrame:
+    """Make fixture timestamp encodings uniform without changing type
+    semantics the oracles already verified.
+
+    * int64 (legacy nanosAsLong read of TIMESTAMP(NANOS)) → rebased to
+      a µs timestamp, truncating like DuckDB's ns→µs cast. Integer
+      division — float division loses precision above 2^53 ns.
+    * TIMESTAMP / TIMESTAMP_NTZ (µs physical) → left as read; the
+      session timezone is pinned to UTC so NTZ and LTZ agree on epoch
+      extraction downstream (see functions.compat.ts_micros).
+    """
     for col in _NANOS_COLS.get(table, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
-            # Integer division — float division loses precision above
-            # 2^53 ns (~1970+104 days); epoch-ns values are ~1.7e18.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 

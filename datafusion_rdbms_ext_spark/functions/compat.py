@@ -48,6 +48,19 @@ def davg(col: Column) -> Column:
     return F.sum(col.cast(DEC)).cast("double") / F.count(col)
 
 
+def ts_micros(col: Column | str) -> Column:
+    """Epoch microseconds from a timestamp of EITHER flavor.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ outright (Spark 4 reads the
+    driver's µs parquet columns as NTZ), so cast first: a no-op for
+    TimestampType, and for NTZ an interpretation in the session
+    timezone — pinned to UTC at catalog registration, which makes the
+    naive wall-clock reading identical to DuckDB's ``epoch_us``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side mirror of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"

@@ -27,9 +27,12 @@ Range join (bucketed band join):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.compat import ts_micros
 from ..queries.base import register
 
 _HOUR_US = 3_600_000_000
@@ -108,18 +111,18 @@ def range_count(
     content — two fully-identical left rows must each keep their own
     count, not share a doubled one."""
     lid = left.withColumn("_lid", F.monotonically_increasing_id())
-    lb = lid.withColumn("_b", (F.unix_micros(F.col(on)) / window_us).cast("long"))
+    lb = lid.withColumn("_b", (ts_micros(F.col(on)) / window_us).cast("long"))
     rb = right.select(
         *by,
-        F.unix_micros(F.col(on)).alias("_rt"),
+        ts_micros(F.col(on)).alias("_rt"),
         F.explode(
             F.array(
-                (F.unix_micros(F.col(on)) / window_us).cast("long"),
-                (F.unix_micros(F.col(on)) / window_us).cast("long") + 1,
+                (ts_micros(F.col(on)) / window_us).cast("long"),
+                (ts_micros(F.col(on)) / window_us).cast("long") + 1,
             )
         ).alias("_b"),
     )
-    lt = F.unix_micros(F.col(on))
+    lt = ts_micros(F.col(on))
     pairs = lb.join(rb, [*by, "_b"]).filter(
         (F.col("_rt") >= lt - window_us) & (F.col("_rt") < lt)
     )
@@ -173,7 +176,7 @@ def op_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.col("m.ts").alias("click_ts"),
-            (F.unix_micros("ts") - F.unix_micros(F.col("m.ts"))).alias("gap_us"),
+            (ts_micros("ts") - ts_micros(F.col("m.ts"))).alias("gap_us"),
         )
         .orderBy("event_id")
     )
@@ -207,6 +210,91 @@ def op_range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_count(
         purchases, clicks, _HOUR_US, on="ts", by=("user_id",), out="n_in_range"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: both sides are INTERVALS (start, end), a pair
+# matches iff the intervals intersect — distinct from the band join
+# (point vs window) above. Same bucketing discipline: overlap pairs
+# meet in exactly one canonical bucket, so no distinct pass is needed.
+# ---------------------------------------------------------------------------
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_us: int,
+    by: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """All (a, b) pairs whose [_s, _e) intervals overlap, per ``by``
+    keys. Inputs carry epoch-µs columns ``_s``/``_e`` with span
+    ``<= bucket_us``; callers derive them via :func:`ts_micros`.
+
+    Plan shape: each interval lands in the <=2 buckets it touches
+    (span <= width ⇒ at most one boundary crossed); candidate pairs
+    meet on (by, bucket) equi-keys; the residual keeps a pair only in
+    the bucket holding max(starts) — the canonical-bucket trick, so
+    every overlapping pair appears EXACTLY once with zero dedup
+    shuffle. Scale: pair generation is bounded per (key, bucket) cell
+    exactly like the band join; an unbounded inequality join (Spark
+    would nested-loop it) never appears."""
+    def buckets(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *by,
+            F.col("_s").alias(f"_{side}s"),
+            F.col("_e").alias(f"_{side}e"),
+            *[c for c in df.columns if c not in (*by, "_s", "_e")],
+            F.explode(
+                F.sequence(
+                    (F.col("_s") / bucket_us).cast("long"),
+                    ((F.col("_e") - 1) / bucket_us).cast("long"),
+                )
+            ).alias("_b"),
+        )
+
+    ab = buckets(a, "a").join(buckets(b, "b"), [*by, "_b"])
+    canonical = (F.greatest("_as", "_bs") / bucket_us).cast("long") == F.col("_b")
+    overlap = (F.col("_as") < F.col("_be")) & (F.col("_bs") < F.col("_ae"))
+    return ab.filter(overlap & canonical).drop("_b", "_as", "_ae", "_bs", "_be")
+
+
+@register(
+    "op_interval_overlap",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      epoch_us(ts) AS s, epoch_us(ts) + 7200000000 AS e
+               FROM events WHERE event_type = 'purchase' AND user_id < 40),
+         c AS (SELECT event_id AS click_id, user_id,
+                      epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS e
+               FROM events WHERE event_type = 'click' AND user_id < 40)
+    SELECT p.purchase_id, c.click_id
+    FROM p JOIN c ON c.user_id = p.user_id AND p.s < c.e AND c.s < p.e
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Interval-overlap join (attention-span vs session-interval "
+    "shape): 2h purchase intervals x 1h click intervals, bucketed so "
+    "every overlapping pair meets in exactly one canonical bucket — "
+    "vs the oracle's unbounded inequality join.",
+    tags=("operator", "interval-join"),
+)
+def op_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    two_h, one_h = 2 * _HOUR_US, _HOUR_US
+    p = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40)).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ts_micros(F.col("ts")).alias("_s"),
+        (ts_micros(F.col("ts")) + two_h).alias("_e"),
+    )
+    c = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 40)).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        ts_micros(F.col("ts")).alias("_s"),
+        (ts_micros(F.col("ts")) + one_h).alias("_e"),
+    )
+    return (
+        interval_overlap_join(p, c, bucket_us=two_h)
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -326,9 +414,9 @@ def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "ts",
             F.round(F.col("value") * 1000).cast("long").alias("v_q"),
-            F.unix_micros(F.col("ts")).alias("t"),
+            ts_micros(F.col("ts")).alias("t"),
         )
-        .withColumn("t_next", F.lead(F.unix_micros(F.col("ts"))).over(w))
+        .withColumn("t_next", F.lead(ts_micros(F.col("ts"))).over(w))
         .filter(F.col("t_next").isNotNull())
         .withColumn("gap_ms", F.expr("(t_next - t) div 1000"))
     )
@@ -390,6 +478,68 @@ def op_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("v_q"))
             ).alias("counter_delta_q"),
             F.count(F.when(F.col("v_q") < F.col("prev_q"), 1)).alias("n_resets"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas_udf GROUPED_AGG — the vectorized custom-aggregate surface
+# (SURVEY §2C UDF row): a whole group's column arrives as one pandas
+# Series and reduces to a scalar, Arrow-batched. Distinct from
+# applyInPandas (full-frame transform) and SCALAR pandas_udf
+# (row-parallel map) — with this, all three pandas execution shapes
+# are under the differential gate.
+# ---------------------------------------------------------------------------
+@register(
+    "op_grouped_agg_udf",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CAST(round(value * 1000000) AS BIGINT))
+             - MIN(CAST(round(value * 1000000) AS BIGINT)) AS spread_q
+    FROM events WHERE user_id < 40
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="GROUPED_AGG pandas_udf custom aggregate (per-user quantized "
+    "value spread): exact integer parity with the oracle's MAX-MIN — "
+    "the vectorized-UDAF API surface, Arrow whole-group reduction.",
+    tags=("op", "udf"),
+)
+def op_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value spread via a vectorized custom aggregate.
+
+    Scale: GROUPED_AGG runs as a real aggregate — map-side the UDF
+    sees per-partition group slices only when Spark can partial-agg
+    (it cannot for opaque UDAFs, so the group's values shuffle to one
+    reducer); group width here is per-user event count, bounded by
+    time-windowing upstream in a 100 TB deployment. Quantization to
+    exact longs keeps the spread bit-identical across engines."""
+    # Return hint must be a recognized scalar type for the GROUPED_AGG
+    # eval shape (plain ``int`` is rejected by the typehint mapper),
+    # and np/pd must be MODULE-level: `from __future__ import
+    # annotations` stringifies the hints, and the resolver evaluates
+    # them in module globals — function-local imports are invisible.
+    @F.pandas_udf("long")
+    def spread_q(v: pd.Series) -> np.int64:
+        return np.int64(v.max() - v.min())
+
+    # Catalyst refuses to mix GROUPED_AGG UDFs with built-in
+    # aggregates in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT), so
+    # the row count is a second tiny UDAF rather than F.count.
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> np.int64:
+        return np.int64(len(v))
+
+    vq = F.round(F.col("value") * 1000000).cast("long")
+    return (
+        spark.table("events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", vq.alias("v_q"))
+        .groupBy("user_id")
+        .agg(
+            n_rows(F.col("v_q")).alias("n_events"),
+            spread_q(F.col("v_q")).alias("spread_q"),
         )
         .orderBy("user_id")
     )

@@ -51,7 +51,11 @@ _PRIORITY: tuple[str, ...] = (
     # second of two digest-rollup queries, r2-driver-proven) rotates
     # to the local gate for the heavy-hitters sketch.
     "llm_dedup_exact",
-    "llm_heavy_hitters",
+    # llm_heavy_hitters / llm_train_split / llm_sim_topk_ivf rotate to
+    # the local gate (driver-proven r3) for the decontamination,
+    # mixture-sampling and end-to-end pipeline queries — the stronger
+    # never-driver-proven training-data claims.
+    "llm_decontaminate",
     "llm_dedup_minhash_lsh",
     "llm_dedup_ngram_exact",
     "llm_dedup_simhash",
@@ -59,25 +63,24 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_embedding",
     "llm_dedup_incremental",
     "llm_fingerprint_winnow",
-    "llm_train_split",
+    "llm_mixture_sample",
     "llm_sim_topk_brute",
-    "llm_sim_topk_ivf",
+    "llm_pipeline_end2end",
     "llm_sim_topk_ivf_learned",
     # TF-IDF pair similarity replaces llm_text_stats (a simple map-
     # side rollup, r3-local-proven) — the weighted inverted-index
     # path is the stronger hard-signal claim.
     "llm_sim_tfidf_pairs",
-    # llm_text_quality rotates to the local gate (one of four similar
-    # map-side text rollups) for the federated batch sink.
-    "fed_sink_roundtrip",
     "llm_token_topk",
     "llm_seq_pack",
     "llm_pii_redact",
-    # event-time analytics (3; pivot and sliding rotate to the local
-    # gate — tumbling covers the F.window shape — admitting the
-    # exactly-once streaming federated sink)
+    # event-time analytics (3; session windows rotate to the local
+    # gate — driver-proven r3, and the streaming session query keeps
+    # the shape covered — admitting the Spark-4 VARIANT access query
+    # over ev_json_props' from_json (the stronger semi-structured
+    # claim; both r3-proven locally, json driver-proven r3)
     "ev_tumbling_daily",
-    "ev_session_windows",
+    "ev_variant_props",
     "ev_json_props",
     "stream_fed_sink",
     # Structured Streaming (6; session windows rotate to the local
@@ -88,20 +91,27 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_join",
     "stream_stream_left_outer",
     "stream_dedup",
-    # federation (6)
+    # federation (6; the batch fed sink rotates to the local gate —
+    # driver-proven r3, and stream_fed_sink keeps the sink seam)
     "fed_pushdown_scan",
     "fed_join_local",
     "fed_datasource_scan",
     "fed_agg_pushdown",
     "fed_join_pushdown",
     "fed_limit_pushdown",
-    # OLAP extensions (3)
+    # OLAP extensions (2; funnel rotates to the local gate,
+    # driver-proven r3 — skyline and cohort are the scale claims)
     "olap_skyline_2d",
     "olap_cohort_retention",
-    "olap_funnel",
-    # temporal operators (2)
+    # temporal operators (5): the r3-broken pair (fixed this round —
+    # timestamp-encoding regression, tests/test_ts_encoding.py) plus
+    # the hypertable-class aggregates and the pandas full-group
+    # surface, none of which ever had driver signal.
     "op_asof_purchase_click",
     "op_range_join_count",
+    "op_time_weighted_avg",
+    "op_counter_delta",
+    "op_gap_stats_pandas",
     # multimodal (1; mm_resize_pool is rows-only — a wasted hard-
     # signal slot — and mm_modality_rollup rotates to the local gate
     # to admit the second federation dialect)
@@ -109,10 +119,9 @@ _PRIORITY: tuple[str, ...] = (
     # second federation dialect (SQLite behind the same pushdown seam)
     "fed_sqlite_scan",
     # sink surface (1): dynamic partition pruning is the stronger
-    # claim than the jsonl/csv roundtrips (both local-gate covered)
+    # claim than the jsonl/csv roundtrips (both local-gate covered);
+    # micro_map_access rotates to the local gate (driver-proven r3)
     "sink_dynamic_partition_pruning",
-    # nested-type tail (1)
-    "micro_map_access",
 )
 
 

@@ -157,7 +157,11 @@ def csv_events_path(spark: SparkSession, sf_dir: str) -> str:
     out = tempfile.mkdtemp(prefix="sink_events_csv_")
     (
         spark.table("events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
+        # ts may be TIMESTAMP_NTZ (µs-parquet fixtures) — the CSV
+        # writer formats NTZ via timestampNTZFormat, not
+        # timestampFormat, so normalize to one flavor instead of
+        # format-pinning two.
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value")
         .write.mode("overwrite")
         .option("header", True)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")

@@ -32,41 +32,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import normalize_ts
 from ..functions.compat import dsum, sql_dsum
 from ..queries.base import register
-
-#: Physical schema of events.parquet: ts is TIMESTAMP(NANOS), read as
-#: raw int64 (catalog.py sets the same conf for the batch path).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 #: Monotonic suffix so each invocation gets a fresh memory-sink table.
 _RUN_SEQ = [0]
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events fixture with the ns->us rebase.
+    """``readStream`` over the events fixture, batch-identical types.
 
-    File-source streams need an explicit schema (no inference at
-    plan time); the nanos column arrives as int64 and is rebased
-    exactly like the batch catalog does (catalog.py:81-87)."""
+    File-source streams need an explicit schema (no inference at plan
+    time). The driver regenerates the fixtures between rounds and has
+    already switched the ts encoding once (TIMESTAMP(NANOS) →
+    TIMESTAMP(MICROS), which Spark 4 reads as TIMESTAMP_NTZ), so the
+    schema is taken from the parquet footer via a batch read of the
+    same file rather than hard-coded, and the stream then goes through
+    the SAME normalization as the batch catalog (catalog.normalize_ts)
+    — streaming and batch cannot drift apart on type semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file-stream source wants a directory/glob, not a bare file;
     # the glob keeps the scan to events.parquet inside the shared dir.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(os.path.join(sf_dir, "events*.parquet"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = normalize_ts(raw, "events")
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # withWatermark rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE); with the session timezone pinned to UTC the
+        # cast maps each naive value to the identical epoch instant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _drain(stream_result: DataFrame, name: str, output_mode: str) -> None:
