@@ -2890,3 +2890,54 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition filter (the Gopher/MassiveText "fraction
+# of duplicate n-grams" quality rule): boilerplate and scraped-page
+# artifacts repeat themselves, and a high duplicate-word fraction is
+# one of the strongest single predictors used to drop such docs from
+# LLM training mixes.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_distinct,
+           CAST(((n_words - n_distinct) * 1000) // n_words AS BIGINT) AS rep_pm
+    FROM t
+    WHERE n_words >= 5 AND ((n_words - n_distinct) * 1000) // n_words >= 200
+    ORDER BY doc_id
+    """,
+    doc="Within-doc repetition quality filter (Gopher-style duplicate-"
+    "word fraction, integer per-mille): flags documents whose "
+    "repeated-token share >= 20% — boilerplate/scrape-artifact "
+    "removal for training mixes.",
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose duplicate-word fraction crosses the drop threshold.
+
+    Scale: entirely map-side — both counts come from per-row array
+    expressions (split/array_distinct inside codegen), so the only
+    shuffle is the final presentation sort; 100 TB of documents
+    filter at scan speed with zero pair generation, in contrast to
+    the cross-doc dedup family above."""
+    w = F.split(F.col("text"), " ")
+    t = spark.table("documents").select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    )
+    rep_pm = F.expr("((n_words - n_distinct) * 1000) div n_words")
+    return (
+        t.filter(F.col("n_words") >= 5)
+        .withColumn("rep_pm", rep_pm)
+        .filter(F.col("rep_pm") >= 200)
+        .orderBy("doc_id")
+    )

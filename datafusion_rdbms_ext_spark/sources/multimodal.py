@@ -234,3 +234,68 @@ def mm_modality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = load_assets(spark).filter(F.col("doc_id") < 50)
     return resize_pool(assets).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy batch surface. mapInPandas above converts
+# every batch to pandas (object-boxing each binary payload);
+# mapInArrow hands the raw Arrow RecordBatch to Python, so byte-level
+# features come from vectorized numpy over the array's data/offset
+# buffers — no per-row Python objects at all. The right shape for
+# payload-heavy multimodal scans where pandas conversion dominates.
+# ---------------------------------------------------------------------------
+def extract_features_arrow(assets: DataFrame) -> DataFrame:
+    """Byte-level features computed directly on Arrow buffers."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for b in batches:
+            arr = b.column(b.schema.get_field_index("content"))
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
+            # BinaryArray buffers: [validity, offsets, data]. Slice
+            # offsets by arr.offset (batches can be array slices).
+            offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            csum = np.zeros(data.size + 1, dtype=np.int64)
+            np.cumsum(data, out=csum[1:])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    b.column(b.schema.get_field_index("modality")),
+                    pa.array(offs[1:] - offs[:-1], pa.int64()),
+                    pa.array(csum[offs[1:]] - csum[offs[:-1]], pa.int64()),
+                ],
+                ["doc_id", "modality", "n_bytes", "byte_sum"],
+            )
+
+    return assets.mapInArrow(fn, "doc_id long, modality string, n_bytes long, byte_sum long")
+
+
+@register(
+    "mm_arrow_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                        i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum
+    FROM documents WHERE doc_id >= 100 AND doc_id < 220
+    ORDER BY doc_id
+    """,
+    doc="Multimodal byte features through mapInArrow — the zero-copy "
+    "Arrow batch API (vs mapInPandas' boxed payloads): cumulative-sum "
+    "over the raw data buffer sliced by the offsets buffer, no "
+    "per-row Python. Same deterministic UTF-8 payloads, same "
+    "SQL-derivable oracle.",
+    tags=("multimodal", "udf", "arrow"),
+)
+def mm_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = load_assets(spark).filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 220)
+    )
+    return extract_features_arrow(assets).orderBy("doc_id")

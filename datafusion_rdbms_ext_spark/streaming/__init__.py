@@ -5,6 +5,10 @@ src/ touches streams beyond tokio channel plumbing) — this module is
 the driver-brief extension: the same event-time window semantics as
 ``queries/events.py`` executed through ``readStream`` micro-batches,
 plus a custom stateful operator via ``applyInPandasWithState``.
+(Spark 4's state-v2 ``transformWithStateInPandas`` is deliberately NOT
+used: its state-server protocol imports ``google.protobuf``, absent
+from this container — probed and crash-confirmed; the
+applyInPandasWithState query covers the arbitrary-stateful surface.)
 
 Design notes (100 TB / continuous-ingest intent):
 * ``withWatermark`` bounds state: windows older than max-event-time

@@ -330,3 +330,32 @@ def test_dynamic_partition_pruning_in_plan(spark):
     df = _df(spark, "sink_dynamic_partition_pruning")
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower(), p[:2000]
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    """The interval-overlap join must run as an equi-join on
+    (user_id, bucket) — never an unbounded inequality join (Spark
+    would nested-loop/cartesian it), and no dedup shuffle: the
+    canonical-bucket residual makes pairs unique by construction."""
+    df = _df(spark, "op_interval_overlap")
+    assert not has_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    # No distinct/dedup aggregate between the join and the sort: the
+    # only aggregates allowed are none at all for this query.
+    assert "HashAggregate" not in plan
+
+
+def test_grouped_agg_udf_is_single_shuffle(spark):
+    df = _df(spark, "op_grouped_agg_udf")
+    assert not has_cartesian(df)
+    assert count_exchanges(df) <= 2  # group shuffle (+ AQE final sort)
+
+
+def test_repetition_filter_is_map_side(spark):
+    """Quality filtering must stay at scan speed: no join, no
+    aggregate — only the presentation sort's range exchange."""
+    df = _df(spark, "llm_repetition_filter")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
