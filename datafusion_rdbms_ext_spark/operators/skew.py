@@ -91,3 +91,103 @@ def salted_join(
         )
         .drop("_salt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: the salting operators under the differential
+# gate (previously property-tested only — tests/test_skew_and_sinks).
+# The events fixture is the natural skew case: 5 event_type values
+# over the whole table, so a naive groupBy concentrates each key's
+# rows in one task.
+# ---------------------------------------------------------------------------
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..queries.base import register  # noqa: E402
+
+
+@register(
+    "op_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Salted two-phase aggregation over a 5-key (maximally hot) "
+    "grouping column: per-(key, content-salt) partials refolded per "
+    "key, bit-identical to the oracle's plain GROUP BY because every "
+    "aggregate is reassociable exact-integer arithmetic.",
+    tags=("op", "skew"),
+)
+def op_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key rollup through the salting path.
+
+    Scale: a naive groupBy(event_type) funnels ~N/5 rows into each of
+    5 reduce tasks regardless of cluster size; the salt spreads each
+    key over 16 partials first, so the wide shuffle carries the same
+    rows but lands them on 80 tasks, and the refold shuffle carries
+    only 80 partial rows. Deterministic content-hash salts keep
+    speculative retries consistent."""
+    ev = spark.table("events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_q"),
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_q": F.sum("v_q"),
+            "min_id": F.min("event_id"),
+            "max_id": F.max("event_id"),
+        },
+    )
+    return out.select(
+        "event_type", "n_events", "sum_q", "min_id", "max_id"
+    ).orderBy("event_type")
+
+
+@register(
+    "op_salted_join",
+    oracle="""
+    WITH dim(event_type, weight) AS (
+      VALUES ('click', 1), ('view', 2), ('purchase', 10),
+             ('signup', 5), ('error', 0)
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(d.weight AS BIGINT)) AS BIGINT) AS weighted
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    doc="Salted replicated join on a maximally-hot key (every probe "
+    "row hits one of 5 build keys): probe side sharded by content "
+    "hash, build side replicated across shards, then rolled up — "
+    "equals the oracle's plain join exactly.",
+    tags=("op", "skew"),
+)
+def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key equi-join through the salted-replication path.
+
+    Scale: AQE skew-split handles moderate skew; this shape is for a
+    build key so hot it defeats split shuffles. Replication costs
+    buckets x |dim| — dim is 5 rows, so the 8x replication is free
+    while the probe's hot key fans across 8 independent tasks."""
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    ).withColumnRenamed("event_type", "d_type")
+    ev = spark.table("events").select("event_type", "event_id")
+    joined = salted_join(ev, dim, "event_type", "d_type", buckets=8)
+    return (
+        joined.groupBy("d_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("weight").cast("long")).alias("weighted"),
+        )
+        .select(F.col("d_type").alias("event_type"), "n_events", "weighted")
+        .orderBy("event_type")
+    )

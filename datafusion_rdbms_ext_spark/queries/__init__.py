@@ -17,6 +17,7 @@ from . import llm  # noqa: E402,F401
 from . import olap  # noqa: E402,F401
 from .. import streaming  # noqa: E402,F401
 from ..sources import multimodal  # noqa: E402,F401
+from ..operators import skew  # noqa: E402,F401
 from ..operators import temporal  # noqa: E402,F401
 from ..sources import federation  # noqa: E402,F401
 from ..sources import pyds  # noqa: E402,F401

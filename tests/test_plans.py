@@ -359,3 +359,19 @@ def test_repetition_filter_is_map_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_salted_agg_two_phase(spark):
+    """The salted rollup must show TWO aggregation phases around the
+    salt (partial per (key, salt), refold per key) and no cartesian."""
+    df = _df(spark, "op_salted_agg")
+    assert not has_cartesian(df)
+    plan = plan_string(df)
+    # 2 logical phases x (partial+final) physical = >= 4 HashAggregates
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_salted_join_no_nested_loop(spark):
+    df = _df(spark, "op_salted_join")
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
