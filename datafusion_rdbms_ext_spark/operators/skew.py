@@ -119,7 +119,7 @@ from ..queries.base import register  # noqa: E402
     "grouping column: per-(key, content-salt) partials refolded per "
     "key, bit-identical to the oracle's plain GROUP BY because every "
     "aggregate is reassociable exact-integer arithmetic.",
-    tags=("op", "skew"),
+    tags=("op", "skew", "bench"),
 )
 def op_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key rollup through the salting path.

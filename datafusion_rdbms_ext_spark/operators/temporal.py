@@ -273,7 +273,7 @@ def interval_overlap_join(
     "shape): 2h purchase intervals x 1h click intervals, bucketed so "
     "every overlapping pair meets in exactly one canonical bucket — "
     "vs the oracle's unbounded inequality join.",
-    tags=("operator", "interval-join"),
+    tags=("operator", "interval-join", "bench"),
 )
 def op_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events")

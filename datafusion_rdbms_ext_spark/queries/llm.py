@@ -2918,7 +2918,7 @@ def llm_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word fraction, integer per-mille): flags documents whose "
     "repeated-token share >= 20% — boilerplate/scrape-artifact "
     "removal for training mixes.",
-    tags=("llm", "text", "quality"),
+    tags=("llm", "text", "quality", "bench"),
 )
 def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs whose duplicate-word fraction crosses the drop threshold.

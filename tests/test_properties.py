@@ -283,3 +283,36 @@ def test_upsert_counts(spark):
     assert rows["replaced"]["n_docs"] == 100
     assert rows["inserted"]["n_docs"] == 20
     assert rows["kept"]["n_docs"] == n_docs - 100
+
+
+@given(a=_EVENTS, b=_EVENTS, span_a=st.integers(1, 12), span_b=st.integers(1, 12))
+@settings(**_SETTINGS)
+def test_interval_overlap_matches_bruteforce(spark, a, b, span_a, span_b):
+    """interval_overlap_join == brute-force pair scan: a pair appears
+    EXACTLY once iff the [s, e) intervals intersect within the key —
+    duplicate starts, nested intervals, and boundary-touching
+    (s == other.e, which must NOT match) are the corners."""
+    from datafusion_rdbms_ext_spark.operators.temporal import interval_overlap_join
+
+    bucket = max(span_a, span_b)
+    adf = spark.createDataFrame(
+        [(k, i, t, t + span_a) for i, (k, t) in enumerate(a)] or [(99, -1, 0, 1)],
+        "user_id long, a_id long, _s long, _e long",
+    )
+    bdf = spark.createDataFrame(
+        [(k, i, t, t + span_b) for i, (k, t) in enumerate(b)] or [(99, -1, 0, 1)],
+        "user_id long, b_id long, _s long, _e long",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(adf, bdf, bucket_us=bucket).collect()
+    )
+    a_rows = [(k, i, t, t + span_a) for i, (k, t) in enumerate(a)] or [(99, -1, 0, 1)]
+    b_rows = [(k, i, t, t + span_b) for i, (k, t) in enumerate(b)] or [(99, -1, 0, 1)]
+    expected = sorted(
+        (ai, bi)
+        for (ak, ai, as_, ae) in a_rows
+        for (bk, bi, bs, be) in b_rows
+        if ak == bk and as_ < be and bs < ae
+    )
+    assert got == expected
