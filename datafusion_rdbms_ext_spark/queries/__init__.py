@@ -62,7 +62,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_simhash",
     "llm_dedup_clusters",
     "llm_dedup_embedding",
-    "llm_dedup_incremental",
+    # digest-level incremental (r3-proven) hands its slot to the
+    # LSH-index probe — the stronger continuous-ingest claim.
+    "llm_dedup_incremental_lsh",
     "llm_fingerprint_winnow",
     "llm_mixture_sample",
     "llm_sim_topk_brute",
@@ -82,7 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     # claim; both r3-proven locally, json driver-proven r3)
     "ev_tumbling_daily",
     "ev_variant_props",
-    "ev_json_props",
+    # ev_json_props (r3-proven) rotates out for the interval-overlap
+    # join, completing the temporal operator family's hard signal.
+    "op_interval_overlap",
     "stream_fed_sink",
     # Structured Streaming (6; session windows rotate to the local
     # gate for the left-outer eviction-frontier query)
@@ -91,7 +95,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stateful_user_counts",
     "stream_stream_join",
     "stream_stream_left_outer",
-    "stream_dedup",
+    # stream_dedup (r3-proven) rotates out for the map-side
+    # repetition quality filter.
+    "llm_repetition_filter",
     # federation (6; the batch fed sink rotates to the local gate —
     # driver-proven r3, and stream_fed_sink keeps the sink seam)
     "fed_pushdown_scan",
@@ -99,7 +105,9 @@ _PRIORITY: tuple[str, ...] = (
     "fed_datasource_scan",
     "fed_agg_pushdown",
     "fed_join_pushdown",
-    "fed_limit_pushdown",
+    # fed_limit_pushdown (r3-proven) rotates out for the salted
+    # hot-key aggregation — the skew story's first driver signal.
+    "op_salted_agg",
     # OLAP extensions (2; funnel rotates to the local gate,
     # driver-proven r3 — skyline and cohort are the scale claims)
     "olap_skyline_2d",

@@ -244,10 +244,10 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
-    """Verified near-duplicate pairs ``(da, db, jac)`` with da < db —
-    the shared LSH pipeline behind the pair query and the cluster
-    (connected-components) query.
+def _lsh_index(spark: SparkSession):
+    """The LSH index tables ``(bands, hs, cnt, band_keys)`` — the
+    shared pipeline behind the pair query, the cluster
+    (connected-components) query, and the incremental batch probe.
 
     Shuffle design: shingle STRINGS never cross a shuffle. Each
     occurrence is hashed map-side (xxhash64 join key + md5-derived
@@ -307,6 +307,12 @@ def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
         "doc_id", *[F.col(f"x.{k}").alias(k) for k in keys]
     )
 
+    return bands, hs, cnt, keys
+
+
+def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
+    """Verified near-duplicate pairs ``(da, db, jac)`` with da < db."""
+    bands, hs, cnt, keys = _lsh_index(spark)
     ba = bands.select(F.col("doc_id").alias("da"), *keys)
     bb = bands.select(F.col("doc_id").alias("db"), *keys)
     cand = (
@@ -316,6 +322,14 @@ def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
         .distinct()
     )
 
+    return _lsh_verify(cand, hs, cnt)
+
+
+def _lsh_verify(cand: DataFrame, hs: DataFrame, cnt: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs ``(da, db)``:
+    intersect the distinct shingle-hash sets, keep pairs >= 0.5.
+    Candidate-restricted — the corpus-wide shingle sets are only ever
+    joined through the (small) candidate list."""
     dsa = hs.select(F.col("doc_id").alias("da"), "hsh")
     dsb = hs.select(F.col("doc_id").alias("db"), "hsh")
     inter = (
@@ -450,6 +464,99 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3c. Incremental LSH probe: a NEW batch checked against the existing
+#     corpus index without re-pairing history against itself — the
+#     continuous-ingest shape (history's bands/shingle sets are the
+#     stored index; only new x history candidates are generated).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SQL_DS},
+    {_sql_minhash_sig()},
+    {_sql_bands()},
+    src AS (SELECT doc_id, source FROM documents),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS da, h.doc_id AS db
+      FROM bands n
+      JOIN src sn ON sn.doc_id = n.doc_id AND sn.source = 'src0'
+      JOIN bands h ON h.band = n.band AND h.k1 = n.k1
+       AND h.k2 = n.k2 AND h.k3 = n.k3
+      JOIN src sh ON sh.doc_id = h.doc_id AND sh.source <> 'src0'
+    ),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS i
+      FROM cand c
+      JOIN ds x ON x.doc_id = c.da
+      JOIN ds y ON y.doc_id = c.db AND y.s = x.s
+      GROUP BY c.da, c.db
+    ),
+    ver AS (
+      SELECT i.da, i.db, i.i * 1.0 / (ca.n + cb.n - i.i) AS jac
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.da
+      JOIN cnt cb ON cb.doc_id = i.db
+      WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.5
+    ),
+    ranked AS (
+      SELECT da, db, jac,
+             ROW_NUMBER() OVER (PARTITION BY da ORDER BY jac DESC, db) AS rk
+      FROM ver
+    )
+    SELECT a.da AS doc_id,
+           a.n_matches,
+           r.db AS best_match,
+           ROUND(a.bj, 6) AS best_jac
+    FROM (SELECT da, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(jac) AS bj
+          FROM ver GROUP BY da) a
+    JOIN ranked r ON r.da = a.da AND r.rk = 1
+    ORDER BY doc_id
+    """,
+    doc="Incremental MinHash-LSH dedup: the src0 batch probes the "
+    "history band index asymmetrically (new x history candidates "
+    "only — history is never re-paired with itself), each flagged "
+    "new doc reporting its match count and best history match. The "
+    "continuous-ingest complement to the digest-level "
+    "llm_dedup_incremental.",
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch near-dup admission report against the corpus index.
+
+    Scale: the band index and shingle-hash sets of HISTORY are what a
+    production pipeline persists (bucketed by band key); each
+    ingest's work is new-batch signatures + an index probe, so cost
+    tracks batch size, not corpus size. The candidate join is
+    new-bands x history-bands on the band-signature longs — the same
+    bounded-bucket guarantee as the full pair query, minus the
+    history-history quadrant entirely."""
+    bands, hs, cnt, keys = _lsh_index(spark)
+    side = spark.table("documents").select(
+        "doc_id", (F.col("source") == "src0").alias("is_new")
+    )
+    bands = bands.join(side, "doc_id")
+    nb_ = bands.filter(F.col("is_new")).select(F.col("doc_id").alias("da"), *keys)
+    hb = bands.filter(~F.col("is_new")).select(F.col("doc_id").alias("db"), *keys)
+    cand = nb_.join(hb, keys).select("da", "db").distinct()
+    ver = _lsh_verify(cand, hs, cnt)
+    w = Window.partitionBy("da").orderBy(F.col("jac").desc(), "db")
+    best = (
+        ver.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("da", F.col("db").alias("best_match"))
+    )
+    agg = ver.groupBy("da").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.round(F.max("jac"), 6).alias("best_jac"),
+    )
+    return (
+        agg.join(best, "da")
+        .select(F.col("da").alias("doc_id"), "n_matches", "best_match", "best_jac")
         .orderBy("doc_id")
     )
 

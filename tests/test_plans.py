@@ -375,3 +375,9 @@ def test_salted_join_no_nested_loop(spark):
     df = _df(spark, "op_salted_join")
     assert not has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+def test_incremental_lsh_no_cartesian(spark):
+    df = _df(spark, "llm_dedup_incremental_lsh")
+    assert not has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
