@@ -74,7 +74,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # An errored query is EXCLUDED from `value`, which would make
+        # the total read as a speedup next to a complete round — flag
+        # incompleteness explicitly so cross-round comparisons can't
+        # mistake a lost query for a win.
         payload["errors"] = errors
+        payload["n_errors"] = len(errors)
+        payload["complete"] = False
     print(json.dumps(payload))
 
 

@@ -77,19 +77,17 @@ _PRIORITY: tuple[str, ...] = (
     "llm_token_topk",
     "llm_seq_pack",
     "llm_pii_redact",
-    # event-time analytics (3; session windows rotate to the local
-    # gate — driver-proven r3, and the streaming session query keeps
-    # the shape covered — admitting the Spark-4 VARIANT access query
-    # over ev_json_props' from_json (the stronger semi-structured
-    # claim; both r3-proven locally, json driver-proven r3)
+    # event-time analytics (2: tumbling + the Spark-4 VARIANT access
+    # query; session/json/pivot/sliding all driver-proven r2/r3, now
+    # local-gate)
     "ev_tumbling_daily",
     "ev_variant_props",
     # ev_json_props (r3-proven) rotates out for the interval-overlap
     # join, completing the temporal operator family's hard signal.
     "op_interval_overlap",
     "stream_fed_sink",
-    # Structured Streaming (6; session windows rotate to the local
-    # gate for the left-outer eviction-frontier query)
+    # Structured Streaming (5; session windows and stream_dedup
+    # rotate to the local gate, driver-proven r2/r3)
     "stream_tumbling_counts",
     "stream_append_windows",
     "stream_stateful_user_counts",
@@ -98,8 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     # stream_dedup (r3-proven) rotates out for the map-side
     # repetition quality filter.
     "llm_repetition_filter",
-    # federation (6; the batch fed sink rotates to the local gate —
-    # driver-proven r3, and stream_fed_sink keeps the sink seam)
+    # federation (5 + stream_fed_sink above; batch fed sink and limit
+    # pushdown rotate to the local gate, both driver-proven r3)
     "fed_pushdown_scan",
     "fed_join_local",
     "fed_datasource_scan",

@@ -544,19 +544,23 @@ def llm_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = bands.filter(~F.col("is_new")).select(F.col("doc_id").alias("db"), *keys)
     cand = nb_.join(hb, keys).select("da", "db").distinct()
     ver = _lsh_verify(cand, hs, cnt)
-    w = Window.partitionBy("da").orderBy(F.col("jac").desc(), "db")
-    best = (
-        ver.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("da", F.col("db").alias("best_match"))
-    )
-    agg = ver.groupBy("da").agg(
-        F.count(F.lit(1)).alias("n_matches"),
-        F.round(F.max("jac"), 6).alias("best_jac"),
-    )
+    # One window pass over `ver` computes rank, match count and best
+    # jaccard together — consuming the verify subtree twice (window +
+    # groupBy, re-joined) would plan the whole candidate-verify
+    # pipeline twice, and runtime exchange reuse is not guaranteed.
+    w = Window.partitionBy("da")
+    wr = w.orderBy(F.col("jac").desc(), "db")
     return (
-        agg.join(best, "da")
-        .select(F.col("da").alias("doc_id"), "n_matches", "best_match", "best_jac")
+        ver.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_matches", F.count(F.lit(1)).over(w))
+        .withColumn("best_jac", F.round(F.max("jac").over(w), 6))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("da").alias("doc_id"),
+            "n_matches",
+            F.col("db").alias("best_match"),
+            "best_jac",
+        )
         .orderBy("doc_id")
     )
 

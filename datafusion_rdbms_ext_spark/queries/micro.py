@@ -1267,3 +1267,54 @@ def micro_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "micro_union_evolved",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS id, o_totalprice AS amount,
+             CAST(NULL AS VARCHAR) AS priority
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey AS id, o_totalprice AS amount, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(priority, '<legacy>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(amount AS DECIMAL(30,8))) AS DOUBLE) AS total
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+    doc="Schema-evolution union: unionByName(allowMissingColumns) "
+    "aligns an old-generation relation (no priority column) with the "
+    "current schema, null-filling the missing column — the in-plan "
+    "complement to the mergeSchema read path "
+    "(source_schema_evolution).",
+    tags=("micro", "relational"),
+)
+def micro_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over a union of two schema generations.
+
+    Scale: unionByName is plan-level metadata alignment — zero extra
+    shuffle; the null-fill is a literal projection on the legacy
+    side. The rollup then treats both generations uniformly."""
+    o = spark.table("orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy(F.coalesce("priority", F.lit("<legacy>")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amount").cast("decimal(30,8)")).cast("double").alias("total"),
+        )
+        .orderBy("priority")
+    )

@@ -28,6 +28,7 @@ drained fixture, which is exactly Spark's unified-semantics promise.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Iterator
 
@@ -56,7 +57,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME normalization as the batch catalog (catalog.normalize_ts)
     — streaming and batch cannot drift apart on type semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # Footer probe memoized per (session, sf_dir): a dozen registered
+    # queries build this stream (the join queries twice each), and the
+    # file's schema cannot change within a session.
+    memo_key = f"spark.datafusion_rdbms_ext.events_schema.{abs(hash(sf_dir))}"
+    cached = spark.conf.get(memo_key, None)
+    if cached:
+        schema = T.StructType.fromJson(json.loads(cached))
+    else:
+        schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        spark.conf.set(memo_key, json.dumps(schema.jsonValue()))
     # The file-stream source wants a directory/glob, not a bare file;
     # the glob keeps the scan to events.parquet inside the shared dir.
     raw = (
