@@ -543,3 +543,64 @@ def op_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "op_asof_forward",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id < 50),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  MIN(c.ts) AS next_click_ts
+           FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+           GROUP BY p.event_id, p.user_id, p.ts
+         )
+    SELECT event_id, user_id, ts, next_click_ts,
+           epoch_us(next_click_ts) - epoch_us(ts) AS wait_us
+    FROM m ORDER BY event_id
+    """,
+    doc="FORWARD as-of join (earliest following event; kdb aj's "
+    "mirror): implemented as the backward as-of composition on "
+    "NEGATED epoch time — no new operator code, the union+window "
+    "pass reused as-is — vs a min-over-qualifying oracle.",
+    tags=("operator", "asof"),
+)
+def op_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's EARLIEST following click.
+
+    Forward-as-of is backward-as-of on reversed time: negate the
+    epoch on both sides, run the same most-recent-prior composition
+    (ties still match, since <= on negated time is >= on real time),
+    then read the matched row's real timestamp back out of the
+    payload struct. Scale identical to op_asof_purchase_click — one
+    shuffle, one in-partition sort."""
+    ev = spark.table("events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    ).select(
+        "event_id",
+        "user_id",
+        ts_micros(F.col("ts")).alias("real_us"),
+        (-ts_micros(F.col("ts"))).alias("neg_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        ts_micros(F.col("ts")).alias("c_real_us"),
+        (-ts_micros(F.col("ts"))).alias("neg_us"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="neg_us", by=("user_id",), right_alias="m"
+    )
+    return (
+        joined.filter(F.col("m").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(F.col("real_us")).alias("ts"),
+            F.timestamp_micros(F.col("m.c_real_us")).alias("next_click_ts"),
+            (F.col("m.c_real_us") - F.col("real_us")).alias("wait_us"),
+        )
+        .orderBy("event_id")
+    )
