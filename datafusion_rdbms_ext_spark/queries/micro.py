@@ -1318,3 +1318,38 @@ def micro_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "micro_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(top-2 customers per nation) — the lateral-join SQL surface "
+    "beyond LATERAL VIEW explode; identical syntax runs on both "
+    "engines, with Spark planning it as a ranked window join.",
+    tags=("micro", "sql", "lateral"),
+)
+def micro_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers per nation through a correlated LATERAL.
+
+    Scale: Catalyst decorrelates the lateral subquery into a
+    partitioned rank-filter (no per-nation re-scan of customer);
+    deterministic tie-breaks keep the LIMIT 2 row set unique, so the
+    differential gate is exact."""
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
