@@ -235,7 +235,25 @@ def interval_overlap_join(
     every overlapping pair appears EXACTLY once with zero dedup
     shuffle. Scale: pair generation is bounded per (key, bucket) cell
     exactly like the band join; an unbounded inequality join (Spark
-    would nested-loop it) never appears."""
+    would nested-loop it) never appears.
+
+    Degenerate inputs: empty intervals (_s >= _e) overlap nothing by
+    definition and are filtered out up front — without the filter the
+    textbook predicate would emit spurious matches for them and the
+    bucket sequence would run backwards. Payload column names must be
+    disjoint across sides (checked loudly here; an overlap would
+    otherwise surface as AMBIGUOUS_REFERENCE far downstream)."""
+    a_payload = {c for c in a.columns if c not in (*by, "_s", "_e")}
+    b_payload = {c for c in b.columns if c not in (*by, "_s", "_e")}
+    clash = a_payload & b_payload
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join payload columns collide: {sorted(clash)};"
+            " rename one side before joining"
+        )
+    a = a.filter(F.col("_s") < F.col("_e"))
+    b = b.filter(F.col("_s") < F.col("_e"))
+
     def buckets(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             *by,

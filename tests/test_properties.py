@@ -316,3 +316,32 @@ def test_interval_overlap_matches_bruteforce(spark, a, b, span_a, span_b):
         if ak == bk and as_ < be and bs < ae
     )
     assert got == expected
+
+
+def test_interval_overlap_degenerate_inputs(spark):
+    """Empty intervals (_s >= _e) overlap nothing; colliding payload
+    column names fail loudly at build time, not as a downstream
+    AMBIGUOUS_REFERENCE."""
+    import pytest
+
+    from datafusion_rdbms_ext_spark.operators.temporal import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 10, 10, 100), (1, 20, 25, 101)], "user_id long, _s long, _e long, a_id long"
+    )
+    b = spark.createDataFrame(
+        [(1, 5, 15, 200), (1, 22, 22, 201)], "user_id long, _s long, _e long, b_id long"
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(a, b, bucket_us=10).collect()
+    )
+    # [10,10) is empty (no match despite lying inside [5,15)); [22,22)
+    # is empty (no match despite lying inside [20,25)).
+    assert got == []
+
+    clash = spark.createDataFrame(
+        [(1, 0, 5, 1)], "user_id long, _s long, _e long, a_id long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_overlap_join(clash, clash, bucket_us=10)

@@ -16,6 +16,7 @@ the same instants for EVERY encoding a fixture writer might choose.
 
 from __future__ import annotations
 
+import calendar
 import datetime as dt
 import os
 
@@ -28,9 +29,13 @@ from pyspark.sql import types as T
 from datafusion_rdbms_ext_spark.catalog import normalize_ts
 from datafusion_rdbms_ext_spark.functions.compat import ts_micros
 
-#: One unambiguous instant (UTC) and its epoch microseconds.
+#: One unambiguous instant (UTC) and its epoch microseconds —
+#: computed with integer calendar arithmetic, not float seconds:
+#: .timestamp() * 1e6 suffers double rounding (~0.4 µs at this epoch)
+#: and int() truncation, which for unlucky microsecond values would
+#: make this file fail spuriously against CORRECT engine output.
 _INSTANT = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
-_EPOCH_US = int(_INSTANT.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+_EPOCH_US = calendar.timegm(_INSTANT.timetuple()) * 1_000_000 + _INSTANT.microsecond
 
 
 def _write_events(tmp_path, unit: str, tz: str | None) -> str:
