@@ -17,6 +17,7 @@ from . import llm  # noqa: E402,F401
 from . import olap  # noqa: E402,F401
 from .. import streaming  # noqa: E402,F401
 from ..sources import multimodal  # noqa: E402,F401
+from ..operators import bucketing  # noqa: E402,F401
 from ..operators import skew  # noqa: E402,F401
 from ..operators import temporal  # noqa: E402,F401
 from ..sources import federation  # noqa: E402,F401
@@ -67,7 +68,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_incremental_lsh",
     "llm_fingerprint_winnow",
     "llm_mixture_sample",
-    "llm_sim_topk_brute",
+    # brute-force top-k (r3-proven) hands its slot to the PQ/ADC
+    # index — the memory-compression ANN pillar.
+    "llm_sim_topk_pq",
     "llm_pipeline_end2end",
     "llm_sim_topk_ivf_learned",
     # TF-IDF pair similarity replaces llm_text_stats (a simple map-

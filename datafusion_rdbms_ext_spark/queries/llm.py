@@ -1147,25 +1147,30 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _learned_centroids(spark: SparkSession) -> DataFrame:
-    """(cid, cemb) after ``_IVF_ITERS`` rounds of DataFrame-native
-    Lloyd's. Seeding is deterministic (portable md5 rank of vec_id,
-    distributed top-K via orderBy+limit — no data-sized global
-    window), so engine and oracle run the SAME k-means bit-for-bit."""
-    vecs = _quantize(spark)
+def _lloyds(vecs: DataFrame, k: int, iters: int, seed_tag: str) -> DataFrame:
+    """(cid, cemb) after ``iters`` rounds of DataFrame-native Lloyd's
+    over ``vecs`` (vec_id, eq). Seeding is deterministic (portable md5
+    rank of vec_id, distributed top-K via orderBy+limit — no
+    data-sized global window), so engine and oracle run the SAME
+    k-means bit-for-bit. Shared by the IVF coarse index (full vectors)
+    and the PQ codebooks (per-subspace slices)."""
     seed_rows = (
-        vecs.withColumn("h", _phash(F.col("vec_id").cast("string"), "ivfseed"))
+        vecs.withColumn("h", _phash(F.col("vec_id").cast("string"), seed_tag))
         .orderBy("h", "vec_id")
-        .limit(_IVF_K)
+        .limit(k)
     )
     w = Window.orderBy("h", "vec_id")  # over exactly K rows
     cents = (
         seed_rows.withColumn("cid", F.row_number().over(w).cast("int"))
         .select("cid", F.col("eq").alias("cemb"))
     )
-    for _ in range(_IVF_ITERS):
+    for _ in range(iters):
         cents = _update_centroids(_assign_cells(vecs, cents))
     return cents
+
+
+def _learned_centroids(spark: SparkSession) -> DataFrame:
+    return _lloyds(_quantize(spark), _IVF_K, _IVF_ITERS, "ivfseed")
 
 
 def learned_ivf_cells(spark: SparkSession) -> DataFrame:
@@ -1400,6 +1405,173 @@ def llm_sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
             "rk",
         )
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8c. Product quantization (IVF's canonical companion): the corpus is
+#     stored as M per-subspace codebook ids (M bytes/vector instead of
+#     4·dim), and queries score candidates by looking up precomputed
+#     query-to-codeword distances — the asymmetric distance
+#     computation (ADC) of every production billion-vector index.
+# ---------------------------------------------------------------------------
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = _IVF_DIM // _PQ_M
+_PQ_K = 8  # codewords per subspace codebook
+_PQ_ITERS = 2
+_PQ_NQ = 30  # query set: vec_id < 30, matching the other topk queries
+
+
+def _pq_sub(vecs: DataFrame, m: int) -> DataFrame:
+    return vecs.select(
+        "vec_id", F.slice("eq", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("eq")
+    )
+
+
+def _pq_codebooks(spark: SparkSession) -> list[DataFrame]:
+    """One learned codebook per subspace — each a tiny (K=8) k-means
+    over that subspace's 16-dim slices, seeded independently."""
+    vecs = _quantize(spark)
+    return [
+        _lloyds(_pq_sub(vecs, m), _PQ_K, _PQ_ITERS, f"pqseed{m}")
+        for m in range(_PQ_M)
+    ]
+
+
+def _sql_pq_chain() -> str:
+    """DuckDB CTE chain mirroring the PQ training+encoding exactly:
+    per-subspace seeded Lloyd's unrolled, then per-vector code
+    assignment — all in the same quantized integer arithmetic."""
+    parts = [
+        f"""
+    eqv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    )"""
+    ]
+    for m in range(_PQ_M):
+        off = m * _PQ_SUBDIM
+        dist = (
+            f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+            " i -> (e.eq[i]-c.cemb[i])*(e.eq[i]-c.cemb[i])))"
+        )
+        parts.append(f"""
+    sub{m} AS (
+      SELECT vec_id,
+             list_transform(range(1, {_PQ_SUBDIM + 1}), i -> eq[{off} + i]) AS eq
+      FROM eqv
+    ),
+    c{m}_0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cid, eq AS cemb
+      FROM (SELECT vec_id, eq, {_sql_phash("CAST(vec_id AS VARCHAR)", f"pqseed{m}")} AS h
+            FROM sub{m} ORDER BY h, vec_id LIMIT {_PQ_K})
+    )""")
+        cents = f"c{m}_0"
+        for i in range(_PQ_ITERS):
+            parts.append(f"""
+    a{m}_{i} AS (
+      SELECT vec_id, eq, cid FROM (
+        SELECT e.vec_id, e.eq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rk
+        FROM sub{m} e CROSS JOIN {cents} c) WHERE rk = 1
+    ),
+    c{m}_{i + 1} AS (
+      SELECT cid, list(comp ORDER BY pos) AS cemb FROM (
+        SELECT cid, pos, CAST(ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+        FROM (SELECT cid, i AS pos, eq[i] AS val
+              FROM a{m}_{i}, (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i))
+        GROUP BY cid, pos) GROUP BY cid
+    )""")
+            cents = f"c{m}_{i + 1}"
+        parts.append(f"""
+    code{m} AS (
+      SELECT vec_id, cid AS k{m} FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rk
+        FROM sub{m} e CROSS JOIN {cents} c) WHERE rk = 1
+    )""")
+    joins = " ".join(f"JOIN code{m} USING (vec_id)" for m in range(_PQ_M))
+    cols = ", ".join(f"k{m}" for m in range(_PQ_M))
+    parts.append(f"codes AS (SELECT eqv.vec_id, {cols} FROM eqv {joins})")
+    return ",".join(parts)
+
+
+@register(
+    "llm_sim_topk_pq",
+    oracle=f"""
+    WITH {_sql_pq_chain()},
+    q AS (SELECT vec_id AS q_id, eq AS qe FROM eqv WHERE vec_id < {_PQ_NQ}),
+    pairs AS (
+      SELECT q.q_id, b.vec_id,
+             {" + ".join(
+                 f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+                 f" i -> (q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])"
+                 f"*(q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])))"
+                 for m in range(_PQ_M)
+             )} AS adist
+      FROM codes b CROSS JOIN q
+      {" ".join(f"JOIN c{m}_{_PQ_ITERS} w{m} ON w{m}.cid = b.k{m}" for m in range(_PQ_M))}
+      WHERE b.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc=f"Product-quantization ANN (M={_PQ_M} subspaces x K={_PQ_K} "
+    "codewords, learned per-subspace Lloyd's): corpus compressed to "
+    f"{_PQ_M} code bytes/vector, queries ranked by asymmetric "
+    "distance (exact query sub-vector vs matched codeword) — the "
+    "billion-vector memory-compression path IVF alone lacks. Exact "
+    "integer arithmetic end to end; the oracle re-trains the same "
+    "codebooks in SQL.",
+    tags=("llm", "similarity"),
+)
+def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors per query under PQ/ADC.
+
+    Scale: the codes table is M small ints per vector (the 100 TB
+    corpus fits in RAM-adjacent storage at ~4 bytes/vector); scoring
+    joins codes to the 8-row-per-subspace codebooks (broadcast hash
+    joins — the join IS the ADC lookup table) and streams the corpus
+    map-side against the broadcast query set, so no shuffle scales
+    with corpus size. Codebook training cost: M tiny k-means, each a
+    broadcast-assign pass + K*subdim-sized update shuffles."""
+    vecs = _quantize(spark)
+    books = _pq_codebooks(spark)
+    codes = vecs.select("vec_id")
+    for m, cb in enumerate(books):
+        a = _assign_cells(_pq_sub(vecs, m), cb).select(
+            "vec_id", F.col("cid").alias(f"k{m}")
+        )
+        codes = codes.join(a, "vec_id")
+    q = vecs.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("eq").alias("qe")
+    )
+    pairs = codes.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    for m, cb in enumerate(books):
+        pairs = pairs.join(
+            F.broadcast(
+                cb.select(F.col("cid").alias(f"k{m}"), F.col("cemb").alias(f"w{m}"))
+            ),
+            f"k{m}",
+        )
+    adist = sum(
+        _l2q(F.slice("qe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM), F.col(f"w{m}"))
+        for m in range(_PQ_M)
+    ).alias("adist")
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    return (
+        pairs.select("q_id", "vec_id", adist)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adist", "rk")
         .orderBy("q_id", "rk")
     )
 

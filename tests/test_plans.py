@@ -96,7 +96,8 @@ def test_broadcast_hints_only_on_fixed_dims():
     # truncated to <=_MG_CAP rows at any scale, and total its 1-row
     # global count; ns is the drift audit's per-SOURCE totals (the
     # training-mix catalog — dozens of rows, not data-scaling) and
-    # tot its 1-row corpus count.
+    # tot its 1-row corpus count; cb.select(...) is a PQ codebook
+    # (exactly _PQ_K=8 codeword rows per subspace at any scale).
     allowed = {
         "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
         "mix_spec", "candidates", "total", "ns", "tot",
@@ -113,6 +114,7 @@ def test_broadcast_hints_only_on_fixed_dims():
                 arg in allowed
                 or 'table("nation"' in arg
                 or 'table("region"' in arg
+                or arg.startswith("cb.select(")
             )
             if not ok:
                 offenders.append(f"{py.name}: {arg}")
@@ -381,3 +383,20 @@ def test_incremental_lsh_no_cartesian(spark):
     df = _df(spark, "llm_dedup_incremental_lsh")
     assert not has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+def test_bucketed_join_query_is_exchange_free_below_agg(spark):
+    """The registered co-located join must carry NO shuffle between
+    the two bucketed scans and the join — the rollup above may
+    exchange on the group key, but the join itself rides the bucket
+    layout."""
+    from datafusion_rdbms_ext_spark.operators.bucketing import (
+        _ensure_bucketed_tables,
+        bucketed_join,
+    )
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+
+    ensure_tables(spark, SF_DIR)
+    _ensure_bucketed_tables(spark, SF_DIR)
+    j = bucketed_join(spark, "orders_bkt", "lineitem_bkt", "o_orderkey", "l_orderkey")
+    assert count_exchanges(j) == 0
