@@ -72,7 +72,9 @@ _PRIORITY: tuple[str, ...] = (
     # index — the memory-compression ANN pillar.
     "llm_sim_topk_pq",
     "llm_pipeline_end2end",
-    "llm_sim_topk_ivf_learned",
+    # learned-IVF (r3-proven) hands its slot to the IVFPQ composition
+    # — coarse pruning + code-table scoring, the production index.
+    "llm_sim_topk_ivfpq",
     # TF-IDF pair similarity replaces llm_text_stats (a simple map-
     # side rollup, r3-local-proven) — the weighted inverted-index
     # path is the stronger hard-signal claim.

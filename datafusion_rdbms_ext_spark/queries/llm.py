@@ -1439,18 +1439,23 @@ def _pq_codebooks(spark: SparkSession) -> list[DataFrame]:
     ]
 
 
-def _sql_pq_chain() -> str:
+def _sql_pq_chain(include_eqv: bool = True) -> str:
     """DuckDB CTE chain mirroring the PQ training+encoding exactly:
     per-subspace seeded Lloyd's unrolled, then per-vector code
-    assignment — all in the same quantized integer arithmetic."""
-    parts = [
-        f"""
+    assignment — all in the same quantized integer arithmetic.
+    ``include_eqv=False`` omits the quantization CTE so the chain can
+    compose with :func:`_sql_lloyds_cells` (which defines ``eqv``
+    itself) in the IVFPQ oracle."""
+    parts = []
+    if include_eqv:
+        parts.append(
+            f"""
     eqv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
       FROM embeddings
     )"""
-    ]
+        )
     for m in range(_PQ_M):
         off = m * _PQ_SUBDIM
         dist = (
@@ -1569,6 +1574,101 @@ def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
     return (
         pairs.select("q_id", "vec_id", adist)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adist", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8d. IVFPQ — the production composition: coarse IVF cells prune the
+#     candidate set to ~1/K of the corpus, PQ codes score the
+#     survivors by table lookup. This is the literal architecture of
+#     every billion-scale vector index (Faiss IVFx,PQy).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_sim_topk_ivfpq",
+    oracle=f"""
+    WITH {_sql_lloyds_cells()},
+    {_sql_pq_chain(include_eqv=False)},
+    q AS (SELECT cl.vec_id AS q_id, cl.cell, e.eq AS qe
+          FROM cells cl JOIN eqv e USING (vec_id) WHERE cl.vec_id < {_PQ_NQ}),
+    pairs AS (
+      SELECT q.q_id, b.vec_id,
+             {" + ".join(
+                 f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+                 f" i -> (q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])"
+                 f"*(q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])))"
+                 for m in range(_PQ_M)
+             )} AS adist
+      FROM codes b
+      JOIN cells bc ON bc.vec_id = b.vec_id
+      JOIN q ON q.cell = bc.cell AND b.vec_id <> q.q_id
+      {" ".join(f"JOIN c{m}_{_PQ_ITERS} w{m} ON w{m}.cid = b.k{m}" for m in range(_PQ_M))}
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc="IVFPQ — the full production vector-index composition: the "
+    "learned coarse quantizer prunes candidates to the query's cell "
+    "(~1/K of the corpus), then PQ asymmetric distance ranks the "
+    "survivors from their 4-byte codes. Both training chains re-run "
+    "identically in the SQL oracle; scoring is exact integer "
+    "arithmetic end to end.",
+    tags=("llm", "similarity"),
+)
+def llm_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per query: IVF cell pruning + PQ/ADC scoring.
+
+    Scale: the candidate join shuffles on the cell id (work per query
+    is corpus/K, the IVF contract) and the scoring side carries only
+    (vec_id, cell, 4 codes) — at 100 TB the scored payload is the
+    compressed codes table, never the raw vectors; the codebook joins
+    broadcast 8 rows each. Memory per executor: codes for its cells
+    plus 4x8x16 longs of codebook."""
+    vecs = _quantize(spark)
+    cells = learned_ivf_cells(spark)
+    books = _pq_codebooks(spark)
+    codes = vecs.select("vec_id")
+    for m, cb in enumerate(books):
+        a = _assign_cells(_pq_sub(vecs, m), cb).select(
+            "vec_id", F.col("cid").alias(f"k{m}")
+        )
+        codes = codes.join(a, "vec_id")
+    q = (
+        vecs.filter(F.col("vec_id") < _PQ_NQ)
+        .join(cells, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("cell").alias("q_cell"),
+            F.col("eq").alias("qe"),
+        )
+    )
+    cand = codes.join(cells, "vec_id").join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    for m, cb in enumerate(books):
+        cand = cand.join(
+            F.broadcast(
+                cb.select(F.col("cid").alias(f"k{m}"), F.col("cemb").alias(f"w{m}"))
+            ),
+            f"k{m}",
+        )
+    adist = sum(
+        _l2q(F.slice("qe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM), F.col(f"w{m}"))
+        for m in range(_PQ_M)
+    ).alias("adist")
+    w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    return (
+        cand.select("q_id", "vec_id", adist)
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "adist", "rk")
