@@ -68,9 +68,11 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_incremental_lsh",
     "llm_fingerprint_winnow",
     "llm_mixture_sample",
-    # brute-force top-k (r3-proven) hands its slot to the PQ/ADC
-    # index — the memory-compression ANN pillar.
-    "llm_sim_topk_pq",
+    # brute-force top-k (r3-proven) hands its slot to the PQ
+    # shortlist+exact-rerank index — the memory-compression ANN
+    # pillar in its production serving shape (raw-ADC llm_sim_topk_pq
+    # stays local-gate).
+    "llm_sim_topk_pq_rerank",
     "llm_pipeline_end2end",
     # learned-IVF (r3-proven) hands its slot to the IVFPQ composition
     # — coarse pruning + code-table scoring, the production index.

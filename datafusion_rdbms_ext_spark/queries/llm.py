@@ -1677,6 +1677,121 @@ def llm_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8e. PQ shortlist + exact re-rank — how production systems actually
+#     serve: ADC is resolution-limited (vectors sharing a code tuple
+#     tie), so the cheap code scan nominates a shortlist and exact
+#     distances re-rank only those survivors.
+# ---------------------------------------------------------------------------
+#: Shortlist size must EXCEED the largest plausible code-tie group
+#: (every vector sharing one code tuple ties at the same adist, and a
+#: ROW_NUMBER cut inside a tie group drops true neighbors
+#: arbitrarily) — the property test's clustered data has ~50-member
+#: groups and recall jumped 0.68 -> 1.0 when the shortlist cleared
+#: them. The production tuning rule: shortlist >= expected duplicates
+#: per code tuple, i.e. N / K^M, with margin.
+_PQ_SHORTLIST = 96
+
+
+@register(
+    "llm_sim_topk_pq_rerank",
+    oracle=f"""
+    WITH {_sql_pq_chain()},
+    q AS (SELECT vec_id AS q_id, eq AS qe FROM eqv WHERE vec_id < {_PQ_NQ}),
+    adc AS (
+      SELECT q.q_id, b.vec_id,
+             {" + ".join(
+                 f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+                 f" i -> (q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])"
+                 f"*(q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])))"
+                 for m in range(_PQ_M)
+             )} AS adist
+      FROM codes b CROSS JOIN q
+      {" ".join(f"JOIN c{m}_{_PQ_ITERS} w{m} ON w{m}.cid = b.k{m}" for m in range(_PQ_M))}
+      WHERE b.vec_id <> q.q_id
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+        FROM adc) WHERE rk <= {_PQ_SHORTLIST}
+    ),
+    exact AS (
+      SELECT s.q_id, s.vec_id,
+             list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                      i -> (q.qe[i]-e.eq[i])*(q.qe[i]-e.eq[i]))) AS dist
+      FROM shortlist s
+      JOIN q ON q.q_id = s.q_id
+      JOIN eqv e ON e.vec_id = s.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rk
+      FROM exact
+    )
+    SELECT q_id, vec_id AS neighbor_id, CAST(dist AS BIGINT) AS dist,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc=f"PQ shortlist ({_PQ_SHORTLIST} by asymmetric code distance) "
+    "+ EXACT re-rank of the survivors — the two-stage serving shape "
+    "of every production vector index: the compressed scan touches "
+    "codes only, exact vectors are fetched for the shortlist alone. "
+    "Recall vs full brute force is property-tested on clustered "
+    "synthetic data (raw ADC alone is tie-limited at this code "
+    "budget — its property test asserts cluster-level consistency).",
+    tags=("llm", "similarity"),
+)
+def llm_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per query: PQ codes nominate, exact distances decide.
+
+    Scale: stage 1 touches only the 4-byte codes (broadcast query
+    set, broadcast 8-row codebooks); stage 2 fetches full vectors for
+    ``shortlist`` rows per query — at 100 TB that is the difference
+    between scanning 4 bytes/vector and 256 bytes/vector over the
+    corpus, with exact quality on the shortlist."""
+    vecs = _quantize(spark)
+    books = _pq_codebooks(spark)
+    codes = vecs.select("vec_id")
+    for m, cb in enumerate(books):
+        a = _assign_cells(_pq_sub(vecs, m), cb).select(
+            "vec_id", F.col("cid").alias(f"k{m}")
+        )
+        codes = codes.join(a, "vec_id")
+    q = vecs.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("eq").alias("qe")
+    )
+    adc = codes.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    for m, cb in enumerate(books):
+        adc = adc.join(
+            F.broadcast(
+                cb.select(F.col("cid").alias(f"k{m}"), F.col("cemb").alias(f"w{m}"))
+            ),
+            f"k{m}",
+        )
+    adist = sum(
+        _l2q(F.slice("qe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM), F.col(f"w{m}"))
+        for m in range(_PQ_M)
+    ).alias("adist")
+    w1 = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    shortlist = (
+        adc.select("q_id", "qe", "vec_id", adist)
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _PQ_SHORTLIST)
+        .select("q_id", "qe", "vec_id")
+    )
+    exact = shortlist.join(
+        vecs.select("vec_id", F.col("eq").alias("beq")), "vec_id"
+    ).select("q_id", "vec_id", _l2q(F.col("qe"), F.col("beq")).alias("dist"))
+    w2 = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "dist", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 9-12. Text analysis.
 # ---------------------------------------------------------------------------
 @register(
