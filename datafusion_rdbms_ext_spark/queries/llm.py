@@ -1622,6 +1622,10 @@ def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survivors from their 4-byte codes. Both training chains re-run "
     "identically in the SQL oracle; scoring is exact integer "
     "arithmetic end to end.",
+    # NOT bench-tagged: the training chains (5 Lloyd's runs) put ~58
+    # K*dim-sized exchanges in the static plan — index-BUILD workload,
+    # which would trip the data-path exchange ceiling the bench guard
+    # enforces (llm_sim_topk_brute carries the ANN bench slot).
     tags=("llm", "similarity"),
 )
 def llm_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3439,3 +3443,74 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rep_pm") >= 200)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Overlapping document chunking — the retrieval-side complement to
+#     sequence packing: RAG and long-context pipelines split documents
+#     into fixed-size token windows with overlap so no boundary-
+#     spanning passage is lost to a hard cut.
+# ---------------------------------------------------------------------------
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "llm_chunk_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    starts AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STEP})) AS s
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+           array_to_string(list_transform(
+               range(s + 1, least(s + {_CHUNK_TOKENS}, n) + 1),
+               i -> toks[i]), ' ') AS chunk_text,
+           CAST(least(s + {_CHUNK_TOKENS}, n) - s AS BIGINT) AS n_tok
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    doc=f"Overlapping chunking (window={_CHUNK_TOKENS} tokens, "
+    f"overlap={_CHUNK_OVERLAP}): each document becomes deterministic "
+    "fixed-stride token windows with stable chunk ids — the "
+    "RAG/embedding-prep shape, entirely map-side.",
+    tags=("llm", "text", "chunking"),
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride overlapping token windows per document.
+
+    Scale: pure per-row array expressions (sequence + slice inside
+    codegen) — chunk generation never shuffles; output fan-out is
+    n_tokens/stride rows per doc, each carrying only its window. The
+    natural upstream of the embedding/similarity family: chunk ->
+    embed -> IVFPQ index."""
+    w = F.split(F.col("text"), " ")
+    d = (
+        spark.table("documents")
+        .select("doc_id", w.alias("toks"), F.size(w).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    step, width = _CHUNK_STEP, _CHUNK_TOKENS
+    d = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.expr(f"sequence(0, n - 1, {step})")).alias("s"),
+    )
+    end = F.least(F.col("s") + width, F.col("n"))
+    return d.select(
+        "doc_id",
+        (F.col("s") / step).cast("long").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("s") + 1, end - F.col("s"))
+        ).alias("chunk_text"),
+        (end - F.col("s")).cast("long").alias("n_tok"),
+    ).orderBy("doc_id", "chunk_id")
