@@ -1439,6 +1439,53 @@ def _pq_codebooks(spark: SparkSession) -> list[DataFrame]:
     ]
 
 
+def _pq_codes(vecs: DataFrame, books: list[DataFrame]) -> DataFrame:
+    """(vec_id, k0..kM-1): the corpus encoded against the codebooks."""
+    codes = vecs.select("vec_id")
+    for m, cb in enumerate(books):
+        a = _assign_cells(_pq_sub(vecs, m), cb).select(
+            "vec_id", F.col("cid").alias(f"k{m}")
+        )
+        codes = codes.join(a, "vec_id")
+    return codes
+
+
+def _pq_adc(cand: DataFrame, books: list[DataFrame]):
+    """Join the 8-row codebooks onto candidate rows (the ADC lookup
+    tables) and return (joined_df, adist_column). ``cand`` needs the
+    code columns k0..kM-1 and the query vector column ``qe``."""
+    for m, cb in enumerate(books):
+        cand = cand.join(
+            F.broadcast(
+                cb.select(F.col("cid").alias(f"k{m}"), F.col("cemb").alias(f"w{m}"))
+            ),
+            f"k{m}",
+        )
+    adist = sum(
+        _l2q(F.slice("qe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM), F.col(f"w{m}"))
+        for m in range(_PQ_M)
+    ).alias("adist")
+    return cand, adist
+
+
+def _sql_adc() -> str:
+    """The oracle-side adist expression (query sub-vector vs matched
+    codeword, summed over subspaces) — single source for all three PQ
+    oracles so engine/oracle arithmetic cannot diverge per query."""
+    return " + ".join(
+        f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+        f" i -> (q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])"
+        f"*(q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])))"
+        for m in range(_PQ_M)
+    )
+
+
+def _sql_codebook_joins() -> str:
+    return " ".join(
+        f"JOIN c{m}_{_PQ_ITERS} w{m} ON w{m}.cid = b.k{m}" for m in range(_PQ_M)
+    )
+
+
 def _sql_pq_chain(include_eqv: bool = True) -> str:
     """DuckDB CTE chain mirroring the PQ training+encoding exactly:
     per-subspace seeded Lloyd's unrolled, then per-vector code
@@ -1510,14 +1557,9 @@ def _sql_pq_chain(include_eqv: bool = True) -> str:
     q AS (SELECT vec_id AS q_id, eq AS qe FROM eqv WHERE vec_id < {_PQ_NQ}),
     pairs AS (
       SELECT q.q_id, b.vec_id,
-             {" + ".join(
-                 f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
-                 f" i -> (q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])"
-                 f"*(q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])))"
-                 for m in range(_PQ_M)
-             )} AS adist
+             {_sql_adc()} AS adist
       FROM codes b CROSS JOIN q
-      {" ".join(f"JOIN c{m}_{_PQ_ITERS} w{m} ON w{m}.cid = b.k{m}" for m in range(_PQ_M))}
+      {_sql_codebook_joins()}
       WHERE b.vec_id <> q.q_id
     ),
     ranked AS (
@@ -1550,27 +1592,12 @@ def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-assign pass + K*subdim-sized update shuffles."""
     vecs = _quantize(spark)
     books = _pq_codebooks(spark)
-    codes = vecs.select("vec_id")
-    for m, cb in enumerate(books):
-        a = _assign_cells(_pq_sub(vecs, m), cb).select(
-            "vec_id", F.col("cid").alias(f"k{m}")
-        )
-        codes = codes.join(a, "vec_id")
+    codes = _pq_codes(vecs, books)
     q = vecs.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("eq").alias("qe")
     )
     pairs = codes.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
-    for m, cb in enumerate(books):
-        pairs = pairs.join(
-            F.broadcast(
-                cb.select(F.col("cid").alias(f"k{m}"), F.col("cemb").alias(f"w{m}"))
-            ),
-            f"k{m}",
-        )
-    adist = sum(
-        _l2q(F.slice("qe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM), F.col(f"w{m}"))
-        for m in range(_PQ_M)
-    ).alias("adist")
+    pairs, adist = _pq_adc(pairs, books)
     w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
     return (
         pairs.select("q_id", "vec_id", adist)
@@ -1596,16 +1623,11 @@ def llm_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM cells cl JOIN eqv e USING (vec_id) WHERE cl.vec_id < {_PQ_NQ}),
     pairs AS (
       SELECT q.q_id, b.vec_id,
-             {" + ".join(
-                 f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
-                 f" i -> (q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])"
-                 f"*(q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])))"
-                 for m in range(_PQ_M)
-             )} AS adist
+             {_sql_adc()} AS adist
       FROM codes b
       JOIN cells bc ON bc.vec_id = b.vec_id
       JOIN q ON q.cell = bc.cell AND b.vec_id <> q.q_id
-      {" ".join(f"JOIN c{m}_{_PQ_ITERS} w{m} ON w{m}.cid = b.k{m}" for m in range(_PQ_M))}
+      {_sql_codebook_joins()}
     ),
     ranked AS (
       SELECT q_id, vec_id, adist,
@@ -1640,12 +1662,7 @@ def llm_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _quantize(spark)
     cells = learned_ivf_cells(spark)
     books = _pq_codebooks(spark)
-    codes = vecs.select("vec_id")
-    for m, cb in enumerate(books):
-        a = _assign_cells(_pq_sub(vecs, m), cb).select(
-            "vec_id", F.col("cid").alias(f"k{m}")
-        )
-        codes = codes.join(a, "vec_id")
+    codes = _pq_codes(vecs, books)
     q = (
         vecs.filter(F.col("vec_id") < _PQ_NQ)
         .join(cells, "vec_id")
@@ -1659,17 +1676,7 @@ def llm_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q),
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
     )
-    for m, cb in enumerate(books):
-        cand = cand.join(
-            F.broadcast(
-                cb.select(F.col("cid").alias(f"k{m}"), F.col("cemb").alias(f"w{m}"))
-            ),
-            f"k{m}",
-        )
-    adist = sum(
-        _l2q(F.slice("qe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM), F.col(f"w{m}"))
-        for m in range(_PQ_M)
-    ).alias("adist")
+    cand, adist = _pq_adc(cand, books)
     w = Window.partitionBy("q_id").orderBy("adist", "vec_id")
     return (
         cand.select("q_id", "vec_id", adist)
@@ -1703,14 +1710,9 @@ _PQ_SHORTLIST = 96
     q AS (SELECT vec_id AS q_id, eq AS qe FROM eqv WHERE vec_id < {_PQ_NQ}),
     adc AS (
       SELECT q.q_id, b.vec_id,
-             {" + ".join(
-                 f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
-                 f" i -> (q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])"
-                 f"*(q.qe[{m * _PQ_SUBDIM} + i]-w{m}.cemb[i])))"
-                 for m in range(_PQ_M)
-             )} AS adist
+             {_sql_adc()} AS adist
       FROM codes b CROSS JOIN q
-      {" ".join(f"JOIN c{m}_{_PQ_ITERS} w{m} ON w{m}.cid = b.k{m}" for m in range(_PQ_M))}
+      {_sql_codebook_joins()}
       WHERE b.vec_id <> q.q_id
     ),
     shortlist AS (
@@ -1755,37 +1757,29 @@ def llm_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, with exact quality on the shortlist."""
     vecs = _quantize(spark)
     books = _pq_codebooks(spark)
-    codes = vecs.select("vec_id")
-    for m, cb in enumerate(books):
-        a = _assign_cells(_pq_sub(vecs, m), cb).select(
-            "vec_id", F.col("cid").alias(f"k{m}")
-        )
-        codes = codes.join(a, "vec_id")
+    codes = _pq_codes(vecs, books)
     q = vecs.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("q_id"), F.col("eq").alias("qe")
     )
     adc = codes.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
-    for m, cb in enumerate(books):
-        adc = adc.join(
-            F.broadcast(
-                cb.select(F.col("cid").alias(f"k{m}"), F.col("cemb").alias(f"w{m}"))
-            ),
-            f"k{m}",
-        )
-    adist = sum(
-        _l2q(F.slice("qe", m * _PQ_SUBDIM + 1, _PQ_SUBDIM), F.col(f"w{m}"))
-        for m in range(_PQ_M)
-    ).alias("adist")
+    adc, adist = _pq_adc(adc, books)
+    # Stage 1 must stay codes-only: qe (a 64-long array) is DROPPED
+    # before the rank shuffle and re-joined from the broadcast query
+    # set onto the ~shortlist-sized survivor set — otherwise every
+    # candidate row drags the query vector through the window sort,
+    # exactly the payload the two-stage design exists to avoid.
     w1 = Window.partitionBy("q_id").orderBy("adist", "vec_id")
     shortlist = (
-        adc.select("q_id", "qe", "vec_id", adist)
+        adc.select("q_id", "vec_id", adist)
         .withColumn("rk", F.row_number().over(w1))
         .filter(F.col("rk") <= _PQ_SHORTLIST)
-        .select("q_id", "qe", "vec_id")
+        .select("q_id", "vec_id")
     )
-    exact = shortlist.join(
-        vecs.select("vec_id", F.col("eq").alias("beq")), "vec_id"
-    ).select("q_id", "vec_id", _l2q(F.col("qe"), F.col("beq")).alias("dist"))
+    exact = (
+        shortlist.join(F.broadcast(q), "q_id")
+        .join(vecs.select("vec_id", F.col("eq").alias("beq")), "vec_id")
+        .select("q_id", "vec_id", _l2q(F.col("qe"), F.col("beq")).alias("dist"))
+    )
     w2 = Window.partitionBy("q_id").orderBy("dist", "vec_id")
     return (
         exact.withColumn("rk", F.row_number().over(w2).cast("long"))
@@ -3468,6 +3462,9 @@ _CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
     starts AS (
       SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STEP})) AS s
       FROM w
+    ),
+    kept AS (
+      SELECT * FROM starts WHERE s = 0 OR s < n - {_CHUNK_OVERLAP}
     )
     SELECT doc_id,
            CAST(s // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
@@ -3475,7 +3472,7 @@ _CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
                range(s + 1, least(s + {_CHUNK_TOKENS}, n) + 1),
                i -> toks[i]), ' ') AS chunk_text,
            CAST(least(s + {_CHUNK_TOKENS}, n) - s AS BIGINT) AS n_tok
-    FROM starts
+    FROM kept
     ORDER BY doc_id, chunk_id
     """,
     doc=f"Overlapping chunking (window={_CHUNK_TOKENS} tokens, "
@@ -3505,6 +3502,12 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.explode(F.expr(f"sequence(0, n - 1, {step})")).alias("s"),
     )
+    # A start inside the previous window's overlap region (s >= n -
+    # overlap) yields a chunk FULLY CONTAINED in its predecessor —
+    # pure duplicate content downstream (duplicate embeddings,
+    # duplicate retrieval hits). Suppress it; s = 0 is exempt so
+    # short docs (n <= overlap) keep their single chunk.
+    d = d.filter((F.col("s") == 0) | (F.col("s") < F.col("n") - _CHUNK_OVERLAP))
     end = F.least(F.col("s") + width, F.col("n"))
     return d.select(
         "doc_id",
