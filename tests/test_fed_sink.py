@@ -91,3 +91,49 @@ def test_stream_sink_replayed_batch_is_skipped(spark):
         assert con.execute("SELECT COUNT(*) FROM _epochs").fetchone()[0] == 2
     finally:
         con.close()
+
+
+def test_fed_sink_failed_job_leaves_remote_untouched(spark, tmp_path):
+    """Two-phase-commit abort path: a job that fails mid-execution
+    must never reach the remote transaction — the table keeps its
+    prior contents exactly, staging is cleared, and a subsequent good
+    write on the same staging dir succeeds."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from datafusion_rdbms_ext_spark.sources.pyds import register_duckdb_sink
+
+    register_duckdb_sink(spark)
+    db = str(tmp_path / "remote.db")
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging, exist_ok=True)
+
+    def write(df, mode):
+        (
+            df.write.format("duckdb_fed_sink")
+            .option("db_path", db)
+            .option("table", "t")
+            .option("staging_dir", staging)
+            .mode(mode)
+            .save()
+        )
+
+    write(spark.range(5).selectExpr("id AS v"), "overwrite")
+
+    poison = spark.range(10).selectExpr(
+        "CASE WHEN id = 7 THEN CAST(raise_error('boom') AS BIGINT) ELSE id END AS v"
+    )
+    with pytest.raises(Exception, match="boom"):
+        write(poison, "append")
+
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*), MIN(v), MAX(v) FROM t").fetchone() == (5, 0, 4)
+    con.close()
+    assert os.listdir(staging) == []  # abort cleared the staged files
+
+    write(spark.range(5, 8).selectExpr("id AS v"), "append")
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*), MAX(v) FROM t").fetchone() == (8, 7)
+    con.close()
