@@ -404,3 +404,64 @@ def test_pq_retrieval_quality_on_clustered_data(spark):
     finally:
         deregister_table(spark, "embeddings")
         ensure_tables(spark, SF_DIR)
+
+
+def test_decontaminate_detects_planted_contamination(spark):
+    """Semantic check the differential gate can't make: a train doc
+    sharing an exact 5-gram with an eval doc IS flagged (with correct
+    evidence counts), and clean train docs are NOT — on constructed
+    data where the ground truth is known by design."""
+    from datafusion_rdbms_ext_spark.catalog import deregister_table
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+
+    ensure_tables(spark, SF_DIR)
+    eval_text = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        # eval-benchmark side (source = src0)
+        (0, eval_text, "en", len(eval_text), "src0"),
+        # contaminated: embeds eval 5-gram "beta gamma delta epsilon zeta"
+        (1, "intro beta gamma delta epsilon zeta outro words", "en", 48, "src1"),
+        # clean: same vocabulary, no shared 5-gram
+        (2, "beta delta alpha zeta gamma epsilon eta words", "en", 46, "src1"),
+        # too short for a 5-gram: must not appear at all
+        (3, "tiny doc", "en", 8, "src1"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long, source string"
+    ).createOrReplaceTempView("documents")
+    try:
+        got = {
+            r["doc_id"]: (r["n_overlap"], r["n_eval_docs"])
+            for r in REGISTRY["llm_decontaminate"].fn(spark, SF_DIR).collect()
+        }
+        assert got == {1: (1, 1)}, got
+    finally:
+        deregister_table(spark, "documents")
+        ensure_tables(spark, SF_DIR)
+
+
+def test_train_split_assignment_is_stable_and_disjoint(spark):
+    """The hash-bucket split's operational guarantees: every doc gets
+    exactly one split, the assignment is identical across runs, it
+    does NOT change when new docs arrive (the anti-contamination
+    property randomSplit lacks), and proportions track 80/10/10."""
+    from datafusion_rdbms_ext_spark.queries.llm import _phash
+
+    def assign(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        bucket = _phash(F.col("doc_id").cast("string"), "split") % 100
+        split = (
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        )
+        return {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+
+    first = assign(range(1000))
+    assert set(first.values()) <= {"train", "val", "test"}
+    assert len(first) == 1000  # exactly one split per doc
+    again = assign(range(1000))
+    assert first == again  # deterministic across runs
+    grown = assign(range(2000))
+    assert all(grown[i] == first[i] for i in range(1000))  # no reassignment
+    frac = sum(1 for v in first.values() if v == "train") / 1000
+    assert 0.75 <= frac <= 0.85, frac
