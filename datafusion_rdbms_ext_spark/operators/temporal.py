@@ -110,15 +110,22 @@ def range_count(
     Counting keys on an internal per-row id, not the left row's
     content — two fully-identical left rows must each keep their own
     count, not share a doubled one."""
+    w = int(window_us)
     lid = left.withColumn("_lid", F.monotonically_increasing_id())
-    lb = lid.withColumn("_b", (ts_micros(F.col(on)) / window_us).cast("long"))
-    rb = right.select(
+    # Bucket ids via integer `div` (the catalog's `div 1000` convention):
+    # float division then cast("long") truncates toward zero AND loses
+    # precision above 2^53 — epoch-µs values are nonnegative so div is
+    # floor here, exactly.
+    lb = lid.withColumn("_t", ts_micros(F.col(on))).withColumn(
+        "_b", F.expr(f"_t div {w}")
+    )
+    rb = right.withColumn("_rt", ts_micros(F.col(on))).select(
         *by,
-        ts_micros(F.col(on)).alias("_rt"),
+        "_rt",
         F.explode(
             F.array(
-                (ts_micros(F.col(on)) / window_us).cast("long"),
-                (ts_micros(F.col(on)) / window_us).cast("long") + 1,
+                F.expr(f"_rt div {w}"),
+                F.expr(f"_rt div {w}") + 1,
             )
         ).alias("_b"),
     )
@@ -262,14 +269,16 @@ def interval_overlap_join(
             *[c for c in df.columns if c not in (*by, "_s", "_e")],
             F.explode(
                 F.sequence(
-                    (F.col("_s") / bucket_us).cast("long"),
-                    ((F.col("_e") - 1) / bucket_us).cast("long"),
+                    # Integer `div` (catalog convention): exact for the
+                    # full long range, floor for these nonnegative µs.
+                    F.expr(f"_s div {int(bucket_us)}"),
+                    F.expr(f"(_e - 1) div {int(bucket_us)}"),
                 )
             ).alias("_b"),
         )
 
     ab = buckets(a, "a").join(buckets(b, "b"), [*by, "_b"])
-    canonical = (F.greatest("_as", "_bs") / bucket_us).cast("long") == F.col("_b")
+    canonical = F.expr(f"greatest(_as, _bs) div {int(bucket_us)}") == F.col("_b")
     overlap = (F.col("_as") < F.col("_be")) & (F.col("_bs") < F.col("_ae"))
     return ab.filter(overlap & canonical).drop("_b", "_as", "_ae", "_bs", "_be")
 

@@ -251,6 +251,17 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
     def fn(batches):
         for b in batches:
             arr = b.column(b.schema.get_field_index("content"))
+            # Zero-length slices may carry a None offsets buffer, and a
+            # null payload would fold its (undefined) data-buffer bytes
+            # into byte_sum; neither occurs in the asset table, so skip
+            # the former and refuse the latter rather than mis-sum.
+            if len(arr) == 0:
+                continue
+            if arr.null_count:
+                raise ValueError(
+                    "extract_features_arrow: null content payloads "
+                    "unsupported (validity bitmap not consulted)"
+                )
             off_dtype = (
                 np.int64 if pa.types.is_large_binary(arr.type) else np.int32
             )

@@ -10,10 +10,13 @@ bounded state.
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
 from pyspark.sql import functions as F
+
+from .conftest import SMOKE_SF_DIR
 
 
 def _write_batch(spark, path: Path, rows):
@@ -172,7 +175,7 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+    batch = spark.read.parquet(os.path.join(SMOKE_SF_DIR, "events.parquet")).select(
         "event_id", "user_id", "value"
     )
     batch.repartition(8).write.parquet(src)
