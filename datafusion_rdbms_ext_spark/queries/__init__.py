@@ -22,6 +22,7 @@ from ..operators import skew  # noqa: E402,F401
 from ..operators import temporal  # noqa: E402,F401
 from ..sources import federation  # noqa: E402,F401
 from ..sources import pyds  # noqa: E402,F401
+from ..sources import pushdown  # noqa: E402,F401
 from ..sources import sinks  # noqa: E402,F401
 from ..sources import sqlite_fed  # noqa: E402,F401
 

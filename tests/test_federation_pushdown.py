@@ -207,3 +207,87 @@ def test_asof_join_tolerates_map_payload(spark):
     )
     out = asof_join(left, right, on="ts", by=("user_id",)).collect()
     assert len(out) == 1 and out[0]["matched"]["m"] == {"a": 1}
+
+
+# ---------------------------------------------------------------------------
+# Transparent plan-prefix pushdown (round-5: the optimizer-rule seam).
+# ---------------------------------------------------------------------------
+def test_transparent_agg_no_spark_aggregate(spark):
+    """fed_transparent_agg is plain DataFrame code; after the rewrite
+    the executed plan must hold NO Spark-side aggregate — the GROUP BY
+    ran on the database (optimizer.rs:14-39 contract)."""
+    df = REGISTRY["fed_transparent_agg"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(r"HashAggregate|SortAggregate|ObjectHashAggregate", p), p
+
+
+def test_transparent_join_no_spark_join(spark):
+    """Both fed relations, the join and the aggregate all unparse into
+    one remote SQL: no Spark-side join or aggregate survives."""
+    df = REGISTRY["fed_transparent_join"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(
+        r"HashAggregate|SortAggregate|BroadcastHashJoin|SortMergeJoin", p
+    ), p
+
+
+def test_transparent_unparse_sql_shape(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import _fed_table, try_unparse
+
+    df = (
+        _fed_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(5)
+    )
+    hit = try_unparse(df)
+    assert hit is not None
+    sql, sf_dir = hit
+    assert sf_dir == SF_DIR
+    assert "GROUP BY" in sql and "LIMIT 5" in sql
+    # Dialect pass stripped Spark literal suffixes (5000.0D -> 5000.0).
+    assert "5000.0" in sql and "5000.0D" not in sql
+
+
+def test_transparent_fallback_returns_original(spark):
+    """A plan containing a non-federated relation (local parquet join)
+    cannot be absorbed: the rewriter must hand back the ORIGINAL
+    DataFrame untouched — the else-branch of the optimizer rule."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_pushdown,
+    )
+
+    local = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    df = _fed_table(spark, SF_DIR, "customer").join(
+        local, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    assert transparent_pushdown(df) is df
+
+
+def test_transparent_remote_rejection_falls_back(spark):
+    """If the unparsed SQL trips a remote dialect gap, DESCRIBE fails
+    and the rewrite must fall through to the unrewritten plan, not
+    error. xxhash64 has no remote spelling."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_pushdown,
+    )
+
+    df = (
+        _fed_table(spark, SF_DIR, "nation")
+        .select(F.xxhash64("n_name").alias("h"))
+        .limit(3)
+    )
+    out = transparent_pushdown(df)
+    assert out is df  # rejected remotely -> original plan
+    assert len(out.collect()) == 3  # and it still runs Spark-side
