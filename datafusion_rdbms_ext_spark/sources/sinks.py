@@ -467,3 +467,99 @@ def sink_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DecimalType end-to-end: the reference's catalog maps Postgres
+# ``numeric`` to Decimal(38,4) (reference src/sqldb/postgres/
+# datatypes.rs:160-162, "default to Decimal(38,4)"). The engine's
+# money paths elsewhere use decimal only transiently (compat.dsum);
+# here a table with TRUE decimal(38,4) COLUMNS goes through the sink,
+# comes back as DecimalType(38,4), and feeds a q01-shape aggregate —
+# the §1.3 numeric row exercised as a real column type.
+# ---------------------------------------------------------------------------
+_DECIMAL_DIR_CONF = "spark.datafusion_rdbms_ext.decimal_dir"
+
+
+def decimal_money_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write a money table with decimal(38,4) columns once per session
+    (memoized), returning the written path. The doubles in the fixture
+    carry <=2 decimal digits, so the cast to scale 4 is exact — no
+    engine-specific rounding can leak into the differential gate."""
+    key = f"{_DECIMAL_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return existing
+    out = tempfile.mkdtemp(prefix="sink_money_decimal_")
+    (
+        spark.table("lineitem")
+        .select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_extendedprice").cast("decimal(38,4)").alias("price"),
+            F.col("l_tax").cast("decimal(38,4)").alias("tax"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    spark.conf.set(key, out)
+    return out
+
+
+@register(
+    "micro_decimal_money",
+    oracle="""
+    WITH money AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DECIMAL(38,4)) AS price,
+             CAST(l_tax AS DECIMAL(38,4)) AS tax
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price) AS VARCHAR) AS sum_price,
+           CAST(SUM(price - tax) AS VARCHAR) AS sum_net,
+           CAST(MIN(price) AS VARCHAR) AS min_price,
+           CAST(MAX(price) AS VARCHAR) AS max_price
+    FROM money
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="DecimalType(38,4) end-to-end (ref datatypes.rs:160-162 "
+    "numeric -> Decimal(38,4)): money table written through the "
+    "parquet sink with true decimal columns, read back as "
+    "DecimalType(38,4), aggregated q01-style with exact decimal "
+    "sums/min/max — all add/sub only, zero rounding ambiguity, "
+    "hash-matched against DuckDB DECIMAL. Final outputs cast to "
+    "string on BOTH engines: the gate's pandas transport narrows "
+    "remote DECIMAL(38,4) to float64, so exact decimal strings are "
+    "the only lossless wire format (the aggregation itself runs in "
+    "DecimalType — pinned by tests/test_skew_and_sinks.py).",
+    tags=("sink", "decimal"),
+)
+def micro_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q01-shape aggregate over true decimal(38,4) input columns.
+
+    Scale: identical plan shape to q01 (single scan, hash aggregate on
+    two low-cardinality keys); decimal sums cost linear CPU over
+    int128 accumulators — the disclosed price of exact money totals.
+    Parquet stores decimal(38,4) as FIXED_LEN_BYTE_ARRAY(16), so
+    column size is comparable to the doubles it replaces."""
+    money = spark.read.parquet(decimal_money_path(spark, sf_dir))
+    agg = money.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").alias("sum_price"),
+        F.sum(F.col("price") - F.col("tax")).alias("sum_net"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        *[
+            F.col(c).cast("string").alias(c)
+            for c in ("sum_price", "sum_net", "min_price", "max_price")
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -81,3 +81,25 @@ def test_csv_and_json_source_round_trip(spark):
     assert sorted(from_csv.collect()) == expected
     assert sorted(from_json.collect()) == expected
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_decimal_money_is_decimal_end_to_end(spark):
+    """The money sink's read-back columns must be true
+    DecimalType(38,4) (ref datatypes.rs:160-162), and the aggregate
+    must run in decimal — the string cast is presentation only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.sinks import decimal_money_path
+
+    from .conftest import SF_DIR
+
+    ensure_tables(spark, SF_DIR)
+    money = spark.read.parquet(decimal_money_path(spark, SF_DIR))
+    types = {f.name: f.dataType for f in money.schema.fields}
+    assert types["price"] == T.DecimalType(38, 4)
+    assert types["tax"] == T.DecimalType(38, 4)
+    agg = money.groupBy("l_returnflag").agg(F.sum("price").alias("s"))
+    assert isinstance(agg.schema["s"].dataType, T.DecimalType)
+    assert agg.schema["s"].dataType.scale == 4
