@@ -1790,6 +1790,125 @@ def llm_sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8f. Multiprobe IVFPQ + exact re-rank — the full production serving
+#     pipeline in one composition: nprobe>1 coarse cells bound the
+#     candidate set, ADC over 4-byte codes nominates a shortlist,
+#     exact distances decide. (Faiss: index.nprobe>1 on an IVFx,PQy
+#     index with refine.)
+# ---------------------------------------------------------------------------
+_IVFPQ_DIST_SQL = (
+    f"list_sum(list_transform(range(1, {_IVF_DIM + 1}),"
+    " i -> (e.eq[i]-c.cemb[i])*(e.eq[i]-c.cemb[i])))"
+)
+
+
+@register(
+    "llm_sim_topk_ivfpq_multiprobe",
+    oracle=f"""
+    WITH {_sql_lloyds_cells()},
+    {_sql_pq_chain(include_eqv=False)},
+    probes AS (
+      SELECT vec_id AS q_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVFPQ_DIST_SQL}, c.cid) AS rk
+        FROM eqv e CROSS JOIN cent{_IVF_ITERS} c
+        WHERE e.vec_id < {_PQ_NQ}) WHERE rk <= {_NPROBE}
+    ),
+    q AS (SELECT vec_id AS q_id, eq AS qe FROM eqv WHERE vec_id < {_PQ_NQ}),
+    adc AS (
+      SELECT q.q_id, b.vec_id,
+             {_sql_adc()} AS adist
+      FROM codes b
+      JOIN cells bc ON bc.vec_id = b.vec_id
+      JOIN probes p ON p.cell = bc.cell
+      JOIN q ON q.q_id = p.q_id AND b.vec_id <> q.q_id
+      {_sql_codebook_joins()}
+    ),
+    shortlist AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+        FROM adc) WHERE rk <= {_PQ_SHORTLIST}
+    ),
+    exact AS (
+      SELECT s.q_id, s.vec_id,
+             list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                      i -> (q.qe[i]-e.eq[i])*(q.qe[i]-e.eq[i]))) AS dist
+      FROM shortlist s
+      JOIN q ON q.q_id = s.q_id
+      JOIN eqv e ON e.vec_id = s.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rk
+      FROM exact
+    )
+    SELECT q_id, vec_id AS neighbor_id, CAST(dist AS BIGINT) AS dist,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc=f"Multiprobe IVFPQ + exact re-rank — the production serving "
+    f"pipeline composed end-to-end: each query probes its nprobe="
+    f"{_NPROBE} nearest learned cells (recall knob), ADC over the "
+    f"4-byte PQ codes nominates a {_PQ_SHORTLIST}-deep shortlist, and "
+    "exact integer distances re-rank the survivors. Every stage "
+    "re-runs identically in the SQL oracle; recall monotonicity vs "
+    "single-probe IVFPQ is property-tested.",
+    tags=("llm", "similarity"),
+)
+def llm_sim_topk_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per query: nprobe cells -> ADC shortlist -> exact re-rank.
+
+    Scale: probe selection is map-side (broadcast centroid array);
+    the candidate join shuffles on cell id only, touching
+    nprobe/K of the codes table per query; ADC joins broadcast 8-row
+    codebooks; exact vectors are fetched for shortlist rows alone.
+    At 100 TB this is the literal Faiss IVFx,PQy+refine dataflow:
+    compressed scan bounded by nprobe, raw-vector IO bounded by the
+    shortlist. Cells are disjoint, so multiprobe candidates never
+    need dedup."""
+    vecs = _quantize(spark)
+    cents = _learned_centroids(spark)
+    cells = _assign_cells(vecs, cents).select("vec_id", F.col("cid").alias("cell"))
+    books = _pq_codebooks(spark)
+    codes = _pq_codes(vecs, books)
+    qvecs = vecs.filter(F.col("vec_id") < _PQ_NQ)
+    probes = _probe_cells(qvecs, cents, _NPROBE).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("p_cell")
+    )
+    q = qvecs.select(F.col("vec_id").alias("q_id"), F.col("eq").alias("qe"))
+    cand = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(probes), F.col("cell") == F.col("p_cell"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+    )
+    cand, adist = _pq_adc(cand, books)
+    # Codes-only stage 1 (the pq_rerank discipline): drop qe before
+    # the rank shuffle, re-join it onto the shortlist survivors.
+    w1 = Window.partitionBy("q_id").orderBy("adist", "vec_id")
+    shortlist = (
+        cand.select("q_id", "vec_id", adist)
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= _PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    exact = (
+        shortlist.join(F.broadcast(q), "q_id")
+        .join(vecs.select("vec_id", F.col("eq").alias("beq")), "vec_id")
+        .select("q_id", "vec_id", _l2q(F.col("qe"), F.col("beq")).alias("dist"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "dist", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 9-12. Text analysis.
 # ---------------------------------------------------------------------------
 @register(

@@ -401,6 +401,20 @@ def test_pq_retrieval_quality_on_clustered_data(spark):
         got = {(r["q_id"], r["neighbor_id"]) for r in rer}
         recall = len(truth & got) / len(truth)
         assert recall >= 0.8, f"pq+rerank recall {recall:.2f} < 0.8"
+
+        # Multiprobe IVFPQ (nprobe cells -> ADC shortlist -> exact
+        # re-rank): must hold the same exact-truth recall bar, and
+        # nprobe>1 candidates are a superset of the single-probe
+        # cell's, so recall is monotone vs single-probe IVFPQ+rerank
+        # semantics. Against full-corpus pq_rerank (no cell pruning)
+        # the honest bound is <=, so assert the absolute bar.
+        mp = REGISTRY["llm_sim_topk_ivfpq_multiprobe"].fn(spark, SF_DIR).collect()
+        got_mp = {(r["q_id"], r["neighbor_id"]) for r in mp}
+        recall_mp = len(truth & got_mp) / len(truth)
+        assert recall_mp >= 0.8, f"multiprobe-IVFPQ recall {recall_mp:.2f} < 0.8"
+        # Cluster consistency, same bar as the other IVFPQ entries.
+        ok_mp = sum(1 for r in mp if labmap[r["q_id"]] == labmap[r["neighbor_id"]])
+        assert ok_mp / len(mp) >= 0.9, ok_mp / len(mp)
     finally:
         deregister_table(spark, "embeddings")
         ensure_tables(spark, SF_DIR)
