@@ -1,0 +1,285 @@
+"""Database connector seam — one shape, N dialects.
+
+The reference models its backend as a value object with a dialect
+switch: ``DatabaseConnector {db_type, params, db_name}``
+(/root/reference/src/sqldb/mod.rs:33-51) — one compile/partition/
+fetch pipeline designed to serve multiple engines even though only
+Postgres is implemented there. Before this module, the engine's two
+dialects (DuckDB in federation.py, SQLite in sqlite_fed.py) each
+carried their own copy of that pipeline; here the shared shape is
+extracted so a dialect is a :class:`Connector` subclass declaring its
+capabilities, and adding a third backend is configuration, not code:
+
+* ``fetch_pdf`` — one cursor, one SQL, one pandas frame (executor-
+  side; connectors carry only strings so tasks can pickle them);
+* ``catalog`` — the two-step metadata bootstrap (tables, then
+  columns) through whatever metadata surface the dialect has
+  (information_schema vs sqlite_master/PRAGMA — mod.rs:67-125);
+* ``partition_predicates`` — disjoint covering key ranges, planned
+  with the best remote capability available: quantile split points
+  where the dialect has a quantile aggregate, min/max equi-width
+  arithmetic (the Spark-JDBC lowerBound/upperBound shape) where it
+  does not;
+* ``supports_order_by_all`` — whether keyless results can be pinned
+  deterministically for LIMIT/OFFSET slicing; dialects without it
+  collapse keyless multi-partition fetches to one slice rather than
+  risk overlap/miss.
+
+``fetch_partitioned`` / ``connector_scan`` are the dialect-neutral
+execution pipeline: N Spark tasks each open their own remote cursor
+and stream one disjoint slice through ``mapInPandas`` — the
+reference's N concurrent COPY streams (PostgresExec,
+table_provider.rs:123-158), for any dialect.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Spark integral types usable as range-partition keys.
+_KEY_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+class Connector:
+    """One remote database: dialect identity + capabilities + cursors.
+
+    Subclasses hold only picklable state (paths), so instances travel
+    into executor tasks; connections are opened per fetch."""
+
+    db_type: str = "?"
+    supports_order_by_all: bool = False
+    supports_quantile_partitioning: bool = False
+
+    def fetch_pdf(self, sql: str) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def catalog(self) -> dict[str, T.StructType]:
+        raise NotImplementedError
+
+    def count(self, sql: str) -> int:
+        return int(self.fetch_pdf(f"SELECT COUNT(*) AS n FROM ({sql}) _t")["n"][0])
+
+    def partition_predicates(self, base_sql: str, key: str, partitions: int) -> list[str]:
+        raise NotImplementedError
+
+
+def _bounds_to_preds(key: str, bounds: list) -> list[str]:
+    """Disjoint covering predicates from sorted split points; the
+    unbounded-below slice absorbs NULL keys."""
+    if not bounds:
+        return ["TRUE"]
+    preds = [f"({key} < {bounds[0]} OR {key} IS NULL)"]
+    preds += [f"({key} >= {lo} AND {key} < {hi})" for lo, hi in zip(bounds, bounds[1:])]
+    preds.append(f"({key} >= {bounds[-1]})")
+    return preds
+
+
+class DuckDBConnector(Connector):
+    """Dialect one: DuckDB over the fixture parquet (the Postgres
+    stand-in of federation.py). Full capability set: information_schema
+    catalog, DESCRIBE of composed queries, quantile partition planning,
+    ORDER BY ALL determinism."""
+
+    db_type = "duckdb"
+    supports_order_by_all = True
+    supports_quantile_partitioning = True
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+
+    def _connect(self):
+        from .federation import _connect
+
+        return _connect(self.sf_dir)
+
+    def fetch_pdf(self, sql: str) -> pd.DataFrame:
+        con = self._connect()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            con.close()
+
+    def catalog(self) -> dict[str, T.StructType]:
+        from .federation import load_catalog
+
+        return load_catalog(self.sf_dir)
+
+    def describe(self, sql: str) -> T.StructType:
+        from .federation import describe_schema
+
+        return describe_schema(self.sf_dir, sql)
+
+    def partition_predicates(self, base_sql: str, key: str, partitions: int) -> list[str]:
+        """Remote-quantile split points: balanced slices even on
+        skewed keys (one metadata query)."""
+        qs = [i / partitions for i in range(1, partitions)]
+        con = self._connect()
+        try:
+            row = con.execute(
+                f"SELECT quantile_disc({key}, {qs!r}) FROM ({base_sql}) _t "
+                f"WHERE {key} IS NOT NULL"
+            ).fetchone()
+        finally:
+            con.close()
+        points = row[0] if row and row[0] is not None else []
+        return _bounds_to_preds(key, sorted(set(points)))
+
+
+class SQLiteConnector(Connector):
+    """Dialect two: stdlib SQLite. Coarser capabilities — PRAGMA
+    catalog, no composed-query DESCRIBE, no quantile aggregate (falls
+    back to min/max equi-width ranges), no ORDER BY ALL."""
+
+    db_type = "sqlite"
+    supports_order_by_all = False
+    supports_quantile_partitioning = False
+
+    def __init__(self, sf_dir: str | None, db_path: str | None = None):
+        self.sf_dir = sf_dir
+        self.db_path = db_path
+
+    def _db(self) -> str:
+        if self.db_path is not None:
+            return self.db_path
+        from .sqlite_fed import sqlite_db_path
+
+        return sqlite_db_path(self.sf_dir)
+
+    def fetch_pdf(self, sql: str) -> pd.DataFrame:
+        import sqlite3
+
+        con = sqlite3.connect(self._db())
+        try:
+            return pd.read_sql_query(sql, con)
+        finally:
+            con.close()
+
+    def catalog(self) -> dict[str, T.StructType]:
+        from .sqlite_fed import load_catalog_sqlite
+
+        return load_catalog_sqlite(self.sf_dir)
+
+    def partition_predicates(self, base_sql: str, key: str, partitions: int) -> list[str]:
+        """Equi-width min/max ranges (Spark-JDBC lowerBound/upperBound
+        arithmetic) — balance degrades on skew, the price of the
+        missing quantile capability."""
+        row = self.fetch_pdf(
+            f"SELECT MIN({key}) AS lo, MAX({key}) AS hi FROM ({base_sql}) _t"
+        )
+        lo, hi = row["lo"][0], row["hi"][0]
+        if lo is None or hi is None or pd.isna(lo) or pd.isna(hi) or lo == hi:
+            return ["TRUE"]
+        lo, hi = int(lo), int(hi)
+        span = (hi - lo + 1) / partitions
+        bounds = sorted({int(lo + i * span) for i in range(1, partitions)})
+        return _bounds_to_preds(key, [b for b in bounds if lo < b <= hi])
+
+
+def pick_partition_key(schema: T.StructType) -> str | None:
+    """First integral column — the default partitionColumn, like
+    Spark-JDBC's convention of keying on the integer PK."""
+    for f in schema.fields:
+        if isinstance(f.dataType, _KEY_TYPES):
+            return f.name
+    return None
+
+
+def fetch_partitioned(
+    spark: SparkSession,
+    conn: Connector,
+    base_sql: str,
+    schema: T.StructType,
+    partitions: int,
+    partition_key: str | None,
+    limited: bool = False,
+) -> DataFrame:
+    """Dialect-neutral partitioned execution of ``base_sql``: each
+    Spark task opens its own remote cursor and streams one disjoint
+    slice through ``mapInPandas`` (PostgresExec parity).
+
+    Keyed path: the dialect plans disjoint covering range predicates
+    with its best capability (quantiles or equi-width). Keyless path:
+    ORDER BY ALL LIMIT/OFFSET slices where the dialect supports the
+    deterministic total order, else ONE slice (overlap/miss-proof).
+    ``limited`` queries always fetch in one partition: a LIMIT under a
+    non-total order may pick different tie rows per re-execution."""
+    if limited:
+        partitions = 1
+    if partition_key is not None and partitions > 1:
+        if not any(
+            f.name == partition_key and isinstance(f.dataType, _KEY_TYPES)
+            for f in schema.fields
+        ):
+            raise ValueError(
+                f"partition_key {partition_key!r} is not an integral column "
+                f"of the result schema {[f.name for f in schema.fields]}"
+            )
+        preds = conn.partition_predicates(base_sql, partition_key, partitions)
+        part_sqls = [f"SELECT * FROM ({base_sql}) _t WHERE {p}" for p in preds]
+    elif partitions > 1 and conn.supports_order_by_all:
+        total = conn.count(base_sql)
+        per = (total + partitions - 1) // partitions if total else 0
+        part_sqls = [
+            f"SELECT * FROM ({base_sql}) _t ORDER BY ALL LIMIT {per} OFFSET {i * per}"
+            for i in range(partitions)
+            if per > 0
+        ] or [base_sql]
+    else:
+        part_sqls = [base_sql]
+
+    # repartitionByRange gives exactly one pid per task — a plain hash
+    # repartition collides pids (murmur3 on small ints), serializing
+    # two remote fetches in one task while another sits idle.
+    spec = spark.createDataFrame(
+        [(i, sql) for i, sql in enumerate(part_sqls)], "pid int, part_sql string"
+    ).repartitionByRange(len(part_sqls), "pid")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for sql in pdf["part_sql"]:
+                yield conn.fetch_pdf(sql)
+
+    return spec.mapInPandas(fetch, schema)
+
+
+def connector_scan(
+    spark: SparkSession,
+    conn: Connector,
+    table: str,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
+    limit: int | None = None,
+    partitions: int = 4,
+    partition_key: str | None = None,
+) -> DataFrame:
+    """Pushdown scan through any dialect: projection + filters (+
+    LIMIT where the dialect can pin a deterministic order) compiled to
+    remote SQL, fetched partitioned (table_provider.rs:79-159 parity,
+    parametrized over the connector)."""
+    full = conn.catalog()
+    if table not in full:
+        raise ValueError(f"unknown {conn.db_type} table {table!r}")
+    schema = full[table]
+    if columns:
+        schema = T.StructType([f for f in schema.fields if f.name in set(columns)])
+    cols = ", ".join(columns) if columns else "*"
+    sql = f"SELECT {cols} FROM {table}"
+    if predicates:
+        sql += " WHERE " + " AND ".join(f"({p})" for p in predicates)
+    if limit is not None:
+        if not conn.supports_order_by_all:
+            raise ValueError(
+                f"{conn.db_type}: LIMIT pushdown needs a deterministic "
+                "total order (ORDER BY ALL) — order explicitly instead"
+            )
+        # A bare LIMIT is nondeterministic across per-partition
+        # re-executions; ORDER BY ALL pins the selected row set.
+        sql += f" ORDER BY ALL LIMIT {limit}"
+    key = partition_key if partition_key is not None else pick_partition_key(schema)
+    return fetch_partitioned(
+        spark, conn, sql, schema, partitions, key, limited=limit is not None
+    )

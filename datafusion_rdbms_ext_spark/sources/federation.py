@@ -46,9 +46,6 @@ data. Partition count is a parameter (the reference hardcodes 4).
 from __future__ import annotations
 
 import os
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -230,17 +227,17 @@ def compile_query(
     return sql
 
 
-#: Spark integral types usable as range-partition keys.
-_KEY_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+# The partition planning + executor-fetch pipeline lives in the
+# dialect-neutral connector seam (connector.py — the reference's
+# DatabaseConnector shape, mod.rs:33-51); this module keeps its
+# public names as thin DuckDB-dialect bindings so the two dialects
+# cannot drift apart.
 
 
 def _pick_partition_key(schema: T.StructType) -> str | None:
-    """First integral column — the default partitionColumn, like
-    Spark-JDBC's convention of keying on the integer PK."""
-    for f in schema.fields:
-        if isinstance(f.dataType, _KEY_TYPES):
-            return f.name
-    return None
+    from .connector import pick_partition_key
+
+    return pick_partition_key(schema)
 
 
 def plan_range_predicates(
@@ -249,27 +246,10 @@ def plan_range_predicates(
     """Plan N disjoint, covering range predicates on ``key`` with
     remote-quantile split points — balanced slices even for skewed
     keys, where the naive (max-min)/N equi-width split is not.
+    (DuckDB-dialect binding of Connector.partition_predicates.)"""
+    from .connector import DuckDBConnector
 
-    One metadata query (min/max come free with the quantiles); each
-    partition's fetch is then a sort-free ``WHERE key >= lo AND
-    key < hi`` — no remote re-sorting, unlike LIMIT/OFFSET slicing."""
-    qs = [i / partitions for i in range(1, partitions)]
-    con = _connect(sf_dir)
-    row = con.execute(
-        f"SELECT quantile_disc({key}, {qs!r}) FROM ({base_sql}) _t "
-        f"WHERE {key} IS NOT NULL"
-    ).fetchone()
-    con.close()
-    points = row[0] if row and row[0] is not None else []
-    bounds: list = sorted(set(points))
-    if not bounds:
-        return ["TRUE"]  # empty or single-valued key set: one slice
-    preds = [f"({key} < {bounds[0]} OR {key} IS NULL)"]
-    preds += [
-        f"({key} >= {lo} AND {key} < {hi})" for lo, hi in zip(bounds, bounds[1:])
-    ]
-    preds.append(f"({key} >= {bounds[-1]})")
-    return preds
+    return DuckDBConnector(sf_dir).partition_predicates(base_sql, key, partitions)
 
 
 def plan_offset_slices(sf_dir: str, base_sql: str, partitions: int) -> list[str]:
@@ -295,49 +275,14 @@ def _fetch_partitioned(
     partition_key: str | None,
     limited: bool = False,
 ) -> DataFrame:
-    """Execute ``base_sql`` remotely as N parallel partition fetches
-    (PostgresExec parity, executor-side): each Spark task opens its
-    own database cursor and streams its slice through ``mapInPandas``.
+    """DuckDB-dialect binding of the shared partitioned fetch
+    (connector.fetch_partitioned — PostgresExec parity)."""
+    from .connector import DuckDBConnector, fetch_partitioned
 
-    Keyed path: sort-free range predicates from remote quantiles.
-    Keyless fallback: deterministic ORDER BY ALL LIMIT/OFFSET slices.
-    ``limited`` queries always fetch in ONE partition: a LIMIT under a
-    non-total ORDER BY may select different tie rows on each remote
-    re-execution, so slicing it across tasks could overlap/miss rows —
-    and a limited result is small by definition anyway."""
-    if limited:
-        partitions = 1
-    if partition_key is not None and partitions > 1:
-        if not any(
-            f.name == partition_key and isinstance(f.dataType, _KEY_TYPES)
-            for f in schema.fields
-        ):
-            raise ValueError(
-                f"partition_key {partition_key!r} is not an integral column "
-                f"of the result schema {[f.name for f in schema.fields]}"
-            )
-        preds = plan_range_predicates(sf_dir, base_sql, partition_key, partitions)
-        part_sqls = [f"SELECT * FROM ({base_sql}) _t WHERE {p}" for p in preds]
-    elif partitions > 1:
-        part_sqls = plan_offset_slices(sf_dir, base_sql, partitions)
-    else:
-        part_sqls = [base_sql]
-
-    # repartitionByRange gives exactly one pid per task — a plain hash
-    # repartition collides pids (murmur3 on small ints), serializing
-    # two remote fetches in one task while another sits idle.
-    spec = spark.createDataFrame(
-        [(i, sql) for i, sql in enumerate(part_sqls)], "pid int, part_sql string"
-    ).repartitionByRange(len(part_sqls), "pid")
-
-    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for sql in pdf["part_sql"]:
-                con = _connect(sf_dir)
-                yield con.execute(sql).fetchdf()
-                con.close()
-
-    return spec.mapInPandas(fetch, schema)
+    return fetch_partitioned(
+        spark, DuckDBConnector(sf_dir), base_sql, schema, partitions,
+        partition_key, limited,
+    )
 
 
 def federated_scan(

@@ -37,8 +37,6 @@ from __future__ import annotations
 import os
 import sqlite3
 import tempfile
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -126,25 +124,16 @@ def _equi_width_predicates(
     """Dialect-two partition planning: min/max equi-width ranges
     (the Spark-JDBC lowerBound/upperBound arithmetic). SQLite has no
     quantile aggregate, so balance degrades on skewed keys — the
-    capability the DuckDB dialect's quantile path adds back."""
-    con = sqlite3.connect(db)
-    try:
-        lo, hi = con.execute(
-            f"SELECT MIN({key}), MAX({key}) FROM ({base_sql}) _t"
-        ).fetchone()
-    finally:
-        con.close()
-    if lo is None or hi is None or lo == hi or partitions <= 1:
-        return ["1=1"]
-    span = (hi - lo + 1) / partitions
-    bounds = [int(lo + i * span) for i in range(1, partitions)]
-    bounds = sorted(set(b for b in bounds if lo < b <= hi))
-    if not bounds:
-        return ["1=1"]
-    preds = [f"({key} < {bounds[0]} OR {key} IS NULL)"]
-    preds += [f"({key} >= {a} AND {key} < {b})" for a, b in zip(bounds, bounds[1:])]
-    preds.append(f"({key} >= {bounds[-1]})")
-    return preds
+    capability the DuckDB dialect's quantile path adds back.
+    (Kept as a named binding of SQLiteConnector.partition_predicates;
+    ``db`` is accepted for signature stability but the connector
+    derives it from sf_dir at fetch time.)"""
+    from .connector import SQLiteConnector
+
+    if partitions <= 1:
+        return ["TRUE"]
+    conn = SQLiteConnector(None, db_path=db)
+    return conn.partition_predicates(base_sql, key, partitions)
 
 
 def sqlite_scan(
@@ -156,46 +145,22 @@ def sqlite_scan(
     partitions: int = 4,
     partition_key: str | None = None,
 ) -> DataFrame:
-    """Partitioned pushdown scan against the SQLite remote — the
-    same PostgresExec shape as ``federation.federated_scan``, through
-    dialect two. Projection and filters compile into each partition's
-    SQL; every Spark task opens its own DBAPI cursor executor-side."""
-    db = sqlite_db_path(sf_dir)
-    catalog = load_catalog_sqlite(sf_dir)
-    if table not in catalog:
-        raise ValueError(f"unknown sqlite table {table!r}")
-    full = catalog[table]
-    cols = columns or [f.name for f in full.fields]
-    schema = T.StructType([f for f in full.fields if f.name in cols])
-    base = f"SELECT {', '.join(cols)} FROM {table}"
-    if predicates:
-        base += " WHERE " + " AND ".join(f"({p})" for p in predicates)
-    key = partition_key
-    if key is None:
-        key = next(
-            (f.name for f in schema.fields if isinstance(f.dataType, T.LongType)),
-            None,
-        )
-    if key is not None and partitions > 1:
-        preds = _equi_width_predicates(db, base, key, partitions)
-        part_sqls = [f"SELECT * FROM ({base}) _t WHERE {p}" for p in preds]
-    else:
-        part_sqls = [base]
+    """Partitioned pushdown scan against the SQLite remote — the same
+    PostgresExec shape as ``federation.federated_scan``, now literally
+    the same code: ``connector.connector_scan`` parametrized over the
+    SQLite dialect (its connector declares PRAGMA cataloging,
+    equi-width partition planning, and no ORDER BY ALL)."""
+    from .connector import SQLiteConnector, connector_scan
 
-    spec = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(part_sqls)], "pid int, part_sql string"
-    ).repartitionByRange(len(part_sqls), "pid")
-
-    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for sql in pdf["part_sql"]:
-                con = sqlite3.connect(db)
-                try:
-                    yield pd.read_sql_query(sql, con)
-                finally:
-                    con.close()
-
-    return spec.mapInPandas(fetch, schema)
+    return connector_scan(
+        spark,
+        SQLiteConnector(sf_dir),
+        table,
+        columns=columns,
+        predicates=predicates,
+        partitions=partitions,
+        partition_key=partition_key,
+    )
 
 
 @register(

@@ -97,10 +97,12 @@ def test_broadcast_hints_only_on_fixed_dims():
     # global count; ns is the drift audit's per-SOURCE totals (the
     # training-mix catalog — dozens of rows, not data-scaling) and
     # tot its 1-row corpus count; cb.select(...) is a PQ codebook
-    # (exactly _PQ_K=8 codeword rows per subspace at any scale).
+    # (exactly _PQ_K=8 codeword rows per subspace at any scale);
+    # probes is the multiprobe cell list — nprobe rows per QUERY
+    # vector (_NPROBE * _PQ_NQ rows), bounded by the query set like q.
     allowed = {
         "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
-        "mix_spec", "candidates", "total", "ns", "tot",
+        "mix_spec", "candidates", "total", "ns", "tot", "probes",
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
