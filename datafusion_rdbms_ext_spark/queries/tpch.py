@@ -800,11 +800,16 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q18 — large-volume customers: IN over a grouped-HAVING subquery.
-# SUM(l_quantity) is integer-valued → plain SUM is exact/deterministic.
-# Scale: big_orders' size is data-dependent (HAVING qty>250), so no
-# broadcast hint — AQE sees the post-aggregate size at runtime and
-# picks broadcast vs shuffle semi-join itself. o_orderkey tie-breaks
-# the LIMIT cutoff.
+# Scale: the engine-side plan REUSES the HAVING subquery's aggregate
+# as the output column — o_orderkey functionally determines every
+# other group key (order -> customer), so the spec's re-join of
+# lineitem + 5-column re-aggregate computes the SAME per-order sum a
+# second time. One lineitem scan, one high-cardinality aggregate,
+# then joins against the few qualifying orders (data-dependent size —
+# no broadcast hint; AQE sees the post-HAVING size at runtime).
+# o_orderkey tie-breaks the LIMIT cutoff. This halved the query's
+# run-to-run tail (the former plan aggregated lineitem twice; the
+# second pass's hash map was the bench straggler — r4 "q18 2.48x").
 # ---------------------------------------------------------------------------
 @register(
     "q18_large_volume_customer",
@@ -823,23 +828,21 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "in-subquery", "bench"),
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = spark.table("lineitem")
     big_orders = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 250)
-        .select("l_orderkey")
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
     )
     return (
-        lineitem.join(
-            big_orders.withColumnRenamed("l_orderkey", "big_orderkey"),
-            F.col("l_orderkey") == F.col("big_orderkey"),
-            "left_semi",
+        big_orders.join(
+            spark.table("orders"), F.col("o_orderkey") == F.col("l_orderkey")
         )
-        .join(spark.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(spark.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
         .limit(100)
     )
