@@ -37,106 +37,76 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: olap/temporal/multimodal operators. The remaining TPC-H, micro and
 #: window queries — all driver-proven green in CORRECTNESS_r02 — keep
 #: their local pytest-gate coverage and follow after slot 50.
+#: ROUND-5 ROTATION (VERDICT r4 next #1): every query that has EVER
+#: been green in a round's CORRECTNESS gate keeps that proof (and its
+#: local differential-gate coverage); the 50 recorded slots now go to
+#: the 43 SQL-oracled queries that have NEVER had driver hard-signal,
+#: this round's 4 new queries, and 3 sentinels from already-proven
+#: families (regression canaries: one TPC-H, one dedup, one OLAP).
+#: mm_resize_pool (rows-only by design) stays outside — a rows-only
+#: row would waste a hash-checked slot.
 _PRIORITY: tuple[str, ...] = (
-    # flagship TPC-H (7): aggregation, correlated subquery, top-N
-    # join, filter-agg, multi-way join, view session, EXISTS/NOT
-    # EXISTS. q18 (HAVING) rotates out to make room for the join-
-    # pushdown federation query; like the rest of TPC-H it stays
-    # driver-proven from r2 plus local-gate covered.
+    # sentinels (driver-proven r2-r4; keep one canary per big family)
     "q01_pricing_summary",
-    "q02_top_balance_per_nation",
-    "q03_shipping_priority",
-    "q06_forecast_revenue",
-    "q09_product_profit",
-    "q15_top_supplier",
-    "q21_suppliers_who_kept_waiting",
-    # LLM training-data pipeline (18). llm_dedup_fingerprint (the
-    # second of two digest-rollup queries, r2-driver-proven) rotates
-    # to the local gate for the heavy-hitters sketch.
-    "llm_dedup_exact",
-    # llm_heavy_hitters / llm_train_split / llm_sim_topk_ivf rotate to
-    # the local gate (driver-proven r3) for the decontamination,
-    # mixture-sampling and end-to-end pipeline queries — the stronger
-    # never-driver-proven training-data claims.
-    "llm_decontaminate",
     "llm_dedup_minhash_lsh",
-    "llm_dedup_ngram_exact",
-    "llm_dedup_simhash",
-    "llm_dedup_clusters",
-    "llm_dedup_embedding",
-    # digest-level incremental (r3-proven) hands its slot to the
-    # LSH-index probe — the stronger continuous-ingest claim.
-    "llm_dedup_incremental_lsh",
-    "llm_fingerprint_winnow",
-    "llm_mixture_sample",
-    # brute-force top-k (r3-proven) hands its slot to the PQ
-    # shortlist+exact-rerank index — the memory-compression ANN
-    # pillar in its production serving shape (raw-ADC llm_sim_topk_pq
-    # stays local-gate).
-    "llm_sim_topk_pq_rerank",
-    "llm_pipeline_end2end",
-    # learned-IVF (r3-proven) hands its slot to the IVFPQ composition
-    # — coarse pruning + code-table scoring, the production index.
-    "llm_sim_topk_ivfpq",
-    # TF-IDF pair similarity replaces llm_text_stats (a simple map-
-    # side rollup, r3-local-proven) — the weighted inverted-index
-    # path is the stronger hard-signal claim.
-    "llm_sim_tfidf_pairs",
-    "llm_token_topk",
-    "llm_seq_pack",
-    "llm_pii_redact",
-    # event-time analytics (2: tumbling + the Spark-4 VARIANT access
-    # query; session/json/pivot/sliding all driver-proven r2/r3, now
-    # local-gate)
-    "ev_tumbling_daily",
-    "ev_variant_props",
-    # ev_json_props (r3-proven) rotates out for the interval-overlap
-    # join, completing the temporal operator family's hard signal.
-    "op_interval_overlap",
-    "stream_fed_sink",
-    # Structured Streaming (5; session windows and stream_dedup
-    # rotate to the local gate, driver-proven r2/r3)
-    "stream_tumbling_counts",
-    "stream_append_windows",
-    "stream_stateful_user_counts",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    # stream_dedup (r3-proven) rotates out for the map-side
-    # repetition quality filter.
-    "llm_repetition_filter",
-    # federation (5 + stream_fed_sink above; batch fed sink and limit
-    # pushdown rotate to the local gate, both driver-proven r3)
-    "fed_pushdown_scan",
-    "fed_join_local",
-    "fed_datasource_scan",
-    "fed_agg_pushdown",
-    "fed_join_pushdown",
-    # fed_limit_pushdown (r3-proven) rotates out for the salted
-    # hot-key aggregation — the skew story's first driver signal.
-    "op_salted_agg",
-    # OLAP extensions (2; funnel rotates to the local gate,
-    # driver-proven r3 — skyline and cohort are the scale claims)
-    "olap_skyline_2d",
-    "olap_cohort_retention",
-    # temporal operators (5): the r3-broken pair (fixed this round —
-    # timestamp-encoding regression, tests/test_ts_encoding.py) plus
-    # the hypertable-class aggregates and the pandas full-group
-    # surface, none of which ever had driver signal.
-    "op_asof_purchase_click",
-    "op_range_join_count",
-    "op_time_weighted_avg",
-    "op_counter_delta",
-    "op_gap_stats_pandas",
-    # multimodal (1; mm_resize_pool is rows-only — a wasted hard-
-    # signal slot — and mm_modality_rollup rotates to the local gate
-    # to admit the second federation dialect)
-    "mm_binary_features",
-    # second federation dialect (SQLite behind the same pushdown seam)
-    "fed_sqlite_scan",
-    # sink surface (1): dynamic partition pruning is the stronger
-    # claim than the jsonl/csv roundtrips (both local-gate covered);
-    # micro_map_access rotates to the local gate (driver-proven r3)
-    "sink_dynamic_partition_pruning",
+    "olap_funnel",
+    # new this round: transparent plan-prefix pushdown (x2), decimal
+    # end-to-end, multiprobe IVFPQ serving pipeline
+    "fed_transparent_agg",
+    "fed_transparent_join",
+    "micro_decimal_money",
+    "llm_sim_topk_ivfpq_multiprobe",
+    # Spark-4 / expression-surface micros, never driver-proven
+    "micro_three_part_names",
+    "micro_unpivot",
+    "micro_lateral_posexplode",
+    "micro_hof_array",
+    "micro_udtf_tokens",
+    "micro_hll_sketch_merge",
+    "micro_recursive_cte",
+    "micro_try_arithmetic",
+    "micro_union_evolved",
+    "micro_lateral_topn",
+    # event-time analytics, never driver-proven
+    "ev_sliding_6h_3h",
+    "ev_rollup_gapfill",
+    "ev_pivot_daily_types",
+    # LLM pipeline operators, never driver-proven
+    "llm_dedup_fingerprint",
+    "llm_sim_topk_udf",
+    "llm_sim_topk_ivf_multiprobe",
+    "llm_sim_topk_pq",
+    "llm_text_stats",
+    "llm_text_quality",
+    "llm_text_langid",
+    "llm_token_pagerank",
+    "llm_dedup_fuzzy",
+    "llm_corpus_upsert",
+    "llm_profile_columns",
+    "llm_quality_audit",
+    "llm_rollup_maintenance",
+    "llm_source_drift",
+    "llm_chunk_overlap",
+    # streaming, never driver-proven
+    "stream_session_windows",
+    "stream_static_join",
+    # multimodal, never driver-proven
+    "mm_modality_rollup",
+    "mm_arrow_features",
+    # operators, never driver-proven
+    "op_bucketed_join",
+    "op_salted_join",
+    "op_grouped_agg_udf",
+    "op_asof_forward",
+    # federation stream replay, never driver-proven
+    "fed_stream_replay",
+    # sink/source roundtrips (sinks.py), never driver-proven
+    "sink_partitioned_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "sink_clustered_layout",
 )
 
 

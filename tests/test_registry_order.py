@@ -75,3 +75,36 @@ def test_survey_section2_names_resolve():
     }
     missing = [t for t in missing if t not in allowed_prose]
     assert not missing, f"SURVEY cites unregistered queries: {missing}"
+
+
+def test_survey_bench_total_matches_latest_bench_artifact():
+    """Doc-sync guard (VERDICT r4 wrong #2): any 'NN.Ns over NN tagged
+    queries' claim in SURVEY.md must agree with the latest
+    BENCH_r*.json within 25% — a doc citing a number the artifact
+    doesn't back is a silent drift."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    benches = sorted(root.glob("BENCH_r*.json"))
+    latest = None
+    for b in reversed(benches):
+        d = json.loads(b.read_text())
+        parsed = d.get("parsed") or (d if "queries" in d else None)
+        if parsed and parsed.get("queries"):
+            latest = (b.name, parsed)
+            break
+    if latest is None:
+        return  # no bench artifact yet (fresh clone)
+    name, parsed = latest
+    total, nq = float(parsed["value"]), len(parsed["queries"])
+    text = (root / "SURVEY.md").read_text()
+    claims = re.findall(r"(\d+(?:\.\d+)?)s over (\d+) tagged queries", text)
+    for val, n in claims:
+        if int(n) != nq:
+            continue  # a claim about an older, differently-sized suite
+        assert abs(float(val) - total) / total <= 0.25, (
+            f"SURVEY claims {val}s over {n} queries; {name} records "
+            f"{total}s over {nq} — update the doc or cite the artifact"
+        )
