@@ -1,0 +1,136 @@
+"""Scale-growth probe: sf0.1 vs a synthesized ~sf1 (10x replicas).
+
+The per-round bench at sf0.1 runs 0.2-2s/query — fixed overhead
+(scheduling, JVM) dominates and hides asymptotics. This probe
+synthesizes a ~10x corpus locally and re-times the most expensive
+bench queries at both scales; a scale-safe plan should grow
+<= ~linearly in data size (ratio ~<= 10 with generous slack for the
+fixed-overhead floor at the small scale making the ratio LOOK small,
+and shuffle-width effects making it wander above 10x slightly).
+
+Synthesis (re-keyed union, NOT plain duplication):
+
+* documents: 10 replicas, ``doc_id`` offset per replica, and every
+  TOKEN suffixed with the replica index (regexp_replace) — replicas
+  share no shingles, so duplicate/near-duplicate DENSITY matches the
+  original corpus instead of exploding quadratically (10 literal
+  copies of each doc would add 45 intra-group pairs per doc and
+  measure the data's pair structure, not the engine's scaling).
+* lineitem/orders/customer: join/group keys offset per replica
+  (l_orderkey/o_orderkey/o_custkey/c_custkey), so group counts and
+  join fan-outs scale linearly like a real bigger TPC-H would.
+
+Run:  python scripts/scale_probe.py          (writes stderr table)
+      SCALE_PROBE_RUNS=3 python scripts/scale_probe.py
+
+Results are recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datafusion_rdbms_ext_spark.queries import REGISTRY  # noqa: E402
+from datafusion_rdbms_ext_spark.queries.base import ensure_tables  # noqa: E402
+from datafusion_rdbms_ext_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark_graft_sfx10")
+FACTOR = 10
+KEY_OFFSET = 100_000_000
+
+#: The 6 most expensive BENCH_r04 queries (the asymptotically
+#: interesting rows: dedup pair generation + the two heavy TPC-H).
+QUERIES = (
+    "llm_dedup_ngram_exact",
+    "llm_dedup_clusters",
+    "q01_pricing_summary",
+    "q18_large_volume_customer",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash",
+)
+
+RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))
+
+
+def synthesize(spark) -> None:
+    done = os.path.join(DST, "_SYNTH_DONE")
+    if os.path.exists(done):
+        return
+    os.makedirs(DST, exist_ok=True)
+    print(f"# synthesizing {FACTOR}x corpus into {DST}", file=sys.stderr)
+
+    def replicas(df, keys, retoken=None):
+        out = None
+        for i in range(FACTOR):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if retoken:
+                r = r.withColumn(
+                    retoken, F.regexp_replace(retoken, r"(\S+)", rf"$1x{i}")
+                )
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    spec = {
+        "documents": (["doc_id"], "text"),
+        "lineitem": (["l_orderkey"], None),
+        "orders": (["o_orderkey", "o_custkey"], None),
+        "customer": (["c_custkey"], None),
+    }
+    for name, (keys, retoken) in spec.items():
+        src = os.path.join(SRC, f"{name}.parquet")
+        df = spark.read.parquet(src)
+        replicas(df, keys, retoken).write.mode("overwrite").parquet(
+            os.path.join(DST, f"{name}.parquet")
+        )
+    # Tables the probe queries don't scan stay at sf0.1 (symlinked) —
+    # the catalog requires the full fixture set to register.
+    from datafusion_rdbms_ext_spark.catalog import TABLES
+
+    for name in TABLES:
+        dst_p = os.path.join(DST, f"{name}.parquet")
+        src_p = os.path.join(SRC, f"{name}.parquet")
+        if not os.path.exists(dst_p) and os.path.exists(src_p):
+            os.symlink(src_p, dst_p)
+    open(done, "w").write("ok")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    ensure_tables(spark, sf_dir)
+    out: dict[str, float] = {}
+    for name in QUERIES:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = best
+        print(f"# {sf_dir}: {name} {best:.2f}s", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("scale-probe")
+    synthesize(spark)
+    small = time_queries(spark, SRC)
+    big = time_queries(spark, DST)
+    print(f"\n| query | sf0.1 (s) | ~sf1 (s) | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        r = big[name] / small[name] if small[name] else float("nan")
+        print(f"| {name} | {small[name]:.2f} | {big[name]:.2f} | {r:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
