@@ -54,6 +54,10 @@ _PRIORITY: tuple[str, ...] = (
     # end-to-end, multiprobe IVFPQ serving pipeline
     "fed_transparent_agg",
     "fed_transparent_join",
+    # window pushdown (beyond the reference's unparser) takes the
+    # slot of llm_text_stats — the weakest never-proven claim (simple
+    # map-side rollup; stays local-gate covered).
+    "fed_transparent_window",
     "micro_decimal_money",
     "llm_sim_topk_ivfpq_multiprobe",
     # Spark-4 / expression-surface micros, never driver-proven
@@ -76,7 +80,6 @@ _PRIORITY: tuple[str, ...] = (
     "llm_sim_topk_udf",
     "llm_sim_topk_ivf_multiprobe",
     "llm_sim_topk_pq",
-    "llm_text_stats",
     "llm_text_quality",
     "llm_text_langid",
     "llm_token_pagerank",

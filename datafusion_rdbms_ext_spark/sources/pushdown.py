@@ -158,9 +158,33 @@ class _Unparser:
             else:
                 raise _Unsupported("outer join without condition")
             return f"SELECT * FROM {left} {jt} JOIN {right}{on}"
-        if nm == "Distinct":
+        if nm == "Deduplicate":
+            # df.distinct() analyzes to Deduplicate over ALL output
+            # columns -> SELECT DISTINCT. dropDuplicates(subset) keeps
+            # an ARBITRARY row per key — not expressible
+            # deterministically in SQL, so fall through.
+            keys = {a.name() for a in _seq(node.keys())}
+            cols = {a.name() for a in _seq(node.child().output())}
+            if keys != cols:
+                raise _Unsupported("Deduplicate over a column subset")
             return (
                 f"SELECT DISTINCT * FROM ({self.unparse(node.child())}) "
+                f"{self._alias()}"
+            )
+        if nm == "Union":
+            kids = [
+                node.children().apply(i) for i in range(node.children().size())
+            ]
+            parts = [
+                f"SELECT * FROM ({self.unparse(k)}) {self._alias()}" for k in kids
+            ]
+            # Catalyst Union is UNION ALL; distinct unions add a
+            # Deduplicate node above (handled separately).
+            return " UNION ALL ".join(parts)
+        if nm == "Window":
+            wins = ", ".join(e.sql() for e in _seq(node.windowExpressions()))
+            return (
+                f"SELECT *, {wins} FROM ({self.unparse(node.child())}) "
                 f"{self._alias()}"
             )
         raise _Unsupported(nm)
@@ -304,3 +328,39 @@ def fed_transparent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return transparent_pushdown(df).orderBy("n_name")
+
+
+@register(
+    "fed_transparent_window",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+                 RANK() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rk
+          FROM customer) t
+    WHERE rk <= 2
+    ORDER BY c_nationkey, rk, c_custkey
+    """,
+    doc="Transparent WINDOW pushdown — beyond the reference's unparser "
+    "(parser.rs has no window arm): a rank() window over the fed "
+    "source, written as plain DataFrame code, unparses into remote "
+    "SQL including the OVER clause (Catalyst WindowExpression.sql) "
+    "and executes database-side; the rk<=2 filter becomes a WHERE "
+    "over the windowed subquery. Ties broken by c_custkey in both "
+    "engines for determinism.",
+    tags=("federation", "pushdown"),
+)
+def fed_transparent_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _fed_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn(
+            "rk",
+            F.expr(
+                "rank() over (partition by c_nationkey "
+                "order by c_acctbal desc, c_custkey)"
+            ).cast("long"),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+    return transparent_pushdown(df).orderBy("c_nationkey", "rk", "c_custkey")

@@ -291,3 +291,39 @@ def test_transparent_remote_rejection_falls_back(spark):
     out = transparent_pushdown(df)
     assert out is df  # rejected remotely -> original plan
     assert len(out.collect()) == 3  # and it still runs Spark-side
+
+
+def test_transparent_window_no_spark_window(spark):
+    """fed_transparent_window's rank() must execute remotely: no
+    Spark Window node above the scan (the reference's unparser has no
+    window arm — this exceeds it)."""
+    df = REGISTRY["fed_transparent_window"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(r"\bWindow\b|RunningWindowFunction", p), p
+
+
+def test_transparent_distinct_union_push_and_subset_fallback(spark):
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_pushdown,
+        try_unparse,
+    )
+
+    d = _fed_table(spark, SF_DIR, "customer").select("c_nationkey").distinct()
+    sql, _ = try_unparse(d)
+    assert "SELECT DISTINCT" in sql
+    assert transparent_pushdown(d).count() == 25
+
+    u = (
+        _fed_table(spark, SF_DIR, "nation")
+        .select("n_name")
+        .union(_fed_table(spark, SF_DIR, "region").select("r_name"))
+    )
+    sql_u, _ = try_unparse(u)
+    assert "UNION ALL" in sql_u
+    assert transparent_pushdown(u).count() == 30
+
+    # dropDuplicates over a SUBSET keeps an arbitrary row per key —
+    # not deterministic SQL; must fall back untouched.
+    dd = _fed_table(spark, SF_DIR, "customer").dropDuplicates(["c_nationkey"])
+    assert transparent_pushdown(dd) is dd
