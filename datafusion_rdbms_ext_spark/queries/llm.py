@@ -3636,3 +3636,257 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_text"),
         (end - F.col("s")).cast("long").alias("n_tok"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# 17. Verbatim-span (substring) dedup — the "Deduplicating Training
+#     Data Makes Language Models Better" (Lee et al., 2022) signal:
+#     two documents sharing ANY sufficiently-long verbatim token run
+#     are near-duplicates regardless of overall Jaccard. The paper
+#     uses suffix arrays; the distributed approximation is an
+#     inverted index over long n-grams — a shared W-token window
+#     exists iff a shared W-gram exists, so the index is exact for
+#     span detection at W-token granularity.
+# ---------------------------------------------------------------------------
+_SPAN_W = 10  # minimum verbatim run length, in tokens
+_SPAN_CAP = 50  # df-cap: a W-gram in more docs than this is boilerplate
+
+
+@register(
+    "llm_dedup_substring",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SPAN_W}
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - {_SPAN_W - 2}),
+                    i -> md5(array_to_string(w[i:i+{_SPAN_W - 1}], ' ')))) AS h
+      FROM docs
+    ),
+    df AS (SELECT h, COUNT(*) AS c FROM g GROUP BY h),
+    rare AS (SELECT g.doc_id, g.h FROM g JOIN df USING (h)
+             WHERE df.c BETWEEN 2 AND {_SPAN_CAP}),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM p ORDER BY doc_a, doc_b
+    """,
+    doc=f"Verbatim-span dedup (Lee et al. 2022 suffix-array signal, "
+    f"distributed as a {_SPAN_W}-gram inverted index with df-cap "
+    f"{_SPAN_CAP}): flags document pairs sharing any {_SPAN_W}-token "
+    "verbatim run — catches cross-document quotation/boilerplate that "
+    "whole-document Jaccard misses.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of documents sharing >=1 verbatim 10-token span.
+
+    Scale: same inverted-index plan as ``llm_dedup_ngram_exact`` but
+    with LONG shingles, which are far rarer — posting lists are short
+    and the df-cap bounds the worst case, so pair generation is
+    O(cap^2) per W-gram. W-gram strings are hashed MAP-SIDE at the
+    explode (xxhash64, 8-byte keys), so no shuffle ever carries a
+    ~60-byte shingle string. At 100 TB this is the standard scalable
+    stand-in for a suffix array: the suffix array finds runs >= W at
+    exact boundaries, the W-gram index finds exactly the same pairs
+    (any run of length >= W contains a W-gram) at 1/W the index size
+    of per-position suffixes."""
+    w = F.split(F.col("text"), " ")
+    grams = (
+        spark.table("documents")
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_SPAN_W}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(w, i + 1, {_SPAN_W}))))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    df_counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    rare = grams.join(
+        df_counts.filter((F.col("c") >= 2) & (F.col("c") <= _SPAN_CAP)), "h"
+    ).select("doc_id", "h")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "h")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. Unigram-frequency quality score — the exact-arithmetic stand-in
+#     for LM-perplexity filtering (CCNet/Gopher-style): score each
+#     document by the average corpus frequency of its tokens, in
+#     parts-per-million. Low-score documents are built from rare/
+#     anomalous vocabulary (OOV-ish, boilerplate codes, noise); the
+#     integer ppm quantization keeps engine and oracle bit-identical
+#     where a floating log-prob could drift by an ulp.
+# ---------------------------------------------------------------------------
+_PPM_OUTLIERS = 20  # report the N most-anomalous documents
+
+
+@register(
+    "llm_quality_unigram_ppm",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c) AS s FROM tc),
+    scored AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tok,
+             AVG(tc.c * 1000000 // tot.s) AS ppm_avg,
+             MIN(tc.c * 1000000 // tot.s) AS ppm_min
+      FROM tok JOIN tc ON tc.t = tok.t CROSS JOIN tot
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tok, ROUND(ppm_avg, 6) AS ppm_avg,
+           CAST(ppm_min AS BIGINT) AS ppm_min
+    FROM scored
+    ORDER BY ppm_avg, doc_id
+    LIMIT {_PPM_OUTLIERS}
+    """,
+    doc="Unigram-LM quality filter (exact-integer perplexity proxy): "
+    "corpus token frequencies in ppm, per-document average and "
+    "minimum, lowest-scoring documents reported — the CCNet/Gopher "
+    "'rare-vocabulary' quality axis without a float log whose ulp "
+    "could differ across engines.",
+    tags=("llm", "text", "bench"),
+)
+def llm_quality_unigram_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most vocabulary-anomalous documents by mean token ppm.
+
+    Scale: two aggregations and one join, all on the token column —
+    the unigram table is vocabulary-sized (~sqrt corpus by Heaps'
+    law), never broadcast (the token-keyed join handles any
+    vocabulary size), and the per-doc rollup is a partial-aggregate
+    shuffle on doc_id. The 1-row total joins as a broadcast cross.
+    This is the frequency half of an LM-perplexity filter; swapping
+    in real LM scores is a pandas_udf at the `scored` step, the rest
+    of the plan unchanged."""
+    tok = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.agg(F.sum("c").alias("s"))
+    ppm = F.expr("c * 1000000 div s")
+    return (
+        tok.join(tc, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(ppm), 6).alias("ppm_avg"),
+            F.min(ppm).alias("ppm_min"),
+        )
+        .orderBy("ppm_avg", "doc_id")
+        .limit(_PPM_OUTLIERS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. SemDeDup — semantic deduplication (Abbas et al., 2023): k-means
+#     cluster the embedding space, then prune, within each cluster,
+#     any vector that has a semantically near-identical predecessor
+#     (cosine >= tau). Clustering bounds the pair generation exactly
+#     like IVF bounds ANN search: pairs are only formed inside a
+#     cluster, never across the corpus.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "llm_semdedup",
+    oracle=f"""
+    WITH {{cells}},
+    base AS (SELECT b.vec_id, cl.cell, b.embedding, {{norm}} AS nrm
+             FROM embeddings b JOIN cells cl ON cl.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+          FROM base),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM q JOIN base b ON b.cell = q.cell AND q.q_id < b.vec_id
+      WHERE {{dot}} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT base.cell,
+           COUNT(*) AS n_vecs,
+           COUNT(pruned.vec_id) AS n_pruned,
+           CAST(COUNT(*) - COUNT(pruned.vec_id) AS BIGINT) AS n_kept
+    FROM base LEFT JOIN pruned ON pruned.vec_id = base.vec_id
+    GROUP BY base.cell
+    ORDER BY base.cell
+    """,
+    doc=f"SemDeDup (Abbas et al. 2023): learned k-means clusters "
+    f"(the IVF Lloyd's chain reused verbatim) bound pair generation; "
+    f"within a cluster, a vector with a lower-id neighbor at cosine "
+    f">= {_SEMDEDUP_TAU} is pruned. The oracle re-runs the identical "
+    "integer k-means and pruning rule in SQL.",
+    tags=("llm", "dedup", "similarity", "bench"),
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster corpus reduction under semantic near-dup pruning.
+
+    Scale: the two scale hazards of naive semantic dedup — an O(N^2)
+    cosine matrix and a global sort — are both structurally absent.
+    K-means cost is the IVF training cost (map-side assignment via a
+    broadcast centroid array, K*dim update shuffles); the pair join
+    is bucketed by cell, so with K ~ sqrt(N) clusters the expected
+    per-cell work stays bounded; the prune test is a cell-local
+    semi-join shape (dedup via DISTINCT on the pruned side). At
+    100 TB the same plan runs with K raised to keep cells
+    executor-sized — the SemDeDup paper's own recipe (they cluster
+    into 11k clusters for LAION)."""
+    base = (
+        _vectors_with_norm(spark)
+        .join(learned_ivf_cells(spark), "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    cos = _dot(F.col("a_emb"), F.col("embedding")) / (F.col("a_nrm") * F.col("nrm"))
+    pruned = (
+        a.join(base, "cell")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        base.join(pruned, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("is_pruned")).cast("long").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+# Fill in the heavyweight SQL fragments (kept out of the f-string
+# above for readability): the learned-cells CTE chain, the norm, and
+# the q-vs-b pair dot product.
+from .base import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["llm_semdedup"].oracle = _REGISTRY["llm_semdedup"].oracle.format(
+    cells=_sql_lloyds_cells(), norm=_SQL_NORM, dot=_SQL_PAIR_DOT
+)

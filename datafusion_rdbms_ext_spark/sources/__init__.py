@@ -7,4 +7,10 @@ adds the driver-brief extension sources: opaque multimodal binary
 assets with typed metadata (multimodal.py).
 """
 
-from .multimodal import extract_features, load_assets, resize_pool  # noqa: F401
+# NOTE: deliberately NO eager submodule imports. The Python
+# DataSource workers (pyds.py) unpickle classes by module path, which
+# imports this package __init__ in every spawned worker; an eager
+# `from .multimodal import ...` would drag pandas+numpy+pyarrow into
+# each worker's startup for nothing (observed as transient
+# PYTHON_DATA_SOURCE_ERROR worker-spawn failures under host load).
+# Import submodules explicitly: `from ..sources import multimodal`.
