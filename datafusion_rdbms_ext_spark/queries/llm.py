@@ -3890,3 +3890,123 @@ from .base import REGISTRY as _REGISTRY  # noqa: E402
 _REGISTRY["llm_semdedup"].oracle = _REGISTRY["llm_semdedup"].oracle.format(
     cells=_sql_lloyds_cells(), norm=_SQL_NORM, dot=_SQL_PAIR_DOT
 )
+
+
+# ---------------------------------------------------------------------------
+# 20. Count-min sketch — the third mergeable-summary family after HLL
+#     (micro_hll_sketch_merge) and Misra-Gries (llm_heavy_hitters):
+#     d x w counter matrix, token counts estimated as the min over d
+#     hash rows. Deterministic portable hashing makes the sketch —
+#     and therefore its (over)estimates — bit-identical across
+#     engines, so the oracle can check the ESTIMATES exactly, not
+#     just bound them.
+# ---------------------------------------------------------------------------
+_CMS_D = 4  # hash rows
+_CMS_W = 16  # counters per row (vocab here is ~31 tokens: w < vocab forces real collisions)
+_CMS_TOPN = 20  # tokens to audit (exact vs estimate)
+
+
+def _sql_cms_hashes(expr: str) -> str:
+    cols = ", ".join(
+        f"{_sql_phash(expr, f'cms{d}')} % {_CMS_W} AS b{d}" for d in range(_CMS_D)
+    )
+    return cols
+
+
+@register(
+    "llm_cms_counts",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    hashed AS (SELECT t, {_sql_cms_hashes('t')} FROM tok),
+    cms AS (
+      SELECT d, b, COUNT(*) AS c FROM (
+        {" UNION ALL ".join(f"SELECT {d} AS d, b{d} AS b FROM hashed" for d in range(_CMS_D))}
+      ) GROUP BY d, b
+    ),
+    exact AS (
+      SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t
+      ORDER BY exact_n DESC, t LIMIT {_CMS_TOPN}
+    ),
+    qh AS (SELECT t, exact_n, {_sql_cms_hashes('t')} FROM exact),
+    est AS (
+      SELECT qh.t, qh.exact_n,
+             LEAST({", ".join(f"c{d}.c" for d in range(_CMS_D))}) AS est_n
+      FROM qh
+      {" ".join(f"JOIN cms c{d} ON c{d}.d = {d} AND c{d}.b = qh.b{d}" for d in range(_CMS_D))}
+    )
+    SELECT t AS token, exact_n, est_n, est_n - exact_n AS overcount
+    FROM est ORDER BY exact_n DESC, token
+    """,
+    doc=f"Count-min sketch ({_CMS_D}x{_CMS_W}, Cormode-Muthukrishnan): "
+    "mergeable counter matrix built with one partial-aggregate pass; "
+    "estimates = min over hash rows, never under the exact count. "
+    "Portable md5-derived hashes make the sketch identical in the "
+    "oracle, so estimates are hash-checked exactly.",
+    tags=("llm", "text", "sketch", "bench"),
+)
+def llm_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimate vs exact count for the corpus's top tokens.
+
+    Scale: the sketch build is one explode + one groupBy over (row,
+    bucket) — at most d*w groups (d=4, w=16 here; production w ~ 1e5-1e6) regardless of corpus size, so
+    the shuffle is map-side-combined down to a fixed-size table. That
+    table broadcasts to the audit join. The exact top-N (here for
+    verification; production would serve straight from the sketch)
+    is the same vocabulary rollup every other text query uses. CMS
+    counters are linearly mergeable — per-partition sketches sum
+    component-wise, the same contract as the HLL and Misra-Gries
+    entries."""
+    tok = spark.table("documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    hashed = tok.select(
+        "t",
+        *[
+            (_phash(F.col("t"), f"cms{d}") % _CMS_W).alias(f"b{d}")
+            for d in range(_CMS_D)
+        ],
+    )
+    rows = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.d", "rb.b")
+    cms = rows.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "t")
+        .limit(_CMS_TOPN)
+    )
+    qh = exact.select(
+        "t",
+        "exact_n",
+        *[
+            (_phash(F.col("t"), f"cms{d}") % _CMS_W).alias(f"b{d}")
+            for d in range(_CMS_D)
+        ],
+    )
+    est = qh
+    for d in range(_CMS_D):
+        cd = F.broadcast(
+            cms.filter(F.col("d") == d).select(
+                F.col("b").alias(f"b{d}"), F.col("c").alias(f"c{d}")
+            )
+        )
+        est = est.join(cd, f"b{d}")
+    return est.select(
+        F.col("t").alias("token"),
+        "exact_n",
+        F.least(*[F.col(f"c{d}") for d in range(_CMS_D)]).alias("est_n"),
+        (
+            F.least(*[F.col(f"c{d}") for d in range(_CMS_D)]) - F.col("exact_n")
+        ).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "token")
