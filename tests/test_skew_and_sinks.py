@@ -103,3 +103,39 @@ def test_decimal_money_is_decimal_end_to_end(spark):
     agg = money.groupBy("l_returnflag").agg(F.sum("price").alias("s"))
     assert isinstance(agg.schema["s"].dataType, T.DecimalType)
     assert agg.schema["s"].dataType.scale == 4
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """Z-order's contract vs a 1-D sort: EVERY output file covers a
+    bounded rectangle of the (user_id, day) grid — a 1-D sort is
+    narrow only on its sort key and spans the full range of the
+    other dimension in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datafusion_rdbms_ext_spark.sources.sinks import zorder_events_path
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    path = zorder_events_path(spark, SMOKE_SF_DIR)
+    ev = spark.table("events").select(
+        F.min("user_id"), F.max("user_id"),
+        F.min(F.dayofmonth("ts")), F.max(F.dayofmonth("ts")),
+    ).first()
+    u_full = max(ev[1] - ev[0], 1)
+    d_full = max(ev[3] - ev[2], 1)
+    areas = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        t = pq.read_table(f, columns=["user_id", "ts"])
+        u = t.column("user_id").to_pandas()
+        d = t.column("ts").to_pandas().dt.day
+        if len(u) == 0:
+            continue
+        areas.append(
+            ((u.max() - u.min()) / u_full) * ((d.max() - d.min()) / d_full)
+        )
+    assert len(areas) >= 4, "expected a multi-file z-ordered layout"
+    # No file may cover (nearly) the whole grid, and on average the
+    # rectangles must be well under half of it.
+    assert max(areas) <= 0.85, areas
+    assert sum(areas) / len(areas) <= 0.5, areas
