@@ -46,9 +46,11 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: mm_resize_pool (rows-only by design) stays outside — a rows-only
 #: row would waste a hash-checked slot.
 _PRIORITY: tuple[str, ...] = (
-    # sentinels (driver-proven r2-r4; keep one canary per big family)
+    # sentinels (driver-proven r2-r4; canaries for TPC-H + olap).
+    # llm_dedup_minhash_lsh (proven r2+r4) gave its slot to round 5's
+    # llm_semdedup — the llm family keeps 20+ entries in the gate.
     "q01_pricing_summary",
-    "llm_dedup_minhash_lsh",
+    "llm_semdedup",
     "olap_funnel",
     # new this round: transparent plan-prefix pushdown (x2), decimal
     # end-to-end, multiprobe IVFPQ serving pipeline
