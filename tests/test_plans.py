@@ -402,3 +402,55 @@ def test_bucketed_join_query_is_exchange_free_below_agg(spark):
     _ensure_bucketed_tables(spark, SF_DIR)
     j = bucketed_join(spark, "orders_bkt", "lineitem_bkt", "o_orderkey", "l_orderkey")
     assert count_exchanges(j) == 0
+
+
+def test_substring_dedup_no_cartesian_and_hashed_keys(spark):
+    """The 10-gram inverted index must self-join on 8-byte hashes with
+    no cartesian anywhere — same contract as the 3-gram index."""
+    df = _df(spark, "llm_dedup_substring")
+    assert not has_cartesian(df)
+    p = plan_string(df)
+    assert "xxhash64" in p, "W-grams must be hashed map-side at the explode"
+
+
+def test_cms_counters_broadcast_to_audit_join(spark):
+    """The d x w counter table is fixed-size — its four audit joins
+    must all be broadcasts, never shuffled hash joins."""
+    df = _df(spark, "llm_cms_counts")
+    assert not has_cartesian(df)
+    assert broadcast_joins(df) >= 4, plan_string(df)[:2000]
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The bloom filter's set-bit positions (<= m rows) broadcast to
+    the batch probe; only flagged docs reach the verify join."""
+    df = _df(spark, "llm_dedup_bloom_incremental")
+    assert not has_cartesian(df)
+    assert broadcast_joins(df) >= 1, plan_string(df)[:2000]
+
+
+def test_semdedup_pairs_only_within_cells(spark):
+    """SemDeDup's pair join must be an equi-join on the cluster id —
+    a cartesian (all-pairs cosine) is exactly what clustering exists
+    to prevent."""
+    df = _df(spark, "llm_semdedup")
+    assert not has_cartesian(df)
+
+
+def test_zorder_write_is_range_partitioned_on_morton(spark):
+    """The z-order write plan must range-partition on the Morton code
+    (disjoint z-ranges per file), mirroring the 1-D clustered layout's
+    write-plan assertion."""
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.sinks import _morton2
+
+    import pyspark.sql.functions as F
+
+    ensure_tables(spark, SF_DIR)
+    ev = spark.table("events").withColumn(
+        "zv", _morton2(F.col("user_id").bitwiseAND(F.lit(255)), (F.dayofmonth("ts") - 1) * 8)
+    )
+    planned = ev.repartitionByRange(8, "zv").sortWithinPartitions("zv")
+    p = plan_string(planned)
+    assert "rangepartitioning" in p.lower(), p[:2000]
+    assert "zv" in p, p[:2000]
