@@ -4129,3 +4129,94 @@ def llm_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 22. Triangle counting over the near-dup pair graph — the third
+#     graph-analytics entry (after connected components and
+#     PageRank). Triangle density distinguishes clique-like duplicate
+#     groups (every variant matches every other) from hub-and-spoke
+#     groups (variants match one template but not each other) — a
+#     real curation signal when choosing the canonical survivor.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_neardup_triangles",
+    oracle=f"""
+    WITH {_SQL_DS},
+    {_sql_minhash_sig()},
+    {_sql_bands()},
+    {_SQL_LSH_PAIRS},
+    deg AS (SELECT v, COUNT(*) AS d
+            FROM (SELECT da AS v FROM pairs UNION ALL SELECT db AS v FROM pairs)
+            GROUP BY v),
+    tri AS (
+      SELECT COUNT(*) AS t FROM pairs e1
+      JOIN pairs e2 ON e2.da = e1.db
+      JOIN pairs e3 ON e3.da = e1.da AND e3.db = e2.db
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles
+    """,
+    doc="Triangle count + wedge count over the verified LSH pair "
+    "graph, via degree-ordered edge orientation (compact-forward / "
+    "Schank-Wagner): each triangle is enumerated exactly once at its "
+    "lowest-(degree, id) vertex, bounding wedge generation by "
+    "arboricity instead of max degree. The oracle counts the same "
+    "triangles with the naive a<b<c three-way join — a genuinely "
+    "different algorithm.",
+    tags=("llm", "dedup", "graph"),
+)
+def llm_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle/wedge census of the near-duplicate graph.
+
+    Scale: the hazard in distributed triangle counting is wedge
+    explosion at hubs (a degree-d vertex yields d^2/2 wedges).
+    Degree-ordered orientation is the standard fix: every edge points
+    from its lower-(degree, id) endpoint, so wedges are generated
+    only at a triangle's LOWEST vertex and each hub contributes
+    O(arboricity^2), not O(d^2). All joins are equi-joins on vertex
+    ids; the pair list is localCheckpoint'ed because three consumers
+    (degrees, orientation, closure) would otherwise re-run the whole
+    LSH pipeline each."""
+    pairs = _lsh_verified_pairs(spark).select("da", "db").localCheckpoint()
+    deg = (
+        pairs.select(F.col("da").alias("v"))
+        .unionAll(pairs.select(F.col("db").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da_deg = deg.select(F.col("v").alias("da"), F.col("d").alias("dda"))
+    db_deg = deg.select(F.col("v").alias("db"), F.col("d").alias("ddb"))
+    ed = pairs.join(da_deg, "da").join(db_deg, "db")
+    a_first = (F.col("dda") < F.col("ddb")) | (
+        (F.col("dda") == F.col("ddb")) & (F.col("da") < F.col("db"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("src"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst"),
+        F.when(a_first, F.col("ddb")).otherwise(F.col("dda")).alias("dst_d"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("b"), F.col("dst_d").alias("b_d"))
+    o2 = oriented.select("src", F.col("dst").alias("c"), F.col("dst_d").alias("c_d"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("b_d") < F.col("c_d"))
+        | ((F.col("b_d") == F.col("c_d")) & (F.col("b") < F.col("c")))
+    )
+    closure = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c"), F.lit(1).alias("closed")
+    )
+    tri = wedges.join(closure, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.expr("d * (d - 1) div 2"))).cast("long").alias("n_wedges"),
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
