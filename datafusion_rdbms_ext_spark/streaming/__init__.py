@@ -507,3 +507,120 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_cms_event_types",
+    oracle=None,  # filled below — shares the CMS SQL builders with llm.py
+    doc="Streaming sketch maintenance: a count-min sketch accumulated "
+    "across micro-batches in foreachBatch. CMS counters are linear, "
+    "so per-batch sketches merge by addition — the final sketch is "
+    "bit-identical to the one-shot batch sketch regardless of batch "
+    "boundaries, and the oracle rebuilds it in SQL.",
+    tags=("streaming", "sketch"),
+)
+def stream_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type frequency estimates served from a stream-maintained CMS.
+
+    Scale: each micro-batch reduces to <= d*w counter increments via a
+    map-side-combined groupBy before anything reaches the driver — the
+    collected merge payload is sketch-sized (fixed), never data-sized,
+    the same contract as the 1-row convergence scalars in the
+    iterative operators. In production the accumulator would live in
+    the checkpoint/state store; the merge operation (component-wise
+    add) is identical.
+    """
+    from ..queries.llm import _CMS_D, _CMS_W, _phash
+
+    acc: dict[tuple[int, int], int] = {}
+
+    def positions(df: DataFrame) -> DataFrame:
+        h = [
+            (_phash(F.col("event_type"), f"scms{d}") % _CMS_W).alias(f"b{d}")
+            for d in range(_CMS_D)
+        ]
+        rb = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+        return df.select(*h).select(rb).select("rb.d", "rb.b")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            positions(batch_df)
+            .groupBy("d", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # <= d*w rows: sketch-sized, not data-sized
+        )
+        for r in rows:
+            acc[(r["d"], r["b"])] = acc.get((r["d"], r["b"]), 0) + r["c"]
+
+    _RUN_SEQ[0] += 1
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_type")
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sketch = spark.createDataFrame(
+        [(d, b, c) for (d, b), c in acc.items()], "d INT, b BIGINT, c BIGINT"
+    )
+    keys = spark.table("events").select("event_type").distinct()
+    qh = keys.select(
+        "event_type",
+        *[
+            (_phash(F.col("event_type"), f"scms{d}") % _CMS_W).alias(f"b{d}")
+            for d in range(_CMS_D)
+        ],
+    )
+    est = qh
+    for d in range(_CMS_D):
+        cd = F.broadcast(
+            sketch.filter(F.col("d") == d).select(
+                F.col("b").alias(f"b{d}"), F.col("c").alias(f"c{d}")
+            )
+        )
+        est = est.join(cd, f"b{d}")
+    return est.select(
+        "event_type",
+        F.least(*[F.col(f"c{d}") for d in range(_CMS_D)]).alias("est_n"),
+    ).orderBy("event_type")
+
+
+def _stream_cms_oracle() -> str:
+    from ..queries.base import REGISTRY
+    from ..queries.llm import _CMS_D, _CMS_W, _sql_phash
+
+    def hashes(expr: str) -> str:
+        return ", ".join(
+            f"({_sql_phash(expr, f'scms{d}')}) % {_CMS_W} AS b{d}"
+            for d in range(_CMS_D)
+        )
+
+    sql = f"""
+    WITH hashed AS (SELECT event_type, {hashes('event_type')} FROM events),
+    cms AS (
+      SELECT d, b, COUNT(*) AS c FROM (
+        {" UNION ALL ".join(f"SELECT {d} AS d, b{d} AS b FROM hashed" for d in range(_CMS_D))}
+      ) GROUP BY d, b
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    qh AS (SELECT event_type, {hashes('event_type')} FROM keys)
+    SELECT qh.event_type,
+           LEAST({", ".join(f"c{d}.c" for d in range(_CMS_D))}) AS est_n
+    FROM qh
+    {" ".join(f"JOIN cms c{d} ON c{d}.d = {d} AND c{d}.b = qh.b{d}" for d in range(_CMS_D))}
+    ORDER BY qh.event_type
+    """
+    REGISTRY["stream_cms_event_types"].oracle = sql
+    return sql
+
+
+_stream_cms_oracle()
