@@ -44,7 +44,10 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .federation import _fetch_partitioned, describe_schema
+# federation is imported lazily at the call sites: a top-level
+# from-import would close the executor-side import cycle
+# federation -> queries/__init__ -> (this module) -> federation
+# while federation is still partially initialized (see pyds._fed).
 
 #: Python-DataSource formats whose relations this rewriter may absorb.
 _FED_FORMATS = ("duckdb_fed",)
@@ -228,12 +231,16 @@ def transparent_pushdown(
         return df
     sql, sf_dir = hit
     try:
+        from .federation import describe_schema
+
         schema = describe_schema(sf_dir, sql)
     except Exception:
         return df  # remote rejected the unparse — fall through
     # partitions=1 executes the SQL exactly once; callers requesting a
     # multi-partition fetch own the determinism of re-executing it
     # under range predicates (don't combine with LIMIT plans).
+    from .federation import _fetch_partitioned
+
     return _fetch_partitioned(
         spark, sf_dir, sql, schema, partitions, partition_key, limited=False
     )

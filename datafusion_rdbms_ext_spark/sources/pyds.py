@@ -48,13 +48,18 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
-from .federation import (
-    _connect,
-    _pick_partition_key,
-    load_catalog,
-    plan_offset_slices,
-    plan_range_predicates,
-)
+# federation is imported LAZILY (see _fed): a module-level import
+# here closes an import cycle — executor-side unpickling can enter
+# the package at federation.py (connector._connect), whose import of
+# queries.base initializes the queries package, which imports THIS
+# module; a top-level `from .federation import ...` would then see a
+# partially initialized federation and die with ImportError.
+
+
+def _fed():
+    from . import federation
+
+    return federation
 
 _DEFAULT_PARTITIONS = 4
 
@@ -121,7 +126,7 @@ class DuckDBFederatedSource(DataSource):
         return "duckdb_fed"
 
     def schema(self):
-        return load_catalog(self.options["sf_dir"])[self.options["table"]]
+        return _fed().load_catalog(self.options["sf_dir"])[self.options["table"]]
 
     def reader(self, schema) -> "DuckDBFederatedReader":
         return DuckDBFederatedReader(self.options, schema)
@@ -157,16 +162,16 @@ class DuckDBFederatedReader(DataSourceReader):
         back to deterministic ORDER BY ALL LIMIT/OFFSET slices — the
         only case that still pays N remote sorts."""
         base = self._base_sql()
-        key = _pick_partition_key(self._schema)
+        key = _fed()._pick_partition_key(self._schema)
         if key is not None and self._n_parts > 1:
-            preds = plan_range_predicates(self._sf_dir, base, key, self._n_parts)
+            preds = _fed().plan_range_predicates(self._sf_dir, base, key, self._n_parts)
             return [_Slice(f"SELECT * FROM ({base}) _t WHERE {p}") for p in preds]
         if self._n_parts > 1:
-            return [_Slice(s) for s in plan_offset_slices(self._sf_dir, base, self._n_parts)]
+            return [_Slice(s) for s in _fed().plan_offset_slices(self._sf_dir, base, self._n_parts)]
         return [_Slice(base)]
 
     def read(self, partition: _Slice):
-        con = _connect(self._sf_dir)
+        con = _fed()._connect(self._sf_dir)
         reader = con.execute(partition.sql).fetch_record_batch()
         try:
             for batch in reader:
@@ -248,7 +253,7 @@ class DuckDBEventsStreamSource(DataSource):
         return "duckdb_fed_stream"
 
     def schema(self):
-        return load_catalog(self.options["sf_dir"])["events"]
+        return _fed().load_catalog(self.options["sf_dir"])["events"]
 
     def streamReader(self, schema) -> "DuckDBEventsStreamReader":
         return DuckDBEventsStreamReader(self.options)
@@ -282,7 +287,7 @@ class DuckDBEventsStreamReader(DataSourceStreamReader):
         self._cursor: int | None = None
 
     def _total(self) -> int:
-        con = _connect(self._sf_dir)
+        con = _fed()._connect(self._sf_dir)
         n = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
         con.close()
         return int(n)
@@ -311,7 +316,7 @@ class DuckDBEventsStreamReader(DataSourceStreamReader):
     def read(self, partition: _StreamSlice):
         if partition.hi <= partition.lo:
             return iter(())
-        con = _connect(partition.sf_dir)
+        con = _fed()._connect(partition.sf_dir)
         reader = con.execute(
             "SELECT * EXCLUDE (_rn) FROM ("
             "SELECT *, ROW_NUMBER() OVER (ORDER BY event_id, ts) - 1 AS _rn"

@@ -45,8 +45,10 @@ DST = os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark_graft_sfx10")
 FACTOR = 10
 KEY_OFFSET = 100_000_000
 
-#: The 6 most expensive BENCH_r04 queries (the asymptotically
-#: interesting rows: dedup pair generation + the two heavy TPC-H).
+#: The most expensive bench queries (the asymptotically interesting
+#: rows: dedup pair generation + the two heavy TPC-H), plus the
+#: round-5 additions that scan documents (substring-span dedup's
+#: 10-gram index; the fixed-size CMS build).
 QUERIES = (
     "llm_dedup_ngram_exact",
     "llm_dedup_clusters",
@@ -54,6 +56,8 @@ QUERIES = (
     "q18_large_volume_customer",
     "llm_dedup_minhash_lsh",
     "llm_dedup_simhash",
+    "llm_dedup_substring",
+    "llm_cms_counts",
 )
 
 RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))

@@ -100,9 +100,14 @@ def test_broadcast_hints_only_on_fixed_dims():
     # (exactly _PQ_K=8 codeword rows per subspace at any scale);
     # probes is the multiprobe cell list — nprobe rows per QUERY
     # vector (_NPROBE * _PQ_NQ rows), bounded by the query set like q.
+    # Round-5 additions: cms.filter/sketch.filter are the count-min
+    # counter matrix (<= d*w = fixed rows at any scale); hpos is the
+    # bloom filter's set-bit positions (<= _BF_M rows); edges and tri
+    # are 1-row global aggregates of the triangle census.
     allowed = {
         "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
         "mix_spec", "candidates", "total", "ns", "tot", "probes",
+        "edges", "tri",
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
@@ -117,6 +122,9 @@ def test_broadcast_hints_only_on_fixed_dims():
                 or 'table("nation"' in arg
                 or 'table("region"' in arg
                 or arg.startswith("cb.select(")
+                or arg.startswith("cms.filter(")
+                or arg.startswith("sketch.filter(")
+                or arg.startswith("hpos.withColumn(")
             )
             if not ok:
                 offenders.append(f"{py.name}: {arg}")
