@@ -372,3 +372,69 @@ def ev_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record JSON ingestion — the PERMISSIVE-mode surface every
+# web-scale pipeline needs: malformed payloads must neither kill the
+# job (FAILFAST) nor vanish silently (DROPMALFORMED), but land in a
+# quarantine column for audit. Corruption is injected deterministically
+# in-query (every 10th event's props gets a leading "<<"), so both
+# engines see the identical mix of valid and malformed documents.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_json_corrupt_records",
+    oracle="""
+    WITH mangled AS (
+      SELECT event_type,
+             CASE WHEN event_id % 10 = 0 THEN '<<' || props ELSE props END AS p
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN NOT json_valid(p) THEN 1 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(p)
+                         THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END)
+                AS BIGINT) AS sum_k_valid
+    FROM mangled
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="PERMISSIVE corrupt-record JSON parsing: from_json with a "
+    "declared _corrupt quarantine column — malformed payloads are "
+    "counted and audited per event type while valid rows keep "
+    "flowing; the oracle agrees via json_valid. Only syntactic "
+    "corruption is injected (both engines classify it identically).",
+    tags=("events", "json"),
+)
+def ev_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type valid/corrupt census over a deterministically mangled feed.
+
+    Scale: from_json is JVM-side Jackson inside codegen; the corrupt
+    branch adds no shuffle — quarantine is just another column until
+    the final per-type rollup. At 100 TB the same plan writes the
+    quarantined rows to a badRecords sink instead of counting them."""
+    mangled = spark.table("events").select(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.concat(F.lit("<<"), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("p"),
+    )
+    parsed = mangled.select(
+        "event_type",
+        F.from_json(
+            F.col("p"),
+            "k LONG, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.col("j._corrupt")).alias("n_corrupt"),
+            F.sum(F.when(F.col("j._corrupt").isNull(), F.col("j.k"))).alias(
+                "sum_k_valid"
+            ),
+        )
+        .orderBy("event_type")
+    )
