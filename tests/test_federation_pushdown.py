@@ -327,3 +327,32 @@ def test_transparent_distinct_union_push_and_subset_fallback(spark):
     # not deterministic SQL; must fall back untouched.
     dd = _fed_table(spark, SF_DIR, "customer").dropDuplicates(["c_nationkey"])
     assert transparent_pushdown(dd) is dd
+
+
+def test_transparent_setop_no_spark_join(spark):
+    """fed_transparent_setop's INTERSECT must execute remotely: a
+    Spark-side intersect would plan as a left-semi join above two fed
+    scans; the executed plan must hold neither (the reference leaves
+    set ops todo!() at parser.rs:398-399 — this exceeds it)."""
+    df = REGISTRY["fed_transparent_setop"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert "Join" not in p and "Intersect" not in p, p[:1500]
+
+
+def test_transparent_except_all_unparses(spark):
+    """exceptAll() unparses to EXCEPT ALL (multiset semantics kept)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        try_unparse,
+    )
+
+    a = _fed_table(spark, SF_DIR, "nation").select("n_regionkey")
+    b = _fed_table(spark, SF_DIR, "nation").filter(
+        F.col("n_nationkey") < 5
+    ).select("n_regionkey")
+    hit = try_unparse(a.exceptAll(b))
+    assert hit is not None
+    sql, _ = hit
+    assert "EXCEPT ALL" in sql, sql
