@@ -4181,6 +4181,14 @@ def llm_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degrees, orientation, closure) would otherwise re-run the whole
     LSH pipeline each."""
     pairs = _lsh_verified_pairs(spark).select("da", "db").localCheckpoint()
+    return triangle_census(pairs)
+
+
+def triangle_census(pairs: DataFrame) -> DataFrame:
+    """(n_nodes, n_edges, n_wedges, n_triangles) of an undirected
+    simple graph given as canonical edges ``(da, db)`` with da < db.
+    Property-tested against brute-force enumeration on random graphs
+    (tests/test_properties.py)."""
     deg = (
         pairs.select(F.col("da").alias("v"))
         .unionAll(pairs.select(F.col("db").alias("v")))

@@ -479,3 +479,173 @@ def test_train_split_assignment_is_stable_and_disjoint(spark):
     assert all(grown[i] == first[i] for i in range(1000))  # no reassignment
     frac = sum(1 for v in first.values() if v == "train") / 1000
     assert 0.75 <= frac <= 0.85, frac
+
+
+_GRAPH_EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(raw=_GRAPH_EDGES)
+@settings(**_SETTINGS)
+def test_triangle_census_matches_bruteforce(spark, raw):
+    """Degree-ordered triangle census == brute-force enumeration on
+    random graphs (self-loops dropped, edges canonicalized)."""
+    from itertools import combinations
+
+    from datafusion_rdbms_ext_spark.queries.llm import triangle_census
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    pairs = spark.createDataFrame(
+        sorted(edges) or [(98, 99)], "da long, db long"
+    )
+    got = triangle_census(pairs).collect()[0]
+    eset = edges or {(98, 99)}
+    nodes = {v for e in eset for v in e}
+    tri = sum(
+        1
+        for x, y, z in combinations(sorted(nodes), 3)
+        if {(x, y), (x, z), (y, z)} <= eset
+    )
+    deg = {v: sum(1 for e in eset if v in e) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(eset)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    plant=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_substring_dedup_flags_exactly_shared_spans(spark, docs, plant):
+    """Pigeonhole exactness of the W-gram index: a doc pair is flagged
+    IFF it shares at least one verbatim W-token window (checked by
+    brute force over all windows); optionally plants a shared span to
+    guarantee positive cases appear."""
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.llm import _SPAN_W
+
+    texts = [" ".join(f"t{w}" for w in ws) for ws in docs]
+    if plant and len(texts) >= 2:
+        span = " ".join(f"p{i}" for i in range(_SPAN_W))
+        texts[0] = (texts[0] + " " + span).strip()
+        texts[-1] = (span + " " + texts[-1]).strip()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    ensure_tables(spark, "/root/testdata/sf0.001")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    try:
+        from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in REGISTRY["llm_dedup_substring"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+        from datafusion_rdbms_ext_spark.catalog import REGISTERED_DIR_CONF
+
+        spark.conf.set(REGISTERED_DIR_CONF, "")
+    def windows(t):
+        ws = t.split(" ") if t else []
+        return {
+            " ".join(ws[i : i + _SPAN_W]) for i in range(len(ws) - _SPAN_W + 1)
+        } if len(ws) >= _SPAN_W else set()
+    want = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if windows(texts[i]) & windows(texts[j])
+    }
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(0, 12), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_cms_never_undercounts_any_token(spark, toks):
+    """Count-min's one-sided error, for EVERY token (not just the
+    audited top-N): estimate >= exact count always."""
+    from collections import Counter
+
+    from datafusion_rdbms_ext_spark.queries.llm import _CMS_D, _CMS_W, _phash
+
+    df = spark.createDataFrame([(f"w{t}",) for t in toks], "t string")
+    hashed = df.select(
+        "t",
+        *[(_phash(F.col("t"), f"cms{d}") % _CMS_W).alias(f"b{d}") for d in range(_CMS_D)],
+    )
+    rows = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("b"))
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.d", "rb.b")
+    cms = {
+        (r["d"], r["b"]): r["c"]
+        for r in rows.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    pos = {
+        r["t"]: [r[f"b{d}"] for d in range(_CMS_D)]
+        for r in hashed.dropDuplicates(["t"]).collect()
+    }
+    exact = Counter(f"w{t}" for t in toks)
+    for tok, n in exact.items():
+        est = min(cms[(d, pos[tok][d])] for d in range(_CMS_D))
+        assert est >= n, (tok, est, n)
+
+
+@given(
+    hist=st.lists(st.text("ab", min_size=1, max_size=6), min_size=0, max_size=12),
+    batch=st.lists(st.text("ab", min_size=1, max_size=6), min_size=1, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_bloom_has_no_false_negatives(spark, hist, batch):
+    """Bloom's one-sided guarantee: every batch doc whose canonical
+    fingerprint IS in history must be flagged (no false negative);
+    flagged docs carry a correct exact verdict."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+
+    rows = [(i, t, "hist") for i, t in enumerate(hist)]
+    rows += [(1000 + i, t, "src0") for i, t in enumerate(batch)]
+    ensure_tables(spark, "/root/testdata/sf0.001")
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {
+            r["doc_id"]: r["is_dup"]
+            for r in REGISTRY["llm_dedup_bloom_incremental"]
+            .fn(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+        from datafusion_rdbms_ext_spark.catalog import REGISTERED_DIR_CONF
+
+        spark.conf.set(REGISTERED_DIR_CONF, "")
+
+    def canon(t):
+        return " ".join(sorted(set(t.split(" "))))
+
+    hset = {canon(t) for t in hist}
+    for i, t in enumerate(batch):
+        doc_id = 1000 + i
+        if canon(t) in hset:
+            assert got.get(doc_id) == 1, (doc_id, t, got)
+        elif doc_id in got:
+            assert got[doc_id] == 0
