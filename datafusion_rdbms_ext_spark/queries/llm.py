@@ -4228,3 +4228,100 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# 23. Corpus diversity — mean pairwise Jaccard ESTIMATED from the
+#     MinHash signatures alone: for one affine hash function,
+#     P[min-hash collision] = Jaccard, so the per-function collision
+#     fraction over all C(N,2) pairs is an unbiased estimator of the
+#     corpus' mean pairwise similarity — computed WITHOUT generating
+#     a single pair (the redundancy health metric for a training
+#     corpus: rising values mean the dedup pipeline is falling
+#     behind).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_corpus_diversity",
+    oracle=f"""
+    WITH {_SQL_DS},
+    {_sql_minhash_sig()},
+    unp AS (
+      {" UNION ALL ".join(f"SELECT {i} AS fn, m{i} AS val FROM sig" for i in range(_K))}
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM sig),
+    coll AS (
+      SELECT fn, SUM(c * (c - 1) // 2) AS pairs_colliding
+      FROM (SELECT fn, val, COUNT(*) AS c FROM unp GROUP BY fn, val)
+      GROUP BY fn
+    )
+    SELECT fn,
+           CAST(pairs_colliding AS BIGINT) AS pairs_colliding,
+           ROUND(pairs_colliding * 1.0 / (n_docs * (n_docs - 1) // 2), 6)
+               AS est_mean_jaccard
+    FROM coll CROSS JOIN n
+    ORDER BY fn
+    """,
+    doc="Corpus-redundancy metric without pair generation: per "
+    "minhash function, the collision fraction over all C(N,2) pairs "
+    "is an unbiased estimate of MEAN pairwise Jaccard (P[minhash "
+    "equal] = J). Twelve independent estimates from the signatures "
+    "the LSH pipeline already computes.",
+    tags=("llm", "dedup", "sketch", "bench"),
+)
+def llm_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hash-function corpus similarity estimates.
+
+    Scale: the estimator never forms a pair — one groupBy over
+    (function, min-value) with map-side combine, then K counting
+    rows. This is THE way to monitor corpus-level redundancy at
+    100 TB: pair enumeration is quadratic, the collision census is
+    linear, and the estimate sharpens with corpus size (each of the
+    C(N,2) implicit pairs contributes)."""
+    sig = (
+        spark.table("documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("a") + i * F.col("b")) % _P).alias(f"m{i}")
+                for i in range(_K)
+            ]
+        )
+    )
+    unp = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("fn"), F.col(f"m{i}").alias("val"))
+                    for i in range(_K)
+                ]
+            )
+        ).alias("x")
+    ).select("x.fn", "x.val")
+    n = sig.agg(F.count(F.lit(1)).alias("n_docs"))
+    coll = (
+        unp.groupBy("fn", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("fn")
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).alias("pairs_colliding"))
+    )
+    return (
+        coll.crossJoin(F.broadcast(n))
+        .select(
+            "fn",
+            F.col("pairs_colliding").cast("long").alias("pairs_colliding"),
+            F.round(
+                F.col("pairs_colliding")
+                / F.expr("n_docs * (n_docs - 1) div 2"),
+                6,
+            ).alias("est_mean_jaccard"),
+        )
+        .orderBy("fn")
+    )
