@@ -1353,3 +1353,58 @@ def micro_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy hints — the user-facing physical-strategy control
+# surface (SELECT /*+ MERGE(t) */ ... in SQL, df.hint(...) in the
+# DataFrame API). The reference delegates all physical join choice to
+# DataFusion; Spark exposes it per-join, and a 100 TB user needs it
+# when the optimizer's estimate is wrong (e.g. forcing shuffle-hash
+# for a medium dim that AQE would broadcast-OOM, or merge for a
+# pre-sorted pair). Results must be hint-invariant — only the plan
+# changes; tests/test_plans.py pins the chosen strategies.
+# ---------------------------------------------------------------------------
+def _hinted_join(spark: SparkSession, strategy: str | None):
+    orders = spark.table("orders").filter(F.col("o_totalprice") > 100000.0)
+    cust = spark.table("customer")
+    if strategy:
+        cust = cust.hint(strategy)
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "micro_join_hints",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000.0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Join-strategy hint surface: the same logical join under "
+    "merge / shuffle_hash / broadcast hints must be result-invariant "
+    "(this entry runs the MERGE-hinted form against the oracle); "
+    "tests/test_plans.py pins that each hint actually flips the "
+    "physical strategy (SortMergeJoin / ShuffledHashJoin / "
+    "BroadcastHashJoin).",
+    tags=("micro", "join"),
+)
+def micro_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-hinted orders x customer rollup.
+
+    Scale: the hint surface is exactly what a 100 TB operator reaches
+    for when statistics mislead AQE — forcing sort-merge keeps a
+    join spillable when both sides are large; shuffle_hash avoids
+    the sort when one side is modest but over the broadcast
+    threshold; broadcast pins the classic small-dim plan."""
+    return _hinted_join(spark, "merge")

@@ -462,3 +462,25 @@ def test_zorder_write_is_range_partitioned_on_morton(spark):
     p = plan_string(planned)
     assert "rangepartitioning" in p.lower(), p[:2000]
     assert "zv" in p, p[:2000]
+
+
+def test_join_hints_flip_physical_strategy(spark):
+    """Each join hint must actually change the physical join: merge ->
+    SortMergeJoin, shuffle_hash -> ShuffledHashJoin, broadcast ->
+    BroadcastHashJoin — with identical results (checked for the merge
+    form by the differential gate; the others here)."""
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.micro import _hinted_join
+
+    ensure_tables(spark, SF_DIR)
+    plans = {
+        s: plan_string(_hinted_join(spark, s))
+        for s in ("merge", "shuffle_hash", "broadcast")
+    }
+    assert "SortMergeJoin" in plans["merge"], plans["merge"][:1500]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"], plans["shuffle_hash"][:1500]
+    assert "BroadcastHashJoin" in plans["broadcast"], plans["broadcast"][:1500]
+    rows = {
+        s: _hinted_join(spark, s).collect() for s in ("merge", "shuffle_hash", "broadcast")
+    }
+    assert rows["merge"] == rows["shuffle_hash"] == rows["broadcast"]
