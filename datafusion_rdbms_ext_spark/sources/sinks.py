@@ -665,3 +665,157 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (time travel) — an Iceberg/Delta-lite layout:
+# each table version is a MANIFEST (a tiny JSON list of parquet
+# files); commits are copy-on-write at bucket-file granularity, so a
+# new version rewrites only the buckets its keys touch and CARRIES
+# OVER every untouched file by reference. Readers pin a version by
+# reading its manifest — old snapshots stay readable forever
+# (snapshot isolation), and "time travel" is just choosing which
+# manifest to expand.
+# ---------------------------------------------------------------------------
+_VERSIONED_DIR_CONF = "spark.datafusion_rdbms_ext.versioned_dir"
+_VBUCKET = 250  # doc_ids per bucket file-group
+
+
+def _bucket_files(root: str, gen: str) -> dict[int, list[str]]:
+    """bucket id -> parquet files of one write generation."""
+    import glob as _glob
+
+    out: dict[int, list[str]] = {}
+    for d in _glob.glob(os.path.join(root, gen, "bucket=*")):
+        b = int(d.rsplit("=", 1)[1])
+        out[b] = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    return out
+
+
+def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build the two-version corpus once per session.
+
+    v1 = the documents table, bucketed by ``doc_id div 250``.
+    v2 = the upsert of llm_corpus_upsert (replace doc_id < 100 with
+    uppercased text, insert 20 re-keyed docs) committed COPY-ON-WRITE:
+    only the buckets containing touched keys are rewritten under
+    gen2/; every other v1 file is carried into the v2 manifest by
+    path."""
+    import json
+
+    key = f"{_VERSIONED_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return existing
+    root = tempfile.mkdtemp(prefix="sink_versioned_")
+    base = spark.table("documents").select("doc_id", "text")
+    bucket = F.expr(f"doc_id div {_VBUCKET}")
+    (
+        base.withColumn("bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(root, "gen1"))
+    )
+    gen1 = _bucket_files(root, "gen1")
+    manifest1 = sorted(f for fs in gen1.values() for f in fs)
+    with open(os.path.join(root, "v1.json"), "w") as fh:
+        json.dump({"version": 1, "files": manifest1}, fh)
+
+    upd_a = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.upper("text").alias("text"))
+    )
+    upd_b = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    updates = upd_a.unionByName(upd_b)
+    changed = sorted(
+        r["b"] for r in updates.select(bucket.alias("b")).distinct().collect()
+    )  # bucket ids: metadata-sized (a handful of ints)
+    merged = base.join(updates, "doc_id", "left_anti").unionByName(updates)
+    (
+        merged.withColumn("bucket", bucket)
+        .filter(F.col("bucket").isin(changed))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(root, "gen2"))
+    )
+    gen2 = _bucket_files(root, "gen2")
+    carried = [f for b, fs in gen1.items() if b not in set(changed) for f in fs]
+    rewritten = [f for fs in gen2.values() for f in fs]
+    with open(os.path.join(root, "v2.json"), "w") as fh:
+        json.dump(
+            {
+                "version": 2,
+                "files": sorted(carried + rewritten),
+                "carried_over": sorted(carried),
+                "rewritten_buckets": changed,
+            },
+            fh,
+        )
+    spark.conf.set(key, root)
+    return root
+
+
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Expand a version's manifest into a DataFrame (time travel)."""
+    import json
+
+    with open(os.path.join(root, f"v{version}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"]).select("doc_id", "text")
+
+
+@register(
+    "source_time_travel",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len, MIN(md5(text)) AS min_md5
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(len(text)) AS BIGINT), MIN(md5(text))
+    FROM v2
+    ORDER BY version
+    """,
+    doc="Versioned snapshots / time travel (Iceberg-lite): manifests "
+    "of parquet files per version, upserts committed copy-on-write at "
+    "bucket granularity (untouched files carried by reference — "
+    "pinned by test), both versions read back and content-checked "
+    "against the base table and its recomputed upsert.",
+    tags=("sink", "source", "versioned"),
+)
+def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both corpus versions read via their manifests, content-probed.
+
+    Scale: a manifest is metadata (file list), not data — commit cost
+    is proportional to TOUCHED buckets, never table size, and old
+    readers keep their snapshot without any copy. This is the layout
+    contract of real table formats (Iceberg manifest lists / Delta
+    transaction log) built from primitives: the engine-side work is
+    bucketed COW writes + manifest expansion at read."""
+    root = versioned_corpus_root(spark, sf_dir)
+    out = None
+    for v in (1, 2):
+        agg = read_version(spark, root, v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_len"),
+            F.min(F.md5("text")).alias("min_md5"),
+        ).select("version", "n_docs", "sum_len", "min_md5")
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")

@@ -139,3 +139,37 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     # rectangles must be well under half of it.
     assert max(areas) <= 0.85, areas
     assert sum(areas) / len(areas) <= 0.5, areas
+
+
+def test_versioned_snapshots_are_copy_on_write_and_isolated(spark):
+    """The v2 commit must (a) carry untouched v1 files BY PATH into
+    its manifest (copy-on-write, no full rewrite), and (b) leave v1
+    fully readable with its original content (snapshot isolation)."""
+    import json
+    import os
+
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        read_version,
+        versioned_corpus_root,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    root = versioned_corpus_root(spark, SMOKE_SF_DIR)
+    m1 = json.load(open(os.path.join(root, "v1.json")))
+    m2 = json.load(open(os.path.join(root, "v2.json")))
+    carried = set(m2["carried_over"])
+    assert carried, "v2 rewrote everything — not copy-on-write"
+    assert carried < set(m1["files"]), "carried files must be v1 files"
+    assert carried < set(m2["files"])
+    # Snapshot isolation: v1 content unchanged after the v2 commit.
+    v1 = read_version(spark, root, 1)
+    base = spark.table("documents")
+    assert v1.count() == base.count()
+    assert (
+        v1.agg(F.min(F.md5("text"))).first()[0]
+        == base.agg(F.min(F.md5("text"))).first()[0]
+    )
+    # Time travel: v2 sees the upsert (inserted keys exist only in v2).
+    v2 = read_version(spark, root, 2)
+    assert v2.filter(F.col("doc_id") >= 10000).count() == 20
+    assert v1.filter(F.col("doc_id") >= 10000).count() == 0
