@@ -696,11 +696,11 @@ def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
     """Build the two-version corpus once per session.
 
     v1 = the documents table, bucketed by ``doc_id div 250``.
-    v2 = the upsert of llm_corpus_upsert (replace doc_id < 100 with
-    uppercased text, insert 20 re-keyed docs) committed COPY-ON-WRITE:
-    only the buckets containing touched keys are rewritten under
-    gen2/; every other v1 file is carried into the v2 manifest by
-    path."""
+    v2 = a full MERGE: DELETE doc_id < 10, replace 10 <= doc_id < 100
+    with uppercased text, insert 20 re-keyed docs — committed
+    COPY-ON-WRITE: only the buckets containing touched keys are
+    rewritten under gen2/; every other v1 file is carried into the
+    v2 manifest by path."""
     import json
 
     key = f"{_VERSIONED_DIR_CONF}.{abs(hash(sf_dir))}"
@@ -723,7 +723,7 @@ def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
 
     upd_a = (
         spark.table("documents")
-        .filter(F.col("doc_id") < 100)
+        .filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 100))
         .select("doc_id", F.upper("text").alias("text"))
     )
     upd_b = (
@@ -732,10 +732,12 @@ def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
         .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
     )
     updates = upd_a.unionByName(upd_b)
+    deletes = spark.table("documents").filter(F.col("doc_id") < 10).select("doc_id")
+    touched = updates.select("doc_id").unionByName(deletes)
     changed = sorted(
-        r["b"] for r in updates.select(bucket.alias("b")).distinct().collect()
+        r["b"] for r in touched.select(bucket.alias("b")).distinct().collect()
     )  # bucket ids: metadata-sized (a handful of ints)
-    merged = base.join(updates, "doc_id", "left_anti").unionByName(updates)
+    merged = base.join(touched, "doc_id", "left_anti").unionByName(updates)
     (
         merged.withColumn("bucket", bucket)
         .filter(F.col("bucket").isin(changed))
@@ -774,13 +776,19 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     oracle="""
     WITH v1 AS (SELECT doc_id, text FROM documents),
     updates AS (
-      SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id < 100
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
       UNION ALL
       SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
     ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
     v2 AS (
       SELECT b.doc_id, b.text FROM documents b
-      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = b.doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
       UNION ALL
       SELECT doc_id, text FROM updates
     )
@@ -793,10 +801,10 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     ORDER BY version
     """,
     doc="Versioned snapshots / time travel (Iceberg-lite): manifests "
-    "of parquet files per version, upserts committed copy-on-write at "
-    "bucket granularity (untouched files carried by reference — "
-    "pinned by test), both versions read back and content-checked "
-    "against the base table and its recomputed upsert.",
+    "of parquet files per version; a full MERGE (delete + update + "
+    "insert) committed copy-on-write at bucket granularity (untouched "
+    "files carried by reference — pinned by test), both versions read "
+    "back and content-checked against the recomputed merge.",
     tags=("sink", "source", "versioned"),
 )
 def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,3 +827,79 @@ def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_docs", "sum_len", "min_md5")
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("version")
+
+
+@register(
+    "source_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    diff AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'delete'
+                  WHEN a.doc_id IS NULL THEN 'insert'
+                  WHEN a.text <> b.text THEN 'update' END AS op
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_key,
+           CAST(MAX(doc_id) AS BIGINT) AS max_key
+    FROM diff WHERE op IS NOT NULL
+    GROUP BY op ORDER BY op
+    """,
+    doc="Change-data-capture between snapshots: the v1->v2 diff "
+    "(delete / insert / update, unchanged rows excluded) computed as "
+    "one full-outer join over the two manifest reads — the CDC feed "
+    "a downstream consumer replays instead of re-reading the table.",
+    tags=("sink", "source", "versioned"),
+)
+def source_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-op change census between version 1 and version 2.
+
+    Scale: at bucket granularity the diff only needs to JOIN the
+    buckets the v2 manifest marks rewritten — carried-over files are
+    byte-identical by construction and contribute no changes; this
+    implementation's full-outer join over both snapshots is the
+    general form (correct even against manifests from foreign
+    writers), and the manifest's rewritten_buckets list is the
+    pruning hook when the writer is trusted."""
+    root = versioned_corpus_root(spark, sf_dir)
+    v1 = read_version(spark, root, 1).withColumnsRenamed(
+        {"doc_id": "k1", "text": "t1"}
+    )
+    v2 = read_version(spark, root, 2).withColumnsRenamed(
+        {"doc_id": "k2", "text": "t2"}
+    )
+    diff = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.coalesce(F.col("k1"), F.col("k2")).alias("doc_id"),
+        F.when(F.col("k2").isNull(), "delete")
+        .when(F.col("k1").isNull(), "insert")
+        .when(F.col("t1") != F.col("t2"), "update")
+        .alias("op"),
+    )
+    return (
+        diff.filter(F.col("op").isNotNull())
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+        )
+        .orderBy("op")
+    )
