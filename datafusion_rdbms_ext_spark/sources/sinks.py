@@ -973,3 +973,93 @@ def source_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n0") + F.col("dc")).cast("long").alias("n_docs"),
         (F.col("l0") + F.col("dl")).cast("long").alias("sum_len"),
     )
+
+
+def compact_version(spark: SparkSession, root: str) -> None:
+    """OPTIMIZE: rewrite the latest version's many small bucket files
+    into few range-sorted files as version 3 (row-identical — only
+    the file layout changes). Idempotent per root."""
+    import json
+
+    if os.path.exists(os.path.join(root, "v3.json")):
+        return
+    v2 = read_version(spark, root, 2)
+    (
+        v2.repartitionByRange(2, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen3"))
+    )
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(root, "gen3", "*.parquet")))
+    with open(os.path.join(root, "v3.json"), "w") as fh:
+        json.dump({"version": 3, "files": files, "compacted_from": 2}, fh)
+
+
+def vacuum(root: str, keep: int) -> list[str]:
+    """Delete every data file not referenced by version ``keep``'s
+    manifest (the Delta VACUUM contract: snapshots older than the
+    retained version stop being readable). Returns deleted paths."""
+    import glob as _glob
+    import json
+
+    with open(os.path.join(root, f"v{keep}.json")) as fh:
+        referenced = set(json.load(fh)["files"])
+    deleted = []
+    for f in _glob.glob(os.path.join(root, "gen*", "**", "*.parquet"), recursive=True):
+        if f not in referenced:
+            os.remove(f)
+            deleted.append(f)
+    return deleted
+
+
+@register(
+    "source_compaction",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+           MIN(md5(text)) AS min_md5
+    FROM v2
+    """,
+    doc="Small-file compaction (OPTIMIZE): the merge-fragmented v2 "
+    "rewritten as few range-sorted files in a NEW version — content "
+    "bit-identical (hash-checked against the recomputed merge), file "
+    "count reduced (test-pinned), old snapshots untouched until "
+    "vacuum reclaims them.",
+    tags=("sink", "source", "versioned"),
+)
+def source_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compacted v3 read back and content-probed.
+
+    Scale: compaction is the maintenance job every COW table needs —
+    merge commits fragment buckets into small files, and scan
+    efficiency at 100 TB wants ~128 MB range-sorted files. The
+    rewrite is a new VERSION, not an in-place mutation: readers of
+    v2 are unaffected (same isolation contract as any commit), and
+    the old files are reclaimed later by vacuum under a retention
+    policy."""
+    root = versioned_corpus_root(spark, sf_dir)
+    compact_version(spark, root)
+    return read_version(spark, root, 3).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+        F.min(F.md5("text")).alias("min_md5"),
+    )

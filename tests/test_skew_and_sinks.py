@@ -173,3 +173,51 @@ def test_versioned_snapshots_are_copy_on_write_and_isolated(spark):
     v2 = read_version(spark, root, 2)
     assert v2.filter(F.col("doc_id") >= 10000).count() == 20
     assert v1.filter(F.col("doc_id") >= 10000).count() == 0
+
+
+def test_compaction_preserves_content_and_vacuum_enforces_retention(spark, tmp_path):
+    """OPTIMIZE must be row-identical with fewer files; VACUUM(keep=3)
+    must leave v3 readable and make pre-retention snapshots
+    unreadable (the Delta vacuum contract)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        compact_version,
+        read_version,
+        vacuum,
+        versioned_corpus_root,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    # Private copy: vacuum destroys snapshots, and the memoized root
+    # is shared with the registered time-travel queries.
+    shared = versioned_corpus_root(spark, SMOKE_SF_DIR)
+    root = str(tmp_path / "versioned")
+    shutil.copytree(shared, root)
+    for v in (1, 2, 3):
+        mf = os.path.join(root, f"v{v}.json")
+        if os.path.exists(mf):
+            m = json.load(open(mf))
+            m["files"] = [f.replace(shared, root) for f in m["files"]]
+            m["carried_over"] = [
+                f.replace(shared, root) for f in m.get("carried_over", [])
+            ]
+            json.dump(m, open(mf, "w"))
+    if not os.path.exists(os.path.join(root, "v3.json")):
+        compact_version(spark, root)
+    v2 = {(r["doc_id"], r["text"]) for r in read_version(spark, root, 2).collect()}
+    v3 = {(r["doc_id"], r["text"]) for r in read_version(spark, root, 3).collect()}
+    assert v2 == v3
+    n2 = len(json.load(open(os.path.join(root, "v2.json")))["files"])
+    n3 = len(json.load(open(os.path.join(root, "v3.json")))["files"])
+    assert n3 < n2, (n3, n2)
+    deleted = vacuum(root, keep=3)
+    assert deleted, "vacuum reclaimed nothing"
+    assert read_version(spark, root, 3).count() == len(v3)
+    with pytest.raises(Exception):
+        read_version(spark, root, 1).count()
