@@ -45,6 +45,15 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: families (regression canaries: one TPC-H, one dedup, one OLAP).
 #: mm_resize_pool (rows-only by design) stays outside — a rows-only
 #: row would waste a hash-checked slot.
+#: ROUND-6 ROTATION QUEUE (never driver-proven after round 5): the
+#: 17 round-5-continuation queries — llm_dedup_substring,
+#: llm_quality_unigram_ppm, llm_cms_counts, sink_zorder_layout,
+#: llm_dedup_bloom_incremental, llm_neardup_triangles,
+#: stream_cms_event_types, ev_json_corrupt_records,
+#: fed_transparent_setop, llm_corpus_diversity, micro_join_hints,
+#: source_time_travel, source_snapshot_diff, source_cdc_apply,
+#: source_compaction — plus llm_text_stats (deliberately held back
+#: in r5) and llm_semdedup if CORRECTNESS_r05 leaves it unproven.
 _PRIORITY: tuple[str, ...] = (
     # sentinels (driver-proven r2-r4; canaries for TPC-H + olap).
     # llm_dedup_minhash_lsh (proven r2+r4) gave its slot to round 5's
