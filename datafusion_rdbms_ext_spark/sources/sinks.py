@@ -681,6 +681,23 @@ _VERSIONED_DIR_CONF = "spark.datafusion_rdbms_ext.versioned_dir"
 _VBUCKET = 250  # doc_ids per bucket file-group
 
 
+def _write_manifest(root: str, version: int, payload: dict) -> None:
+    """Atomic manifest commit: write to a temp file, fsync, rename.
+    The rename IS the commit point — a reader either sees the whole
+    manifest or no manifest, never a torn one (a crash mid-commit
+    leaves only the previous version visible, which is exactly the
+    transaction-log contract this layout borrows from Delta)."""
+    import json
+
+    final = os.path.join(root, f"v{version}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+
+
 def _bucket_files(root: str, gen: str) -> dict[int, list[str]]:
     """bucket id -> parquet files of one write generation."""
     import glob as _glob
@@ -701,8 +718,6 @@ def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
     COPY-ON-WRITE: only the buckets containing touched keys are
     rewritten under gen2/; every other v1 file is carried into the
     v2 manifest by path."""
-    import json
-
     key = f"{_VERSIONED_DIR_CONF}.{abs(hash(sf_dir))}"
     existing = spark.conf.get(key, None)
     if existing and os.path.isdir(existing):
@@ -718,8 +733,7 @@ def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
     )
     gen1 = _bucket_files(root, "gen1")
     manifest1 = sorted(f for fs in gen1.values() for f in fs)
-    with open(os.path.join(root, "v1.json"), "w") as fh:
-        json.dump({"version": 1, "files": manifest1}, fh)
+    _write_manifest(root, 1, {"version": 1, "files": manifest1})
 
     upd_a = (
         spark.table("documents")
@@ -748,16 +762,16 @@ def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
     gen2 = _bucket_files(root, "gen2")
     carried = [f for b, fs in gen1.items() if b not in set(changed) for f in fs]
     rewritten = [f for fs in gen2.values() for f in fs]
-    with open(os.path.join(root, "v2.json"), "w") as fh:
-        json.dump(
-            {
-                "version": 2,
-                "files": sorted(carried + rewritten),
-                "carried_over": sorted(carried),
-                "rewritten_buckets": changed,
-            },
-            fh,
-        )
+    _write_manifest(
+        root,
+        2,
+        {
+            "version": 2,
+            "files": sorted(carried + rewritten),
+            "carried_over": sorted(carried),
+            "rewritten_buckets": changed,
+        },
+    )
     spark.conf.set(key, root)
     return root
 
@@ -979,8 +993,6 @@ def compact_version(spark: SparkSession, root: str) -> None:
     """OPTIMIZE: rewrite the latest version's many small bucket files
     into few range-sorted files as version 3 (row-identical — only
     the file layout changes). Idempotent per root."""
-    import json
-
     if os.path.exists(os.path.join(root, "v3.json")):
         return
     v2 = read_version(spark, root, 2)
@@ -993,8 +1005,7 @@ def compact_version(spark: SparkSession, root: str) -> None:
     import glob as _glob
 
     files = sorted(_glob.glob(os.path.join(root, "gen3", "*.parquet")))
-    with open(os.path.join(root, "v3.json"), "w") as fh:
-        json.dump({"version": 3, "files": files, "compacted_from": 2}, fh)
+    _write_manifest(root, 3, {"version": 3, "files": files, "compacted_from": 2})
 
 
 def vacuum(root: str, keep: int) -> list[str]:
