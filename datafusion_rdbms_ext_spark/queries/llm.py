@@ -4325,3 +4325,233 @@ def llm_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fn")
     )
+
+
+# ---------------------------------------------------------------------------
+# 24. N-gram language-model count table — the Google-n-gram-style
+#     batch job: bigram counts over the corpus plus each token's
+#     top-k continuations with exact-integer conditional frequency.
+#     The count table IS the trained model for count-based LMs, and
+#     the same table drives autocomplete, collocation mining, and
+#     perplexity scoring upstream of the ppm quality filter.
+# ---------------------------------------------------------------------------
+_LM_TOPK = 3
+
+
+@register(
+    "llm_bigram_lm",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+      FROM docs
+    ),
+    counts AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    totals AS (SELECT w1, SUM(c) AS t FROM counts GROUP BY w1),
+    ranked AS (
+      SELECT counts.w1, w2, c, t,
+             ROW_NUMBER() OVER (PARTITION BY counts.w1 ORDER BY c DESC, w2) AS rk
+      FROM counts JOIN totals ON totals.w1 = counts.w1
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           CAST(c * 1000000 // t AS BIGINT) AS cond_ppm,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_LM_TOPK}
+    ORDER BY w1, rk
+    """,
+    doc=f"Bigram LM count table: consecutive-token pairs formed "
+    "MAP-SIDE from the token array (no window, no self-join), "
+    f"counted, and each token's top-{_LM_TOPK} continuations ranked "
+    "with exact-integer conditional frequency (ppm) — the "
+    "count-based-LM / autocomplete / collocation batch job.",
+    tags=("llm", "text", "bench"),
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top continuations per token from the corpus bigram table.
+
+    Scale: bigram formation is a per-row array zip inside codegen —
+    the classic formulation (self-join on position or a lead()
+    window per document) shuffles the full token stream once or
+    twice; this shuffles only the (w1, w2) partial counts, which
+    Heaps-law-bound far below token volume. The ranking window
+    partitions by w1 — vocabulary-sized groups, no data-sized
+    window."""
+    w = F.split(F.col("text"), " ")
+    bg = (
+        spark.table("documents")
+        .select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("w1").agg(F.sum("c").alias("t"))
+    win = Window.partitionBy("w1").orderBy(F.desc("c"), "w2")
+    return (
+        counts.join(totals, "w1")
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _LM_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr("c * 1000000 div t").alias("cond_ppm"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("w1", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25. Signed-random-projection (SRP) LSH over embeddings — the
+#     angle-preserving signature family member (Charikar 2002):
+#     bit_i = sign(r_i . v) with Rademacher planes, P[bits agree] =
+#     1 - angle/pi. Completes the signature set: MinHash (Jaccard),
+#     SimHash (text), SRP (vector angle), PQ/IVF (quantization).
+#     The planes are DETERMINISTIC module constants (md5-derived,
+#     generated once in Python and inlined as literals into BOTH the
+#     Spark plan and the DuckDB oracle), so no cross-engine hash
+#     parity is even needed.
+# ---------------------------------------------------------------------------
+_SRP_BITS = 16
+_SRP_BANDS = 4  # 4 bands x 4 bits
+_SRP_ROWS = _SRP_BITS // _SRP_BANDS
+_SRP_TAU = 0.4  # same verify threshold as llm_dedup_embedding
+
+
+def _srp_planes() -> list[list[int]]:
+    """16 Rademacher hyperplanes over 64 dims, md5-derived (fixed)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"srp:{i}:{d}".encode()).digest()[0] % 2 else -1
+            for d in range(_IVF_DIM)
+        ]
+        for i in range(_SRP_BITS)
+    ]
+
+
+def _srp_band_cols_spark():
+    planes = _srp_planes()
+    bits = []
+    for i in range(_SRP_BITS):
+        plane = F.array(*[F.lit(v) for v in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col("eq"), plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, 1).otherwise(0))
+    bands = []
+    for b in range(_SRP_BANDS):
+        val = F.lit(0)
+        for j in range(_SRP_ROWS):
+            val = val * 2 + bits[b * _SRP_ROWS + j]
+        bands.append(val.alias(f"band{b}"))
+    return bands
+
+
+def _srp_band_exprs_sql() -> list[str]:
+    planes = _srp_planes()
+    bits = []
+    for i in range(_SRP_BITS):
+        lit = "[" + ", ".join(str(v) for v in planes[i]) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {_IVF_DIM + 1}),"
+            f" d -> eq[d] * ({lit})[d]))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END)")
+    bands = []
+    for b in range(_SRP_BANDS):
+        expr = bits[b * _SRP_ROWS]
+        for j in range(1, _SRP_ROWS):
+            expr = f"({expr}) * 2 + {bits[b * _SRP_ROWS + j]}"
+        bands.append(f"({expr}) AS band{b}")
+    return bands
+
+
+@register(
+    "llm_dedup_srp",
+    oracle=f"""
+    WITH eqv AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq,
+             {_SQL_NORM} AS nrm
+      FROM embeddings
+    ),
+    sig AS (SELECT vec_id, embedding, nrm, {", ".join(_srp_band_exprs_sql())} FROM eqv),
+    cand AS (
+      {" UNION ".join(
+        f"SELECT a.vec_id AS va, b.vec_id AS vb FROM sig a JOIN sig b"
+        f" ON a.band{b} = b.band{b} AND a.vec_id < b.vec_id"
+        for b in range(_SRP_BANDS))}
+    ),
+    verified AS (
+      SELECT c.va, c.vb,
+             list_sum(list_transform(range(1, {_IVF_DIM + 1}),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm) AS cos
+      FROM cand c JOIN sig a ON a.vec_id = c.va JOIN sig b ON b.vec_id = c.vb
+    )
+    SELECT va AS vec_a, vb AS vec_b, ROUND(cos, 6) AS cosine
+    FROM verified WHERE cos >= {_SRP_TAU}
+    ORDER BY vec_a, vec_b
+    """,
+    doc=f"SRP-LSH vector near-dup ({_SRP_BANDS} bands x {_SRP_ROWS} "
+    "bits of Rademacher sign projections, Charikar 2002): banded "
+    "signature join generates candidates, exact cosine verifies at "
+    f"tau={_SRP_TAU}. Planes are md5-derived module constants "
+    "inlined into both engines. Recall on the structureless fixture "
+    "is the theoretical band-collision rate (disclosed, like the IVF "
+    "entries); the property gate uses clustered data.",
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-banded near-dup pairs, cosine-verified.
+
+    Scale: signature computation is one map-side pass (16 integer
+    dot products per vector, no shuffle); the candidate join keys on
+    4-bit band values — at production bit-widths (e.g. 8 bands x 16
+    bits) band buckets are sparse and pair generation is bounded the
+    same way MinHash-LSH bands bound text pairs. The quadratic
+    all-pairs cosine never appears."""
+    base = _vectors_with_norm(spark).join(_quantize(spark), "vec_id")
+    sig = base.select("vec_id", "embedding", "nrm", *_srp_band_cols_spark())
+    cand = None
+    for b in range(_SRP_BANDS):
+        a = sig.select(F.col("vec_id").alias("va"), F.col(f"band{b}").alias("k"))
+        bb = sig.select(F.col("vec_id").alias("vb"), F.col(f"band{b}").alias("k"))
+        c = a.join(bb, "k").filter(F.col("va") < F.col("vb")).select("va", "vb")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    va = sig.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    vb = sig.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "va")
+        .join(vb, "vb")
+        .select("va", "vb", cos.alias("cos"))
+        .filter(F.col("cos") >= _SRP_TAU)
+        .select(
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
