@@ -104,10 +104,12 @@ def test_broadcast_hints_only_on_fixed_dims():
     # counter matrix (<= d*w = fixed rows at any scale); hpos is the
     # bloom filter's set-bit positions (<= _BF_M rows); edges and tri
     # are 1-row global aggregates of the triangle census.
+    # deltas / n are 1-row global aggregates (CDC delta sums and the
+    # diversity census' corpus count).
     allowed = {
         "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
         "mix_spec", "candidates", "total", "ns", "tot", "probes",
-        "edges", "tri",
+        "edges", "tri", "deltas", "n",
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
