@@ -681,21 +681,38 @@ _VERSIONED_DIR_CONF = "spark.datafusion_rdbms_ext.versioned_dir"
 _VBUCKET = 250  # doc_ids per bucket file-group
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic
+    concurrency: the loser must re-read the new latest snapshot,
+    rebase its changes, and retry as version+1 — the Delta/Iceberg
+    commit protocol)."""
+
+
 def _write_manifest(root: str, version: int, payload: dict) -> None:
-    """Atomic manifest commit: write to a temp file, fsync, rename.
-    The rename IS the commit point — a reader either sees the whole
-    manifest or no manifest, never a torn one (a crash mid-commit
-    leaves only the previous version visible, which is exactly the
-    transaction-log contract this layout borrows from Delta)."""
+    """Atomic EXCLUSIVE manifest commit: write a temp file, fsync,
+    then link it into place. The link is the commit point — a reader
+    either sees the whole manifest or no manifest, never a torn one —
+    and it FAILS if v{version}.json already exists, so two concurrent
+    writers racing for the same version number produce exactly one
+    winner and one CommitConflict (optimistic concurrency control;
+    os.link is atomic-exclusive on POSIX where os.replace would let
+    the second writer silently clobber the first)."""
     import json
 
     final = os.path.join(root, f"v{version}.json")
-    tmp = final + ".tmp"
+    tmp = final + ".tmp." + str(os.getpid())
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
         fh.flush()
         os.fsync(fh.fileno())
-    os.replace(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} was committed by another writer"
+        ) from exc
+    finally:
+        os.remove(tmp)
 
 
 def _bucket_files(root: str, gen: str) -> dict[int, list[str]]:

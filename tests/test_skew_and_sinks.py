@@ -221,3 +221,26 @@ def test_compaction_preserves_content_and_vacuum_enforces_retention(spark, tmp_p
     assert read_version(spark, root, 3).count() == len(v3)
     with pytest.raises(Exception):
         read_version(spark, root, 1).count()
+
+
+def test_manifest_commit_is_exclusive(tmp_path):
+    """Two writers racing for the same version number: exactly one
+    wins, the loser gets CommitConflict, and the winning manifest is
+    intact (optimistic concurrency control)."""
+    import json
+    import os
+
+    import pytest
+
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        CommitConflict,
+        _write_manifest,
+    )
+
+    root = str(tmp_path)
+    _write_manifest(root, 7, {"version": 7, "files": ["a.parquet"]})
+    with pytest.raises(CommitConflict):
+        _write_manifest(root, 7, {"version": 7, "files": ["b.parquet"]})
+    m = json.load(open(os.path.join(root, "v7.json")))
+    assert m["files"] == ["a.parquet"]
+    assert not [f for f in os.listdir(root) if ".tmp." in f], "temp leak"
