@@ -229,3 +229,111 @@ def olap_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchase_7d"))
     )
     return s_cnt.crossJoin(c_cnt).crossJoin(p_cnt)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory similarity (REPOSE ICDE'21 / top-k similarity search,
+# PAPERS.md): each user's event history is an ordered symbol
+# trajectory; top-k most-similar users per query user by edit
+# distance. The trajectory encoding (one char per event) turns
+# sequence alignment into the built-in levenshtein — JVM-side, no
+# UDF.
+# ---------------------------------------------------------------------------
+_TRAJ_QUERY_USERS = 10
+_TRAJ_TOPK = 3
+
+
+@register(
+    "olap_trajectory_topk",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS sym
+      FROM events
+    ),
+    traj AS (
+      SELECT user_id,
+             string_agg(sym, '' ORDER BY ts, event_id) AS t
+      FROM ev GROUP BY user_id
+    ),
+    q AS (SELECT user_id AS qu, t AS qt FROM traj WHERE user_id < {_TRAJ_QUERY_USERS}),
+    pairs AS (
+      SELECT q.qu, c.user_id AS cu,
+             levenshtein(q.qt, c.t) AS dist
+      FROM q JOIN traj c ON c.user_id <> q.qu
+    ),
+    ranked AS (
+      SELECT qu, cu, dist,
+             ROW_NUMBER() OVER (PARTITION BY qu ORDER BY dist, cu) AS rk
+      FROM pairs
+    )
+    SELECT qu AS query_user, cu AS match_user,
+           CAST(dist AS BIGINT) AS edit_dist, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_TRAJ_TOPK}
+    ORDER BY query_user, rk
+    """,
+    doc=f"Top-{_TRAJ_TOPK} trajectory similarity (REPOSE-class, "
+    "PAPERS.md): per-user event sequences encoded as symbol strings "
+    "(deterministic ts+event_id order), compared with built-in "
+    "levenshtein, query side broadcast — distributed sequence "
+    "alignment with zero Python in the hot path.",
+    tags=("olap", "similarity", "bench"),
+)
+def olap_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-behaviorally-similar users for each query user.
+
+    Scale: trajectories build with one per-user aggregation (the
+    array_sort keeps ordering deterministic under timestamp ties);
+    the query set is fixed-size so the pair generation broadcasts
+    it — candidate count is |Q| * N, linear in the corpus, never
+    N^2. At real scale the refinement is the REPOSE recipe: a
+    cheap lower bound prunes before the exact distance
+    (|len(a)-len(b)| <= dist, so a candidate whose length alone puts
+    it past the running top-k skips the alignment); at gate scale
+    every candidate is aligned so engine and oracle stay
+    hash-identical."""
+    from ..functions.compat import ts_micros
+
+    traj = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.struct(
+                ts_micros(F.col("ts")).alias("t"),
+                F.col("event_id").alias("e"),
+                F.substring("event_type", 1, 1).alias("sym"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x.getField("sym")
+                ),
+            ).alias("t")
+        )
+    )
+    q = traj.filter(F.col("user_id") < _TRAJ_QUERY_USERS).select(
+        F.col("user_id").alias("qu"), F.col("t").alias("qt")
+    )
+    pairs = (
+        traj.crossJoin(F.broadcast(q))
+        .filter(F.col("user_id") != F.col("qu"))
+        .select(
+            "qu",
+            F.col("user_id").alias("cu"),
+            F.levenshtein("qt", "t").alias("dist"),
+        )
+    )
+    win = Window.partitionBy("qu").orderBy("dist", "cu")
+    return (
+        pairs.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _TRAJ_TOPK)
+        .select(
+            F.col("qu").alias("query_user"),
+            F.col("cu").alias("match_user"),
+            F.col("dist").cast("long").alias("edit_dist"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("query_user", "rk")
+    )
