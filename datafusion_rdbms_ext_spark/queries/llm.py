@@ -4555,3 +4555,85 @@ def llm_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# 26. Lexicon sentiment scoring (Large Scale Sentiment Analysis with
+#     Spark, EDBT 2016 — PAPERS.md): the classic distributed
+#     lexicon-join pipeline — tokenize, join a broadcast polarity
+#     lexicon, roll up per document and per source. Exact integer
+#     scores (sum of polarities) so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+_SENT_LEXICON = {
+    "fast": 1,
+    "big": 1,
+    "merge": 1,
+    "value": 1,
+    "slow": -1,
+    "small": -1,
+    "error": -1,
+    "dup": -1,
+}
+
+
+@register(
+    "llm_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(tok, pol) AS (VALUES {", ".join(f"('{t}', {p})" for t, p in sorted(_SENT_LEXICON.items()))}),
+    tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             COALESCE(SUM(pol), 0) AS score,
+             COUNT(lex.tok) AS n_hits
+      FROM tok LEFT JOIN lex ON lex.tok = tok.t
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           CAST(SUM(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+           CAST(SUM(score) AS BIGINT) AS net_score,
+           CAST(SUM(n_hits) AS BIGINT) AS n_lexicon_hits
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="Lexicon sentiment at scale (EDBT'16 Spark sentiment "
+    "pipeline shape): tokenize -> broadcast-join a polarity lexicon "
+    "-> per-doc integer score -> per-source rollup. The lexicon is "
+    "the swappable asset; the plan is the production one.",
+    tags=("llm", "text"),
+)
+def llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sentiment census under a fixed polarity lexicon.
+
+    Scale: the lexicon is a broadcast map (real lexicons are
+    10k-100k entries — still broadcast-sized); scoring is one
+    token-explode + broadcast hash join + two-level rollup, all
+    map-side until the per-doc aggregation. Swapping the lexicon for
+    a model-scored UDF changes one stage, not the plan."""
+    lex = spark.createDataFrame(
+        sorted(_SENT_LEXICON.items()), "t string, pol int"
+    )
+    tok = spark.table("documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    scored = (
+        tok.join(F.broadcast(lex), "t", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(F.sum("pol"), F.lit(0)).alias("score"),
+            F.count("pol").alias("n_hits"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("n_positive"),
+            F.sum(F.when(F.col("score") < 0, 1).otherwise(0)).alias("n_negative"),
+            F.sum("score").alias("net_score"),
+            F.sum("n_hits").alias("n_lexicon_hits"),
+        )
+        .orderBy("source")
+    )
