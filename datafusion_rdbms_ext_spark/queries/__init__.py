@@ -52,8 +52,10 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: stream_cms_event_types, ev_json_corrupt_records,
 #: fed_transparent_setop, llm_corpus_diversity, micro_join_hints,
 #: source_time_travel, source_snapshot_diff, source_cdc_apply,
-#: source_compaction — plus llm_text_stats (deliberately held back
-#: in r5) and llm_semdedup if CORRECTNESS_r05 leaves it unproven.
+#: source_compaction, llm_bigram_lm, llm_dedup_srp,
+#: olap_trajectory_topk, llm_sentiment_lexicon — plus llm_text_stats
+#: (deliberately held back in r5) and llm_semdedup if
+#: CORRECTNESS_r05 leaves it unproven.
 _PRIORITY: tuple[str, ...] = (
     # sentinels (driver-proven r2-r4; canaries for TPC-H + olap).
     # llm_dedup_minhash_lsh (proven r2+r4) gave its slot to round 5's

@@ -486,3 +486,37 @@ def test_join_hints_flip_physical_strategy(spark):
         s: _hinted_join(spark, s).collect() for s in ("merge", "shuffle_hash", "broadcast")
     }
     assert rows["merge"] == rows["shuffle_hash"] == rows["broadcast"]
+
+
+def test_diversity_census_no_pairs_no_cartesian(spark):
+    """The diversity estimator's whole point: no pair join anywhere —
+    just the (fn, value) census and a 1-row broadcast count."""
+    df = _df(spark, "llm_corpus_diversity")
+    assert not has_cartesian(df)
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p, p[:1500]
+
+
+def test_bigram_lm_no_self_join(spark):
+    """Bigrams must form map-side from the token array — the plan may
+    not contain any join at the token level (the naive position
+    self-join would shuffle the full token stream twice)."""
+    df = _df(spark, "llm_bigram_lm")
+    p = plan_string(df)
+    assert not has_cartesian(df)
+    # Exactly one join: counts x per-token totals (vocabulary-sized).
+    # Count numbered plan NODES — the formatted plan repeats each
+    # node name once in the tree and once in the detail section.
+    joins = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p
+    )
+    assert len(joins) <= 1, joins
+
+
+def test_trajectory_query_side_is_broadcast(spark):
+    """The REPOSE-style pair generation must broadcast the fixed
+    query set — candidates are |Q| x N, and the big side never
+    shuffles for the pairing."""
+    df = _df(spark, "olap_trajectory_topk")
+    p = plan_string(df)
+    assert "Broadcast" in p, p[:1500]
