@@ -105,11 +105,13 @@ def test_broadcast_hints_only_on_fixed_dims():
     # bloom filter's set-bit positions (<= _BF_M rows); edges and tri
     # are 1-row global aggregates of the triangle census.
     # deltas / n are 1-row global aggregates (CDC delta sums and the
-    # diversity census' corpus count).
+    # diversity census' corpus count); lex is the fixed sentiment
+    # polarity lexicon (real lexicons are 10k-100k rows — broadcast
+    # is the production plan, independent of corpus scale).
     allowed = {
         "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
         "mix_spec", "candidates", "total", "ns", "tot", "probes",
-        "edges", "tri", "deltas", "n",
+        "edges", "tri", "deltas", "n", "lex",
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
