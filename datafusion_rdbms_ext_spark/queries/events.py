@@ -438,3 +438,152 @@ def ev_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Half-life decayed trending score — the streaming-analytics ranking
+# signal (recent activity counts more), made EXACTLY reproducible by
+# using a power-of-two decay on integer-quantized values: an event
+# aged d days contributes value_milli >> d (integer shift), so both
+# engines compute identical integers where exp(-lambda*age) would
+# drift in the last ulp.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_trending_decay",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    aged AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000) AS BIGINT) AS vm,
+             LEAST((epoch_us(mx) - epoch_us(ts)) // 86400000000, 62) AS age_d
+      FROM events CROSS JOIN anchor
+    )
+    SELECT event_type,
+           CAST(SUM(vm >> age_d) AS BIGINT) AS trend_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM aged
+    GROUP BY event_type ORDER BY trend_score DESC, event_type
+    """,
+    doc="Half-life decayed trending score (1-day half-life): integer "
+    "milli-value right-shifted by whole days of age from the corpus "
+    "max timestamp — the exponential-decay ranking signal with "
+    "bit-exact cross-engine arithmetic (shift, not exp).",
+    tags=("events", "window", "bench"),
+)
+def ev_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event types ranked by recency-decayed activity.
+
+    Scale: one scan + a 1-row max-timestamp broadcast + a map-side
+    shift and rollup — the decayed score is a plain aggregation, so
+    it composes with windows/streaming exactly like count does. The
+    62-day shift cap keeps the shift defined; older events contribute
+    zero, which IS the decay semantics."""
+    from ..functions.compat import ts_micros
+
+    anchor = spark.table("events").agg(F.max("ts").alias("mx"))
+    aged = (
+        spark.table("events")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+            F.least(
+                ((ts_micros(F.col("mx")) - ts_micros(F.col("ts"))) / F.lit(86_400_000_000)).cast("long"),
+                F.lit(62),
+            ).alias("age_d"),
+        )
+    )
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("shiftright(vm, age_d)")).alias("trend_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("trend_score").cast("long").alias("trend_score"),
+            "n_events",
+        )
+        .orderBy(F.desc("trend_score"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral Markov transitions — P(next event | event) per user
+# journey: the product-analytics transition matrix behind path
+# mining and next-action prediction. Same map-side consecutive-pair
+# trick as the bigram LM, applied to per-user time-ordered journeys.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(evs)),
+                    i -> struct_pack(src := evs[i], dst := evs[i+1]))) AS p
+      FROM seq WHERE len(evs) >= 2
+    ),
+    counts AS (SELECT p.src AS src, p.dst AS dst, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    totals AS (SELECT src, SUM(c) AS t FROM counts GROUP BY src)
+    SELECT counts.src AS from_event, dst AS to_event, CAST(c AS BIGINT) AS c,
+           CAST(c * 1000000 // t AS BIGINT) AS cond_ppm
+    FROM counts JOIN totals ON totals.src = counts.src
+    ORDER BY from_event, to_event
+    """,
+    doc="Per-user Markov transition matrix (P(next event | event) in "
+    "exact-integer ppm): journeys ordered by (ts, event_id), "
+    "consecutive pairs formed map-side from the collected journey "
+    "array — path-mining / next-action analytics.",
+    tags=("events", "window", "bench"),
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5x5 event-type transition matrix over all user journeys.
+
+    Scale: one per-user aggregation builds the journey (journeys are
+    user-session-sized, not corpus-sized), pairs explode map-side,
+    and the transition table is |event_types|^2 — tiny forever. The
+    window-function formulation (lag over user+ts) is the same cost;
+    the array form keeps the pair construction inside codegen."""
+    from ..functions.compat import ts_micros
+
+    seq = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.struct(
+                ts_micros(F.col("ts")).alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("ev"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda x: x.getField("ev")
+            ).alias("evs")
+        )
+        .filter(F.size("evs") >= 2)
+    )
+    pairs = seq.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(evs) - 2),"
+                " i -> struct(evs[i] AS src, evs[i+1] AS dst))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("t"))
+    return (
+        counts.join(totals, "src")
+        .select(
+            F.col("src").alias("from_event"),
+            F.col("dst").alias("to_event"),
+            "c",
+            F.expr("c * 1000000 div t").alias("cond_ppm"),
+        )
+        .orderBy("from_event", "to_event")
+    )
