@@ -422,21 +422,29 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component diameter; near-dup components are shallow stars, and
     the fixpoint test (an exact sum over labels, which strictly
     decreases while any label moves) stops the loop the round after
-    convergence. Driver involvement is one scalar per round — no
-    ``collect`` of data rows."""
+    convergence. Driver involvement is one scalar per round, and
+    that scalar rides the checkpoint's own materialization job via
+    ``observe`` — each round runs exactly ONE job (a separate
+    ``agg().first()`` would re-scan the labels and double the
+    per-round job count; measured as a scheduling-tail reduction at
+    sf0.1)."""
+    from pyspark.sql import Observation
+
     pairs = _lsh_verified_pairs(spark).select("da", "db")
     edges = (
         pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
         .select(F.col("da").alias("src"), F.col("db").alias("dst"))
         .localCheckpoint(eager=True)
     )
+    obs0 = Observation()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
+        .observe(obs0, F.sum("lbl").alias("s"))
         .localCheckpoint(eager=True)
     )
-    prev = labels.agg(F.sum("lbl").alias("s")).first()["s"]
+    prev = obs0.get["s"]
     for _ in range(_CC_MAX_ITERS):
         nbr_min = (
             edges.join(
@@ -447,15 +455,17 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dlbl").alias("nlbl"))
             .select(F.col("src").alias("node"), "nlbl")
         )
+        obs = Observation()
         labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
+            .observe(obs, F.sum("lbl").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(F.sum("lbl").alias("s")).first()["s"]
+        cur = obs.get["s"]
         if cur == prev:
             break
         prev = cur
