@@ -533,6 +533,7 @@ def stream_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..queries.llm import _CMS_D, _CMS_W, _phash
 
     acc: dict[tuple[int, int], int] = {}
+    applied: set[int] = set()
 
     def positions(df: DataFrame) -> DataFrame:
         h = [
@@ -550,6 +551,12 @@ def stream_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(*h).select(rb).select("rb.d", "rb.b")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Exactly-once under replay: foreachBatch re-delivers a whole
+        # batch after restart/failure, and CMS addition is NOT
+        # idempotent — skip batchIds already merged (the same
+        # batchId-keyed guard as the federated streaming sink).
+        if batch_id in applied:
+            return
         rows = (
             positions(batch_df)
             .groupBy("d", "b")
@@ -558,6 +565,7 @@ def stream_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in rows:
             acc[(r["d"], r["b"])] = acc.get((r["d"], r["b"]), 0) + r["c"]
+        applied.add(batch_id)
 
     _RUN_SEQ[0] += 1
     q = (

@@ -112,6 +112,7 @@ def test_broadcast_hints_only_on_fixed_dims():
         "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
         "mix_spec", "candidates", "total", "ns", "tot", "probes",
         "edges", "tri", "deltas", "n", "lex",
+        "anchor",  # 1-row max-timestamp aggregate (decay scoring)
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []

@@ -649,3 +649,101 @@ def test_bloom_has_no_false_negatives(spark, hist, batch):
             assert got.get(doc_id) == 1, (doc_id, t, got)
         elif doc_id in got:
             assert got[doc_id] == 0
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from("cpesv"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_trajectory_alignment_matches_bruteforce(spark, seqs):
+    """The trajectory encoding + built-in levenshtein must equal a
+    reference DP alignment over the raw per-user sequences."""
+    from pyspark.sql import Window
+
+    rows = []
+    eid = 0
+    for u, syms in enumerate(seqs):
+        for t, sym in enumerate(syms):
+            rows.append((u, t, eid, sym))
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, t long, event_id long, sym string")
+    traj = (
+        df.select(
+            "user_id",
+            F.struct("t", F.col("event_id").alias("e"), "sym").alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("s")), lambda x: x["sym"])
+            ).alias("tr")
+        )
+    )
+    a = traj.select(F.col("user_id").alias("ua"), F.col("tr").alias("ta"))
+    b = traj.select(F.col("user_id").alias("ub"), F.col("tr").alias("tb"))
+    got = {
+        (r["ua"], r["ub"]): r["d"]
+        for r in a.crossJoin(b)
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub", F.levenshtein("ta", "tb").alias("d"))
+        .collect()
+    }
+    strs = {u: "".join(syms) for u, syms in enumerate(seqs)}
+    for (ua, ub), d in got.items():
+        assert d == _py_levenshtein(strs[ua], strs[ub]), (ua, ub)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 4), min_size=0, max_size=15), min_size=1, max_size=6
+    )
+)
+@settings(**_SETTINGS)
+def test_bigram_counts_match_bruteforce(spark, docs):
+    """Map-side bigram formation == per-document consecutive-pair
+    enumeration in plain Python."""
+    from collections import Counter
+
+    texts = [" ".join(f"w{t}" for t in ws) for ws in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    w = F.split(F.col("text"), " ")
+    got = Counter()
+    rows = (
+        df.select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b.w1", "b.w2")
+        .count()
+        .collect()
+    )
+    for r in rows:
+        got[(r["w1"], r["w2"])] = r["count"]
+    want = Counter()
+    for ws in docs:
+        toks = [f"w{t}" for t in ws]
+        for x, y in zip(toks, toks[1:]):
+            want[(x, y)] += 1
+    assert got == want
