@@ -631,3 +631,72 @@ def op_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "op_percentile_exact",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS vm FROM events
+    ),
+    hist AS (SELECT event_type, vm, COUNT(*) AS c FROM q GROUP BY event_type, vm),
+    cum AS (
+      SELECT event_type, vm, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY vm
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN vm END) AS BIGINT) AS p50_milli,
+           CAST(MIN(CASE WHEN cum * 20 >= n * 19 THEN vm END) AS BIGINT) AS p95_milli
+    FROM cum
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact distributed percentiles (p50/p95) by histogram "
+    "selection: per-group value histogram + cumulative rank pick — "
+    "nearest-rank semantics on integer milli-values, identical in "
+    "both engines, with no per-group sort of raw rows.",
+    tags=("operator", "percentile", "bench"),
+)
+def op_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p95 of event value per type.
+
+    Scale: the classic exact-selection plan — raw rows collapse to a
+    per-group VALUE histogram first (map-side combine does most of
+    it), so the windowed cumulative walk runs over distinct values
+    per group, not rows. A sort-based percentile shuffles every raw
+    row to its group and sorts; this shuffles one row per distinct
+    (group, value). For continuous doubles the quantization IS the
+    histogram bin — at 1e-3 precision here, coarser at 100 TB if the
+    value domain is dense."""
+    q = spark.table("events").select(
+        "event_type", F.round(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    hist = q.groupBy("event_type", "vm").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vm",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("vm"))
+            ).alias("p50_milli"),
+            F.min(
+                F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("vm"))
+            ).alias("p95_milli"),
+        )
+        .orderBy("event_type")
+    )
