@@ -54,7 +54,8 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: source_time_travel, source_snapshot_diff, source_cdc_apply,
 #: source_compaction, llm_bigram_lm, llm_dedup_srp,
 #: olap_trajectory_topk, llm_sentiment_lexicon, ev_trending_decay,
-#: ev_markov_transitions, op_percentile_exact — plus llm_text_stats
+#: ev_markov_transitions, op_percentile_exact, ev_anomaly_mad —
+#: plus llm_text_stats
 #: (deliberately held back in r5) and llm_semdedup if
 #: CORRECTNESS_r05 leaves it unproven.
 _PRIORITY: tuple[str, ...] = (

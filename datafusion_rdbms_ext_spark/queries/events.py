@@ -587,3 +587,79 @@ def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_event", "to_event")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection — median absolute deviation (MAD) over
+# daily activity: flag days whose event volume deviates from the
+# per-type median by more than k * MAD. MAD is the robust scale
+# estimator (outliers cannot inflate it the way they inflate a
+# stddev), and on integer daily counts both the median and the MAD
+# are exact in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+      SELECT event_type, CAST(FLOOR(median(n)) AS BIGINT) AS med_n FROM daily
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n, m.med_n, ABS(d.n - m.med_n) AS ad
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+      SELECT event_type, CAST(FLOOR(median(ad)) AS BIGINT) AS mad_n FROM dev
+      GROUP BY event_type
+    )
+    SELECT dev.event_type, CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+           med_n, mad.mad_n
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    WHERE ABS(n - med_n) > 3 * mad.mad_n
+    ORDER BY dev.event_type, day
+    """,
+    doc="Robust daily-volume anomaly detection: per-type median and "
+    "MAD over daily counts (interpolated medians floored to exact "
+    "integers so even day-counts cannot round differently across "
+    "engines), days beyond "
+    "3 x MAD flagged — the monitoring rollup that survives the very "
+    "outliers it hunts.",
+    tags=("events", "quality"),
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume is a 3-MAD outlier for their type.
+
+    Scale: two small aggregations over the (type, day) rollup —
+    the daily table is |types| x |days|, so the median/MAD windows
+    run over tiny groups regardless of event volume; all heavy
+    lifting is the first map-side-combined daily count."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.floor(F.median("n")).cast("long").alias("med_n")
+    )
+    dev = daily.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.median("ad")).cast("long").alias("mad_n")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.abs(F.col("n") - F.col("med_n")) > 3 * F.col("mad_n"))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            "med_n",
+            "mad_n",
+        )
+        .orderBy("event_type", "day")
+    )
