@@ -45,86 +45,74 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: families (regression canaries: one TPC-H, one dedup, one OLAP).
 #: mm_resize_pool (rows-only by design) stays outside — a rows-only
 #: row would waste a hash-checked slot.
-#: ROUND-6 ROTATION QUEUE (never driver-proven after round 5): the
-#: 17 round-5-continuation queries — llm_dedup_substring,
-#: llm_quality_unigram_ppm, llm_cms_counts, sink_zorder_layout,
-#: llm_dedup_bloom_incremental, llm_neardup_triangles,
-#: stream_cms_event_types, ev_json_corrupt_records,
-#: fed_transparent_setop, llm_corpus_diversity, micro_join_hints,
-#: source_time_travel, source_snapshot_diff, source_cdc_apply,
-#: source_compaction, llm_bigram_lm, llm_dedup_srp,
-#: olap_trajectory_topk, llm_sentiment_lexicon, ev_trending_decay,
-#: ev_markov_transitions, op_percentile_exact, ev_anomaly_mad —
-#: plus llm_text_stats
-#: (deliberately held back in r5) and llm_semdedup if
-#: CORRECTNESS_r05 leaves it unproven.
+#: ROUND-6 ROTATION (VERDICT r5 next #1): the 25 round-5-continuation
+#: queries that had never been in a driver gate take the front slots
+#: (mm_resize_pool joins them, promoted from rows-only to hash-checked
+#: via the exact ASCII-byte pooled-mean oracle). 3 sentinels from
+#: proven families follow (q01 TPC-H, minhash-LSH dedup — proven
+#: r2+r4, giving llm_semdedup's r5-proven slot back — and one
+#: fed_transparent). The remaining 22 slots backfill with the
+#: longest-unproven queries: the 15 TPC-H queries last proven in
+#: round 2 (including q18, whose plan was REWRITTEN in r5 — its
+#: one-scan form has never had driver proof), the 6 window queries
+#: (d2), and micro_interval_range (d2; the reference's documented
+#: interval-arithmetic blocker, README.md:52). After this gate every
+#: registered query has driver hard-signal in some round and zero
+#: rows-only queries remain.
 _PRIORITY: tuple[str, ...] = (
-    # sentinels (driver-proven r2-r4; canaries for TPC-H + olap).
-    # llm_dedup_minhash_lsh (proven r2+r4) gave its slot to round 5's
-    # llm_semdedup — the llm family keeps 20+ entries in the gate.
+    # -- 25 first-timers: round-5-continuation batch + mm_resize_pool
+    "llm_dedup_substring",
+    "llm_quality_unigram_ppm",
+    "llm_cms_counts",
+    "llm_dedup_bloom_incremental",
+    "llm_neardup_triangles",
+    "llm_corpus_diversity",
+    "llm_bigram_lm",
+    "llm_dedup_srp",
+    "llm_sentiment_lexicon",
+    "llm_text_stats",
+    "sink_zorder_layout",
+    "source_time_travel",
+    "source_snapshot_diff",
+    "source_cdc_apply",
+    "source_compaction",
+    "stream_cms_event_types",
+    "ev_json_corrupt_records",
+    "ev_trending_decay",
+    "ev_markov_transitions",
+    "ev_anomaly_mad",
+    "fed_transparent_setop",
+    "micro_join_hints",
+    "olap_trajectory_topk",
+    "op_percentile_exact",
+    "mm_resize_pool",
+    # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
-    "llm_semdedup",
-    "olap_funnel",
-    # new this round: transparent plan-prefix pushdown (x2), decimal
-    # end-to-end, multiprobe IVFPQ serving pipeline
+    "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    "fed_transparent_join",
-    # window pushdown (beyond the reference's unparser) takes the
-    # slot of llm_text_stats — the weakest never-proven claim (simple
-    # map-side rollup; stays local-gate covered).
-    "fed_transparent_window",
-    "micro_decimal_money",
-    "llm_sim_topk_ivfpq_multiprobe",
-    # Spark-4 / expression-surface micros, never driver-proven
-    "micro_three_part_names",
-    "micro_unpivot",
-    "micro_lateral_posexplode",
-    "micro_hof_array",
-    "micro_udtf_tokens",
-    "micro_hll_sketch_merge",
-    "micro_recursive_cte",
-    "micro_try_arithmetic",
-    "micro_union_evolved",
-    "micro_lateral_topn",
-    # event-time analytics, never driver-proven
-    "ev_sliding_6h_3h",
-    "ev_rollup_gapfill",
-    "ev_pivot_daily_types",
-    # LLM pipeline operators, never driver-proven
-    "llm_dedup_fingerprint",
-    "llm_sim_topk_udf",
-    "llm_sim_topk_ivf_multiprobe",
-    "llm_sim_topk_pq",
-    "llm_text_quality",
-    "llm_text_langid",
-    "llm_token_pagerank",
-    "llm_dedup_fuzzy",
-    "llm_corpus_upsert",
-    "llm_profile_columns",
-    "llm_quality_audit",
-    "llm_rollup_maintenance",
-    "llm_source_drift",
-    "llm_chunk_overlap",
-    # streaming, never driver-proven
-    "stream_session_windows",
-    "stream_static_join",
-    # multimodal, never driver-proven
-    "mm_modality_rollup",
-    "mm_arrow_features",
-    # operators, never driver-proven
-    "op_bucketed_join",
-    "op_salted_join",
-    "op_grouped_agg_udf",
-    "op_asof_forward",
-    # federation stream replay, never driver-proven
-    "fed_stream_replay",
-    # sink/source roundtrips (sinks.py), never driver-proven
-    "sink_partitioned_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "sink_clustered_layout",
+    # -- 22 backfill: longest-unproven (d2) queries as canaries
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q16_part_supplier_relationship",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "win_topn_per_group",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_sliding_frames",
+    "win_distribution",
+    "win_first_last",
+    "micro_interval_range",
 )
 
 

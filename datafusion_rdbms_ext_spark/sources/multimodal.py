@@ -223,12 +223,34 @@ def mm_modality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact oracle for the pooled means (VERDICT r5 next #2): the fixture
+# text is pure ASCII, so byte i of the payload == ascii(char i), and
+# each bin mean is sum/count of ≤~500k-bounded exact integers — both
+# numpy (pairwise sum of exactly-representable values) and DuckDB
+# (sequential sum) produce the identical correctly-rounded double, so
+# the hash gate's bit-identical float compare holds (verified over all
+# 50 docs at sf0.01 before landing).
+_POOL_ORACLE = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CASE WHEN ((({i}+1)*length(text))//16) > (({i}*length(text))//16) "
+        f"THEN list_avg(list_transform("
+        f"range(({i}*length(text))//16 + 1, (({i}+1)*length(text))//16 + 1), "
+        f"j -> ascii(substr(text, j, 1)))) "
+        f"ELSE 0.0 END AS p{i}"
+        for i in range(16)
+    )
+    + " FROM documents WHERE doc_id < 50 ORDER BY doc_id"
+)
+
+
 @register(
     "mm_resize_pool",
-    oracle=None,  # pooled float means over variable chunks: not SQL-expressible
+    oracle=_POOL_ORACLE,
     doc="Adaptive 16-bin average pooling of decoded samples (resize/"
     "thumbnail stub; decode is a deterministic fake — codec libs "
-    "absent). Rows-only gate entry by design.",
+    "absent). Oracle re-derives the exact pooled means from the "
+    "ASCII payload bytes in SQL.",
     tags=("multimodal", "udf"),
 )
 def mm_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:

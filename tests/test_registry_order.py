@@ -33,9 +33,11 @@ def test_first_50_slots_cover_every_subsystem():
 
 
 def test_every_query_has_oracle_or_documented_exemption():
-    """Every registry entry must carry a DuckDB oracle; rows-only
-    entries (oracle=None) are the documented exceptions only."""
-    allowed_rows_only = {"mm_resize_pool"}
+    """Every registry entry must carry a DuckDB oracle. As of round 6
+    (mm_resize_pool's exact pooled-mean oracle) there are NO rows-only
+    queries left; any future exemption must be added here with a
+    reason."""
+    allowed_rows_only: set[str] = set()
     offenders = [
         n for n, s in REGISTRY.items() if s.oracle is None and n not in allowed_rows_only
     ]
@@ -107,4 +109,13 @@ def test_survey_bench_total_matches_latest_bench_artifact():
         assert abs(float(val) - total) / total <= 0.25, (
             f"SURVEY claims {val}s over {n} queries; {name} records "
             f"{total}s over {nq} — update the doc or cite the artifact"
+        )
+    # Count-drift guard (VERDICT r5 next #8): if SURVEY makes tagged-
+    # query claims at all, at least one must describe the CURRENT
+    # suite size — otherwise every claim is about a stale suite and
+    # the 25% check above silently skips them all.
+    if claims:
+        assert any(int(n) == nq for _, n in claims), (
+            f"SURVEY's tagged-query claims {[int(n) for _, n in claims]} "
+            f"never mention the current suite size {nq} ({name})"
         )
