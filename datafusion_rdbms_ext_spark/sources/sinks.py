@@ -701,18 +701,33 @@ def _write_manifest(root: str, version: int, payload: dict) -> None:
 
     final = os.path.join(root, f"v{version}.json")
     tmp = final + ".tmp." + str(os.getpid())
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
-        os.link(tmp, final)
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"version {version} was committed by another writer"
-        ) from exc
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"version {version} was committed by another writer"
+            ) from exc
+        except OSError as exc:
+            # Filesystems without hard links (some network/FUSE
+            # mounts) surface EPERM/EOPNOTSUPP here. Surface the
+            # contract violation explicitly instead of a bare OSError:
+            # this layer cannot provide atomic-exclusive commits there.
+            raise RuntimeError(
+                "atomic-exclusive manifest commit requires hard-link "
+                f"support on {root!r} (os.link failed: {exc})"
+            ) from exc
     finally:
-        os.remove(tmp)
+        # The temp file must never outlive the commit attempt — on
+        # ANY failure (serialize/fsync included), not just post-link.
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _bucket_files(root: str, gen: str) -> dict[int, list[str]]:

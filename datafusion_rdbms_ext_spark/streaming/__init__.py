@@ -551,10 +551,14 @@ def stream_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.select(*h).select(rb).select("rb.d", "rb.b")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Exactly-once under replay: foreachBatch re-delivers a whole
-        # batch after restart/failure, and CMS addition is NOT
-        # idempotent — skip batchIds already merged (the same
-        # batchId-keyed guard as the federated streaming sink).
+        # Intra-run replay guard: foreachBatch may re-deliver a batch
+        # within one run, and CMS addition is NOT idempotent — skip
+        # batchIds already merged. Both `acc` and `applied` are
+        # process-local, so this protects intra-run redelivery ONLY;
+        # durable exactly-once across a driver restart requires
+        # persisting (acc, applied) transactionally in the checkpoint
+        # or a state store, as the federated streaming sink does with
+        # its batchId-keyed table.
         if batch_id in applied:
             return
         rows = (

@@ -108,31 +108,42 @@ def test_broadcast_hints_only_on_fixed_dims():
     # diversity census' corpus count); lex is the fixed sentiment
     # polarity lexicon (real lexicons are 10k-100k rows — broadcast
     # is the production plan, independent of corpus scale).
-    allowed = {
-        "n1", "n2", "q", "region", "nation", "carry", "cents_arr",
-        "mix_spec", "candidates", "total", "ns", "tot", "probes",
-        "edges", "tri", "deltas", "n", "lex",
-        "anchor",  # 1-row max-timestamp aggregate (decay scoring)
+    # Scoped PER FILE (ADVICE r5: a flat global set of generic names
+    # like 'n' or 'edges' would whitelist any future data-sized
+    # broadcast anywhere). A name is allowed only in the module whose
+    # bounded-cardinality argument it documents; exact names match
+    # whole, "...("-suffixed entries match as prefixes (the regex
+    # truncates nested calls at the first ')').
+    allowed_by_file = {
+        "tpch.py": {"n1", "n2", "nation", "region", 'spark.table("nation"'},
+        "federation.py": {'spark.table("nation"'},
+        "olap.py": {"carry", "q"},
+        "events.py": {"anchor"},
+        "sinks.py": {"deltas"},
+        "streaming/__init__.py": {"sketch.filter("},
+        "llm.py": {
+            "q", "cents_arr", "mix_spec", "candidates", "total", "ns",
+            "tot", "probes", "edges", "tri", "n", "lex",
+            "cb.select(", "cms.filter(", "hpos.withColumn(",
+        },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
     offenders = []
     for py in root.rglob("*.py"):
         src = py.read_text()
+        key = (
+            f"{py.parent.name}/{py.name}" if py.name == "__init__.py" else py.name
+        )
+        allowed = allowed_by_file.get(key, set())
         for m in re.finditer(r"F\.broadcast\(([^)]*)\)", src):
             arg = m.group(1).strip()
-            # The regex stops at the first ')', so nested calls like
-            # spark.table("nation") arrive truncated — match prefixes.
-            ok = (
-                arg in allowed
-                or 'table("nation"' in arg
-                or 'table("region"' in arg
-                or arg.startswith("cb.select(")
-                or arg.startswith("cms.filter(")
-                or arg.startswith("sketch.filter(")
-                or arg.startswith("hpos.withColumn(")
+            ok = any(
+                arg == a or (a.endswith("(") and arg.startswith(a))
+                or arg.startswith(a + ")")
+                for a in allowed
             )
             if not ok:
-                offenders.append(f"{py.name}: {arg}")
+                offenders.append(f"{key}: {arg}")
     assert not offenders, f"broadcast hint on SF-scaling table(s): {offenders}"
 
 
