@@ -86,6 +86,11 @@ _PRIORITY: tuple[str, ...] = (
     "olap_trajectory_topk",
     "op_percentile_exact",
     "mm_resize_pool",
+    # round-6 additions: transparent pushdown over the SECOND dialect
+    # (they displace two already-d2-proven backfill canaries —
+    # first-time hard-signal beats a third proof of win_first_last)
+    "fed_sqlite_transparent_agg",
+    "fed_sqlite_transparent_window",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
@@ -111,8 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "win_running_sum",
     "win_sliding_frames",
     "win_distribution",
-    "win_first_last",
-    "micro_interval_range",
 )
 
 

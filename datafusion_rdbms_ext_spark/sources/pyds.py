@@ -141,6 +141,23 @@ class DuckDBFederatedReader(DataSourceReader):
         self._pushed: list[str] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # RESET, then collect: Spark may reuse one reader instance
+        # across planning passes of different queries derived from the
+        # same loaded DataFrame — appending would leak one query's
+        # WHERE clause into a sibling's scan (over-filtering: silent
+        # wrong results, caught by the dialect battery's value check).
+        #
+        # KNOWN SPARK LIMITATION (pinned by
+        # tests/test_federation_pushdown.py::test_relation_reuse_semantics):
+        # the JVM caches the planned read (partitions + pickled
+        # reader) per LOADED RELATION and only re-plans when a query
+        # has filters to push — so on a shared .load() DataFrame, a
+        # FILTERLESS query reuses the most recent filtered scan and
+        # silently loses rows. Nothing Python-side runs on that path
+        # (neither pushFilters nor partitions), so it cannot be fixed
+        # here. Library contract: create a fresh .load() per query
+        # (every helper in this package does).
+        self._pushed = []
         for f in filters:
             sql = _filter_to_sql(f)
             if sql is None:
@@ -162,6 +179,11 @@ class DuckDBFederatedReader(DataSourceReader):
         back to deterministic ORDER BY ALL LIMIT/OFFSET slices — the
         only case that still pays N remote sorts."""
         base = self._base_sql()
+        # CONSUME the pushed filters: planning may reuse this reader
+        # object for a later query that has nothing to push (then
+        # pushFilters is never invoked), and stale conjuncts would
+        # over-filter that query's scan — silent wrong results.
+        self._pushed = []
         key = _fed()._pick_partition_key(self._schema)
         if key is not None and self._n_parts > 1:
             preds = _fed().plan_range_predicates(self._sf_dir, base, key, self._n_parts)
@@ -183,6 +205,84 @@ class DuckDBFederatedReader(DataSourceReader):
 def register_duckdb_source(spark) -> None:
     """Idempotently register the format with the session."""
     spark.dataSource.register(DuckDBFederatedSource)
+
+
+class SQLiteFederatedSource(DataSource):
+    """``spark.read.format("sqlite_fed")`` — the SECOND dialect
+    mounted in the same TableProvider slot (the reference's
+    DatabaseConnector db_type switch, mod.rs:33-51, realized as two
+    registered formats sharing one filter classifier). Options:
+    ``sf_dir``, ``table``, ``partitions``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite_fed"
+
+    def schema(self):
+        from .sqlite_fed import load_catalog_sqlite
+
+        return load_catalog_sqlite(self.options["sf_dir"])[self.options["table"]]
+
+    def reader(self, schema) -> "SQLiteFederatedReader":
+        return SQLiteFederatedReader(self.options, schema)
+
+
+class SQLiteFederatedReader(DataSourceReader):
+    """Same pushdown/partition shape as the DuckDB reader with the
+    dialect's coarser capabilities: equi-width key ranges (no remote
+    quantile aggregate) and a single keyless slice (no ORDER BY ALL
+    to pin deterministic LIMIT/OFFSET paging)."""
+
+    def __init__(self, options, schema):
+        self._sf_dir = options["sf_dir"]
+        self._table = options["table"]
+        self._n_parts = int(options.get("partitions", _DEFAULT_PARTITIONS))
+        self._schema = schema
+        self._pushed: list[str] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self._pushed = []  # reset per planning pass (see DuckDB reader)
+        for f in filters:
+            sql = _filter_to_sql(f)  # dialect-neutral conjuncts
+            if sql is None:
+                yield f
+            else:
+                self._pushed.append(sql)
+
+    def _base_sql(self) -> str:
+        cols = ", ".join(field.name for field in self._schema.fields)
+        sql = f"SELECT {cols} FROM {self._table}"
+        if self._pushed:
+            sql += " WHERE " + " AND ".join(f"({p})" for p in self._pushed)
+        return sql
+
+    def partitions(self) -> list[_Slice]:
+        from .connector import SQLiteConnector, pick_partition_key
+
+        base = self._base_sql()
+        self._pushed = []  # consume (see DuckDB reader)
+        key = pick_partition_key(self._schema)
+        if key is not None and self._n_parts > 1:
+            conn = SQLiteConnector(self._sf_dir)
+            preds = conn.partition_predicates(base, key, self._n_parts)
+            return [_Slice(f"SELECT * FROM ({base}) _t WHERE {p}") for p in preds]
+        return [_Slice(base)]  # keyless: ONE slice (no ORDER BY ALL)
+
+    def read(self, partition: _Slice):
+        import sqlite3
+
+        from .sqlite_fed import sqlite_db_path
+
+        con = sqlite3.connect(sqlite_db_path(self._sf_dir))
+        try:
+            yield from con.execute(partition.sql)
+        finally:
+            con.close()
+
+
+def register_sqlite_source(spark) -> None:
+    """Idempotently register the SQLite format with the session."""
+    spark.dataSource.register(SQLiteFederatedSource)
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ re-sorts of the full qualifying set.
 from __future__ import annotations
 
 import re
+from pathlib import Path
 
 from datafusion_rdbms_ext_spark.plans import plan_string
 from datafusion_rdbms_ext_spark.queries import REGISTRY
@@ -245,8 +246,8 @@ def test_transparent_unparse_sql_shape(spark):
     )
     hit = try_unparse(df)
     assert hit is not None
-    sql, sf_dir = hit
-    assert sf_dir == SF_DIR
+    sql, sf_dir, fmt = hit
+    assert sf_dir == SF_DIR and fmt == "duckdb_fed" 
     assert "GROUP BY" in sql and "LIMIT 5" in sql
     # Dialect pass stripped Spark literal suffixes (5000.0D -> 5000.0).
     assert "5000.0" in sql and "5000.0D" not in sql
@@ -310,7 +311,7 @@ def test_transparent_distinct_union_push_and_subset_fallback(spark):
     )
 
     d = _fed_table(spark, SF_DIR, "customer").select("c_nationkey").distinct()
-    sql, _ = try_unparse(d)
+    sql = try_unparse(d)[0]
     assert "SELECT DISTINCT" in sql
     assert transparent_pushdown(d).count() == 25
 
@@ -319,7 +320,7 @@ def test_transparent_distinct_union_push_and_subset_fallback(spark):
         .select("n_name")
         .union(_fed_table(spark, SF_DIR, "region").select("r_name"))
     )
-    sql_u, _ = try_unparse(u)
+    sql_u = try_unparse(u)[0]
     assert "UNION ALL" in sql_u
     assert transparent_pushdown(u).count() == 30
 
@@ -354,5 +355,199 @@ def test_transparent_except_all_unparses(spark):
     ).select("n_regionkey")
     hit = try_unparse(a.exceptAll(b))
     assert hit is not None
-    sql, _ = hit
+    sql = hit[0]
     assert "EXCEPT ALL" in sql, sql
+
+
+def test_sqlite_transparent_no_spark_aggregate(spark):
+    """Dialect two executes the whole join+groupBy remotely: the
+    executed plan must hold no Spark-side aggregate or join — the
+    same contract as the DuckDB path, proving the transparent
+    rewriter is dialect-parametrized, not dialect-specific."""
+    df = REGISTRY["fed_sqlite_transparent_agg"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(
+        r"HashAggregate|SortAggregate|BroadcastHashJoin|SortMergeJoin", p
+    ), p
+
+
+def test_sqlite_transparent_window_no_spark_window(spark):
+    df = REGISTRY["fed_sqlite_transparent_window"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert "Window" not in p, p[:1500]
+
+
+def test_sqlite_transparent_setop_all_falls_back(spark):
+    """SQLite has no INTERSECT ALL/EXCEPT ALL: the capability gate
+    must refuse the unparse (None) so the plan runs Spark-side
+    instead of silently dropping multiset semantics."""
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _sqlite_table,
+        try_unparse,
+    )
+
+    a = _sqlite_table(spark, SF_DIR, "nation").select("n_regionkey")
+    b = _sqlite_table(spark, SF_DIR, "region").select("r_regionkey")
+    assert try_unparse(a.exceptAll(b)) is None
+    # ...but the distinct set op IS within SQLite's capability.
+    hit = try_unparse(a.intersect(b))
+    assert hit is not None and hit[2] == "sqlite_fed"
+
+
+# ---------------------------------------------------------------------------
+# Dialect-coverage battery (VERDICT r5 next #3): a representative
+# matrix of DataFrame shapes run through try_unparse + remote
+# validation. Asserting WHICH shapes rewrite vs fall back makes
+# coverage loss visible — a dialect-table regression that silently
+# forfeits a pushdown now fails here, and every deliberate fallback
+# is a documented row, not an accident.
+# ---------------------------------------------------------------------------
+def _battery(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import _fed_table
+
+    # Fresh load per shape: sharing one loaded relation across shapes
+    # trips the scan-caching hazard pinned by
+    # test_relation_reuse_semantics.
+    def c():
+        return _fed_table(spark, SF_DIR, "customer")
+
+    def o():
+        return _fed_table(spark, SF_DIR, "orders")
+
+    return {
+        # shapes that MUST rewrite (remote accepts the unparse)
+        "concat": (True, c().select(F.concat("c_name", "c_mktsegment").alias("x"))),
+        "concat_null_propagating": (
+            True,
+            c().select(F.concat(F.lit(None).cast("string"), F.col("c_name")).alias("x")),
+        ),
+        "datediff": (
+            True,
+            o().select(F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate").alias("n")),
+        ),
+        "locate": (True, c().select(F.locate("a", F.col("c_name")).alias("p"))),
+        "regexp_replace": (
+            True,
+            c().select(F.regexp_replace("c_name", "a", "b").alias("s")),
+        ),
+        "add_months": (True, o().select(F.add_months("o_orderdate", 2).alias("d"))),
+        "date_add": (True, o().select(F.date_add("o_orderdate", 7).alias("d"))),
+        "case_when": (
+            True,
+            c().select(F.when(F.col("c_acctbal") > 0, "p").otherwise("n").alias("s")),
+        ),
+        "in_between_like": (
+            True,
+            c().filter(
+                F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+                & F.col("c_acctbal").between(0, 100)
+                & F.col("c_name").like("%a%")
+            ).select("c_custkey"),
+        ),
+        "agg_distinct": (
+            True,
+            c().groupBy("c_mktsegment").agg(F.countDistinct("c_nationkey").alias("n")),
+        ),
+        "date_trunc_extract": (
+            True,
+            o().select(
+                F.date_trunc("month", "o_orderdate").alias("m"),
+                F.expr("extract(year from o_orderdate)").alias("y"),
+            ),
+        ),
+        "math_tail": (
+            True,
+            c().select(
+                F.round(F.abs("c_acctbal"), 1).alias("r"),
+                F.sqrt(F.abs("c_acctbal")).alias("s"),
+                (F.col("c_custkey") % 7).alias("m"),
+            ),
+        ),
+        # documented fallbacks: no remote spelling / not unparsable
+        "xxhash64": (False, c().select(F.xxhash64("c_name").alias("h"))),
+        "locate_with_start": (
+            False,
+            c().select(F.locate("a", F.col("c_name"), 3).alias("p")),
+        ),
+        "python_udf_shape": (
+            False,
+            c().select(F.expr("java_method('java.lang.Math', 'abs', -1)").alias("x")),
+        ),
+    }
+
+
+def test_dialect_battery_rewrites_and_fallbacks(spark):
+    from datafusion_rdbms_ext_spark.sources.federation import describe_schema
+    from datafusion_rdbms_ext_spark.sources.pushdown import try_unparse
+
+    wrong = []
+    for name, (expect_rewrite, df) in _battery(spark).items():
+        hit = try_unparse(df)
+        ok = hit is not None
+        if ok:
+            try:
+                describe_schema(hit[1], hit[0])
+            except Exception:
+                ok = False
+        if ok != expect_rewrite:
+            wrong.append(f"{name}: expected {'rewrite' if expect_rewrite else 'fallback'}")
+    assert not wrong, wrong
+
+
+def test_dialect_battery_rewrites_are_value_correct(spark):
+    """The rewritten SQL must compute Spark's answer, not merely
+    parse: every must-rewrite battery shape is executed both ways
+    (remote via transparent_pushdown, locally via the unrewritten
+    plan) and compared exactly. Catches semantics drift DESCRIBE
+    cannot (the concat-NULL class of bug)."""
+    import sys
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        transparent_pushdown,
+        try_unparse,
+    )
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from oracle_util import assert_matches
+
+    for name, (expect_rewrite, df) in _battery(spark).items():
+        if not expect_rewrite:
+            continue
+        out = transparent_pushdown(df)
+        assert out is not df, f"{name}: fell back unexpectedly"
+        assert_matches(out.toPandas(), df.toPandas(), name)
+
+
+def test_relation_reuse_semantics(spark):
+    """Pins the Python-DataSource scan-caching semantics the library
+    is designed around (found by the dialect battery):
+
+    * a FRESH .load() per query is always correct (the library
+      pattern — every helper constructs one);
+    * on a SHARED loaded DataFrame, queries WITH filters re-plan and
+      are correct, but a FILTERLESS query reuses the most recent
+      filtered scan (Spark caches the planned read per relation and
+      only re-plans when there are filters to push) — rows go
+      missing. If this assertion ever starts failing with full ==
+      1500, Spark fixed the caching and the pushFilters warning
+      comment in pyds.py can be dropped."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import _fed_table
+
+    # The safe pattern: fresh load per query.
+    assert _fed_table(spark, SF_DIR, "customer").count() == 1500
+    assert (
+        _fed_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_acctbal").between(0, 100))
+        .count()
+        == 20
+    )
+    # The documented hazard, pinned: shared relation, filtered first.
+    c = _fed_table(spark, SF_DIR, "customer")
+    filtered = c.filter(F.col("c_acctbal").between(0, 100)).count()
+    full = c.count()
+    assert filtered == 20
+    assert full in (20, 1500)  # 20 today (stale cached scan); 1500 if fixed
