@@ -5,11 +5,13 @@ Runs the headline queries (tag ``bench`` in the registry) at
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Each query is executed three times and the fastest run kept: run 1
-warms the JVM/code-cache, the best of the rest measures steady-state
-— the regime that matters at the 100 TB design point where per-query
-JIT warmup is amortized away, and the extra run damps the multi-tenant
-noise of the measurement host (observed 2-3x run-to-run variance).
+Each query runs untimed once (row-count warm-up) then three timed
+runs: `queries` records best-of-3 (steady-state, comparable with
+earlier rounds), `median3` the median (robust cross-round delta
+signal — VERDICT r5 #6; best-of-N is the regime that matters at the
+100 TB design point where per-query JIT warmup is amortized away,
+while the median damps the multi-tenant noise of the measurement
+host, whose observed run-to-run variance is 2-3x).
 """
 
 from __future__ import annotations
@@ -45,6 +47,7 @@ def main() -> None:
     bench_specs = [s for s in REGISTRY.values() if "bench" in s.tags]
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for spec in bench_specs:
         # One broken query must cost its own entry, never the whole
@@ -52,17 +55,25 @@ def main() -> None:
         # AnalysisException aborted the run (BENCH_r03.json rc=1).
         try:
             n = spec.fn(spark, SF_DIR).count()  # untimed: row count for the log
-            best = float("inf")
+            runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 _force(spec.fn(spark, SF_DIR))
-                best = min(best, time.perf_counter() - t0)
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {spec.name}: ERROR {errors[spec.name]}", file=sys.stderr)
             continue
-        timings[spec.name] = round(best, 4)
-        print(f"# {spec.name}: {timings[spec.name]:.3f}s rows={n}", file=sys.stderr)
+        timings[spec.name] = round(min(runs), 4)
+        # median-of-3 (VERDICT r5 next #6): the robust per-query
+        # number for cross-round deltas — best-of-3 stays in `queries`
+        # for comparability with earlier rounds' artifacts.
+        medians[spec.name] = round(sorted(runs)[1], 4)
+        print(
+            f"# {spec.name}: best={timings[spec.name]:.3f}s "
+            f"median3={medians[spec.name]:.3f}s rows={n}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -71,6 +82,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "median3": medians,
+        "value_median3": round(sum(medians.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

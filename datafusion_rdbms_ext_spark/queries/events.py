@@ -663,3 +663,82 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# 17. EWMA smoothing: exponentially weighted moving average over each
+#     type's daily-volume series. The recurrence s_t = (1-a)*s_{t-1}
+#     + a*x_t is inherently sequential — the classic "SQL can't do
+#     time-series" claim — but it IS a left fold, so a higher-order
+#     aggregate over the day-ordered array computes it exactly:
+#     Spark F.aggregate and DuckDB list_reduce execute the identical
+#     operation sequence over identical doubles (integer daily counts
+#     are exact), making the result BIT-identical across engines with
+#     no rounding hedge.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.25  # exactly representable in binary (2^-2)
+
+
+@register(
+    "ev_ewma_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    arr AS (
+      SELECT event_type,
+             list(CAST(n AS DOUBLE) ORDER BY day) AS vals,
+             MIN(day) AS first_day, MAX(day) AS last_day
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(vals) AS BIGINT) AS n_days,
+           CAST(vals[len(vals)] AS DOUBLE) AS last_n,
+           list_reduce(vals, (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA}) AS ewma,
+           CAST(first_day AS VARCHAR) AS first_day,
+           CAST(last_day AS VARCHAR) AS last_day
+    FROM arr ORDER BY event_type
+    """,
+    doc="EWMA smoothing of per-type daily volumes via a higher-order "
+    "left fold over the day-ordered series — sequential recurrences "
+    "expressed declaratively; the fold order is pinned, so the "
+    "doubles are bit-identical across engines.",
+    tags=("events", "timeseries", "bench"),
+)
+def ev_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA level of each event type's daily count series.
+
+    Scale: the heavy work is the map-side-combined daily count
+    (|types| x |days| rows out); the fold runs over one per-type
+    array of bounded length (days in retention), partitioned by
+    type — never a data-sized window. At 100 TB the daily rollup is
+    the standard incremental table and the fold re-runs only on the
+    tail partition."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("n").cast("double").alias("n")))
+        ).alias("s"),
+        F.min("day").alias("first_day_d"),
+        F.max("day").alias("last_day_d"),
+    )
+    vals = F.transform(F.col("s"), lambda r: r["n"])
+    # list_reduce seeds with the first element; mirror that exactly.
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    return arr.select(
+        "event_type",
+        F.size(vals).cast("long").alias("n_days"),
+        F.element_at(vals, F.size(vals)).alias("last_n"),
+        ewma.alias("ewma"),
+        F.col("first_day_d").cast("string").alias("first_day"),
+        F.col("last_day_d").cast("string").alias("last_day"),
+    ).orderBy("event_type")

@@ -19,6 +19,16 @@ Synthesis (re-keyed union, NOT plain duplication):
 * lineitem/orders/customer: join/group keys offset per replica
   (l_orderkey/o_orderkey/o_custkey/c_custkey), so group counts and
   join fan-outs scale linearly like a real bigger TPC-H would.
+* embeddings: ``vec_id`` offset per replica and the vector CIRCULARLY
+  SHIFTED by the replica index — norms and intra-replica cosines are
+  preserved exactly (shift is orthogonal), cross-replica pairs
+  decorrelate, so near/semantic-duplicate DENSITY stays at the
+  original corpus' level instead of every vector gaining 9 exact
+  twins (which would measure the duplicate structure, not the
+  engine).
+* events: ``event_id``/``user_id`` offset per replica — 10x users,
+  each keeping the original per-user trajectory length, the way a
+  real bigger event log grows.
 
 Run:  python scripts/scale_probe.py          (writes stderr table)
       SCALE_PROBE_RUNS=3 python scripts/scale_probe.py
@@ -58,6 +68,14 @@ QUERIES = (
     "llm_dedup_simhash",
     "llm_dedup_substring",
     "llm_cms_counts",
+    # Round-6 additions (VERDICT r5 next #7): semdedup's sqrt(N)-cell
+    # claim, SRP banding, the triangle census' degree-orientation
+    # bound, and the trajectory search's broadcast-query design each
+    # get a measured 10x datapoint.
+    "llm_semdedup",
+    "llm_dedup_srp",
+    "llm_neardup_triangles",
+    "olap_trajectory_topk",
 )
 
 RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))
@@ -88,6 +106,7 @@ def synthesize(spark) -> None:
         "lineitem": (["l_orderkey"], None),
         "orders": (["o_orderkey", "o_custkey"], None),
         "customer": (["c_custkey"], None),
+        "events": (["event_id", "user_id"], None),
     }
     for name, (keys, retoken) in spec.items():
         src = os.path.join(SRC, f"{name}.parquet")
@@ -95,6 +114,24 @@ def synthesize(spark) -> None:
         replicas(df, keys, retoken).write.mode("overwrite").parquet(
             os.path.join(DST, f"{name}.parquet")
         )
+
+    # embeddings: offset vec_id + circular-shift the vector (replica
+    # i shifts by i) — an exact isometry within each replica.
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    out = None
+    for i in range(FACTOR):
+        r = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET))
+        if i:
+            d = F.size("embedding")
+            r = r.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", F.lit(i + 1), d - F.lit(i)),
+                    F.slice("embedding", F.lit(1), F.lit(i)),
+                ),
+            )
+        out = r if out is None else out.unionByName(r)
+    out.write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
     # Tables the probe queries don't scan stay at sf0.1 (symlinked) —
     # the catalog requires the full fixture set to register.
     from datafusion_rdbms_ext_spark.catalog import TABLES

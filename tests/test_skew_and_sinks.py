@@ -244,3 +244,73 @@ def test_manifest_commit_is_exclusive(tmp_path):
     m = json.load(open(os.path.join(root, "v7.json")))
     assert m["files"] == ["a.parquet"]
     assert not [f for f in os.listdir(root) if ".tmp." in f], "temp leak"
+
+
+def _race_commit(root, version, writer_id, barrier, outq):
+    """Child-process body for the concurrent-commit race (module-level
+    so it pickles; barrier/queue inherited through fork)."""
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        CommitConflict,
+        _write_manifest,
+    )
+
+    barrier.wait(timeout=30)
+    try:
+        _write_manifest(
+            root, version, {"version": version, "writer": writer_id}
+        )
+        outq.put(("win", writer_id))
+    except CommitConflict:
+        outq.put(("conflict", writer_id))
+
+
+def test_manifest_commit_race_two_processes(tmp_path):
+    """VERDICT r5 next #5: the exclusive-link commit under a REAL
+    process race, repeated. Two processes commit the same version with
+    a barrier start; every round must produce exactly one winner and
+    one CommitConflict, the winning manifest must parse as a whole
+    JSON document (readers never observe a torn file), and no temp
+    file may survive either outcome."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    ctx = mp.get_context("fork")
+    for version in range(3):  # repeat: races are probabilistic
+        root = str(tmp_path / f"r{version}")
+        os.makedirs(root, exist_ok=True)
+        barrier = ctx.Barrier(2)
+        outq = ctx.Queue()
+        procs = [
+            ctx.Process(
+                target=_race_commit, args=(root, version, wid, barrier, outq)
+            )
+            for wid in (1, 2)
+        ]
+        for pr in procs:
+            pr.start()
+        results = [outq.get(timeout=30) for _ in procs]
+        for pr in procs:
+            pr.join(timeout=30)
+            assert pr.exitcode == 0
+        outcomes = sorted(r[0] for r in results)
+        assert outcomes == ["conflict", "win"], results
+        winner = next(r[1] for r in results if r[0] == "win")
+        m = json.load(open(os.path.join(root, f"v{version}.json")))
+        assert m == {"version": version, "writer": winner}
+        assert not [f for f in os.listdir(root) if ".tmp." in f], "temp leak"
+
+
+def test_manifest_temp_cleaned_on_serialize_failure(tmp_path):
+    """ADVICE r5: the temp file must not outlive a commit attempt that
+    fails BEFORE the link step (unserializable payload)."""
+    import os
+
+    import pytest
+
+    from datafusion_rdbms_ext_spark.sources.sinks import _write_manifest
+
+    root = str(tmp_path)
+    with pytest.raises(TypeError):
+        _write_manifest(root, 1, {"bad": object()})
+    assert not [f for f in os.listdir(root) if ".tmp." in f], "temp leak"
