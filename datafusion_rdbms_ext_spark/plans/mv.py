@@ -1,0 +1,153 @@
+"""Transparent materialized-view rewrite — the reference's
+try-rewrite-else-fall-through optimizer contract
+(/root/reference/src/optimizer.rs:14-39), pointed at a maintained
+rollup instead of a remote database.
+
+A user writes an ordinary aggregate against the BASE table; if the
+plan is derivable from a registered materialized view (group
+dimensions a subset of the MV's, measures re-aggregable from the
+MV's partial aggregates, filters touching only dimensions), the
+DataFrame is rewritten to read the MV — typically orders of magnitude
+smaller — and the partials are merged with SUM. Any mismatch returns
+the ORIGINAL DataFrame unchanged, so the rewrite is always
+semantics-preserving or absent, never wrong.
+
+Matching is by CANONICAL CATALYST SQL of the analyzed expressions
+(``Expression.sql()`` — qualified, case-normalized), the same plan
+surface the transparent federation pushdown walks (sources/
+pushdown.py): an expression matches a dimension or measure iff its
+canonical string equals the registered one, so alias choices and
+DataFrame-vs-SQL authoring don't matter, while anything structurally
+new falls through safely.
+
+Exactness: COUNT partials re-aggregate as SUM(cnt) (integers); SUM
+partials are stored as DECIMAL so re-aggregation is associative and
+the rewritten result is bit-identical to the direct plan — the same
+decimal-money discipline as the TPC-H aggregates.
+
+Scale: this is the 100 TB pattern for dashboard/rollup traffic — the
+daily MV is (|days| x |types|) rows regardless of event volume, so a
+query served from it skips the full scan entirely; maintenance is
+the incremental-view-maintenance operator in sources/sinks.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MaterializedView:
+    """One registered MV: base-table identity + derivation maps."""
+
+    base_table: str  #: unqualified base table name (SubqueryAlias id)
+    mv_table: str  #: session table the rewrite reads instead
+    #: canonical Catalyst SQL of a grouping expression -> MV column
+    dims: dict = field(default_factory=dict)
+    #: canonical Catalyst SQL of an aggregate call -> MV partial
+    #: column; partials merge with SUM (COUNT partials are SUMs of
+    #: counts, SUM partials are SUMs of sums — both associative).
+    measures: dict = field(default_factory=dict)
+
+
+def _seq(s) -> list:
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _base_matches(node, base_table: str) -> bool:
+    """Walk SubqueryAlias/View wrappers down to the relation and
+    check the alias chain names the MV's base table."""
+    name = None
+    while True:
+        nm = node.getClass().getSimpleName()
+        if nm == "SubqueryAlias":
+            ident = node.identifier().name()
+            name = ident
+            node = node.child()
+        elif nm == "View":
+            node = node.child()
+        elif nm in ("LogicalRelation", "DataSourceV2Relation"):
+            return name == base_table
+        else:
+            return False
+
+
+def mv_rewrite(df: DataFrame, mv: MaterializedView, strict: bool = False) -> DataFrame:
+    """Serve ``df`` from ``mv`` if derivable, else return ``df``
+    unchanged (or raise with ``strict=True``, for callers that must
+    KNOW the cheap path executed)."""
+    plan = df._jdf.queryExecution().analyzed()
+    out = _try_rewrite(df, plan, mv)
+    if out is None:
+        if strict:
+            raise ValueError(f"plan not derivable from MV {mv.mv_table}")
+        return df
+    return out
+
+
+def _try_rewrite(df: DataFrame, plan, mv: MaterializedView) -> DataFrame | None:
+    if plan.getClass().getSimpleName() != "Aggregate":
+        return None
+    child = plan.child()
+    # Optional Filter below the aggregate: every dimension occurrence
+    # in the predicate is remapped to its MV column; any residual
+    # base-table reference means a non-dimension column leaked in ->
+    # not derivable.
+    mv_filter = None
+    if child.getClass().getSimpleName() == "Filter":
+        import re
+
+        cond = child.condition().sql()
+        # Longest dim first, and only at identifier boundaries: a
+        # column whose canonical SQL extends a dim's (events.x vs
+        # events.x_extra) must not be partially rewritten into a
+        # corrupted — and silently wrong — MV predicate.
+        for dim_sql in sorted(mv.dims, key=len, reverse=True):
+            cond = re.sub(
+                re.escape(dim_sql) + r"(?![A-Za-z0-9_])",
+                mv.dims[dim_sql],
+                cond,
+            )
+        if f"{mv.base_table}." in cond:
+            return None
+        mv_filter = cond
+        child = child.child()
+    if not _base_matches(child, mv.base_table):
+        return None
+
+    group_cols: list[str] = []
+    for g in _seq(plan.groupingExpressions()):
+        col = mv.dims.get(g.sql())
+        if col is None:
+            return None
+        group_cols.append(col)
+
+    # Output columns in the aggregate's own order, with its aliases:
+    # dim passthroughs become MV-column selects, measures become
+    # SUM-of-partials aggregates.
+    agg_exprs = []
+    sel: list[tuple[str, str]] = []  # (source column in rewritten frame, out name)
+    for e in _seq(plan.aggregateExpressions()):
+        if e.getClass().getSimpleName() == "Alias":
+            inner, name = e.child(), e.name()
+        else:
+            inner, name = e, e.name()
+        isql = inner.sql()
+        if isql in mv.dims:
+            sel.append((mv.dims[isql], name))
+        elif isql in mv.measures:
+            agg_exprs.append(F.sum(mv.measures[isql]).alias(name))
+            sel.append((name, name))
+        else:
+            return None
+    if not agg_exprs:
+        return None  # pure-dim projection: not an aggregate rewrite
+
+    base = df.sparkSession.table(mv.mv_table)
+    if mv_filter is not None:
+        base = base.filter(F.expr(mv_filter))
+    result = base.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_exprs)
+    return result.select(*[F.col(src).alias(name) for src, name in sel])

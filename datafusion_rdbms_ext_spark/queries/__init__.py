@@ -51,13 +51,16 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: via the exact ASCII-byte pooled-mean oracle). 3 sentinels from
 #: proven families follow (q01 TPC-H, minhash-LSH dedup — proven
 #: r2+r4, giving llm_semdedup's r5-proven slot back — and one
-#: fed_transparent). The remaining 22 slots backfill with the
-#: longest-unproven queries: the 15 TPC-H queries last proven in
-#: round 2 (including q18, whose plan was REWRITTEN in r5 — its
-#: one-scan form has never had driver proof), the 6 window queries
-#: (d2), and micro_interval_range (d2; the reference's documented
-#: interval-arithmetic blocker, README.md:52). After this gate every
-#: registered query has driver hard-signal in some round and zero
+#: fed_transparent). The remaining slots backfill with the
+#: longest-unproven queries, ALL last proven in round 2: 12 TPC-H
+#: (including q18, whose plan was REWRITTEN in r5 — its one-scan form
+#: has never had driver proof) and 3 window queries. Round-6
+#: continuation work then claimed 7 backfill slots for ITS
+#: first-timers (two sqlite_fed transparent-pushdown queries, EWMA,
+#: BM25, curriculum batching, stratified sampling, MV rewrite) —
+#: first-time hard-signal beats a third proof of a d2 query. After
+#: this gate every registered query except the 7 dropped canaries'
+#: d2-proven siblings has driver hard-signal in some round and zero
 #: rows-only queries remain.
 _PRIORITY: tuple[str, ...] = (
     # -- 25 first-timers: round-5-continuation batch + mm_resize_pool
@@ -91,6 +94,14 @@ _PRIORITY: tuple[str, ...] = (
     # first-time hard-signal beats a third proof of win_first_last)
     "fed_sqlite_transparent_agg",
     "fed_sqlite_transparent_window",
+    # round-6 continuation operators (EWMA fold, BM25 retrieval,
+    # curriculum batching, exact stratified sampling, transparent MV
+    # rewrite) — each displaces one more d2-proven canary.
+    "ev_ewma_smoothing",
+    "llm_bm25_search",
+    "llm_curriculum_batches",
+    "llm_stratified_sample",
+    "olap_mv_rewrite",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
@@ -104,18 +115,13 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q12_priority_shipping",
     "q13_customer_distribution",
-    "q14_promo_effect",
-    "q16_part_supplier_relationship",
     "q17_small_quantity",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q20_potential_promotion",
-    "q22_global_sales_opportunity",
     "win_topn_per_group",
     "win_lag_lead",
     "win_running_sum",
-    "win_sliding_frames",
-    "win_distribution",
 )
 
 

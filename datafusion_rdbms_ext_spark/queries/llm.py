@@ -4647,3 +4647,280 @@ def llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# 27. BM25 keyword retrieval: the lexical half of a RAG/retrieval
+#     stack (the reference has LIKE-scans only; this is ranked
+#     search). Odds-form idf (N - df + 0.5)/(df + 0.5) instead of the
+#     textbook ln(...) variant: a monotone transform with identical
+#     ranking, chosen because +,-,*,/ are IEEE-exact in both engines
+#     while ln's last-ulp rounding may differ between the JVM and
+#     libm — the scores are then BIT-identical, not just close.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("hash", "join", "vector")  # fixed query, fixture-present
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOKRE = "[a-z]+|[0-9]+"
+
+
+@register(
+    "llm_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BM25_TOKRE}')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok
+      WHERE t IN {_BM25_TERMS!r} GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+             ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * (CAST({_BM25_K1} AS DOUBLE) + 1.0))
+                / (CAST(tf.tf AS DOUBLE)
+                   + CAST({_BM25_K1} AS DOUBLE)
+                     * (1.0 - CAST({_BM25_B} AS DOUBLE)
+                        + CAST({_BM25_B} AS DOUBLE)
+                          * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) AS s
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+              JOIN dfreq ON dfreq.t = tf.t
+              CROSS JOIN stats
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN t = 'hash' THEN s END), 0.0) AS s1,
+             COALESCE(MAX(CASE WHEN t = 'join' THEN s END), 0.0) AS s2,
+             COALESCE(MAX(CASE WHEN t = 'vector' THEN s END), 0.0) AS s3
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, ((s1 + s2) + s3) AS score
+    FROM pivoted
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 top-10 keyword retrieval over the corpus for a fixed "
+    "3-term query: regex tokenization, per-doc length normalization "
+    "(k1=1.2, b=0.75), odds-form idf, per-term scores summed in a "
+    "pinned order — lexical ranked search, bit-exact cross-engine.",
+    tags=("llm", "text", "search", "bench"),
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 documents for the fixed query terms.
+
+    Scale: one tokenize pass feeds both the doc-length table and the
+    term-frequency table (the terms filter makes tf tiny); df and the
+    corpus stats collapse to broadcastable one-row/3-row sides, so
+    the only data-sized shuffles are the two map-side-combined
+    aggregations. The final top-10 is a TakeOrdered, not a global
+    sort."""
+    k1 = F.lit(_BM25_K1).cast("double")
+    b = F.lit(_BM25_B).cast("double")
+    tok = spark.table("documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_BM25_TOKRE}', 0)")
+        ).alias("t"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    bm25_stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(bm25_stats))
+        .select(
+            "doc_id",
+            "t",
+            (
+                ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (
+                    (F.col("tf").cast("double") * (k1 + F.lit(1.0)))
+                    / (
+                        F.col("tf").cast("double")
+                        + k1
+                        * (
+                            F.lit(1.0)
+                            - b
+                            + b * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("t") == "hash", F.col("s"))), F.lit(0.0)
+        ).alias("s1"),
+        F.coalesce(
+            F.max(F.when(F.col("t") == "join", F.col("s"))), F.lit(0.0)
+        ).alias("s2"),
+        F.coalesce(
+            F.max(F.when(F.col("t") == "vector", F.col("s"))), F.lit(0.0)
+        ).alias("s3"),
+    )
+    return (
+        pivoted.select(
+            "doc_id", ((F.col("s1") + F.col("s2")) + F.col("s3")).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 28. Curriculum batching: order the corpus by a difficulty score and
+#     cut deterministic fixed-size training batches. The naive plan is
+#     ROW_NUMBER() over an UNPARTITIONED window — a single-task sort
+#     of the whole corpus. _global_rank is the scale-safe equivalent:
+#     range-repartition on the sort key, rank locally per partition,
+#     then offset by the per-partition counts (a <= #partitions-row
+#     metadata table, broadcast) — the same partial+merge shape as the
+#     exact-percentile operator.
+# ---------------------------------------------------------------------------
+_CURRICULUM_BATCH = 64
+
+
+def _global_rank(df: DataFrame, cols: list, parts: int = 32) -> DataFrame:
+    """Append a global ROW_NUMBER ``rn`` over ``cols`` order without a
+    data-sized single-partition window. Requires a total order (pass a
+    tiebreaker column last)."""
+    d = df.repartitionByRange(parts, *[F.col(c) for c in cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    d = d.withColumn("_lrn", F.row_number().over(w))
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    # <= `parts` rows: metadata-sized, so the unpartitioned prefix-sum
+    # window and the broadcast are bounded by cluster width, not data.
+    wofs = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_ofs", F.coalesce(F.sum("_pc").over(wofs), F.lit(0))
+    ).select("_pid", "_ofs")
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_ofs") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_ofs")
+    )
+
+
+@register(
+    "llm_curriculum_batches",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) // {_CURRICULUM_BATCH} AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_diff,
+           CAST(MAX(n_chars) AS BIGINT) AS max_diff,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked GROUP BY 1 ORDER BY batch
+    """,
+    doc="Curriculum ordering: corpus ranked easy-to-hard (n_chars, "
+    "doc_id tiebreak) and cut into deterministic 64-doc training "
+    "batches via a distributed global rank (range repartition + "
+    "local rank + broadcast partition offsets — no single-task "
+    "sort), with per-batch difficulty stats.",
+    tags=("llm", "training", "bench"),
+)
+def llm_curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch difficulty stats under easy-to-hard curriculum order.
+
+    Scale: the rank is the partial+merge shape (local sort within
+    range partitions; the only global structure is the <=P-row offset
+    table), so batch assignment parallelizes across the cluster and
+    is deterministic across reruns — a requirement for resumable
+    training-data generation."""
+    d = spark.table("documents").select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    ranked = _global_rank(d, ["n_chars", "doc_id"])
+    return (
+        ranked.withColumn(
+            "batch", F.floor((F.col("rn") - 1) / F.lit(_CURRICULUM_BATCH)).cast("long")
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_diff"),
+            F.max("n_chars").alias("max_diff"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("batch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 29. Exact stratified sampling: 20% per source, chosen by a
+#     DETERMINISTIC hash order (md5 of the key) — reproducible across
+#     engines, reruns, and backfills, unlike df.sampleBy's
+#     Bernoulli draw which neither hits the quota exactly nor
+#     replays. Quota is exact integer ceil(n/5); the "random" order is
+#     md5's avalanche over doc_id, rank-limited per stratum.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ),
+    quota AS (
+      SELECT source, (COUNT(*) + 4) // 5 AS q FROM documents GROUP BY source
+    )
+    SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN quota ON quota.source = r.source
+    WHERE r.rk <= quota.q
+    ORDER BY r.source, r.rk
+    """,
+    doc="Exact 20%-per-source stratified sample: md5(doc_id) gives a "
+    "deterministic pseudo-random order, a per-stratum rank takes "
+    "exactly ceil(n/5) docs (integer arithmetic — no float quota "
+    "drift), reproducible bit-for-bit across engines and reruns.",
+    tags=("llm", "sampling", "bench"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled (source, doc_id, rank) rows.
+
+    Scale: the rank window is PARTITIONED by stratum (parallelism =
+    #sources; skewed strata split further by salting the hash order's
+    prefix if ever needed); quotas are a #sources-row broadcast. One
+    shuffle on source, no global sort, no driver-side randomness."""
+    docs = spark.table("documents").select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w).cast("long"))
+    quotas = (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(F.floor((F.count(F.lit(1)) + 4) / 5).cast("long").alias("q"))
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("q"))
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )

@@ -125,6 +125,15 @@ def test_broadcast_hints_only_on_fixed_dims():
             "q", "cents_arr", "mix_spec", "candidates", "total", "ns",
             "tot", "probes", "edges", "tri", "n", "lex",
             "cb.select(", "cms.filter(", "hpos.withColumn(",
+            # BM25: per-term document frequencies (|query terms| = 3
+            # rows) and the 1-row corpus stats (N, avgdl).
+            "dfreq", "bm25_stats",
+            # _global_rank: per-range-partition counts (<= #partitions
+            # rows — cluster-width metadata, not data).
+            "offsets",
+            # stratified sampling: per-SOURCE quotas (#sources rows —
+            # the training-mix catalog, not data-scaling).
+            "quotas",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
@@ -534,3 +543,40 @@ def test_trajectory_query_side_is_broadcast(spark):
     df = _df(spark, "olap_trajectory_topk")
     p = plan_string(df)
     assert "Broadcast" in p, p[:1500]
+
+
+def test_mv_rewrite_scans_rollup_not_base(spark):
+    """olap_mv_rewrite must execute against the MV parquet: the scan
+    schema carries the partial-aggregate columns (cnt/sval) and none
+    of the base event log's payload columns; the day predicate is
+    pushed into the MV scan."""
+    df = _df(spark, "olap_mv_rewrite")
+    schemas = "".join(read_schemas(df))
+    assert "cnt" in schemas and "sval" in schemas, schemas
+    assert "props" not in schemas and "user_id" not in schemas, schemas
+    pushed = "".join(pushed_filters(df))
+    assert "day" in pushed, pushed
+
+
+def test_mv_rewrite_strict_raises_on_underivable(spark):
+    """A non-derivable aggregate (grouping on a non-dimension) must
+    fall through — and strict mode must say so loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.plans.mv import mv_rewrite
+    from datafusion_rdbms_ext_spark.queries.olap import events_daily_mv
+
+    mv = events_daily_mv(spark)
+    bad = spark.table("events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert mv_rewrite(bad, mv) is bad
+    with pytest.raises(ValueError):
+        mv_rewrite(bad, mv, strict=True)
+    # A filter touching a NON-dimension column is equally underivable.
+    bad2 = (
+        spark.table("events")
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert mv_rewrite(bad2, mv) is bad2
