@@ -52,16 +52,16 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: proven families follow (q01 TPC-H, minhash-LSH dedup — proven
 #: r2+r4, giving llm_semdedup's r5-proven slot back — and one
 #: fed_transparent). The remaining slots backfill with the
-#: longest-unproven queries, ALL last proven in round 2: 12 TPC-H
+#: longest-unproven queries, ALL last proven in round 2: 11 TPC-H
 #: (including q18, whose plan was REWRITTEN in r5 — its one-scan form
-#: has never had driver proof) and 3 window queries. Round-6
-#: continuation work then claimed 7 backfill slots for ITS
-#: first-timers (two sqlite_fed transparent-pushdown queries, EWMA,
-#: BM25, curriculum batching, stratified sampling, MV rewrite) —
-#: first-time hard-signal beats a third proof of a d2 query. After
-#: this gate every registered query except the 7 dropped canaries'
-#: d2-proven siblings has driver hard-signal in some round and zero
-#: rows-only queries remain.
+#: has never had driver proof) and win_topn_per_group. Round-6
+#: continuation work claimed 10 backfill slots for ITS first-timers
+#: (two sqlite_fed transparent-pushdown queries, EWMA batch +
+#: streaming, BM25, curriculum batching, stratified sampling, MV
+#: rewrite, index lookup, onion dedup) — first-time hard-signal beats
+#: a third proof of a d2 query. After this gate every registered
+#: query except the displaced canaries' d2-proven siblings has driver
+#: hard-signal in some round and zero rows-only queries remain.
 _PRIORITY: tuple[str, ...] = (
     # -- 25 first-timers: round-5-continuation batch + mm_resize_pool
     "llm_dedup_substring",
@@ -102,11 +102,14 @@ _PRIORITY: tuple[str, ...] = (
     "llm_curriculum_batches",
     "llm_stratified_sample",
     "olap_mv_rewrite",
+    "stream_ewma_daily",
+    "llm_index_lookup",
+    "llm_dedup_onion",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- 22 backfill: longest-unproven (d2) queries as canaries
+    # -- backfill: longest-unproven (d2) queries as canaries
     "q04_order_priority",
     "q05_local_supplier_volume",
     "q07_volume_shipping",
@@ -117,11 +120,8 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "q17_small_quantity",
     "q18_large_volume_customer",
-    "q19_discounted_revenue",
     "q20_potential_promotion",
     "win_topn_per_group",
-    "win_lag_lead",
-    "win_running_sum",
 )
 
 

@@ -636,3 +636,111 @@ def _stream_cms_oracle() -> str:
 
 
 _stream_cms_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 11. Streaming-maintained EWMA: the daily-volume rollup accumulated
+#     across micro-batches (counts are linear, so batch boundaries —
+#     even ones splitting a day — cannot change the result), then the
+#     batch EWMA fold applied to the drained series. The maintained
+#     state is |types| x |days| counters: watermark-horizon-bounded at
+#     production scale, sketch-sized here — the same
+#     incremental-rollup-plus-final-read shape as the CMS query.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_ewma_daily",
+    oracle=None,  # installed below (shares the batch EWMA derivation)
+    doc="Daily-count rollup maintained across streaming micro-batches "
+    "(linear counters: replay-guarded adds, day-splitting batch "
+    "boundaries irrelevant), then the pinned-order EWMA fold over the "
+    "drained series — identical to the batch operator, proving "
+    "streaming maintenance converges to the batch answer bit-for-bit.",
+    tags=("streaming", "timeseries"),
+)
+def stream_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA per event type, built from streamed daily counts.
+
+    Scale: per-batch work is a map-side-combined (type, day) count;
+    the accumulated dict is bounded by types x retention days (state
+    tracks the watermark horizon, not stream length). The final fold
+    is the batch ev_ewma_smoothing shape over the tiny rollup."""
+    from ..queries.events import _EWMA_ALPHA
+
+    acc: dict[tuple[str, str], int] = {}
+    applied: set[int] = set()
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Intra-run replay guard (see stream_cms_event_types): counter
+        # adds are not idempotent; durable exactly-once would persist
+        # (acc, applied) in the checkpoint/state store.
+        if batch_id in applied:
+            return
+        rows = (
+            batch_df.groupBy(
+                "event_type", F.col("ts").cast("date").cast("string").alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # <= |types| x |days| rows: rollup-sized
+        )
+        for r in rows:
+            k = (r["event_type"], r["day"])
+            acc[k] = acc.get(k, 0) + r["n"]
+        applied.add(batch_id)
+
+    _RUN_SEQ[0] += 1
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_type", "ts")
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    daily = spark.createDataFrame(
+        [(t, d, n) for (t, d), n in acc.items()],
+        "event_type STRING, day STRING, n BIGINT",
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", F.col("n").cast("double").alias("n")))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda r: r["n"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda a, x: a * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    return arr.select(
+        "event_type",
+        F.size(vals).cast("long").alias("n_days"),
+        F.element_at(vals, F.size(vals)).alias("last_n"),
+        ewma.alias("ewma"),
+    ).orderBy("event_type")
+
+
+def _stream_ewma_oracle() -> str:
+    from ..queries.base import REGISTRY
+    from ..queries.events import _EWMA_ALPHA
+
+    sql = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    arr AS (
+      SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(vals) AS BIGINT) AS n_days,
+           CAST(vals[len(vals)] AS DOUBLE) AS last_n,
+           list_reduce(vals, (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA}) AS ewma
+    FROM arr ORDER BY event_type
+    """
+    REGISTRY["stream_ewma_daily"].oracle = sql
+    return sql
+
+
+_stream_ewma_oracle()

@@ -580,3 +580,14 @@ def test_mv_rewrite_strict_raises_on_underivable(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert mv_rewrite(bad2, mv) is bad2
+
+
+def test_index_lookup_never_reads_text(spark):
+    """llm_index_lookup must serve from the postings index: no scan
+    in its plan may read the corpus text column, and the token
+    predicates must push into the postings parquet."""
+    df = _df(spark, "llm_index_lookup")
+    schemas = "".join(read_schemas(df))
+    assert "text" not in schemas, schemas
+    pushed = "".join(pushed_filters(df))
+    assert "token" in pushed, pushed
