@@ -1408,3 +1408,47 @@ def micro_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort when one side is modest but over the broadcast
     threshold; broadcast pins the classic small-dim plan."""
     return _hinted_join(spark, "merge")
+
+
+@register(
+    "micro_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+    FROM orders GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="GROUP BY ALL (Spark 3.4+/DuckDB shared spelling): every "
+    "non-aggregate select item becomes a grouping key — the "
+    "analyzer-sugar surface, identical in both engines.",
+    tags=("micro", "sql"),
+)
+def micro_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+        FROM orders GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    ).withColumn("n", F.col("n").cast("long"))
+
+
+@register(
+    "micro_select_except",
+    oracle="""
+    SELECT * EXCLUDE (text) FROM documents
+    WHERE doc_id < 25 ORDER BY doc_id
+    """,
+    doc="Star-expansion subtraction: Spark's SELECT * EXCEPT "
+    "(DuckDB spells it EXCLUDE) — wide-table projection pruning "
+    "without enumerating survivors; the planner still prunes the "
+    "excluded column from the scan.",
+    tags=("micro", "sql"),
+)
+def micro_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        "SELECT * EXCEPT (text) FROM documents WHERE doc_id < 25 ORDER BY doc_id"
+    )

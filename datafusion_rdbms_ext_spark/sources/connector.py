@@ -179,6 +179,108 @@ class SQLiteConnector(Connector):
         return _bounds_to_preds(key, [b for b in bounds if lo < b <= hi])
 
 
+class PostgresConnector(Connector):
+    """Dialect three: Postgres — the reference's ACTUAL backend
+    (/root/reference/src/sqldb/postgres/*). This container has no
+    Postgres server or driver, so ``fetch_pdf`` raises with a clear
+    message at use; everything ABOVE the wire is fully implemented
+    and unit-tested (tests/test_postgres_dialect.py), which is the
+    point of the seam: the third dialect is a page of configuration —
+    catalog SQL, quantile spelling, capability flags — not a pipeline.
+
+    Capabilities: information_schema catalog (the exact two-step
+    bootstrap of reference mod.rs:67-125), quantile partition
+    planning via ``percentile_disc(...) WITHIN GROUP`` (the ANSI
+    spelling DuckDB's ``quantile_disc`` shorthand maps to), no
+    ORDER BY ALL (keyless multi-slice fetches collapse to one slice,
+    bare-LIMIT pushdown refused — same negotiation as SQLite)."""
+
+    db_type = "postgres"
+    supports_order_by_all = False
+    supports_quantile_partitioning = True
+
+    #: information_schema type name -> Spark type (reference
+    #: datatypes.rs:19-47 — including its lossy numeric→Float64 wire
+    #: path, which we mirror as numeric→double on the catalog path).
+    _TYPE_MAP = {
+        "smallint": T.ShortType(),
+        "integer": T.LongType(),
+        "bigint": T.LongType(),
+        "real": T.FloatType(),
+        "double precision": T.DoubleType(),
+        "numeric": T.DoubleType(),
+        "text": T.StringType(),
+        "character varying": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+        "timestamp without time zone": T.TimestampNTZType(),
+        "timestamp with time zone": T.TimestampType(),
+    }
+
+    def __init__(self, dsn: str, schema: str = "public"):
+        self.dsn = dsn
+        self.schema_name = schema
+
+    # -- wire (absent in this container) --------------------------------
+    def fetch_pdf(self, sql: str) -> pd.DataFrame:
+        try:
+            import psycopg2  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                "PostgresConnector needs the psycopg2 driver and a "
+                "reachable server; neither exists in this container. "
+                "The dialect above the wire is unit-tested in "
+                "tests/test_postgres_dialect.py."
+            ) from exc
+        import psycopg2
+
+        with psycopg2.connect(self.dsn) as con:  # pragma: no cover
+            return pd.read_sql_query(sql, con)
+
+    # -- dialect configuration (fully testable without a server) --------
+    def catalog_sql(self) -> tuple[str, str]:
+        """The two-step information_schema bootstrap, SQL text."""
+        tables = (
+            "SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = '{self.schema_name}' "
+            "AND table_type = 'BASE TABLE' ORDER BY table_name"
+        )
+        columns = (
+            "SELECT table_name, column_name, data_type, is_nullable "
+            "FROM information_schema.columns "
+            f"WHERE table_schema = '{self.schema_name}' "
+            "ORDER BY table_name, ordinal_position"
+        )
+        return tables, columns
+
+    def catalog(self) -> dict[str, T.StructType]:
+        _tables_sql, columns_sql = self.catalog_sql()
+        pdf = self.fetch_pdf(columns_sql)
+        out: dict[str, T.StructType] = {}
+        for row in pdf.itertuples(index=False):
+            out.setdefault(row.table_name, T.StructType()).add(
+                row.column_name,
+                self._TYPE_MAP.get(row.data_type, T.StringType()),
+                row.is_nullable == "YES",
+            )
+        return out
+
+    def quantile_sql(self, base_sql: str, key: str, partitions: int) -> str:
+        """Postgres spelling of the split-point query (the capability
+        DuckDB exposes as quantile_disc)."""
+        fracs = ", ".join(str(i / partitions) for i in range(1, partitions))
+        return (
+            f"SELECT percentile_disc(ARRAY[{fracs}]) "
+            f"WITHIN GROUP (ORDER BY {key}) AS qs "
+            f"FROM ({base_sql}) _t WHERE {key} IS NOT NULL"
+        )
+
+    def partition_predicates(self, base_sql: str, key: str, partitions: int) -> list[str]:
+        pdf = self.fetch_pdf(self.quantile_sql(base_sql, key, partitions))
+        points = [] if pdf.empty or pdf["qs"][0] is None else list(pdf["qs"][0])
+        return _bounds_to_preds(key, sorted({int(p) for p in points}))
+
+
 def pick_partition_key(schema: T.StructType) -> str | None:
     """First integral column — the default partitionColumn, like
     Spark-JDBC's convention of keying on the integer PK."""

@@ -1,0 +1,133 @@
+"""Dialect three (Postgres — the reference's actual backend) proven
+as CONFIGURATION on the Connector seam, without a server: everything
+above the wire — catalog bootstrap SQL, quantile partition planning,
+capability negotiation, and the full connector_scan pipeline — runs
+against a canned-wire subclass; only fetch bytes are faked.
+
+Reference parity targets:
+* mod.rs:67-125   — two-step information_schema bootstrap
+* mod.rs:170-189  — count probe
+* table_provider.rs:123-158 — N-slice partitioned fetch
+* datatypes.rs:19-47 — type map incl. the lossy numeric→float path
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from datafusion_rdbms_ext_spark.sources.connector import (
+    PostgresConnector,
+    connector_scan,
+)
+
+
+class CannedPostgres(PostgresConnector):
+    """The wire faked, the dialect real: serves canned frames for the
+    exact SQL the dialect layer generates (mismatched SQL raises, so
+    the test pins the generated text byte-for-byte)."""
+
+    def __init__(self, canned: dict[str, pd.DataFrame]):
+        super().__init__(dsn="postgresql://fake/fixture")
+        self.canned = dict(canned)
+        self.fetched: list[str] = []
+
+    def fetch_pdf(self, sql: str) -> pd.DataFrame:
+        self.fetched.append(sql)
+        key = " ".join(sql.split())
+        if key not in self.canned:
+            raise AssertionError(f"unexpected wire SQL: {key!r}")
+        return self.canned[key]
+
+
+def _canned_catalog() -> dict[str, pd.DataFrame]:
+    cols = pd.DataFrame(
+        {
+            "table_name": ["nation"] * 3,
+            "column_name": ["n_nationkey", "n_name", "n_acctbal"],
+            "data_type": ["integer", "text", "numeric"],
+            "is_nullable": ["NO", "YES", "YES"],
+        }
+    )
+    probe = PostgresConnector("postgresql://fake/fixture")
+    _tables_sql, columns_sql = probe.catalog_sql()
+    return {" ".join(columns_sql.split()): cols}
+
+
+def test_catalog_bootstrap_sql_and_type_map():
+    conn = CannedPostgres(_canned_catalog())
+    cat = conn.catalog()
+    assert list(cat) == ["nation"]
+    fields = {f.name: f for f in cat["nation"].fields}
+    assert isinstance(fields["n_nationkey"].dataType, T.LongType)
+    assert fields["n_nationkey"].nullable is False
+    assert isinstance(fields["n_name"].dataType, T.StringType)
+    # the reference's lossy numeric wire path (datatypes.rs:19)
+    assert isinstance(fields["n_acctbal"].dataType, T.DoubleType)
+    # the two-step bootstrap text itself is pinned
+    tables_sql, columns_sql = conn.catalog_sql()
+    assert "information_schema.tables" in tables_sql
+    assert "table_schema = 'public'" in tables_sql
+    assert "ordinal_position" in columns_sql
+
+
+def test_quantile_partition_planning():
+    conn = CannedPostgres({})
+    qsql = conn.quantile_sql("SELECT * FROM nation", "n_nationkey", 4)
+    assert "percentile_disc(ARRAY[0.25, 0.5, 0.75])" in qsql
+    assert "WITHIN GROUP (ORDER BY n_nationkey)" in qsql
+    conn.canned[" ".join(qsql.split())] = pd.DataFrame({"qs": [[6, 12, 18]]})
+    preds = conn.partition_predicates("SELECT * FROM nation", "n_nationkey", 4)
+    assert preds == [
+        "(n_nationkey < 6 OR n_nationkey IS NULL)",
+        "(n_nationkey >= 6 AND n_nationkey < 12)",
+        "(n_nationkey >= 12 AND n_nationkey < 18)",
+        "(n_nationkey >= 18)",
+    ]
+
+
+def test_connector_scan_end_to_end_with_canned_wire(spark):
+    """The SAME connector_scan pipeline that serves DuckDB and SQLite
+    executes against the Postgres dialect unchanged: pushdown SQL
+    compiled, quantile split planned, per-slice fetches issued — the
+    'third dialect is configuration' claim, executed."""
+    canned = _canned_catalog()
+    conn = CannedPostgres(canned)
+    base = (
+        "SELECT n_nationkey, n_name FROM nation WHERE (n_nationkey < 20)"
+    )
+    qsql = conn.quantile_sql(base, "n_nationkey", 2)
+    conn.canned[" ".join(qsql.split())] = pd.DataFrame({"qs": [[10]]})
+    lo = pd.DataFrame({"n_nationkey": [1, 2], "n_name": ["a", "b"]})
+    hi = pd.DataFrame({"n_nationkey": [10, 11], "n_name": ["j", "k"]})
+    conn.canned[
+        f"SELECT * FROM ({base}) _t WHERE (n_nationkey < 10 OR n_nationkey IS NULL)"
+    ] = lo
+    conn.canned[f"SELECT * FROM ({base}) _t WHERE (n_nationkey >= 10)"] = hi
+    df = connector_scan(
+        spark,
+        conn,
+        "nation",
+        columns=["n_nationkey", "n_name"],
+        predicates=["n_nationkey < 20"],
+        partitions=2,
+        partition_key="n_nationkey",
+    )
+    rows = sorted((r.n_nationkey, r.n_name) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (10, "j"), (11, "k")]
+
+
+def test_capability_negotiation_refuses_bare_limit(spark):
+    """No ORDER BY ALL -> a bare LIMIT cannot be pinned to a
+    deterministic row set; the pipeline must refuse rather than
+    return partition-order-dependent rows (same rule as SQLite)."""
+    conn = CannedPostgres(_canned_catalog())
+    with pytest.raises(ValueError, match="deterministic"):
+        connector_scan(spark, conn, "nation", limit=5)
+
+
+def test_missing_driver_message_is_actionable():
+    conn = PostgresConnector("postgresql://fake/fixture")
+    with pytest.raises(RuntimeError, match="psycopg2"):
+        conn.fetch_pdf("SELECT 1")
