@@ -62,6 +62,11 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: a third proof of a d2 query. After this gate every registered
 #: query except the displaced canaries' d2-proven siblings has driver
 #: hard-signal in some round and zero rows-only queries remain.
+#: ROUND-7 ROTATION QUEUE (registered after the r6 curation, never
+#: driver-proven): micro_group_by_all, micro_select_except,
+#: llm_minhash_containment, stream_versioned_commits,
+#: mm_frame_features — plus anything added later this round; all are
+#: in the local differential gate today.
 _PRIORITY: tuple[str, ...] = (
     # -- 25 first-timers: round-5-continuation batch + mm_resize_pool
     "llm_dedup_substring",

@@ -5067,3 +5067,111 @@ def llm_dedup_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# 32. Containment search (asymmetric Jaccard): C(A->B) =
+#     |S(A) ∩ S(B)| / |S(A)| — catches A-contained-in-B (quote
+#     blocks, boilerplate wrappers, subset dumps) that resemblance
+#     Jaccard misses when B is much larger than A. Same df-capped
+#     inverted-index candidate plan as llm_dedup_ngram_exact; the
+#     direction test is just a different normalization of the same
+#     intersection counts, emitted per direction.
+# ---------------------------------------------------------------------------
+_CONTAIN_TAU = 0.8
+
+
+@register(
+    "llm_minhash_containment",
+    oracle=f"""
+    WITH {_SQL_DS},
+    df AS (SELECT s, COUNT(*) AS c FROM ds GROUP BY s),
+    rare AS (
+      SELECT ds.doc_id, ds.s FROM ds JOIN df USING (s)
+      WHERE df.c BETWEEN 2 AND {_DF_CAP}
+    ),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT da, db, i, ca.n AS na, cb.n AS nb
+      FROM inter JOIN cnt ca ON ca.doc_id = da
+                 JOIN cnt cb ON cb.doc_id = db
+    )
+    SELECT contained, container, CAST(i AS BIGINT) AS n_shared,
+           ROUND(containment, 6) AS containment
+    FROM (
+      SELECT da AS contained, db AS container, i,
+             CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+      FROM pairs
+      UNION ALL
+      SELECT db AS contained, da AS container, i,
+             CAST(i AS DOUBLE) / CAST(nb AS DOUBLE) AS containment
+      FROM pairs
+    )
+    WHERE containment >= {_CONTAIN_TAU}
+    ORDER BY contained, container
+    """,
+    doc=f"Directional containment search (C(A->B) = shared/|S(A)|, "
+    f"tau={_CONTAIN_TAU}): the asymmetric near-dup axis resemblance "
+    "Jaccard misses — same df-capped inverted-index candidates as the "
+    "exact n-gram dedup, renormalized per direction.",
+    tags=("llm", "dedup", "bench"),
+)
+def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(contained, container) pairs with shingle containment >= tau.
+
+    Scale: identical plan family to llm_dedup_ngram_exact — posting
+    lists bounded by the df-cap, pairs exist only inside one
+    shingle's list, the shuffle carries 8-byte hashes; the
+    directional expansion is a map-side union of two projections of
+    the SAME intersection aggregate (no second pair join)."""
+    hashed = (
+        spark.table("documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    rare = hashed.join(
+        sdf.filter((F.col("c") >= 2) & (F.col("c") <= _DF_CAP)), "h"
+    ).select("doc_id", "h")
+    a = rare.select(F.col("doc_id").alias("da"), "h")
+    b = rare.select(F.col("doc_id").alias("db"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    pairs = inter.join(na, "da").join(nb, "db")
+    fwd = pairs.select(
+        F.col("da").alias("contained"),
+        F.col("db").alias("container"),
+        "i",
+        (F.col("i").cast("double") / F.col("na").cast("double")).alias("containment"),
+    )
+    rev = pairs.select(
+        F.col("db").alias("contained"),
+        F.col("da").alias("container"),
+        "i",
+        (F.col("i").cast("double") / F.col("nb").cast("double")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= _CONTAIN_TAU)
+        .select(
+            "contained",
+            "container",
+            F.col("i").cast("long").alias("n_shared"),
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("contained", "container")
+    )

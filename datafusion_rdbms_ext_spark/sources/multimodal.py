@@ -332,3 +332,80 @@ def mm_arrow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") >= 100) & (F.col("doc_id") < 220)
     )
     return extract_features_arrow(assets).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling, 1:N UDF shape: one asset row fans out to one row
+# PER FRAME inside mapInPandas (video decode yields frame batches in
+# real pipelines; the deterministic byte payload stands in for the
+# codec, the Spark-side fan-out/rollup plumbing is real). Frames are
+# contiguous _FRAME_BYTES-byte slices; the oracle re-derives every
+# frame's byte stats from the ASCII text in SQL.
+# ---------------------------------------------------------------------------
+_FRAME_BYTES = 16
+
+
+def frame_features(assets: DataFrame) -> DataFrame:
+    """Explode each asset into per-frame byte features (1:N)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            frames: list[int] = []
+            fbytes: list[int] = []
+            fsums: list[int] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                a = _fake_decode(content)
+                n = a.size
+                for k in range((n + _FRAME_BYTES - 1) // _FRAME_BYTES):
+                    chunk = a[k * _FRAME_BYTES : (k + 1) * _FRAME_BYTES]
+                    ids.append(int(doc_id))
+                    frames.append(k)
+                    fbytes.append(int(chunk.size))
+                    fsums.append(int(chunk.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_id": frames,
+                    "f_bytes": fbytes,
+                    "f_sum": fsums,
+                }
+            )
+
+    return assets.mapInPandas(
+        fn, "doc_id long, frame_id long, f_bytes long, f_sum long"
+    )
+
+
+@register(
+    "mm_frame_features",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id < 60
+    ),
+    frames AS (
+      SELECT doc_id, n, unnest(range(0, (n + {_FRAME_BYTES} - 1) // {_FRAME_BYTES})) AS k,
+             text
+      FROM v
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_id,
+           CAST(LEAST(n - k * {_FRAME_BYTES}, {_FRAME_BYTES}) AS BIGINT) AS f_bytes,
+           CAST(list_sum(list_transform(
+             range(k * {_FRAME_BYTES} + 1,
+                   LEAST((k + 1) * {_FRAME_BYTES}, n) + 1),
+             j -> ascii(substr(text, j, 1)))) AS BIGINT) AS f_sum
+    FROM frames
+    ORDER BY doc_id, frame_id
+    """,
+    doc="Per-frame feature extraction (video frame-sampling shape): "
+    "one asset row fans out to one row per 16-byte frame inside "
+    "mapInPandas — the 1:N UDF contract — with every frame's byte "
+    "stats re-derived from the ASCII payload by the SQL oracle.",
+    tags=("multimodal", "udf"),
+)
+def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = load_assets(spark).filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 60)
+    )
+    return frame_features(assets).orderBy("doc_id", "frame_id")
