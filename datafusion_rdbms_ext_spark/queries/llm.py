@@ -4715,12 +4715,12 @@ _BM25_TOKRE = "[a-z]+|[0-9]+"
 def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 BM25 documents for the fixed query terms.
 
-    Scale: one tokenize pass feeds both the doc-length table and the
-    term-frequency table (the terms filter makes tf tiny); df and the
-    corpus stats collapse to broadcastable one-row/3-row sides, so
-    the only data-sized shuffles are the two map-side-combined
-    aggregations. The final top-10 is a TakeOrdered, not a global
-    sort."""
+    Scale: ONE tokenize pass — per-doc length and per-term term
+    frequencies come out of a single conditional aggregation (no
+    separate tf table, no tf/dl join; the plan audit showed the
+    naive three-table form re-scanned the corpus 3x), df and the
+    corpus stats collapse to a broadcastable one-row side, and the
+    final top-10 is a TakeOrdered, not a global sort."""
     k1 = F.lit(_BM25_K1).cast("double")
     b = F.lit(_BM25_B).cast("double")
     tok = spark.table("documents").select(
@@ -4729,58 +4729,55 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"regexp_extract_all(lower(text), '{_BM25_TOKRE}', 0)")
         ).alias("t"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    bm25_stats = dl.agg(
+    # per_doc is ONE small row per document and feeds both the corpus
+    # stats and the scoring pass — materialize it so the tokenize
+    # subtree runs once (the index-build step of a real BM25 engine).
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0)).alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint()
+    bm25_stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf = (
-        tok.filter(F.col("t").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "t")
-        .crossJoin(F.broadcast(bm25_stats))
-        .select(
-            "doc_id",
-            "t",
-            (
-                ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-                * (
-                    (F.col("tf").cast("double") * (k1 + F.lit(1.0)))
-                    / (
-                        F.col("tf").cast("double")
-                        + k1
-                        * (
-                            F.lit(1.0)
-                            - b
-                            + b * (F.col("dl").cast("double") / F.col("avgdl"))
-                        )
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df_t = F.col(f"df{i}")
+        raw = (
+            ((F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+            * (
+                (tf * (k1 + F.lit(1.0)))
+                / (
+                    tf
+                    + k1
+                    * (
+                        F.lit(1.0)
+                        - b
+                        + b * (F.col("dl").cast("double") / F.col("avgdl"))
                     )
                 )
-            ).alias("s"),
+            )
         )
-    )
-    pivoted = scored.groupBy("doc_id").agg(
-        F.coalesce(
-            F.max(F.when(F.col("t") == "hash", F.col("s"))), F.lit(0.0)
-        ).alias("s1"),
-        F.coalesce(
-            F.max(F.when(F.col("t") == "join", F.col("s"))), F.lit(0.0)
-        ).alias("s2"),
-        F.coalesce(
-            F.max(F.when(F.col("t") == "vector", F.col("s"))), F.lit(0.0)
-        ).alias("s3"),
+        return F.when(F.col(f"tf{i}") > 0, raw).otherwise(F.lit(0.0))
+
+    scored = per_doc.crossJoin(F.broadcast(bm25_stats)).select(
+        "doc_id",
+        (
+            (term_score(0) + term_score(1)) + term_score(2)
+        ).alias("score"),
     )
     return (
-        pivoted.select(
-            "doc_id", ((F.col("s1") + F.col("s2")) + F.col("s3")).alias("score")
-        )
+        scored.filter(F.col("score") > 0.0)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
@@ -4803,8 +4800,15 @@ def _global_rank(df: DataFrame, cols: list, parts: int = 32) -> DataFrame:
     """Append a global ROW_NUMBER ``rn`` over ``cols`` order without a
     data-sized single-partition window. Requires a total order (pass a
     tiebreaker column last)."""
-    d = df.repartitionByRange(parts, *[F.col(c) for c in cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    # Stamp the partition id, then materialize: the frame feeds both
+    # the local-rank window and the per-partition counts — without
+    # truncation each branch re-runs the scan + range shuffle (plan
+    # audit: 4 scans for a 1-scan job). Checkpointing also freezes
+    # the pids the ranks are keyed on.
+    d = (
+        df.repartitionByRange(parts, *[F.col(c) for c in cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     d = d.withColumn("_lrn", F.row_number().over(w))
@@ -5128,6 +5132,13 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle's list, the shuffle carries 8-byte hashes; the
     directional expansion is a map-side union of two projections of
     the SAME intersection aggregate (no second pair join)."""
+    # The (doc_id, shingle-hash) table feeds FIVE consumers (doc
+    # sizes, df counts, and both sides of the posting-list join);
+    # without truncation each consumer re-scans and re-tokenizes the
+    # corpus (measured 12-24 parquet scans per query). localCheckpoint
+    # materializes the compressed token table once — 16 bytes/shingle,
+    # the standard "write the token table" step of an inverted-index
+    # build at 100 TB (same move as semdedup's cell checkpoint).
     hashed = (
         spark.table("documents")
         .select("doc_id", F.split(F.col("text"), " ").alias("w"))
@@ -5135,6 +5146,7 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
         .select("doc_id", F.xxhash64("s").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
