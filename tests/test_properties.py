@@ -747,3 +747,167 @@ def test_bigram_counts_match_bruteforce(spark, docs):
         for x, y in zip(toks, toks[1:]):
             want[(x, y)] += 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators vs brute force.
+# ---------------------------------------------------------------------------
+_RANK_ROWS = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),  # (diff, tiebreak-ish)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_RANK_ROWS, parts=st.integers(1, 6))
+@settings(**_SETTINGS)
+def test_global_rank_matches_sorted_enumeration(spark, rows, parts):
+    """_global_rank == enumerate(sorted(rows)): the distributed
+    range-partition + local-rank + offset composition must be the
+    identity permutation of a single global sort, for ANY partition
+    count — including duplicate keys and singleton partitions."""
+    from datafusion_rdbms_ext_spark.queries.llm import _global_rank
+
+    # unique tiebreak: (a, b, idx)
+    data = [(a, b, i) for i, (a, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "a INT, b INT, idx INT")
+    got = {
+        r["idx"]: r["rn"]
+        for r in _global_rank(df, ["a", "b", "idx"], parts=parts).collect()
+    }
+    expected = {
+        idx: rn + 1
+        for rn, (a, b, idx) in enumerate(sorted(data))
+    }
+    assert got == expected
+
+
+@given(
+    series=st.lists(st.integers(0, 1000), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_ewma_fold_matches_python_loop(spark, series):
+    """The HOF EWMA fold == the sequential Python recurrence,
+    BIT-identical (same IEEE op order), for any series."""
+    from datafusion_rdbms_ext_spark.queries.events import _EWMA_ALPHA
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(series)], "i INT, v DOUBLE"
+    )
+    arr = df.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("i", "v"))).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda r: r["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda a, x: a * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA),
+    )
+    got = arr.select(ewma.alias("e")).collect()[0]["e"]
+    acc = float(series[0])
+    for v in series[1:]:
+        acc = acc * (1 - _EWMA_ALPHA) + float(v) * _EWMA_ALPHA
+    assert repr(got) == repr(acc)
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    """Exact quota per stratum (ceil(n/5)) and bit-stable across
+    reruns — the reproducibility contract Bernoulli sampling lacks."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    from .conftest import SF_DIR
+
+    fn = REGISTRY["llm_stratified_sample"].fn
+    a = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert a == b
+    import collections
+
+    per_source = collections.Counter(r[0] for r in a)
+    totals = collections.Counter(
+        r["source"]
+        for r in spark.table("documents").select("source").collect()
+    )
+    for src, n in totals.items():
+        assert per_source[src] == (n + 4) // 5, src
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_containment_matches_bruteforce(spark, docs):
+    """Directional containment == brute-force set arithmetic over
+    3-gram shingle sets (df-cap mirrored), on random tiny corpora
+    with heavy shingle collisions."""
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _CONTAIN_TAU,
+        _DF_CAP,
+        _SHINGLE_EXPR,
+    )
+
+    texts = [(i, " ".join(f"w{t}" for t in ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id INT, text STRING")
+    # Spark side: replicate the operator's pipeline on this frame.
+    hashed = (
+        df.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
+        .select("doc_id", "s")
+        .distinct()
+    )
+    got_sets: dict[int, set] = {}
+    for r in hashed.collect():
+        got_sets.setdefault(r["doc_id"], set()).add(r["s"])
+    # brute force in Python
+    shingles = {
+        i: {" ".join(ws[k : k + 3]) for k in range(len(ws) - 2)}
+        for i, ws in enumerate(
+            [[f"w{t}" for t in ws] for ws in docs if len(ws) >= 3]
+        )
+    }
+    # df-cap: shingles in >cap docs (or df<2) never join pairs
+    from collections import Counter
+
+    dfc = Counter(s for ss in shingles.values() for s in ss)
+    expected = set()
+    ids = sorted(shingles)
+    for x in ids:
+        for y in ids:
+            if x == y:
+                continue
+            inter = {
+                s
+                for s in shingles[x] & shingles[y]
+                if 2 <= dfc[s] <= _DF_CAP
+            }
+            if shingles[x] and len(inter) / len(shingles[x]) >= _CONTAIN_TAU:
+                expected.add((x, y))
+    # engine side on the same frame
+    cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sdf2 = hashed.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    rare = hashed.join(
+        sdf2.filter((F.col("c") >= 2) & (F.col("c") <= _DF_CAP)), "s"
+    ).select("doc_id", "s")
+    a = rare.select(F.col("doc_id").alias("da"), "s")
+    b = rare.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    pairs = inter.join(na, "da").join(nb, "db").collect()
+    got = set()
+    for r in pairs:
+        if r["i"] / r["na"] >= _CONTAIN_TAU:
+            got.add((r["da"], r["db"]))
+        if r["i"] / r["nb"] >= _CONTAIN_TAU:
+            got.add((r["db"], r["da"]))
+    assert got == expected
