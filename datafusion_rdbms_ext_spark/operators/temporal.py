@@ -700,3 +700,138 @@ def op_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resampling: per-series values re-gridded onto
+# a regular interval, each grid point interpolated between its
+# neighboring samples — the gap-filling mode LOCF (op_time_weighted
+# _avg) does not cover. ONE union + ONE partitioned window pair per
+# series: no per-grid-point join, no data-sized global sort.
+# ---------------------------------------------------------------------------
+_RESAMPLE_US = 6 * 3600 * 1_000_000  # 6h grid
+
+
+@register(
+    "op_resample_linear",
+    oracle=f"""
+    WITH samples AS (
+      SELECT event_type, epoch_us(ts) AS t, MIN(value) AS v
+      FROM events GROUP BY event_type, epoch_us(ts)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(t) AS t_lo, MAX(t) AS t_hi
+      FROM samples GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type,
+             CAST(unnest(range(t_lo, t_hi + 1, {_RESAMPLE_US})) AS BIGINT) AS t
+      FROM bounds
+    ),
+    u AS (
+      SELECT event_type, t, v, 0 AS is_grid FROM samples
+      UNION ALL
+      SELECT event_type, t, NULL, 1 FROM grid
+    ),
+    walked AS (
+      SELECT event_type, t, is_grid,
+             last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS UNBOUNDED PRECEDING) AS t0,
+             last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS UNBOUNDED PRECEDING) AS v0,
+             first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+             first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t, is_grid
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      FROM u
+    )
+    SELECT event_type, t AS grid_us,
+           CASE WHEN t0 = t THEN v0
+                ELSE v0 + (v1 - v0) * (CAST(t - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+           END AS v_interp
+    FROM walked
+    WHERE is_grid = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+    ORDER BY event_type, grid_us
+    """,
+    doc="Linear-interpolation resampling to a 6h grid per event "
+    "type: union samples with grid points, one backward and one "
+    "forward partitioned window find the bracketing samples, the "
+    "interpolation expression is pinned so the doubles are "
+    "bit-identical across engines. Exact-hit grid points return the "
+    "sample value; grid points outside the sampled span are dropped.",
+    tags=("operator", "timeseries", "bench"),
+)
+def op_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type series resampled to a regular 6h grid.
+
+    Scale: the union'd frame shuffles ONCE on the series key; both
+    windows run inside that partition (parallelism = #series; a
+    single hot series would range-partition on time with boundary
+    sample exchange, the standard split). Grid generation is
+    sequence() per series — no driver loop, no per-point join."""
+    samples = (
+        spark.table("events")
+        .select("event_type", ts_micros(F.col("ts")).alias("t"), "value")
+        .groupBy("event_type", "t")
+        .agg(F.min("value").alias("v"))
+    )
+    bounds = samples.groupBy("event_type").agg(
+        F.min("t").alias("t_lo"), F.max("t").alias("t_hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("t_lo"), F.col("t_hi"), F.lit(_RESAMPLE_US))
+        ).alias("t"),
+    )
+    u = samples.withColumn("is_grid", F.lit(0)).unionByName(
+        grid.select(
+            "event_type", "t", F.lit(None).cast("double").alias("v")
+        ).withColumn("is_grid", F.lit(1))
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sample_t = F.when(F.col("is_grid") == 0, F.col("t"))
+    sample_v = F.when(F.col("is_grid") == 0, F.col("v"))
+    walked = u.select(
+        "event_type",
+        "t",
+        "is_grid",
+        F.last(sample_t, ignorenulls=True).over(wb).alias("t0"),
+        F.last(sample_v, ignorenulls=True).over(wb).alias("v0"),
+        F.first(sample_t, ignorenulls=True).over(wf).alias("t1"),
+        F.first(sample_v, ignorenulls=True).over(wf).alias("v1"),
+    )
+    v_interp = F.when(F.col("t0") == F.col("t"), F.col("v0")).otherwise(
+        F.col("v0")
+        + (F.col("v1") - F.col("v0"))
+        * (
+            (F.col("t") - F.col("t0")).cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double")
+        )
+    )
+    return (
+        walked.filter(
+            (F.col("is_grid") == 1)
+            & F.col("t0").isNotNull()
+            & F.col("t1").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("t").alias("grid_us"),
+            v_interp.alias("v_interp"),
+        )
+        .orderBy("event_type", "grid_us")
+    )

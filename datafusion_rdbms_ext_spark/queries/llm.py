@@ -5187,3 +5187,87 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained", "container")
     )
+
+
+# ---------------------------------------------------------------------------
+# 33. Per-document keyword extraction: top-3 terms by tf-idf (the
+#     integer-quantized idf of llm_sim_tfidf_pairs — no ln, so scores
+#     are exact longs), rank window partitioned per document.
+#     The per-doc summarization/tagging step of a corpus pipeline.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_keyword_extract",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      WHERE doc_id < 50
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    corpus_tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    df AS (SELECT t, COUNT(DISTINCT doc_id) AS df,
+                  (SELECT COUNT(*) FROM documents) AS n
+           FROM corpus_tok GROUP BY t),
+    w AS (
+      SELECT tf.doc_id, tf.t,
+             CAST(tf.tf * ((df.n * 1000) // df.df) AS BIGINT) AS score
+      FROM tf JOIN df ON df.t = tf.t
+    ),
+    ranked AS (
+      SELECT doc_id, t, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, t) AS rk
+      FROM w
+    )
+    SELECT doc_id, t AS keyword, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    doc="Top-3 keywords per document by integer-quantized tf-idf "
+    "(idf = (N*1000)//df — monotone in 1/df, no transcendental, so "
+    "scores are exact longs): document frequencies computed over the "
+    "FULL corpus, keywords extracted for the query slice, per-doc "
+    "rank window.",
+    tags=("llm", "text", "bench"),
+)
+def llm_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, keyword, score, rank) for the 50-doc slice.
+
+    Scale: df is the corpus-wide vocabulary table (token-keyed join,
+    never broadcast); tf for the slice is map-side; the rank window
+    is partitioned per document. At 100 TB the df table is the
+    reusable corpus statistic every tf-idf consumer shares."""
+    tok50 = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    )
+    tf = tok50.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    n = spark.table("documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )  # 1 row — broadcast, no driver-side action
+    dfreq_all = corpus.groupBy("t").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = (
+        tf.join(dfreq_all, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            (F.col("tf") * F.expr("(n_docs * 1000) div df"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "t")
+    return (
+        w.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("t").alias("keyword"), "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
