@@ -742,3 +742,78 @@ def ev_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_day_d").cast("string").alias("first_day"),
         F.col("last_day_d").cast("string").alias("last_day"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# 18. Rolling distinct users: exact 7-day sliding (1-day step) active
+#     users per window. Sliding DISTINCT cannot reuse tumbling
+#     partials (users span windows), so each event is assigned to
+#     every window covering it map-side (explode of at most 7 window
+#     starts) and the per-window distinct is one aggregation — the
+#     standard exact formulation; the approximate path would swap the
+#     distinct for an HLL sketch merge (micro_hll_sketch_merge).
+# ---------------------------------------------------------------------------
+_ROLL_DAYS = 7
+
+
+@register(
+    "ev_rolling_distinct_users",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0 FROM days),
+    assigned AS (
+      SELECT user_id,
+             unnest(range(
+               GREATEST(datediff('day', d0, day) - {_ROLL_DAYS - 1}, 0),
+               datediff('day', d0, day) + 1)) AS w
+      FROM days CROSS JOIN bounds
+    )
+    SELECT CAST(w AS BIGINT) AS window_start_off,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM assigned
+    GROUP BY w ORDER BY w
+    """,
+    doc=f"Exact {_ROLL_DAYS}-day rolling distinct active users, "
+    "1-day step: each (day, user) pair fans out map-side to the "
+    f"<= {_ROLL_DAYS} windows covering it, then ONE distinct "
+    "aggregation per window — no per-window scan, no self-join; "
+    "window ids are day offsets from the corpus start.",
+    tags=("events", "window", "bench"),
+)
+def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 7-day rolling window (window = offset of
+    its LAST day from the first day in the data).
+
+    Scale: the fan-out multiplies the (day, user) rollup — already
+    tiny relative to events — by at most 7; the distinct aggregation
+    shuffles (window, user) pairs once. The sketch variant (HLL
+    merge) replaces exactness when user cardinality per window
+    exceeds memory comfort."""
+    days = (
+        spark.table("events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    d0 = days.agg(F.min("day").alias("d0"))
+    off = F.datediff(F.col("day"), F.col("d0"))
+    assigned = (
+        days.crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.greatest(off - (_ROLL_DAYS - 1), F.lit(0)), off
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        assigned.groupBy("w")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("w").cast("long").alias("window_start_off"), "n_users"
+        )
+        .orderBy("window_start_off")
+    )

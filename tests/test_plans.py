@@ -118,7 +118,7 @@ def test_broadcast_hints_only_on_fixed_dims():
         "tpch.py": {"n1", "n2", "nation", "region", 'spark.table("nation"'},
         "federation.py": {'spark.table("nation"'},
         "olap.py": {"carry", "q"},
-        "events.py": {"anchor"},
+        "events.py": {"anchor", "d0"},  # both 1-row min/max-ts aggregates
         "sinks.py": {"deltas"},
         "streaming/__init__.py": {"sketch.filter("},
         "llm.py": {
@@ -591,3 +591,12 @@ def test_index_lookup_never_reads_text(spark):
     assert "text" not in schemas, schemas
     pushed = "".join(pushed_filters(df))
     assert "token" in pushed, pushed
+
+
+def test_resample_windows_are_running_frames(spark):
+    """op_resample_linear's neighbor lookups must be RUNNING frames
+    (unboundedpreceding..currentrow): a currentrow..unboundedfollowing
+    frame makes WindowExec re-scan the partition tail per row — the
+    O(n^2) shape that cost 112.7s at sf0.1 before the rewrite."""
+    p = plan_string(_df(spark, "op_resample_linear"), "simple").lower()
+    assert "unboundedfollowing" not in p, "tail-scanning window frame"
