@@ -665,3 +665,69 @@ def fed_sqlite_transparent_window(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_nationkey", "s_suppkey", "rk")
     )
     return transparent_pushdown(df).orderBy("s_nationkey", "rk", "s_suppkey")
+
+
+@register(
+    "fed_cross_dialect_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(c_custkey) AS BIGINT) AS cust_key_sum
+      FROM customer GROUP BY c_nationkey
+    ),
+    supp AS (
+      SELECT s_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_supp,
+             CAST(SUM(s_suppkey) AS BIGINT) AS supp_key_sum
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT c_nationkey AS nationkey, n_cust, cust_key_sum, n_supp, supp_key_sum
+    FROM cust JOIN supp ON s_nationkey = c_nationkey
+    ORDER BY nationkey
+    """,
+    doc="CROSS-DIALECT federated join: the customer rollup pushes "
+    "transparently into DuckDB, the supplier rollup into SQLite — "
+    "each remote executes ITS OWN aggregate — and Spark joins the two "
+    "25-row results. The capability a single-remote pushdown rule "
+    "cannot express (the rewriter correctly refuses mixed-remote "
+    "plans; composition at the API is the supported shape), and the "
+    "reason a federation engine sits ABOVE the databases at all.",
+    tags=("federation", "pushdown", "sqlite", "bench"),
+)
+def fed_cross_dialect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer stats (DuckDB) x supplier stats (SQLite).
+
+    Scale: each remote ships only its aggregated rollup
+    (nation-cardinality rows) across the wire; the Spark-side join is
+    dimension-sized. Integer-exact measures (COUNT, SUM of keys) keep
+    both dialects and the oracle bit-identical."""
+    cust = transparent_pushdown(
+        _fed_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            # explicit BIGINT: DuckDB's sum(BIGINT) is HUGEINT, which
+            # would come back over the wire as a decimal-string.
+            F.sum("c_custkey").cast("long").alias("cust_key_sum"),
+        )
+    )
+    supp = transparent_pushdown(
+        _sqlite_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("s_suppkey").cast("long").alias("supp_key_sum"),
+        )
+    )
+    return (
+        cust.join(supp, F.col("c_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "n_cust",
+            "cust_key_sum",
+            "n_supp",
+            "supp_key_sum",
+        )
+        .orderBy("nationkey")
+    )

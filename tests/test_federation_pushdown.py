@@ -551,3 +551,11 @@ def test_relation_reuse_semantics(spark):
     full = c.count()
     assert filtered == 20
     assert full in (20, 1500)  # 20 today (stale cached scan); 1500 if fixed
+
+
+def test_cross_dialect_join_pushes_both_rollups(spark):
+    """Both sides' aggregates must execute on their OWN remote: the
+    Spark plan holds the dimension-sized join but no aggregate."""
+    df = REGISTRY["fed_cross_dialect_join"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(r"HashAggregate|SortAggregate", p), p
