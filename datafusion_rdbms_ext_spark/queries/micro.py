@@ -1452,3 +1452,54 @@ def micro_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (text) FROM documents WHERE doc_id < 25 ORDER BY doc_id"
     )
+
+
+@register(
+    "micro_arrow_udf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(
+             CASE WHEN o_totalprice >= 100000 THEN floor(o_totalprice / 50000)
+                  ELSE 0 END AS BIGINT) AS price_band,
+           upper(substr(o_orderpriority, 1, 1)) || lower(substr(o_orderpriority, 3))
+             AS pretty_priority
+    FROM orders WHERE o_orderkey < 4000
+    ORDER BY o_orderkey
+    """,
+    doc="Spark 4 Arrow-optimized scalar Python UDF (useArrow=True): "
+    "the columnar-batch transport for the classic @udf surface — "
+    "deterministic integer banding + string prettify, re-derived in "
+    "SQL by the oracle. Completes the Python-eval matrix alongside "
+    "pandas_udf / applyInPandas / mapInPandas / mapInArrow / UDTF.",
+    tags=("micro", "udf"),
+)
+def micro_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar UDFs over the orders slice.
+
+    Scale: useArrow=True moves rows to Python in Arrow record
+    batches (vectorized serialization) instead of pickled rows —
+    the row-at-a-time Python loop remains (prefer pandas_udf in hot
+    paths; this query exists to pin the API's semantics), so the
+    slice is kept deliberately small."""
+    from pyspark.sql.functions import udf
+
+    @udf("long", useArrow=True)
+    def price_band(p: float) -> int:
+        import math
+
+        return int(math.floor(p / 50000)) if p >= 100000 else 0
+
+    @udf("string", useArrow=True)
+    def pretty_priority(s: str) -> str:
+        return s[:1].upper() + s[2:].lower()
+
+    return (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            price_band(F.col("o_totalprice")).alias("price_band"),
+            pretty_priority(F.col("o_orderpriority")).alias("pretty_priority"),
+        )
+        .orderBy("o_orderkey")
+    )
