@@ -81,6 +81,27 @@ def mv_rewrite(df: DataFrame, mv: MaterializedView, strict: bool = False) -> Dat
     KNOW the cheap path executed)."""
     plan = df._jdf.queryExecution().analyzed()
     out = _try_rewrite(df, plan, mv)
+    if out is None and plan.getClass().getSimpleName() == "Filter":
+        # HAVING shape: Filter ABOVE the aggregate. Rewrite the inner
+        # aggregate, then re-apply the predicate — it references the
+        # aggregate's OUTPUT aliases, which the rewritten frame
+        # reproduces by construction. Spark renders typed literal
+        # suffixes (100L) that F.expr can't parse back; strip them.
+        # Any unresolvable reference fails analysis -> fall through.
+        inner = _try_rewrite(df, plan.child(), mv)
+        if inner is not None:
+            import re as _re
+
+            cond = _re.sub(
+                r"\b(\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)(?:BD|[DLSYF])\b",
+                r"\1",
+                plan.condition().sql(),
+            )
+            try:
+                out = inner.filter(F.expr(cond))
+                out.schema  # force analysis now, inside the guard
+            except Exception:
+                out = None
     if out is None:
         if strict:
             raise ValueError(f"plan not derivable from MV {mv.mv_table}")

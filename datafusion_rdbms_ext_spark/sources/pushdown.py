@@ -124,11 +124,18 @@ def _rewrite_calls(sql: str, rules: dict) -> str:
     out = sql
     # Restart the scan after every mutation: replacements can contain
     # further rewritable calls in their (already-rewritten) arguments.
+    def _in_string(s: str, pos: int) -> bool:
+        """Is ``pos`` inside a single-quoted SQL literal? ('' escapes
+        count as two delimiters, which keeps the parity correct.)"""
+        return s.count("'", 0, pos) % 2 == 1
+
     guard = 0
     while guard < 1000:
         guard += 1
         mutated = False
         for m in pattern.finditer(out):
+            if _in_string(out, m.start()):
+                continue  # a literal that merely LOOKS like a call
             start = m.end()  # index just past '('
             depth, i, in_str = 1, start, False
             while i < len(out) and depth:

@@ -559,3 +559,49 @@ def test_cross_dialect_join_pushes_both_rollups(spark):
     df = REGISTRY["fed_cross_dialect_join"].fn(spark, SF_DIR)
     p = plan_string(df)
     assert not re.search(r"HashAggregate|SortAggregate", p), p
+
+
+# ---------------------------------------------------------------------------
+# _rewrite_calls unit coverage (no Spark needed): nested calls,
+# quoted commas/parens, escape sequences, non-rewritable arities.
+# ---------------------------------------------------------------------------
+def test_rewrite_calls_nested_and_quoted():
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _DUCKDB_CALL_RULES,
+        _rewrite_calls,
+        _split_args,
+    )
+
+    # quoted comma and escaped quote survive argument splitting
+    assert _split_args("a, 'x,('')y', f(b, c)") == ["a", "'x,('')y'", "f(b, c)"]
+    # nested concat collapses inside-out into || chains
+    out = _rewrite_calls("concat(concat(a, '-'), b)", _DUCKDB_CALL_RULES)
+    assert out == "((a || '-') || b)"
+    # datediff arg swap with a nested call argument
+    out = _rewrite_calls(
+        "datediff(CAST('1998-01-01' AS DATE), date_add(d, 7))",
+        _DUCKDB_CALL_RULES,
+    )
+    assert out == (
+        "datediff('day', date_add(d, 7), CAST('1998-01-01' AS DATE))"
+    )
+    # 3-arg locate only rewrites for start position 1
+    assert (
+        _rewrite_calls("locate('a', s, 1)", _DUCKDB_CALL_RULES)
+        == "instr(s, 'a')"
+    )
+    assert (
+        _rewrite_calls("locate('a', s, 3)", _DUCKDB_CALL_RULES)
+        == "locate('a', s, 3)"
+    )
+    # regexp_replace: the rendered position arg becomes the 'g' flag,
+    # and an already-rewritten call is left alone (no infinite loop)
+    once = _rewrite_calls("regexp_replace(s, 'a', 'b', 1)", _DUCKDB_CALL_RULES)
+    assert once == "regexp_replace(s, 'a', 'b', 'g')"
+    assert _rewrite_calls(once, _DUCKDB_CALL_RULES) == once
+    # date_trunc emits the datetrunc alias (cannot re-match) + cast
+    out = _rewrite_calls("date_trunc('month', ts)", _DUCKDB_CALL_RULES)
+    assert out == "CAST(datetrunc('month', ts) AS TIMESTAMP)"
+    # a quoted string containing a rule name is untouched
+    sql = "SELECT 'concat(a, b)' AS s"
+    assert _rewrite_calls(sql, _DUCKDB_CALL_RULES) == sql

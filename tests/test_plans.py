@@ -600,3 +600,29 @@ def test_resample_windows_are_running_frames(spark):
     O(n^2) shape that cost 112.7s at sf0.1 before the rewrite."""
     p = plan_string(_df(spark, "op_resample_linear"), "simple").lower()
     assert "unboundedfollowing" not in p, "tail-scanning window frame"
+
+
+def test_mv_rewrite_handles_having_shape(spark):
+    """Filter ABOVE the aggregate (HAVING): the inner aggregate is
+    served from the MV and the alias-referencing predicate re-applies
+    on the rewritten frame — values identical to the direct plan."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.plans.mv import mv_rewrite
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.olap import events_daily_mv
+
+    ensure_tables(spark, SF_DIR)
+    mv = events_daily_mv(spark)
+    user = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > 100)
+    )
+    served = mv_rewrite(user, mv, strict=True)
+    schemas = "".join(read_schemas(served))
+    assert "cnt" in schemas and "user_id" not in schemas, schemas
+    direct = sorted(tuple(r) for r in user.collect())
+    cheap = sorted(tuple(r) for r in served.collect())
+    assert direct == cheap
