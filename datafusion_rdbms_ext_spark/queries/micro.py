@@ -1503,3 +1503,61 @@ def micro_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "micro_posexplode_outer",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> len(w) > 6) AS fl
+      FROM documents WHERE doc_id < 40
+    ),
+    x AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(fl) = 0 THEN [NULL]
+                         ELSE list_transform(range(0, len(fl)),
+                                             i -> {'p': i, 'w': fl[i+1]}) END) AS s
+      FROM base
+    )
+    SELECT doc_id, CAST(s.p AS BIGINT) AS pos, s.w AS word
+    FROM x ORDER BY doc_id, pos
+    """,
+    doc="NULL-preserving lateral explode (posexplode_outer): rows "
+    "whose array is empty still surface with NULL pos/word — the "
+    "LEFT-JOIN-LATERAL semantics an inner explode silently drops; "
+    "DuckDB emulates it with a CASE-wrapped struct unnest.",
+    tags=("micro", "lateral"),
+)
+def micro_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.filter(F.split("text", " "), lambda w: F.length(w) > 6)
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.posexplode_outer(arr).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "micro_ilike",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_mktsegment ILIKE '%BUILD%' OR c_mktsegment ILIKE 'auto%'
+    ORDER BY c_custkey
+    """,
+    doc="Case-insensitive LIKE (ILIKE — shared Spark 3.3+/DuckDB "
+    "spelling), both the contains and prefix shapes.",
+    tags=("micro", "sql"),
+)
+def micro_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("customer")
+        .filter(
+            F.col("c_mktsegment").ilike("%BUILD%")
+            | F.col("c_mktsegment").ilike("auto%")
+        )
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
