@@ -626,3 +626,26 @@ def test_mv_rewrite_handles_having_shape(spark):
     direct = sorted(tuple(r) for r in user.collect())
     cheap = sorted(tuple(r) for r in served.collect())
     assert direct == cheap
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark):
+    """Blanket scale rail: NO registered query's physical plan may
+    contain an unconstrained CartesianProduct. Bounded cross joins
+    (1-row stats, fixed query sets) broadcast and become
+    BroadcastNestedLoopJoin — allowed; a CartesianProduct means two
+    data-sized sides met without a key, the #1 100 TB failure.
+
+    Plan-only sweep: each query is ANALYZED (explain), never
+    executed, so the whole registry stays cheap."""
+    import datafusion_rdbms_ext_spark.queries as q
+
+    offenders = []
+    for name, spec in q.REGISTRY.items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+        except Exception as exc:  # building the frame may run jobs
+            offenders.append(f"{name}: build failed {exc}")
+            continue
+        if has_cartesian(df):
+            offenders.append(name)
+    assert not offenders, offenders
