@@ -5271,3 +5271,67 @@ def llm_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("t").alias("keyword"), "score", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# 34. Feature hashing (the "hashing trick", Weinberger et al. 2009):
+#     bag-of-words folded into a fixed-width vector by hashing each
+#     token to one of D buckets with a signed contribution — the
+#     vocabulary-free featurization used when an explicit dictionary
+#     is too large or unstable. Output is the per-document hashed
+#     vector expressed relationally as (doc_id, bucket, weight):
+#     integer-exact (signs from a second hash bit), portable hashing
+#     makes every bucket and sign identical across engines.
+# ---------------------------------------------------------------------------
+_FH_DIM = 32
+
+
+@register(
+    "llm_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           CAST({_sql_phash('t', 'fh')} % {_FH_DIM} AS BIGINT) AS bucket,
+           CAST(SUM(CASE WHEN ({_sql_phash('t', 'fhsign')} % 2) = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM tok
+    GROUP BY doc_id, bucket
+    HAVING SUM(CASE WHEN ({_sql_phash('t', 'fhsign')} % 2) = 0
+                    THEN 1 ELSE -1 END) <> 0
+    ORDER BY doc_id, bucket
+    """,
+    doc=f"Feature hashing (hashing trick): tokens folded into a "
+    f"{_FH_DIM}-bucket signed count vector per document — "
+    "vocabulary-free featurization; buckets and signs from the "
+    "portable md5-derived hash, so the vectors are integer-exact "
+    "across engines. Zero-weight buckets (sign cancellation) are "
+    "dropped, matching the sparse representation.",
+    tags=("llm", "training", "bench"),
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed feature vectors for the 40-doc slice.
+
+    Scale: entirely map-side until the (doc, bucket) aggregation —
+    the classic shape; D is a constant, so the output is bounded by
+    docs x D regardless of vocabulary growth, which is the entire
+    point of the trick."""
+    tok = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    )
+    sign = F.when(_phash(F.col("t"), "fhsign") % 2 == 0, 1).otherwise(-1)
+    return (
+        tok.select(
+            "doc_id",
+            (_phash(F.col("t"), "fh") % _FH_DIM).alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )
