@@ -5335,3 +5335,102 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("weight") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# 35. Negative sampling for contrastive training: each anchor gets k
+#     deterministic pseudo-random negatives drawn uniformly from the
+#     corpus by hashing (anchor-rank, j) into the DENSE id space —
+#     the dense index comes from the distributed _global_rank, so
+#     sparse/renumbered doc_ids don't bias the draw, and the same
+#     (hash, rank) arithmetic replays identically across engines,
+#     reruns, and backfills (the requirement Bernoulli draws lack).
+#     Self-collisions shift by one rank (wrapping), never resample.
+# ---------------------------------------------------------------------------
+_NEG_K = 2
+_NEG_ANCHORS = 20
+
+
+@register(
+    "llm_negative_sampling",
+    oracle=f"""
+    WITH dense AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id, rn AS ra FROM dense
+      WHERE doc_id < {_NEG_ANCHORS}
+    ),
+    draws AS (
+      SELECT anchor_id, ra, j,
+             ({_sql_phash("CAST(ra AS VARCHAR) || ':' || CAST(j AS VARCHAR)", "negs")})
+               % n.n + 1 AS raw
+      FROM anchors CROSS JOIN n, (SELECT unnest([1, 2]) AS j)
+    ),
+    fixed AS (
+      SELECT anchor_id, j,
+             CASE WHEN raw = ra THEN raw % (SELECT n FROM n) + 1 ELSE raw END AS rn
+      FROM draws
+    )
+    SELECT f.anchor_id, CAST(f.j AS BIGINT) AS j, d.doc_id AS negative_id
+    FROM fixed f JOIN dense d ON d.rn = f.rn
+    ORDER BY f.anchor_id, f.j
+    """,
+    doc=f"Deterministic negative sampling ({_NEG_K} negatives per "
+    f"anchor over the first {_NEG_ANCHORS} docs): portable hash of "
+    "(dense anchor rank, draw index) modulo corpus size, dense index "
+    "built by the distributed global rank so id gaps cannot bias the "
+    "draw; self-collisions shift one rank. Replayable bit-for-bit — "
+    "the contrastive-pair prep step of an embedding training "
+    "pipeline.",
+    tags=("llm", "training", "sampling", "bench"),
+)
+def llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, draw, negative) triples, exact across engines.
+
+    Scale: the dense index is the _global_rank composition (range
+    repartition + local rank + broadcast offsets); draws are pure
+    map-side arithmetic; the final lookup is an equi-join on the
+    dense rank. Nothing is quadratic and nothing draws from a
+    driver-side RNG."""
+    dense = _global_rank(
+        spark.table("documents").select("doc_id"), ["doc_id"]
+    ).select("doc_id", F.col("rn"))
+    n = dense.agg(F.count(F.lit(1)).alias("n"))
+    anchors = (
+        dense.filter(F.col("doc_id") < _NEG_ANCHORS)
+        .select(F.col("doc_id").alias("anchor_id"), F.col("rn").alias("ra"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "ra",
+            "n",
+            F.explode(F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])).alias("j"),
+        )
+    )
+    raw = (
+        _phash(
+            F.concat(
+                F.col("ra").cast("string"), F.lit(":"), F.col("j").cast("string")
+            ),
+            "negs",
+        )
+        % F.col("n")
+        + 1
+    )
+    fixed = anchors.select(
+        "anchor_id",
+        "j",
+        F.when(raw == F.col("ra"), raw % F.col("n") + 1).otherwise(raw).alias("rn"),
+    )
+    return (
+        fixed.join(dense, "rn")
+        .select(
+            "anchor_id",
+            F.col("j").cast("long").alias("j"),
+            F.col("doc_id").alias("negative_id"),
+        )
+        .orderBy("anchor_id", "j")
+    )
