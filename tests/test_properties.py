@@ -911,3 +911,55 @@ def test_containment_matches_bruteforce(spark, docs):
         if r["i"] / r["nb"] >= _CONTAIN_TAU:
             got.add((r["db"], r["da"]))
     assert got == expected
+
+
+def test_negative_sampling_invariants(spark):
+    """Exactly k draws per anchor, negatives never equal the anchor,
+    all negatives are real corpus docs, and reruns are identical."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+    from datafusion_rdbms_ext_spark.queries.llm import _NEG_ANCHORS, _NEG_K
+
+    from .conftest import SF_DIR
+
+    fn = REGISTRY["llm_negative_sampling"].fn
+    rows = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert rows == [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    per_anchor: dict[int, list[int]] = {}
+    for anchor, _j, neg in rows:
+        assert neg != anchor
+        per_anchor.setdefault(anchor, []).append(neg)
+    assert len(per_anchor) == _NEG_ANCHORS
+    assert all(len(v) == _NEG_K for v in per_anchor.values())
+    corpus = {
+        r["doc_id"] for r in spark.table("documents").select("doc_id").collect()
+    }
+    assert all(neg in corpus for v in per_anchor.values() for neg in v)
+
+
+def test_feature_hashing_invariants(spark):
+    """Buckets stay in [0, D); the total absolute weight per doc can
+    never exceed its token count (each token contributes exactly one
+    +/-1); vectors are rerun-stable."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+    from datafusion_rdbms_ext_spark.queries.llm import _FH_DIM
+
+    from .conftest import SF_DIR
+
+    fn = REGISTRY["llm_feature_hashing"].fn
+    rows = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert rows == [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    from pyspark.sql import functions as F
+
+    tokens = {
+        r["doc_id"]: r["n"]
+        for r in spark.table("documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, int] = {}
+    for doc, bucket, weight in rows:
+        assert 0 <= bucket < _FH_DIM
+        per_doc[doc] = per_doc.get(doc, 0) + abs(weight)
+    for doc, absw in per_doc.items():
+        assert absw <= tokens[doc], (doc, absw, tokens[doc])
