@@ -817,3 +817,80 @@ def ev_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# 19. DYNAMIC-gap session windows: the inactivity timeout varies per
+#     event (a purchase closes its session after 2h; everything else
+#     gets 6h) — F.session_window with a gap COLUMN. Unlike the
+#     fixed-gap case, session ends are no longer monotone in ts, so
+#     the oracle's islands pass needs a RUNNING MAX of (ts + gap)
+#     rather than LAG: a new session starts iff the event begins at
+#     or after every previous window's end (Spark merges overlapping
+#     [ts, ts+gap) windows).
+# ---------------------------------------------------------------------------
+@register(
+    "ev_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL '2 hours'
+                  ELSE INTERVAL '6 hours' END AS g
+      FROM events WHERE user_id < 40
+    ),
+    o AS (
+      SELECT user_id, ts, g,
+             MAX(ts + g) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, ts, g,
+             CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    sid AS (
+      SELECT user_id, ts, g,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM s
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts + g) AS session_end,
+           COUNT(*) AS n_events
+    FROM sid
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Dynamic-gap session windows (F.session_window with a gap "
+    "COLUMN: purchases time out after 2h, other events after 6h); "
+    "the oracle's islands pass uses a running MAX of per-event ends "
+    "because dynamic ends are not monotone — a new session starts "
+    "only past every previous window's end.",
+    tags=("events", "window", "bench"),
+)
+def ev_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions under event-dependent inactivity timeouts.
+
+    Scale: identical execution shape to the fixed-gap session window
+    (shuffle on user_id, in-state merge); the gap column is
+    evaluated map-side. The same expression runs under readStream
+    with a watermark."""
+    ev = spark.table("events").filter(F.col("user_id") < 40)
+    gap = F.when(F.col("event_type") == "purchase", "2 hours").otherwise(
+        "6 hours"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
