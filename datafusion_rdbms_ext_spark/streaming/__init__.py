@@ -837,3 +837,67 @@ def stream_versioned_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. Dynamic-gap session windows under streaming: the per-event
+#     timeout column (purchase -> 2h, else 6h) evaluated inside the
+#     streaming sessionization state — proving the unified-semantics
+#     promise holds for the DYNAMIC path too, not just the fixed gap.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL '2 hours'
+                  ELSE INTERVAL '6 hours' END AS g
+      FROM events WHERE user_id < 15
+    ),
+    o AS (
+      SELECT user_id, ts, g,
+             MAX(ts + g) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_end
+      FROM e
+    ),
+    sid AS (
+      SELECT user_id, ts, g,
+             SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sid GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="Dynamic-gap sessionization through the streaming engine "
+    "(gap COLUMN inside session_window state): drained sessions must "
+    "equal the batch islands oracle with its running-MAX end walk — "
+    "the unified-semantics guarantee for per-event timeouts.",
+    tags=("streaming", "window"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessions under event-dependent timeouts.
+
+    Scale: state per open session key, evicted by the watermark —
+    identical to the fixed-gap query; the gap column is evaluated
+    per event before state merge."""
+    _RUN_SEQ[0] += 1
+    name = f"stream_session_dynamic_gap_{_RUN_SEQ[0]}"
+    gap = F.when(F.col("event_type") == "purchase", "2 hours").otherwise(
+        "6 hours"
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < 15)
+        .withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    _drain(agg, name, "complete")
+    return spark.table(name).orderBy("user_id", "session_start")
