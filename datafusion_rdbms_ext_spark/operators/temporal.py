@@ -844,3 +844,56 @@ def op_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "grid_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with TOLERANCE (pandas merge_asof's `tolerance`): a
+# prior match older than the tolerance is as good as no match — the
+# join stays LEFT, emitting NULLs. Pure composition: the backward
+# as-of plus a null-out predicate; no new join machinery.
+# ---------------------------------------------------------------------------
+_ASOF_TOL_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "op_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_TOL_US}
+                THEN c.ts END AS click_ts,
+           CASE WHEN c.ts IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_TOL_US}
+                THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 50) p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join with a 30-minute tolerance (pandas merge_asof "
+    "semantics): the most recent prior click counts only if it is "
+    "recent ENOUGH; stale matches null out but the purchase row "
+    "survives (left join). Composition over the same union+window "
+    "as-of — no new operator machinery.",
+    tags=("operator", "asof", "bench"),
+)
+def op_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases with their within-tolerance prior click, or NULLs.
+
+    Scale: identical to the plain as-of (one union + one partitioned
+    window); the tolerance is a map-side predicate on the matched
+    struct, so it adds zero shuffles."""
+    ev = spark.table("events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    ).select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(purchases, clicks, on="ts", by=("user_id",), right_alias="m")
+    gap = ts_micros(F.col("ts")) - ts_micros(F.col("m.ts"))
+    ok = F.col("m").isNotNull() & (gap <= F.lit(_ASOF_TOL_US))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.col("m.ts")).alias("click_ts"),
+        F.when(ok, gap).alias("gap_us"),
+    ).orderBy("event_id")
