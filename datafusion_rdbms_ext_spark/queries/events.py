@@ -894,3 +894,59 @@ def ev_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# 20. Seasonality profile: day-of-week volume shape per event type,
+#     with an integer-exact deviation score (how far each weekday
+#     strays from a uniform week: |7*n_dow - total| summed) — the
+#     weekly-pattern diagnostic behind staffing/capacity rollups.
+#     dayofweek numbering differs across engines (Spark: 1=Sunday;
+#     DuckDB: 0=Sunday), so the key is ISO dayname, identical in
+#     both.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_seasonality_profile",
+    oracle="""
+    WITH dow AS (
+      SELECT event_type, dayname(CAST(ts AS DATE)) AS dow, COUNT(*) AS n
+      FROM events GROUP BY event_type, dayname(CAST(ts AS DATE))
+    ),
+    tot AS (SELECT event_type, SUM(n) AS total FROM dow GROUP BY event_type)
+    SELECT dow.event_type, dow.dow, CAST(dow.n AS BIGINT) AS n,
+           CAST(ABS(7 * dow.n - tot.total) AS BIGINT) AS uniform_dev
+    FROM dow JOIN tot ON tot.event_type = dow.event_type
+    ORDER BY dow.event_type, dow.dow
+    """,
+    doc="Weekly seasonality profile: per-type day-of-week volumes "
+    "plus the integer-exact deviation |7*n_dow - total| from a "
+    "uniform week; keyed by day NAME because the engines disagree on "
+    "weekday numbering (Spark 1=Sunday, DuckDB 0=Sunday) but not on "
+    "names.",
+    tags=("events", "timeseries"),
+)
+def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week volume shape and uniformity deviation per type.
+
+    Scale: one map-side-combined (type, dow) count — at most
+    7 x |types| rows out of any event volume; the deviation join is
+    against the |types|-row totals."""
+    dow = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "EEEE").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = dow.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (
+        dow.join(tot, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("n").cast("long").alias("n"),
+            F.abs(7 * F.col("n") - F.col("total")).cast("long").alias("uniform_dev"),
+        )
+        .orderBy("event_type", "dow")
+    )
