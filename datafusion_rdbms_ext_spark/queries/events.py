@@ -950,3 +950,99 @@ def ev_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# 21. Rolling distinct via DAILY HLL SKETCHES: the production form of
+#     ev_rolling_distinct_users. The exact op fans every (day, user)
+#     pair into its 7 windows; this one builds ONE fixed-size sketch
+#     per day and answers each window by unioning 7 sketch rows —
+#     the incremental pattern that keeps a 100 TB rolling-MAU rollup
+#     at |days| stored kilobytes. Sketch bytes are engine-specific,
+#     so the oracle asserts the 5%-accuracy property against the
+#     exact count, which rides along as real differential content
+#     (the micro_hll_sketch_merge contract).
+# ---------------------------------------------------------------------------
+@register(
+    "ev_rolling_users_hll",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0 FROM days),
+    assigned AS (
+      SELECT user_id,
+             unnest(range(
+               GREATEST(datediff('day', d0, day) - {_ROLL_DAYS - 1}, 0),
+               datediff('day', d0, day) + 1)) AS w
+      FROM days CROSS JOIN bounds
+    )
+    SELECT CAST(w AS BIGINT) AS window_start_off,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM assigned
+    GROUP BY w ORDER BY w
+    """,
+    doc=f"Rolling {_ROLL_DAYS}-day distinct users from DAILY HLL "
+    "sketches (hll_sketch_agg per day, hll_union_agg per window): "
+    "windows read 7 kilobyte-sized sketch rows instead of fanning "
+    "raw (day, user) pairs — the incremental rolling-MAU plan; the "
+    "estimate is asserted within 5% of the exact count, which rides "
+    "along as differential content.",
+    tags=("events", "window", "sketch"),
+)
+def ev_rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated rolling distinct users with accuracy proof.
+
+    Scale: the daily sketch table is |days| rows of ~KB sketches
+    (built with one map-side-combined pass); every window unions at
+    most 7 of them. The exact branch exists only to prove the
+    estimate; production keeps the sketch path alone."""
+    days = (
+        spark.table("events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    d0 = days.agg(F.min("day").alias("d0"))
+    base = days.crossJoin(F.broadcast(d0)).withColumn(
+        "off", F.datediff(F.col("day"), F.col("d0"))
+    )
+    daily_sk = base.groupBy("off").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # Day `off` belongs to windows [off-6, off] (clamped at 0): the
+    # same backward fan as the exact branch, so window w = days
+    # [w, w+6] — "window_start_off" is literally the start day.
+    assigned = daily_sk.select(
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("off") - (_ROLL_DAYS - 1), F.lit(0)),
+                F.col("off"),
+            )
+        ).alias("w"),
+        "sk",
+    )
+    est = assigned.groupBy("w").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = base.withColumn(
+        "w",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("off") - (_ROLL_DAYS - 1), F.lit(0)),
+                F.col("off"),
+            )
+        ),
+    ).groupBy("w").agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        est.join(exact, "w")
+        .select(
+            F.col("w").cast("long").alias("window_start_off"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.05
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("window_start_off")
+    )
