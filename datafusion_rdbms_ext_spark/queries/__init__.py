@@ -70,9 +70,9 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: micro_arrow_udf, micro_posexplode_outer, micro_ilike,
 #: llm_feature_hashing, llm_negative_sampling,
 #: ev_session_dynamic_gap, stream_session_dynamic_gap,
-#: op_asof_tolerance, ev_seasonality_profile, ev_rolling_users_hll —
-#: plus anything added later this round; all are in the local
-#: differential gate today.
+#: op_asof_tolerance, ev_seasonality_profile, ev_rolling_users_hll,
+#: olap_abc_pareto — plus anything added later this round; all are
+#: in the local differential gate today.
 _PRIORITY: tuple[str, ...] = (
     # -- 25 first-timers: round-5-continuation batch + mm_resize_pool
     "llm_dedup_substring",

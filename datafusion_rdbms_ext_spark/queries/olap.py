@@ -440,3 +440,101 @@ def olap_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto analysis: customers ranked by revenue, classified by
+# cumulative revenue share (A: first 80%, B: to 95%, C: tail). The
+# naive plan is a cumulative-sum window over ALL customers in one
+# task; here the prefix sum is DISTRIBUTED the same way the global
+# rank is (queries/llm._global_rank): range-partition on the sort
+# key, local running sum per partition, then offset every partition
+# by the (<= #partitions-row, broadcast) totals of its predecessors.
+# Thresholds compare 5*cum <= 4*total and 20*cum <= 19*total on the
+# EXACT decimal sums — no 0.8 float anywhere, so classification can
+# never straddle an ulp.
+# ---------------------------------------------------------------------------
+_ABC_PARTS = 32
+
+
+@register(
+    "olap_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(rev) AS total FROM rev),
+    walked AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM rev
+    )
+    SELECT CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                WHEN 20 * cum <= 19 * total THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM walked CROSS JOIN tot
+    GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="ABC/Pareto classification by cumulative revenue share "
+    "(A/B/C at 80%/95%), computed with a DISTRIBUTED prefix sum — "
+    "range partitions, local running sums, broadcast partition-total "
+    "offsets — instead of a single-task window over every customer; "
+    "thresholds compare scaled exact decimals (5*cum vs 4*total), "
+    "never a float share.",
+    tags=("olap", "bench"),
+)
+def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count and revenue per ABC class.
+
+    Scale: the only data-sized shuffles are the revenue rollup and
+    ONE range repartition; both windows run inside range partitions,
+    and the partition-offset table is cluster-width metadata. The
+    same composition serves any 'cumulative share' analytic
+    (inventory ABC, storage tiering, funnel cutoffs)."""
+    dec = "decimal(30,8)"
+    rev = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(dec)).alias("rev"))
+    )
+    d = (
+        rev.repartitionByRange(
+            _ABC_PARTS, F.col("rev").desc(), F.col("o_custkey")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # feeds the window AND the offset table
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_lcum", F.sum("rev").over(w))
+    ptot = d.groupBy("_pid").agg(F.sum("rev").alias("_pt"))
+    wofs = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptot.withColumn(
+        "_ofs", F.coalesce(F.sum("_pt").over(wofs), F.lit(0).cast(d.schema["rev"].dataType))
+    ).select("_pid", "_ofs")
+    total = rev.agg(F.sum("rev").alias("total"))
+    walked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum", F.col("_ofs") + F.col("_lcum"))
+        .crossJoin(F.broadcast(total))
+    )
+    abc = F.when(5 * F.col("cum") <= 4 * F.col("total"), "A").otherwise(
+        F.when(20 * F.col("cum") <= 19 * F.col("total"), "B").otherwise("C")
+    )
+    return (
+        walked.select(abc.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

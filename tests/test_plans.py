@@ -117,7 +117,12 @@ def test_broadcast_hints_only_on_fixed_dims():
     allowed_by_file = {
         "tpch.py": {"n1", "n2", "nation", "region", 'spark.table("nation"'},
         "federation.py": {'spark.table("nation"'},
-        "olap.py": {"carry", "q"},
+        "olap.py": {
+            "carry", "q",
+            # ABC/Pareto: <=32-row partition-offset table and the
+            # 1-row grand total.
+            "offsets", "total",
+        },
         "events.py": {"anchor", "d0"},  # both 1-row min/max-ts aggregates
         "sinks.py": {"deltas"},
         "streaming/__init__.py": {"sketch.filter("},
