@@ -2,8 +2,10 @@
 
 Runs the headline queries (tag ``bench`` in the registry) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+``local[$SPARK_GRAFT_CPUS]`` and prints the full payload JSON line
+(also written to ``BENCH_LOCAL.json``) followed by a compact (<1 KB)
+summary JSON as the FINAL line — the driver's tail capture is 2 KB,
+and round 6 lost its per-query maps to a single oversized line.
 
 Each query runs untimed once (row-count warm-up) then three timed
 runs: `queries` records best-of-3 (steady-state, comparable with
@@ -94,7 +96,34 @@ def main() -> None:
         payload["errors"] = errors
         payload["n_errors"] = len(errors)
         payload["complete"] = False
+    # Output discipline (VERDICT r6 next #2): the driver keeps only a
+    # 2 KB stdout tail and parses the FINAL JSON line. One line with
+    # 61 queries x 2 maps (~4.5 KB) overflowed that capture in r6 and
+    # the artifact lost the per-query maps (`parsed: null`). So: the
+    # FULL payload goes to a repo-root file (committed each round) and
+    # to its own stdout line for logs that keep everything, while the
+    # FINAL line is a compact summary (<1 KB) guaranteed to survive
+    # the tail — totals, counts, and the 8 slowest queries by median.
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
     print(json.dumps(payload))
+    slowest = dict(
+        sorted(medians.items(), key=lambda kv: -kv[1])[:8]
+    )
+    summary = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "value_median3": payload["value_median3"],
+        "n_queries": len(timings),
+        "sf": payload["sf"],
+        "queries": slowest,  # 8 slowest by median3; full maps: BENCH_LOCAL.json
+        "full": "BENCH_LOCAL.json",
+    }
+    if errors:
+        summary["n_errors"] = len(errors)
+        summary["complete"] = False
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

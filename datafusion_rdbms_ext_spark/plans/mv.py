@@ -92,10 +92,39 @@ def mv_rewrite(df: DataFrame, mv: MaterializedView, strict: bool = False) -> Dat
         if inner is not None:
             import re as _re
 
+            raw = plan.condition().sql()
+            # Strip typed-literal suffixes ONLY outside single-quoted
+            # spans: a string literal that merely looks typed (e.g.
+            # label = '100L') must not be rewritten to '100' — a
+            # silent value change the forced-analysis guard below
+            # cannot catch because the mutated predicate still
+            # analyzes (ADVICE r6 #5). Same ''-escape quote-parity
+            # rule as pushdown._in_string.
             cond = _re.sub(
                 r"\b(\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)(?:BD|[DLSYF])\b",
-                r"\1",
-                plan.condition().sql(),
+                lambda m: (
+                    m.group(0)
+                    if raw.count("'", 0, m.start()) % 2 == 1
+                    else m.group(1)
+                ),
+                raw,
+            )
+            # A pass-through group dim renders BASE-QUALIFIED
+            # (events.event_type) in the HAVING predicate even though
+            # it names the aggregate's output column; strip the
+            # qualifier at identifier boundaries (and only outside
+            # string literals) so it resolves on the rewritten frame.
+            # Any OTHER surviving base reference is a non-output leak
+            # and must fall through, not analyze by accident.
+            stripped = cond
+            cond = _re.sub(
+                _re.escape(f"{mv.base_table}.") + r"(?=[A-Za-z_])",
+                lambda m: (
+                    m.group(0)
+                    if stripped.count("'", 0, m.start()) % 2 == 1
+                    else ""
+                ),
+                stripped,
             )
             try:
                 out = inner.filter(F.expr(cond))

@@ -73,66 +73,71 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: op_asof_tolerance, ev_seasonality_profile, ev_rolling_users_hll,
 #: olap_abc_pareto — plus anything added later this round; all are
 #: in the local differential gate today.
+#: ROUND-7 ROTATION (VERDICT r6 next #1): the complete 20-query
+#: never-proven queue takes the front slots — after this gate EVERY
+#: query registered before round 7 has driver hard-signal in some
+#: round. 3 new round-7 operators (Gopher-rules quality filter, DSIR
+#: importance resampling, bloom file-skipping index) follow so they
+#: get first-time proof in their own round. 3 sentinels from proven
+#: families (one TPC-H, one dedup, one fed_transparent) guard against
+#: regression. The remaining 24 slots backfill with the
+#: longest-unproven queries — all last proven in round 2 (verified
+#: mechanically against cumulative CORRECTNESS r1-r6).
 _PRIORITY: tuple[str, ...] = (
-    # -- 25 first-timers: round-5-continuation batch + mm_resize_pool
-    "llm_dedup_substring",
-    "llm_quality_unigram_ppm",
-    "llm_cms_counts",
-    "llm_dedup_bloom_incremental",
-    "llm_neardup_triangles",
-    "llm_corpus_diversity",
-    "llm_bigram_lm",
-    "llm_dedup_srp",
-    "llm_sentiment_lexicon",
-    "llm_text_stats",
-    "sink_zorder_layout",
-    "source_time_travel",
-    "source_snapshot_diff",
-    "source_cdc_apply",
-    "source_compaction",
-    "stream_cms_event_types",
-    "ev_json_corrupt_records",
-    "ev_trending_decay",
-    "ev_markov_transitions",
-    "ev_anomaly_mad",
-    "fed_transparent_setop",
-    "micro_join_hints",
-    "olap_trajectory_topk",
-    "op_percentile_exact",
-    "mm_resize_pool",
-    # round-6 additions: transparent pushdown over the SECOND dialect
-    # (they displace two already-d2-proven backfill canaries —
-    # first-time hard-signal beats a third proof of win_first_last)
-    "fed_sqlite_transparent_agg",
-    "fed_sqlite_transparent_window",
-    # round-6 continuation operators (EWMA fold, BM25 retrieval,
-    # curriculum batching, exact stratified sampling, transparent MV
-    # rewrite) — each displaces one more d2-proven canary.
-    "ev_ewma_smoothing",
-    "llm_bm25_search",
-    "llm_curriculum_batches",
-    "llm_stratified_sample",
-    "olap_mv_rewrite",
-    "stream_ewma_daily",
-    "llm_index_lookup",
-    "llm_dedup_onion",
+    # -- 20 first-timers: the complete round-7 never-proven queue
+    "micro_group_by_all",
+    "micro_select_except",
+    "micro_arrow_udf",
+    "micro_posexplode_outer",
+    "micro_ilike",
+    "ev_rolling_distinct_users",
+    "ev_session_dynamic_gap",
+    "ev_seasonality_profile",
+    "ev_rolling_users_hll",
+    "llm_minhash_containment",
+    "llm_keyword_extract",
+    "llm_feature_hashing",
+    "llm_negative_sampling",
+    "olap_abc_pareto",
+    "stream_versioned_commits",
+    "stream_session_dynamic_gap",
+    "mm_frame_features",
+    "op_resample_linear",
+    "op_asof_tolerance",
+    "fed_cross_dialect_join",
+    # -- round-7 additions (first-time proof in their own round)
+    "llm_quality_gopher",
+    "llm_importance_resample",
+    "sink_bloom_skip_index",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- backfill: longest-unproven (d2) queries as canaries
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q20_potential_promotion",
-    "win_topn_per_group",
+    # -- backfill: the 24 longest-unproven (last proof r2) canaries
+    "q14_promo_effect",
+    "q16_part_supplier_relationship",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "micro_math_scalars",
+    "micro_string_scalars",
+    "micro_regex_hash",
+    "micro_datetime",
+    "micro_interval_range",
+    "micro_conditional_null",
+    "micro_bitwise",
+    "micro_agg_stats",
+    "micro_agg_extras",
+    "micro_agg_approx",
+    "micro_set_ops",
+    "micro_join_right",
+    "micro_join_full_outer",
+    "micro_join_cross",
+    "micro_limit_offset",
+    "micro_rollup",
+    "micro_cube",
+    "micro_values_inline",
+    "micro_nested_access",
+    "micro_sort_nulls",
 )
 
 

@@ -5434,3 +5434,221 @@ def llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# 40. Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+#     Methods, Analysis & Insights from Training Gopher", Appendix A —
+#     PAPERS.md): the HARD rule-based document filter that precedes
+#     soft quality scores (llm_text_quality) in a pre-training
+#     pipeline. Every rule is integerized (cross-multiplied ratios,
+#     no float thresholds) so pass/fail bits are bit-identical across
+#     engines — the same exact-arithmetic discipline as unigram_ppm.
+# ---------------------------------------------------------------------------
+_GOPHER_WC_MIN, _GOPHER_WC_MAX = 20, 1000  # word-count bounds
+_GOPHER_MWL_MIN, _GOPHER_MWL_MAX = 3, 10  # mean word length bounds
+
+
+@register(
+    "llm_quality_gopher",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n,
+             list_aggregate(list_transform(string_split(text, ' '),
+                                           w -> len(w)), 'sum') AS sum_len,
+             len(list_filter(string_split(text, ' '),
+                             w -> NOT regexp_full_match(w, '[a-z]+'))) AS n_sym,
+             len(list_filter(['the', 'a', 'of', 'and'],
+                             s -> list_contains(string_split(text, ' '), s))) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n NOT BETWEEN {_GOPHER_WC_MIN} AND {_GOPHER_WC_MAX}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+           CAST(SUM(CASE WHEN sum_len < {_GOPHER_MWL_MIN} * n
+                           OR sum_len > {_GOPHER_MWL_MAX} * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+           CAST(SUM(CASE WHEN 10 * n_sym > n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_symbol,
+           CAST(SUM(CASE WHEN n_stop < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_stopword,
+           CAST(SUM(CASE WHEN 10 * (n - n_uniq) >= 6 * n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_repetition,
+           CAST(SUM(CASE WHEN n BETWEEN {_GOPHER_WC_MIN} AND {_GOPHER_WC_MAX}
+                          AND sum_len >= {_GOPHER_MWL_MIN} * n
+                          AND sum_len <= {_GOPHER_MWL_MAX} * n
+                          AND 10 * n_sym <= n
+                          AND n_stop >= 2
+                          AND 10 * (n - n_uniq) < 6 * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM f GROUP BY source ORDER BY source
+    """,
+    doc="Gopher hard quality rules (Rae et al. 2021 App. A): word "
+    "count bounds, mean word length bounds, symbol-word ratio, "
+    "minimum distinct stopwords, duplicate-word fraction — per-source "
+    "violation breakdown and survivor count. All thresholds "
+    "integerized (cross-multiplication, never float division) so the "
+    "pass/fail bit is engine-exact.",
+    tags=("llm", "text", "bench"),
+)
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule violation counts + survivors.
+
+    Scale: pure map-side per-document flag computation (split + array
+    builtins inside whole-stage codegen, no UDF, no explode — the
+    token list never leaves its row) followed by one partial-agg
+    rollup on source. The fixed 4-word stopword lexicon is a literal
+    array, not a join."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_sym = F.size(F.filter(w, lambda t: ~t.rlike("^[a-z]+$")))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+            lambda s: F.array_contains(w, s),
+        )
+    )
+    n_uniq = F.size(F.array_distinct(w))
+    fail_words = ~n.between(_GOPHER_WC_MIN, _GOPHER_WC_MAX)
+    fail_wordlen = (sum_len < _GOPHER_MWL_MIN * n) | (
+        sum_len > _GOPHER_MWL_MAX * n
+    )
+    fail_symbol = 10 * n_sym > n
+    fail_stopword = n_stop < 2
+    fail_repetition = 10 * (n - n_uniq) >= 6 * n
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return (
+        spark.table("documents")
+        .select(
+            "source",
+            fail_words.alias("fw"),
+            fail_wordlen.alias("fl"),
+            fail_symbol.alias("fs"),
+            fail_stopword.alias("fst"),
+            fail_repetition.alias("fr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(F.col("fw")).alias("n_fail_words"),
+            cnt(F.col("fl")).alias("n_fail_wordlen"),
+            cnt(F.col("fs")).alias("n_fail_symbol"),
+            cnt(F.col("fst")).alias("n_fail_stopword"),
+            cnt(F.col("fr")).alias("n_fail_repetition"),
+            cnt(
+                ~F.col("fw") & ~F.col("fl") & ~F.col("fs")
+                & ~F.col("fst") & ~F.col("fr")
+            ).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 41. DSIR importance resampling (Xie et al. 2023, "Data Selection
+#     for Language Models via Importance Resampling" — PAPERS.md):
+#     score every raw document by how much more likely its tokens are
+#     under a TARGET-domain unigram model than under the raw-corpus
+#     model, then keep the top scorers. The published form uses
+#     log-probability ratios of hashed n-gram features; here the
+#     per-token ratio is integerized (add-1 smoothed frequency ratio
+#     in exact fixed-point, arithmetic instead of geometric mean) so
+#     the selection is bit-identical across engines — same trade
+#     unigram_ppm makes against float log ulps.
+# ---------------------------------------------------------------------------
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_TOPK = 50
+_DSIR_SCALE = 1000  # fixed-point resolution of the per-token ratio
+
+
+@register(
+    "llm_importance_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    cr AS (SELECT t, COUNT(*) AS c_r FROM tok GROUP BY t),
+    ct AS (SELECT t, COUNT(*) AS c_t FROM tok
+           WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY t),
+    tot AS (
+      SELECT (SELECT SUM(c_r) FROM cr) AS big_r,
+             (SELECT COALESCE(SUM(c_t), 0) FROM ct) AS big_t,
+             (SELECT COUNT(*) FROM cr) AS v
+    ),
+    scored AS (
+      SELECT tok.doc_id, tok.source,
+             COUNT(*) AS n_tok,
+             ROUND(AVG(((COALESCE(ct.c_t, 0) + 1) * (tot.big_r + tot.v)
+                        * {_DSIR_SCALE})
+                       // ((cr.c_r + 1) * (tot.big_t + tot.v))), 6)
+               AS dsir_score
+      FROM tok
+      JOIN cr ON cr.t = tok.t
+      LEFT JOIN ct ON ct.t = tok.t
+      CROSS JOIN tot
+      WHERE tok.source <> '{_DSIR_TARGET_SOURCE}'
+      GROUP BY tok.doc_id, tok.source
+    )
+    SELECT doc_id, source, n_tok, dsir_score
+    FROM scored
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+    doc="DSIR importance resampling (Xie et al. 2023): rank raw "
+    "documents by the add-1-smoothed target/raw unigram frequency "
+    "ratio of their tokens (exact fixed-point, arithmetic mean), "
+    "keep the top-k most target-domain-like — the data-selection "
+    "step that picks a pre-training mixture toward a quality domain.",
+    tags=("llm", "text", "bench"),
+)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most target-like raw docs by exact unigram ratio.
+
+    Scale: two vocabulary-sized aggregations (map-side partial on
+    token), one token-keyed shuffle join of the token stream against
+    the vocab stats (never broadcast — vocabulary grows with corpus
+    by Heaps' law; AQE handles hot-token skew), the 1-row totals as a
+    broadcast cross, a doc-keyed rollup, and a TakeOrdered top-k (no
+    global sort). The int64 fixed-point headroom holds to ~1e15
+    token corpora; past that the same expression carries in
+    decimal(38,0)."""
+    tok = spark.table("documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    cr = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_r"))
+    ct = (
+        tok.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot_t = ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("big_t"))
+    tot = cr.agg(
+        F.sum("c_r").alias("big_r"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(F.broadcast(tot_t))
+    ratio = F.expr(
+        f"((coalesce(c_t, 0) + 1) * (big_r + v) * {_DSIR_SCALE}) "
+        f"div ((c_r + 1) * (big_t + v))"
+    )
+    return (
+        tok.filter(F.col("source") != _DSIR_TARGET_SOURCE)
+        .join(cr, "t")
+        .join(ct, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(ratio), 6).alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )

@@ -204,7 +204,13 @@ class PostgresConnector(Connector):
     #: path, which we mirror as numeric→double on the catalog path).
     _TYPE_MAP = {
         "smallint": T.ShortType(),
-        "integer": T.LongType(),
+        # 32-bit, matching the reference's INT4 -> Int32
+        # (datatypes.rs) and the DuckDB dialect's INTEGER ->
+        # IntegerType — cross-dialect plans must agree on the Spark
+        # type of the same logical column (ADVICE r6 #4; SQLite's
+        # LongType is justified by SQLite's 64-bit storage class,
+        # Postgres integer is a true int4).
+        "integer": T.IntegerType(),
         "bigint": T.LongType(),
         "real": T.FloatType(),
         "double precision": T.DoubleType(),
@@ -254,10 +260,17 @@ class PostgresConnector(Connector):
         return tables, columns
 
     def catalog(self) -> dict[str, T.StructType]:
-        _tables_sql, columns_sql = self.catalog_sql()
+        # The full two-step bootstrap (reference mod.rs:67-125): the
+        # tables query is not decoration — information_schema.columns
+        # also lists VIEW columns, and only the BASE TABLE filter in
+        # tables_sql keeps views out of the catalog (ADVICE r6 #3).
+        tables_sql, columns_sql = self.catalog_sql()
+        base_tables = set(self.fetch_pdf(tables_sql)["table_name"])
         pdf = self.fetch_pdf(columns_sql)
         out: dict[str, T.StructType] = {}
         for row in pdf.itertuples(index=False):
+            if row.table_name not in base_tables:
+                continue  # a view leaking through columns
             out.setdefault(row.table_name, T.StructType()).add(
                 row.column_name,
                 self._TYPE_MAP.get(row.data_type, T.StringType()),

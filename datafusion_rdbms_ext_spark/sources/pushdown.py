@@ -227,13 +227,68 @@ def _dialect(sql: str) -> str:
     return sql
 
 
+def _deny(name: str):
+    """A call-rule that refuses the whole rewrite: the function exists
+    on the remote with DIFFERENT semantics, so the LIMIT-0 parse probe
+    would pass and return silently wrong values. Raising makes
+    try_unparse fall through to the unrewritten (correct) plan."""
+
+    def rule(_args):
+        raise _Unsupported(f"{name}: divergent remote semantics")
+
+    return rule
+
+
+#: Spark→SQLite call rewrites and denials (ADVICE r6 #2: the LIMIT-0
+#: probe only rejects functions the remote LACKS; functions it has
+#: with different semantics sail through). SQLite shares Spark's
+#: spelling for the core scalar surface (instr/length/upper/lower/
+#: abs/round/coalesce/nullif); the divergent ones:
+#: - concat: SQLite >= 3.44 HAS concat and it SKIPS NULL arguments
+#:   where Spark propagates NULL — the exact hazard the DuckDB
+#:   concat->'||' rule exists for. '||' propagates NULL in SQLite
+#:   too, so the same rewrite is exact (this container's SQLite 3.40
+#:   lacks concat, but correctness must not be environment-dependent).
+#: - concat_ws: SQLite >= 3.44 version returns NULL if the separator
+#:   is NULL (same as Spark) but differs on argument coercion of
+#:   BLOBs; deny rather than audit a moving target.
+#: - substring/substr negative-length: SQLite substr(X,Y,-Z) reads
+#:   BACKWARD; Spark's negative length yields empty string. Catalyst
+#:   only renders literal lengths from user code, so deny only the
+#:   negative-literal shape and keep the common case.
+_SQLITE_CALL_RULES = {
+    "concat": lambda a: "(" + " || ".join(a) + ")" if len(a) >= 2 else None,
+    "concat_ws": _deny("concat_ws"),
+    "substring": lambda a: (
+        _deny("substring negative length")(a)
+        if len(a) == 3 and a[2].lstrip().startswith("-")
+        else None
+    ),
+    "substr": lambda a: (
+        _deny("substr negative length")(a)
+        if len(a) == 3 and a[2].lstrip().startswith("-")
+        else None
+    ),
+}
+
+#: LIKE is an OPERATOR, so the call-rule table can't catch it — and
+#: SQLite's LIKE is case-INSENSITIVE for ASCII by default while
+#: Spark's is case-sensitive: 'A' LIKE 'a' flips between engines with
+#: no parse error anywhere. Quote-aware token scan; any hit denies
+#: the rewrite (the unrewritten plan still applies the filter
+#: Spark-side, so the result stays correct — just unfederated).
+_LIKE_RE = re.compile(r"\bLIKE\b", flags=re.IGNORECASE)
+
+
 def _dialect_sqlite(sql: str) -> str:
-    """SQLite dialect pass: suffix stripping and identifier quoting
-    only. SQLite shares Spark's spelling for the core scalar surface
-    (instr/length/upper/lower/abs/round/coalesce/nullif); anything
-    else fails the LIMIT-0 validation probe and the plan falls
-    through unrewritten."""
+    """SQLite dialect pass: suffix stripping, identifier quoting, and
+    the divergent-semantics call table above. Functions SQLite simply
+    lacks still fail the LIMIT-0 validation probe and fall through."""
     sql = _SUFFIX_RE.sub(r"\1", sql)
+    sql = _rewrite_calls(sql, _SQLITE_CALL_RULES)
+    for m in _LIKE_RE.finditer(sql):
+        if sql.count("'", 0, m.start()) % 2 == 0:  # outside literals
+            raise _Unsupported("LIKE: SQLite matches case-insensitively")
     return sql.replace("`", '"')
 
 
@@ -370,11 +425,16 @@ def try_unparse(df: DataFrame) -> tuple[str, str, str] | None:
         return None
     if u.sf_dir is None:
         return None  # no federated relation anywhere in the plan
-    if u.fmt == "sqlite_fed":
-        if u.setop_all:
-            return None  # SQLite has no INTERSECT/EXCEPT ALL
-        return _dialect_sqlite(sql), u.sf_dir, u.fmt
-    return _dialect(sql), u.sf_dir, u.fmt
+    try:
+        # Dialect passes may DENY (raise) on constructs the remote
+        # parses but computes differently — fall through unrewritten.
+        if u.fmt == "sqlite_fed":
+            if u.setop_all:
+                return None  # SQLite has no INTERSECT/EXCEPT ALL
+            return _dialect_sqlite(sql), u.sf_dir, u.fmt
+        return _dialect(sql), u.sf_dir, u.fmt
+    except _Unsupported:
+        return None
 
 
 def transparent_pushdown(

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 from typing import Iterator
 
 import pandas as pd
@@ -756,6 +758,50 @@ _stream_ewma_oracle()
 #     the process-local guards of the CMS/EWMA maintenance queries,
 #     because the manifest files ARE the applied-set).
 # ---------------------------------------------------------------------------
+def versioned_stream_commit(root: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Commit one micro-batch as snapshot version ``batch_id + 1``
+    through the atomic exclusive-link manifest protocol. Module-level
+    (not a query closure) so the replay contract is directly
+    testable: tests/test_streaming_semantics.py re-delivers a batch
+    id and asserts the chain is untouched."""
+    import glob as _glob
+
+    from ..sources.sinks import CommitConflict, _write_manifest
+
+    version = int(batch_id) + 1
+    if os.path.exists(os.path.join(root, f"v{version}.json")):
+        # Replayed batch: this version's manifest is already durable
+        # and references this batch's committed files. Writing AT ALL
+        # here would corrupt the chain — an overwrite deletes the
+        # very part files the committed manifests point at, and the
+        # rewrite lands under fresh UUID part names (ADVICE r6 #1) —
+        # so the replay is a pure no-op.
+        return
+    # Each attempt writes into its own uniquely-named directory so a
+    # loser of a commit race never clobbers the winner's files; the
+    # loser's directory is deleted, the winner's is the one the
+    # manifest references.
+    gen_dir = os.path.join(root, f"gen{version}_{uuid.uuid4().hex[:8]}")
+    batch_df.select("event_id", "event_type").write.mode("overwrite").parquet(
+        gen_dir
+    )
+    files = sorted(_glob.glob(os.path.join(gen_dir, "*.parquet")))
+    if version > 1:
+        with open(os.path.join(root, f"v{version - 1}.json")) as fh:
+            prev = json.load(fh)["files"]
+    else:
+        prev = []
+    try:
+        _write_manifest(
+            root, version, {"version": version, "files": prev + files}
+        )
+    except CommitConflict:
+        # Lost a commit race for this version: the durable manifest
+        # references the winner's files; ours are unreferenced
+        # garbage — remove them.
+        shutil.rmtree(gen_dir, ignore_errors=True)
+
+
 @register(
     "stream_versioned_commits",
     oracle="""
@@ -785,37 +831,15 @@ def stream_versioned_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import tempfile
 
-    from ..sources.sinks import CommitConflict, _write_manifest
-
     root = tempfile.mkdtemp(prefix="stream_versioned_")
-
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        version = int(batch_id) + 1
-        gen_dir = os.path.join(root, f"gen{version}")
-        batch_df.select("event_id", "event_type").write.mode(
-            "overwrite"
-        ).parquet(gen_dir)
-        files = sorted(_glob.glob(os.path.join(gen_dir, "*.parquet")))
-        if version > 1:
-            with open(os.path.join(root, f"v{version - 1}.json")) as fh:
-                prev = json.load(fh)["files"]
-        else:
-            prev = []
-        try:
-            _write_manifest(
-                root, version, {"version": version, "files": prev + files}
-            )
-        except CommitConflict:
-            # Replayed batch: this version is already durable; the
-            # rewritten gen files are byte-equivalent, so the existing
-            # manifest remains correct.
-            pass
 
     _RUN_SEQ[0] += 1
     q = (
         events_stream(spark, sf_dir)
         .select("event_id", "event_type")
-        .writeStream.foreachBatch(commit_batch)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: versioned_stream_commit(root, bdf, bid)
+        )
         .trigger(availableNow=True)
         .start()
     )

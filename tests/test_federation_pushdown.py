@@ -381,6 +381,8 @@ def test_sqlite_transparent_setop_all_falls_back(spark):
     """SQLite has no INTERSECT ALL/EXCEPT ALL: the capability gate
     must refuse the unparse (None) so the plan runs Spark-side
     instead of silently dropping multiset semantics."""
+    from pyspark.sql import functions as F
+
     from datafusion_rdbms_ext_spark.sources.pushdown import (
         _sqlite_table,
         try_unparse,
@@ -605,3 +607,82 @@ def test_rewrite_calls_nested_and_quoted():
     # a quoted string containing a rule name is untouched
     sql = "SELECT 'concat(a, b)' AS s"
     assert _rewrite_calls(sql, _DUCKDB_CALL_RULES) == sql
+
+
+# ---------------------------------------------------------------------------
+# SQLite divergent-semantics table (ADVICE r6 #2): the LIMIT-0 probe
+# only rejects functions SQLite LACKS; these shapes exist there with
+# DIFFERENT semantics, so the dialect pass itself must rewrite or
+# deny them — correctness must not depend on the container's SQLite
+# version happening to predate the function.
+# ---------------------------------------------------------------------------
+def test_sqlite_concat_rewritten_to_pipes_and_value_correct(spark):
+    """SQLite >= 3.44 has concat that SKIPS NULLs (Spark propagates);
+    the dialect pass must emit a NULL-propagating '||' chain — and
+    the pushed result must equal the local plan's exactly."""
+    from pyspark.sql import functions as F
+
+    import sys
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _sqlite_table,
+        transparent_pushdown,
+        try_unparse,
+    )
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from oracle_util import assert_matches
+
+    df = _sqlite_table(spark, SF_DIR, "customer").select(
+        F.concat("c_name", F.lit("|"), "c_mktsegment").alias("x"),
+        F.concat(F.lit(None).cast("string"), F.col("c_name")).alias("null_x"),
+    )
+    hit = try_unparse(df)
+    assert hit is not None and hit[2] == "sqlite_fed"
+    sql = hit[0]
+    assert "concat" not in sql.lower(), sql
+    assert "||" in sql, sql
+    out = transparent_pushdown(df)
+    assert out is not df, "fell back unexpectedly"
+    assert_matches(out.toPandas(), df.toPandas(), "sqlite_concat")
+
+
+def test_sqlite_like_denied_case_insensitivity(spark):
+    """SQLite LIKE is ASCII-case-INSENSITIVE by default; Spark's is
+    sensitive. 'A' LIKE 'a' would flip with no parse error anywhere,
+    so the dialect pass must deny the rewrite (the unrewritten plan
+    filters Spark-side and stays correct)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _sqlite_table,
+        try_unparse,
+    )
+
+    df = (
+        _sqlite_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_name").like("%A%"))
+        .select("c_custkey")
+    )
+    assert try_unparse(df) is None
+    # ...but a LIKE-free filter on the same relation still rewrites,
+    # and a string LITERAL containing the word "like" is not a deny.
+    ok = _sqlite_table(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "like me"
+    ).select("c_custkey")
+    hit = try_unparse(ok)
+    assert hit is not None and hit[2] == "sqlite_fed"
+
+
+def test_sqlite_concat_ws_denied(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _sqlite_table,
+        try_unparse,
+    )
+
+    df = _sqlite_table(spark, SF_DIR, "customer").select(
+        F.concat_ws("-", "c_name", "c_mktsegment").alias("x")
+    )
+    assert try_unparse(df) is None

@@ -139,6 +139,9 @@ def test_broadcast_hints_only_on_fixed_dims():
             # stratified sampling: per-SOURCE quotas (#sources rows —
             # the training-mix catalog, not data-scaling).
             "quotas",
+            # DSIR: the 1-row target-token total (tot itself, the
+            # 1-row corpus totals frame, is already listed above).
+            "tot_t",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
@@ -654,3 +657,30 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         if has_cartesian(df):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_mv_having_strip_is_quote_aware(spark):
+    """The typed-literal suffix strip must not touch STRING literals:
+    a predicate value like '100L' merely looks like a typed numeric,
+    and rewriting it to '100' silently changes semantics while still
+    analyzing cleanly (ADVICE r6 #5). The numeric literal in the same
+    predicate must still lose its Catalyst suffix."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.plans.mv import mv_rewrite
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.olap import events_daily_mv
+
+    ensure_tables(spark, SF_DIR)
+    mv = events_daily_mv(spark)
+    user = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter((F.col("n_events") > 100) & (F.col("event_type") != "100L"))
+    )
+    served = mv_rewrite(user, mv, strict=True)
+    cond = served._jdf.queryExecution().analyzed().toString()
+    assert "100L" in cond, cond  # string literal survived intact
+    direct = sorted(tuple(r) for r in user.collect())
+    assert sorted(tuple(r) for r in served.collect()) == direct

@@ -51,8 +51,26 @@ def _canned_catalog() -> dict[str, pd.DataFrame]:
         }
     )
     probe = PostgresConnector("postgresql://fake/fixture")
-    _tables_sql, columns_sql = probe.catalog_sql()
-    return {" ".join(columns_sql.split()): cols}
+    tables_sql, columns_sql = probe.catalog_sql()
+    # The tables half is LIVE (ADVICE r6 #3): catalog() intersects
+    # the column rows with the BASE TABLE list, so the canned wire
+    # must serve it — and a view present in columns but absent from
+    # tables must be filtered out (asserted below).
+    tables = pd.DataFrame({"table_name": ["nation"]})
+    view_cols = pd.DataFrame(
+        {
+            "table_name": ["nation_view"],
+            "column_name": ["n_name"],
+            "data_type": ["text"],
+            "is_nullable": ["YES"],
+        }
+    )
+    return {
+        " ".join(tables_sql.split()): tables,
+        " ".join(columns_sql.split()): pd.concat(
+            [cols, view_cols], ignore_index=True
+        ),
+    }
 
 
 def test_catalog_bootstrap_sql_and_type_map():
@@ -60,7 +78,9 @@ def test_catalog_bootstrap_sql_and_type_map():
     cat = conn.catalog()
     assert list(cat) == ["nation"]
     fields = {f.name: f for f in cat["nation"].fields}
-    assert isinstance(fields["n_nationkey"].dataType, T.LongType)
+    # int4 stays 32-bit — parity with reference datatypes.rs INT4 ->
+    # Int32 and the DuckDB dialect (ADVICE r6 #4)
+    assert isinstance(fields["n_nationkey"].dataType, T.IntegerType)
     assert fields["n_nationkey"].nullable is False
     assert isinstance(fields["n_name"].dataType, T.StringType)
     # the reference's lossy numeric wire path (datatypes.rs:19)

@@ -314,3 +314,41 @@ def test_manifest_temp_cleaned_on_serialize_failure(tmp_path):
     with pytest.raises(TypeError):
         _write_manifest(root, 1, {"bad": object()})
     assert not [f for f in os.listdir(root) if ".tmp." in f], "temp leak"
+
+
+def test_bloom_skip_index_prunes_and_never_misses(spark):
+    """The Bloom index must (a) actually skip month directories —
+    reading ~4 of 83 is the operator's whole point — and (b) never
+    produce a false negative: the months it returns must be a
+    superset of the months that truly contain the key."""
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        _BLOOM_LOOKUP_KEY,
+        bloom_lineitem_root,
+        bloom_lookup_months,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    root, m = bloom_lineitem_root(spark, SMOKE_SF_DIR)
+    months = bloom_lookup_months(spark, root, m, _BLOOM_LOOKUP_KEY)
+    truth = {
+        r[0]
+        for r in spark.table("lineitem")
+        .filter(F.col("l_orderkey") == _BLOOM_LOOKUP_KEY)
+        .select(F.date_format("l_shipdate", "yyyy-MM"))
+        .distinct()
+        .collect()
+    }
+    n_parts = (
+        spark.table("lineitem")
+        .select(F.date_format("l_shipdate", "yyyy-MM"))
+        .distinct()
+        .count()
+    )
+    assert truth <= set(months)  # no false negatives, ever
+    # Skipping: at load 16 / k 3 the fp rate is ~0.5%, so the month
+    # list stays within a couple of the true count — far below the
+    # 83 total partitions.
+    assert len(months) < n_parts / 4
+    # A key absent from the table prunes to (almost) nothing.
+    ghost = bloom_lookup_months(spark, root, m, 10**12 + 7)
+    assert len(ghost) <= 2

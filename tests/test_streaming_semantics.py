@@ -210,3 +210,43 @@ def test_file_sink_exactly_once_across_restart(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_src  # no loss, no duplication
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_versioned_stream_commit_replay_preserves_chain(spark, tmp_path):
+    """A replayed batch id must be a PURE no-op: before the r7 fix,
+    the replay overwrote gen{version} — deleting the exact part files
+    the already-durable manifests referenced and re-landing the data
+    under fresh UUID names, so committed manifests pointed at deleted
+    paths (ADVICE r6 #1). Assert the file set, bytes, and readability
+    of every manifest survive a redelivery."""
+    import json as _json
+
+    from datafusion_rdbms_ext_spark.streaming import versioned_stream_commit
+
+    root = str(tmp_path / "versioned")
+    os.makedirs(root)
+    ev = spark.read.parquet(os.path.join(SMOKE_SF_DIR, "events.parquet")).select(
+        "event_id", "event_type"
+    )
+    b0, b1 = ev.filter("event_id < 100"), ev.filter(
+        "event_id >= 100 AND event_id < 200"
+    )
+    versioned_stream_commit(root, b0, 0)
+    versioned_stream_commit(root, b1, 1)
+    manifests = {
+        v: _json.load(open(os.path.join(root, f"v{v}.json"))) for v in (1, 2)
+    }
+    sizes_before = {
+        f: os.path.getsize(f) for f in manifests[2]["files"]
+    }
+    # Redeliver batch 0 (driver restart replays the last batch).
+    versioned_stream_commit(root, b0, 0)
+    # Chain intact: same manifests, same files, same bytes.
+    for v in (1, 2):
+        assert _json.load(open(os.path.join(root, f"v{v}.json"))) == manifests[v]
+    for f, sz in sizes_before.items():
+        assert os.path.exists(f), f"manifest-referenced file deleted: {f}"
+        assert os.path.getsize(f) == sz
+    # And the latest snapshot still reads exactly batches 0+1.
+    snap = spark.read.parquet(*manifests[2]["files"])
+    assert snap.count() == b0.count() + b1.count()
