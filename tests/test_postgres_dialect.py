@@ -151,3 +151,119 @@ def test_missing_driver_message_is_actionable():
     conn = PostgresConnector("postgresql://fake/fixture")
     with pytest.raises(RuntimeError, match="psycopg2"):
         conn.fetch_pdf("SELECT 1")
+
+
+# ---------------------------------------------------------------------------
+# Transparent-pushdown unparse for dialect three (VERDICT r6 #6):
+# the same plan shapes the DuckDB/SQLite battery proves end-to-end
+# are rendered in Postgres spelling and pinned here. No server exists
+# in this container, so validation deliberately stops at SQL
+# generation — the dialect-specific rewrites (strpos, date
+# subtraction, '||' NULL propagation, interval month arithmetic) are
+# the part a live wire could get silently wrong.
+# ---------------------------------------------------------------------------
+def test_postgres_transparent_unparse_battery(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        unparse_to_dialect,
+    )
+    from tests.conftest import SF_DIR
+
+    ensure_tables(spark, SF_DIR)
+
+    def c():
+        return _fed_table(spark, SF_DIR, "customer")
+
+    def o():
+        return _fed_table(spark, SF_DIR, "orders")
+
+    cases = {
+        # shape -> (df, fragments that MUST appear, fragments that MUST NOT)
+        "concat": (
+            c().select(F.concat("c_name", "c_mktsegment").alias("x")),
+            ["||"],
+            ["concat"],
+        ),
+        "datediff": (
+            o().select(
+                F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate").alias("n")
+            ),
+            ["(CAST(CAST('1998-01-01' AS DATE) AS DATE) - CAST(CAST(o_orderdate AS DATE) AS DATE))"],
+            ["datediff"],
+        ),
+        "locate": (
+            c().select(F.locate("a", F.col("c_name")).alias("p")),
+            ["strpos(c_name, 'a')"],
+            ["locate"],
+        ),
+        "regexp_replace": (
+            c().select(F.regexp_replace("c_name", "a", "b").alias("s")),
+            ["regexp_replace(c_name, 'a', 'b', 'g')"],
+            [],
+        ),
+        "add_months": (
+            o().select(F.add_months("o_orderdate", 2).alias("d")),
+            ["INTERVAL '1 month'"],
+            ["add_months"],
+        ),
+        "group_agg": (
+            c().groupBy("c_mktsegment").agg(F.count("*").alias("n")),
+            ["GROUP BY", "count(1) AS n"],
+            [],
+        ),
+        "window": (
+            c().withColumn(
+                "r",
+                F.row_number().over(
+                    __import__("pyspark").sql.Window.partitionBy(
+                        "c_mktsegment"
+                    ).orderBy("c_custkey")
+                ),
+            ),
+            ["row_number() OVER (PARTITION BY"],
+            ["`"],
+        ),
+    }
+    wrong = []
+    for name, (df, must, must_not) in cases.items():
+        sql = unparse_to_dialect(df, "postgres")
+        if sql is None:
+            wrong.append(f"{name}: no unparse")
+            continue
+        for frag in must:
+            if frag not in sql:
+                wrong.append(f"{name}: missing {frag!r} in {sql!r}")
+        for frag in must_not:
+            if frag.lower() in sql.lower():
+                wrong.append(f"{name}: still contains {frag!r} in {sql!r}")
+    assert not wrong, wrong
+
+
+def test_postgres_unparse_full_pin(spark):
+    """One complete generated statement pinned byte-for-byte: the
+    aggregate-over-filter shape the fed_transparent_agg query uses."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        unparse_to_dialect,
+    )
+    from tests.conftest import SF_DIR
+
+    ensure_tables(spark, SF_DIR)
+    df = (
+        _fed_table(spark, SF_DIR, "nation")
+        .filter(F.col("n_regionkey") > 1)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"))
+    )
+    sql = unparse_to_dialect(df, "postgres")
+    assert sql == (
+        "SELECT n_regionkey, count(1) AS n FROM "
+        "(SELECT * FROM (SELECT * FROM nation) _p1 WHERE (n_regionkey > 1)) _p2 "
+        "GROUP BY n_regionkey"
+    ), sql

@@ -963,3 +963,27 @@ def test_feature_hashing_invariants(spark):
         per_doc[doc] = per_doc.get(doc, 0) + abs(weight)
     for doc, absw in per_doc.items():
         assert absw <= tokens[doc], (doc, absw, tokens[doc])
+
+
+def test_self_scaling_knob_derivations():
+    """The self-scaling defaults (VERDICT r6 #4) must reproduce the
+    pinned gate constants at the fixture scale — so default and
+    pinned paths agree where the oracle checked — and grow with the
+    published recipes (K ~ sqrt N, band bits ~ log N)."""
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _SRP_BANDS,
+        _SRP_ROWS,
+        default_ivf_k,
+        default_srp_band_bits,
+    )
+
+    # sf0.1 fixture: 2000 vectors.
+    assert default_srp_band_bits(2000) == _SRP_ROWS  # pinned 4-bit bands
+    assert abs(default_ivf_k(2000) - 10) <= 2  # pinned _IVF_K=10
+    # 10x corpus: the knob values SCALE.md measured as linear.
+    assert default_srp_band_bits(20000) == 8
+    assert 28 <= default_ivf_k(20000) <= 40  # ~sqrt-scaled (probe used 32)
+    # monotone, never below the floors
+    assert default_srp_band_bits(10) == 4
+    assert default_ivf_k(10) == 4
+    assert _SRP_BANDS == 4

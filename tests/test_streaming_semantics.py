@@ -250,3 +250,35 @@ def test_versioned_stream_commit_replay_preserves_chain(spark, tmp_path):
     # And the latest snapshot still reads exactly batches 0+1.
     snap = spark.read.parquet(*manifests[2]["files"])
     assert snap.count() == b0.count() + b1.count()
+
+
+def test_durable_sketch_state_survives_restart_without_double_apply(tmp_path):
+    """Kill-and-restart exactly-once for the streaming CMS/EWMA
+    maintenance state (the round-7 graduation from the old
+    process-local replay guard): a NEW DurableSketchState instance —
+    simulating a restarted driver that lost all process state — must
+    see the applied-batch set in the manifest chain, skip a replayed
+    batch instead of double-adding, and keep accumulating from where
+    the dead process stopped."""
+    from datafusion_rdbms_ext_spark.streaming import DurableSketchState
+
+    root = str(tmp_path / "state")
+    s1 = DurableSketchState(root)
+    s1.commit(0, {"a": 1, "b": 10})
+    s1.commit(1, {"a": 2})
+    assert s1.latest() == {"a": 3, "b": 10}
+
+    # Driver dies; a fresh process replays the last batch (batch 1),
+    # then continues with batch 2.
+    s2 = DurableSketchState(root)
+    assert s2.applied(0) and s2.applied(1) and not s2.applied(2)
+    s2.commit(1, {"a": 2})  # replay: must NOT double-count
+    assert s2.latest() == {"a": 3, "b": 10}
+    s2.commit(2, {"b": 5})
+    assert s2.latest() == {"a": 3, "b": 15}
+
+    # Two writers racing the same batch: one winner, no double-add.
+    s3 = DurableSketchState(root)
+    s3.commit(3, {"a": 100})
+    s2.commit(3, {"a": 100})
+    assert s2.latest() == {"a": 103, "b": 15}
