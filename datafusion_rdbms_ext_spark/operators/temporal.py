@@ -897,3 +897,95 @@ def op_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("m.ts")).alias("click_ts"),
         F.when(ok, gap).alias("gap_us"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
+# Series Data Aggregation", VLDB 2014): per (series, time bucket)
+# keep min, max, first, last of the value — the four points that make
+# a width-B pixel rendering of the full series EXACT. The canonical
+# large-scale downsampling operator (ClickHouse/Influx dashboards);
+# unlike LTTB it has no cross-bucket sequential dependency, so it is
+# one partial-aggregatable groupBy — embarrassingly parallel at any
+# scale.
+# ---------------------------------------------------------------------------
+_M4_BUCKETS = 12
+
+
+@register(
+    "op_downsample_m4",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+    ),
+    pts AS (
+      SELECT event_type,
+             CAST(LEAST({_M4_BUCKETS - 1},
+                  ((epoch_us(ts) - b.mn) * {_M4_BUCKETS}) // (b.mx - b.mn + 1))
+                  AS BIGINT) AS bucket,
+             value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM events CROSS JOIN b
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           arg_min(value, ord) AS vfirst,
+           arg_max(value, ord) AS vlast
+    FROM pts GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    doc=f"M4 downsampling (Jugel et al. VLDB 2014): {_M4_BUCKETS} "
+    "equal-width time buckets per series, each reduced to "
+    "min/max/first/last of the value — the exact four-point summary "
+    "a pixel-width rendering needs. First/last resolve ties by "
+    "(time, event_id) through a fixed-width string sort key so both "
+    "engines pick the identical row.",
+    tags=("timeseries", "events", "bench"),
+)
+def op_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series M4 bucket summaries.
+
+    Scale: the global (min, max) anchor is a 1-row aggregate
+    broadcast into a map-side bucket computation; the M4 reduction
+    itself is min/max/min_by/max_by — all partial-aggregatable, so
+    the shuffle carries 4 values per (series, bucket) regardless of
+    row count. This is the shape that lets a dashboard render a
+    billion-point series from a B-row scan result."""
+    ev = spark.table("events")
+    anchor_b = ev.agg(
+        F.min(ts_micros(F.col("ts"))).alias("mn"),
+        F.max(ts_micros(F.col("ts"))).alias("mx"),
+    )
+    t = ts_micros(F.col("ts"))
+    bucket = F.least(
+        F.lit(_M4_BUCKETS - 1),
+        F.expr(f"((t - mn) * {_M4_BUCKETS}) div (mx - mn + 1)"),
+    ).cast("long")
+    ord_key = F.concat(
+        F.lpad(t.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(anchor_b))
+        .select(
+            "event_type",
+            t.alias("t"),
+            "mn",
+            "mx",
+            "value",
+            ord_key.alias("ord"),
+        )
+        .select("event_type", bucket.alias("bucket"), "value", "ord")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min_by("value", "ord").alias("vfirst"),
+            F.max_by("value", "ord").alias("vlast"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -80,9 +80,11 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: importance resampling, bloom file-skipping index) follow so they
 #: get first-time proof in their own round. 3 sentinels from proven
 #: families (one TPC-H, one dedup, one fed_transparent) guard against
-#: regression. The remaining 24 slots backfill with the
+#: regression. The remaining 22 slots backfill with the
 #: longest-unproven queries — all last proven in round 2 (verified
-#: mechanically against cumulative CORRECTNESS r1-r6).
+#: mechanically against cumulative CORRECTNESS r1-r6; the two
+#: further r7 additions displaced micro_nested_access and
+#: micro_sort_nulls back to the local gate).
 _PRIORITY: tuple[str, ...] = (
     # -- 20 first-timers: the complete round-7 never-proven queue
     "micro_group_by_all",
@@ -105,15 +107,19 @@ _PRIORITY: tuple[str, ...] = (
     "op_resample_linear",
     "op_asof_tolerance",
     "fed_cross_dialect_join",
-    # -- round-7 additions (first-time proof in their own round)
+    # -- round-7 additions (first-time proof in their own round;
+    #    the last two displace the final two backfill canaries —
+    #    first-time hard-signal beats a third proof, the r6 rule)
     "llm_quality_gopher",
     "llm_importance_resample",
     "sink_bloom_skip_index",
+    "llm_tokenize_bpe",
+    "op_downsample_m4",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- backfill: the 24 longest-unproven (last proof r2) canaries
+    # -- backfill: the 22 longest-unproven (last proof r2) canaries
     "q14_promo_effect",
     "q16_part_supplier_relationship",
     "q19_discounted_revenue",
@@ -136,8 +142,6 @@ _PRIORITY: tuple[str, ...] = (
     "micro_rollup",
     "micro_cube",
     "micro_values_inline",
-    "micro_nested_access",
-    "micro_sort_nulls",
 )
 
 

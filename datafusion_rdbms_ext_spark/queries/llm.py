@@ -5717,3 +5717,155 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(_DSIR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# 42. Learned BPE merges (Sennrich et al. 2016, "Neural Machine
+#     Translation of Rare Words with Subword Units" — the byte-pair
+#     encoding every modern LM tokenizer descends from): train the
+#     first _BPE_ROUNDS merge rules on the corpus word-frequency
+#     table and report, per round, the merged pair, its count, and
+#     the corpus token count after applying it. Classic BPE trains on
+#     the VOCABULARY (word -> freq), so every round is vocab-sized
+#     work, not corpus-sized. The greedy left-to-right merge is
+#     realized as two passes of replace-all on a space-delimited
+#     symbol string: pass one merges every other site in a run of
+#     overlapping occurrences (the regex scan resumes after each
+#     consumed separator), pass two merges the now-isolated rest —
+#     provably equal to the sequential greedy merge, and identical in
+#     Spark (Java regex) and DuckDB (RE2) because the pattern is a
+#     literal with no metacharacters ([a-z_] symbols only).
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 5
+
+
+def _sql_bpe_oracle() -> str:
+    """Unrolled 5-stage BPE training in DuckDB SQL (the PageRank
+    unrolled-iteration precedent): each stage derives the top pair of
+    the previous stage's vocabulary and rewrites it."""
+    stages = ["""
+    words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY word
+    ),
+    w0 AS (
+      SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS s, freq
+      FROM words
+    )"""]
+    rows = []
+    for r in range(_BPE_ROUNDS):
+        stages.append(f"""
+    p{r} AS (
+      SELECT z[1] || ' ' || z[2] AS pair, SUM(freq) AS cnt
+      FROM (
+        SELECT freq, unnest(list_zip(l, list_slice(l, 2, len(l)))) AS z
+        FROM (SELECT freq, string_split(s, ' ') AS l FROM w{r})
+      )
+      WHERE z[2] IS NOT NULL
+      GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{r + 1} AS (
+      SELECT trim(regexp_replace(regexp_replace(
+               ' ' || s || ' ',
+               ' ' || p{r}.pair || ' ', ' ' || replace(p{r}.pair, ' ', '') || ' ', 'g'),
+               ' ' || p{r}.pair || ' ', ' ' || replace(p{r}.pair, ' ', '') || ' ', 'g')
+             ) AS s, freq
+      FROM w{r} CROSS JOIN p{r}
+    )""")
+        rows.append(
+            f"SELECT {r + 1} AS step, replace(pair, ' ', '') AS merged,"
+            f" CAST(cnt AS BIGINT) AS pair_cnt,"
+            f" (SELECT CAST(SUM(freq * len(string_split(s, ' '))) AS BIGINT)"
+            f"  FROM w{r + 1}) AS corpus_tokens_after"
+            f" FROM p{r}"
+        )
+    return (
+        "WITH" + ",".join(stages) + "\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    ORDER BY step"
+    )
+
+
+@register(
+    "llm_tokenize_bpe",
+    oracle=_sql_bpe_oracle(),
+    doc=f"Learned BPE tokenizer training (Sennrich 2016): the first "
+    f"{_BPE_ROUNDS} merge rules over the corpus word-frequency "
+    "table — per round the merged pair, its weighted count, and the "
+    "corpus token count after the merge. Greedy left-to-right merge "
+    "via the two-pass replace-all identity; exact integer counts, "
+    "lexicographic tie-break, so both engines learn the identical "
+    "rules.",
+    tags=("llm", "text", "bench"),
+)
+def llm_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table, one row per BPE round.
+
+    Scale: training runs on the word-frequency table (vocabulary ~
+    sqrt(corpus) by Heaps' law), never the corpus: one corpus-sized
+    explode builds (word, freq), then every round is a vocab-sized
+    pair count (map-side partial agg), a TakeOrdered(1) for the top
+    pair (the per-round driver scalar — 1 row x 5 rounds, the same
+    bounded-collect contract as the iterative operators' convergence
+    scalars), and a map-side regex rewrite. localCheckpoint per
+    round truncates the iterative lineage. Applying the learned
+    tokenizer to the corpus afterward is one more map-side pass."""
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("_")
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    out_rows = []
+    for r in range(_BPE_ROUNDS):
+        arr = F.split(F.col("s"), " ")
+        sz = F.size(arr)
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(arr, 1, sz - 1), F.slice(arr, 2, sz - 1)
+                    )
+                ).alias("z"),
+            )
+            .filter(F.col("z.1").isNotNull())
+            .select(
+                F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()  # 1 row: the round's learned rule
+        )
+        pair, cnt = pairs[0]["pair"], int(pairs[0]["cnt"])
+        merged = pair.replace(" ", "")
+        pat, rep = f" {pair} ", f" {merged} "
+        two_pass = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")), pat, rep
+                ),
+                pat,
+                rep,
+            )
+        )
+        words = words.select(two_pass.alias("s"), "freq").localCheckpoint()
+        tokens_after = words.agg(
+            F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t")
+        ).collect()[0]["t"]
+        out_rows.append((r + 1, merged, cnt, int(tokens_after)))
+    return spark.createDataFrame(
+        out_rows,
+        "step INT, merged STRING, pair_cnt BIGINT, corpus_tokens_after BIGINT",
+    ).orderBy("step")

@@ -124,6 +124,8 @@ def test_broadcast_hints_only_on_fixed_dims():
             "offsets", "total",
         },
         "events.py": {"anchor", "d0"},  # both 1-row min/max-ts aggregates
+        # M4 downsampling: the 1-row global (min,max) epoch anchor.
+        "temporal.py": {"anchor_b"},
         "sinks.py": {"deltas"},
         "streaming/__init__.py": {"sketch.filter("},
         "llm.py": {
