@@ -85,6 +85,11 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: mechanically against cumulative CORRECTNESS r1-r6; the two
 #: further r7 additions displaced micro_nested_access and
 #: micro_sort_nulls back to the local gate).
+#: ROUND-8 ROTATION QUEUE (registered after the r7 curation, never
+#: driver-proven): source_table_history, ev_attribution_last_touch,
+#: stream_late_data_policy, micro_listagg, micro_nested_access and
+#: micro_sort_nulls (the two displaced r2 canaries) — plus anything
+#: added later this round; all are in the local differential gate.
 _PRIORITY: tuple[str, ...] = (
     # -- 20 first-timers: the complete round-7 never-proven queue
     "micro_group_by_all",

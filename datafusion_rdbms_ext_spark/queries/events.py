@@ -1046,3 +1046,112 @@ def ev_rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (round 7): every purchase is credited to the
+# user's most recent click/view strictly before it and within the
+# attribution window — the standard marketing-analytics operator,
+# and a second consumer of the as-of composition (union + carry-last
+# over one user-keyed window; operators/temporal.py documents the
+# shape). Purchases with no qualifying touch land in the 'none'
+# bucket so the rollup partitions conversions exactly.
+# ---------------------------------------------------------------------------
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days
+
+
+@register(
+    "ev_attribution_last_touch",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    carried AS (
+      SELECT user_id, t, event_id, value, is_conv,
+             last_value(touch IGNORE NULLS) OVER w AS last_touch,
+             last_value(CASE WHEN touch IS NOT NULL THEN t END IGNORE NULLS)
+               OVER w AS last_touch_t
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, is_conv, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+      SELECT CASE WHEN last_touch IS NOT NULL
+                   AND t - last_touch_t <= {_ATTR_WINDOW_US}
+                  THEN last_touch ELSE 'none' END AS touch_type,
+             value
+      FROM carried WHERE is_conv = 1
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_dsum("value")} AS sum_value
+    FROM conv GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Last-touch attribution: purchases credited to the user's "
+    "most recent click/view strictly before the purchase and within "
+    "7 days; per-channel conversion counts and exact-decimal revenue, "
+    "with unattributed purchases in the 'none' bucket. One user-keyed "
+    "carry-last window — the as-of composition, no pair join.",
+    tags=("events", "olap", "bench"),
+)
+def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel attributed conversions.
+
+    Scale: ONE shuffle on user_id and one in-partition sort (the
+    as-of composition's contract, operators/temporal.py) — no
+    touch x purchase candidate pairs ever materialize, which is what
+    kills the naive correlated-subquery formulation at 100 TB. The
+    strictly-before tie-break (touches sort ahead of a same-instant
+    purchase; event_id last) is pinned in the window ordering so both
+    engines pick the identical touch."""
+    from pyspark.sql import Window
+
+    from ..functions.compat import ts_micros
+
+    pts = (
+        spark.table("events")
+        .filter(F.col("event_type").isin("purchase", "click", "view"))
+        .select(
+            "user_id",
+            ts_micros(F.col("ts")).alias("t"),
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_conv"),
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("event_type")
+            ).alias("touch"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_conv", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = pts.select(
+        "t",
+        "is_conv",
+        "value",
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+        F.last(
+            F.when(F.col("touch").isNotNull(), F.col("t")), ignorenulls=True
+        ).over(w).alias("last_touch_t"),
+    )
+    touch_type = F.when(
+        F.col("last_touch").isNotNull()
+        & (F.col("t") - F.col("last_touch_t") <= _ATTR_WINDOW_US),
+        F.col("last_touch"),
+    ).otherwise("none")
+    return (
+        carried.filter(F.col("is_conv") == 1)
+        .select(touch_type.alias("touch_type"), "value")
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("touch_type")
+    )

@@ -1561,3 +1561,43 @@ def micro_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "micro_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS members,
+           string_agg(DISTINCT substr(n.n_name, 1, 1), '' ORDER BY substr(n.n_name, 1, 1)) AS initials
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    doc="LISTAGG (SQL:2016, new in Spark 4 as listagg/string_agg): "
+    "ordered string concatenation per group, plain and DISTINCT — "
+    "deterministic because WITHIN GROUP ordering is explicit on both "
+    "engines.",
+    tags=("micro", "sql"),
+)
+def micro_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-group string aggregation.
+
+    Scale: listagg with an explicit order is a partial-sort aggregate;
+    per-group payload is the concatenated string, so group sizes — not
+    row count — bound memory (same contract as collect_list, which is
+    why unbounded groups belong in array form, not here)."""
+    n = spark.table("nation")
+    r = spark.table("region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("members"),
+            F.expr(
+                "listagg(DISTINCT substring(n_name, 1, 1), '') "
+                "WITHIN GROUP (ORDER BY substring(n_name, 1, 1))"
+            ).alias("initials"),
+        )
+        .orderBy("r_name")
+    )

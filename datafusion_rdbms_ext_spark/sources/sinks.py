@@ -1272,3 +1272,88 @@ def sink_bloom_skip_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table history introspection (round 7) — the DESCRIBE HISTORY /
+# metadata-table surface every versioned format exposes (Delta
+# history, Iceberg snapshots): walk the manifest chain and report,
+# per version, the operation that produced it (derived from the
+# manifest's own fields, the way Delta's commitInfo does) plus
+# content stats proving each snapshot is exactly what its operation
+# claims (v3 = OPTIMIZE must be row-identical to v2).
+# ---------------------------------------------------------------------------
+@register(
+    "source_table_history",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    )
+    SELECT 1 AS version, 'WRITE' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+           MIN(md5(text)) AS min_md5
+    FROM documents
+    UNION ALL
+    SELECT 2, 'MERGE', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(len(text)) AS BIGINT), MIN(md5(text)) FROM v2
+    UNION ALL
+    SELECT 3, 'OPTIMIZE', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(len(text)) AS BIGINT), MIN(md5(text)) FROM v2
+    ORDER BY version
+    """,
+    doc="Table history introspection (Delta DESCRIBE HISTORY / "
+    "Iceberg snapshots parity): the manifest chain read as a history "
+    "table — version, operation (WRITE/MERGE/OPTIMIZE, derived from "
+    "each manifest's own fields), and per-snapshot content stats. "
+    "OPTIMIZE (v3) must be row-identical to the MERGE it compacted.",
+    tags=("source", "versioned"),
+)
+def source_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version chain as a queryable history table.
+
+    Scale: history is pure metadata — the manifest walk reads a few
+    KB of JSON regardless of table size; the content stats are one
+    aggregate per snapshot (here, for the differential proof; a
+    production history query returns stats RECORDED at commit time
+    and reads no data at all)."""
+    import json as _json
+
+    root = versioned_corpus_root(spark, sf_dir)
+    compact_version(spark, root)
+    rows = []
+    for v in (1, 2, 3):
+        with open(os.path.join(root, f"v{v}.json")) as fh:
+            m = _json.load(fh)
+        if "compacted_from" in m:
+            op = "OPTIMIZE"
+        elif "carried_over" in m:
+            op = "MERGE"
+        else:
+            op = "WRITE"
+        agg = read_version(spark, root, v).agg(
+            F.lit(v).alias("version"),
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_len"),
+            F.min(F.md5("text")).alias("min_md5"),
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("version")

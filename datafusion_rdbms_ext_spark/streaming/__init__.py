@@ -987,3 +987,104 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(agg, name, "complete")
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# 14. Late-data policy (round 7): the watermark's DROP side proven as
+#     a registered differential query, not just a unit test. The
+#     event log is split into two deterministic file-batches — recent
+#     days first, then the oldest week — replayed as two availableNow
+#     drains of the SAME checkpointed query (a planned stop/restart):
+#     drain one advances the durable watermark to (max ts - 1 day),
+#     so every row of drain two arrives beyond it and is dropped by
+#     the restored watermark. Empirically pinned subtlety (this
+#     round): within a SINGLE run Spark only EVICTS state at the
+#     advancing watermark — the late-input filter is planned from the
+#     checkpoint-restored watermark, so the drop guarantee is a
+#     cross-restart property, which is exactly what this query
+#     exercises (and what the unit test test_watermark_drops_late_
+#     rows pins at row granularity).
+# ---------------------------------------------------------------------------
+_LATE_SPLIT_DAY = 8  # days < 8 replay late; days >= 8 are batch one
+
+
+@register(
+    "stream_late_data_policy",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE EXTRACT(day FROM ts) >= {_LATE_SPLIT_DAY}
+      AND CAST(ts AS DATE) + INTERVAL '1 day'
+            <= (SELECT MAX(ts) - INTERVAL '1 day' FROM events)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Watermark late-data DROP policy, differentially proven: the "
+    "oldest week of events replays AFTER a checkpointed drain has "
+    "advanced the durable watermark past its windows, so the restored "
+    "watermark drops it entirely and the emitted (append-mode, "
+    "finalized) daily windows hold only on-time rows — the oracle "
+    "states exactly that, including the still-open tail windows "
+    "being withheld.",
+    tags=("streaming", "events"),
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finalized daily counts after the late week was dropped.
+
+    Scale: watermark state is bounded by the horizon (open windows
+    only), the drop happens at state-update time (a late firehose
+    costs its scan, never state growth), and the watermark itself is
+    durable in the checkpoint — the restart replay here is the
+    mechanism a production pipeline relies on after every deploy."""
+    import shutil as _shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_late_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def land(i: int, part: DataFrame) -> None:
+        tmp = os.path.join(root, f"_stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        _shutil.move(os.path.join(tmp, f), os.path.join(src, f"{i:04d}.parquet"))
+        _shutil.rmtree(tmp)
+
+    def drain() -> None:
+        raw = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .load(os.path.join(src, "*.parquet"))
+        )
+        df = normalize_ts(raw, "events")
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        counts = (
+            df.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "n",
+            )
+        )
+        q = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(1, ev.filter(F.dayofmonth("ts") >= _LATE_SPLIT_DAY))
+    drain()  # advances + commits the watermark to max(ts) - 1 day
+    land(2, ev.filter(F.dayofmonth("ts") < _LATE_SPLIT_DAY))
+    drain()  # restored watermark drops the entire late batch
+    return (
+        spark.read.parquet(out)
+        .select("day", F.col("n").cast("long").alias("n"))
+        .orderBy("day")
+    )
