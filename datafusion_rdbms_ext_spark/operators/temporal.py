@@ -989,3 +989,107 @@ def op_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of (round 7; pandas merge_asof direction='nearest'
+# parity): each purchase matched to the temporally CLOSEST click in
+# either direction within the tolerance, ties resolved toward the
+# prior (backward) match — composed from the backward as-of and its
+# negated-time forward mirror, then a map-side argmin. Still no new
+# operator machinery and no pair join.
+# ---------------------------------------------------------------------------
+@register(
+    "op_asof_nearest",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+               WHERE event_type = 'purchase' AND user_id < 50),
+         c AS (SELECT user_id, epoch_us(ts) AS ct FROM events
+               WHERE event_type = 'click'),
+         cand AS (
+           SELECT p.event_id, p.user_id, p.t, c.ct,
+                  abs(p.t - c.ct) AS dist,
+                  CASE WHEN c.ct <= p.t THEN 0 ELSE 1 END AS fwd
+           FROM p JOIN c ON c.user_id = p.user_id
+           WHERE abs(p.t - c.ct) <= {_ASOF_TOL_US}
+         ),
+         best AS (
+           SELECT event_id, user_id,
+                  arg_min(ct, lpad(CAST(dist AS VARCHAR), 20, '0') || fwd)
+                    AS nearest_ct
+           FROM cand GROUP BY event_id, user_id
+         )
+    SELECT p.event_id, p.user_id,
+           CAST(best.nearest_ct AS BIGINT) AS nearest_click_us,
+           CAST(p.t - best.nearest_ct AS BIGINT) AS signed_gap_us
+    FROM p LEFT JOIN best USING (event_id, user_id)
+    ORDER BY p.event_id
+    """,
+    doc="Nearest-direction as-of with a 30-minute tolerance (pandas "
+    "merge_asof direction='nearest'): the closer of the most recent "
+    "prior and earliest following click, ties toward the prior — "
+    "composed from the two existing as-of passes plus a map-side "
+    "argmin (the oracle may pair-join; the engine never does).",
+    tags=("operator", "asof"),
+)
+def op_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases with their nearest click within tolerance, or NULLs.
+
+    Scale: two as-of compositions (each one shuffle on user_id + one
+    in-partition sort — the same keyed shuffle, so AQE can reuse the
+    partitioning) and a per-row comparison; candidate pairs never
+    materialize. The oracle's |purchases x clicks-in-window| join is
+    exactly the plan this operator exists to avoid at 100 TB."""
+    ev = spark.table("events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    ).select(
+        "event_id",
+        "user_id",
+        ts_micros(F.col("ts")).alias("t"),
+        (-ts_micros(F.col("ts"))).alias("neg_t"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        ts_micros(F.col("ts")).alias("ct"),
+        (-ts_micros(F.col("ts"))).alias("neg_t"),
+    )
+    back = asof_join(
+        purchases.drop("neg_t"),
+        clicks.select("user_id", F.col("ct").alias("t"), "ct"),
+        on="t",
+        by=("user_id",),
+        right_alias="mb",
+    ).select("event_id", "user_id", "t", F.col("mb.ct").alias("back_ct"))
+    fwd = asof_join(
+        purchases.select("event_id", "user_id", "t", "neg_t").drop("t")
+        .withColumnRenamed("neg_t", "t"),
+        clicks.select("user_id", F.col("neg_t").alias("t"), "ct"),
+        on="t",
+        by=("user_id",),
+        right_alias="mf",
+    ).select("event_id", F.col("mf.ct").alias("fwd_ct"))
+    j = back.join(fwd, "event_id")
+    bdist = F.when(
+        F.col("back_ct").isNotNull()
+        & (F.col("t") - F.col("back_ct") <= _ASOF_TOL_US),
+        F.col("t") - F.col("back_ct"),
+    )
+    fdist = F.when(
+        F.col("fwd_ct").isNotNull()
+        & (F.col("fwd_ct") - F.col("t") <= _ASOF_TOL_US),
+        F.col("fwd_ct") - F.col("t"),
+    )
+    pick_back = bdist.isNotNull() & (
+        fdist.isNull() | (bdist <= fdist)  # tie -> backward
+    )
+    nearest = (
+        F.when(pick_back, F.col("back_ct"))
+        .when(fdist.isNotNull(), F.col("fwd_ct"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        nearest.alias("nearest_click_us"),
+        (F.col("t") - nearest).alias("signed_gap_us"),
+    ).orderBy("event_id")

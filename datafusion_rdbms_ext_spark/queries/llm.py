@@ -5699,24 +5699,29 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = spark.table("documents").select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
     )
-    cr = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_r"))
-    ct = (
-        tok.filter(F.col("source") == _DSIR_TARGET_SOURCE)
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # ONE vocabulary pass builds both models: raw count and target
+    # count per token via a conditional aggregate (the r7 plan audit
+    # found the original two-aggregation + left-join form planned 10
+    # scans of documents; this form plans 2 — vocab build + the token
+    # stream — and drops the null-handling join entirely).
+    vocab = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).alias("c_t"),
     )
-    tot_t = ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("big_t"))
-    tot = cr.agg(
-        F.sum("c_r").alias("big_r"), F.count(F.lit(1)).alias("v")
-    ).crossJoin(F.broadcast(tot_t))
+    tot = vocab.agg(
+        F.sum("c_r").alias("big_r"),
+        F.sum("c_t").alias("big_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
     ratio = F.expr(
-        f"((coalesce(c_t, 0) + 1) * (big_r + v) * {_DSIR_SCALE}) "
+        f"((c_t + 1) * (big_r + v) * {_DSIR_SCALE}) "
         f"div ((c_r + 1) * (big_t + v))"
     )
     return (
         tok.filter(F.col("source") != _DSIR_TARGET_SOURCE)
-        .join(cr, "t")
-        .join(ct, "t", "left")
+        .join(vocab, "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "source")
         .agg(

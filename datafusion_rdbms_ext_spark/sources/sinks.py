@@ -1357,3 +1357,115 @@ def source_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Manifest zonemap pruning (round 7) — the third member of the
+# data-skipping family: partition pruning (hive layout), Bloom
+# point-lookup skipping (sink_bloom_skip_index), and now FILE-LEVEL
+# min/max zonemaps recorded in a manifest at write time, the way
+# Iceberg manifests and Delta's add-file stats work. A range
+# predicate prunes at PLANNING time from a few KB of metadata —
+# before any parquet footer is opened, which at 100 TB (hundreds of
+# thousands of files) is the difference between a metadata lookup
+# and a listing+footer storm.
+# ---------------------------------------------------------------------------
+_ZONEMAP_DIR_CONF = "spark.datafusion_rdbms_ext.zonemap_dir"
+_ZONEMAP_FILES = 16
+_ZONEMAP_LO, _ZONEMAP_HI = 200, 700  # probe range (valid at every sf)
+
+
+def zonemap_lineitem_root(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Write lineitem range-clustered on l_orderkey + its manifest of
+    per-file (min, max) zonemaps, once per (session, sf_dir)."""
+    import glob as _glob
+    import json as _json
+
+    key = f"{_ZONEMAP_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        with open(os.path.join(existing, "manifest.json")) as fh:
+            return existing, _json.load(fh)
+    root = tempfile.mkdtemp(prefix="sink_zonemap_")
+    data = os.path.join(root, "data")
+    (
+        spark.table("lineitem")
+        .repartitionByRange(_ZONEMAP_FILES, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(data)
+    )
+    stats = (
+        spark.read.parquet(data)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+        )
+        .collect()  # <= #files rows: manifest-sized, never data-sized
+    )
+    manifest = {
+        r["f"].replace("file://", ""): [int(r["mn"]), int(r["mx"])]
+        for r in stats
+    }
+    with open(os.path.join(root, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    spark.conf.set(key, root)
+    return root, manifest
+
+
+def zonemap_prune(manifest: dict, lo: int, hi: int) -> list[str]:
+    """Files whose [min, max] range overlaps [lo, hi] — the manifest
+    half of an Iceberg-style scan plan."""
+    return sorted(f for f, (mn, mx) in manifest.items() if mx >= lo and mn <= hi)
+
+
+@register(
+    "sink_zonemap_manifest",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {_ZONEMAP_LO} AND {_ZONEMAP_HI}
+    """,
+    doc="Manifest zonemap pruning (Iceberg add-file stats shape): "
+    "lineitem range-clustered on l_orderkey into 16 files, per-file "
+    "min/max recorded in a manifest at write time; a range query "
+    "prunes to the overlapping files from metadata alone — no file "
+    "listing, no footer reads. Pruning factor asserted in "
+    "tests/test_skew_and_sinks.py.",
+    tags=("sink", "source", "bench"),
+)
+def sink_zonemap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregate over only the zonemap-selected files.
+
+    Scale: the range-clustered write makes file key-ranges disjoint,
+    so a range predicate touches ~range/totalrange of the files; the
+    manifest is KBs regardless of table size and lives where the
+    planner runs. The residual in-file filter still pushes into the
+    parquet scan (row-group pruning composes under the file-level
+    skip)."""
+    root, manifest = zonemap_lineitem_root(spark, sf_dir)
+    files = zonemap_prune(manifest, _ZONEMAP_LO, _ZONEMAP_HI)
+    if not files:
+        # Every file pruned: the aggregate over zero rows (the scan
+        # list may legitimately be empty for an out-of-range probe).
+        files = sorted(manifest)[:1]
+        return (
+            spark.read.parquet(*files)
+            .filter(F.lit(False))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("l_orderkey").alias("n_orders"),
+                dsum(F.col("l_quantity")).alias("sum_qty"),
+            )
+        )
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col("l_orderkey").between(_ZONEMAP_LO, _ZONEMAP_HI))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )

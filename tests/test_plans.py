@@ -141,9 +141,6 @@ def test_broadcast_hints_only_on_fixed_dims():
             # stratified sampling: per-SOURCE quotas (#sources rows —
             # the training-mix catalog, not data-scaling).
             "quotas",
-            # DSIR: the 1-row target-token total (tot itself, the
-            # 1-row corpus totals frame, is already listed above).
-            "tot_t",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
