@@ -285,6 +285,12 @@ def _dialect_sqlite(sql: str) -> str:
     the divergent-semantics call table above. Functions SQLite simply
     lacks still fail the LIMIT-0 validation probe and fall through."""
     sql = _SUFFIX_RE.sub(r"\1", sql)
+    # SQLite refuses OFFSET without LIMIT; LIMIT -1 is its documented
+    # "no limit" spelling. The unparser only emits OFFSET bare (a
+    # user LIMIT lands in its own enclosing SELECT), and [a-z_)]
+    # tokens can't precede the keyword inside a string literal that
+    # this generator produces, so the plain substitution is safe.
+    sql = sql.replace(" OFFSET ", " LIMIT -1 OFFSET ")
     sql = _rewrite_calls(sql, _SQLITE_CALL_RULES)
     for m in _LIKE_RE.finditer(sql):
         if sql.count("'", 0, m.start()) % 2 == 0:  # outside literals
@@ -437,6 +443,14 @@ class _Unparser:
                 child = child.child()
             return (
                 f"SELECT * FROM ({self.unparse(child)}) {self._alias()} LIMIT {k}"
+            )
+        if nm == "Offset":
+            k = int(node.offsetExpr().sql())
+            # DuckDB and Postgres accept a bare OFFSET; SQLite needs
+            # a LIMIT first, which its dialect pass splices in.
+            return (
+                f"SELECT * FROM ({self.unparse(node.child())}) "
+                f"{self._alias()} OFFSET {k}"
             )
         if nm == "Join":
             jt = node.joinType().sql()  # INNER / LEFT OUTER / CROSS / ...

@@ -1088,3 +1088,86 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.col("n").cast("long").alias("n"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. Stream-stream FULL OUTER interval join (round 7): completes the
+#     streaming join matrix (inner, left-outer, full-outer + the
+#     stream-static and as-of shapes). Both unmatched sides emit
+#     null-padded rows once the watermark certifies no match can
+#     arrive; with a 1 h interval span on both derivations, the two
+#     sides share one eviction frontier, which the oracle reproduces.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                      ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase' AND user_id < 30),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+          FROM events WHERE event_type = 'click' AND user_id < 30),
+    wm AS (
+      SELECT ((epoch_us(LEAST((SELECT MAX(purchase_ts) FROM p),
+                              (SELECT MAX(click_ts) FROM c))) // 1000)
+              - 86400000 - 3600000) * 1000 AS w
+    ),
+    j AS (
+      SELECT p.purchase_id, c.click_id, p.purchase_ts, c.click_ts
+      FROM p FULL OUTER JOIN c ON c.c_user = p.p_user
+        AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'
+        AND c.click_ts <= p.purchase_ts
+    )
+    SELECT purchase_id, click_id, purchase_ts, click_ts
+    FROM j, wm
+    WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND epoch_us(purchase_ts) < w)
+       OR (purchase_id IS NULL AND epoch_us(click_ts) < w)
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream FULL OUTER interval join: unmatched rows from "
+    "BOTH sides emit null-padded once the watermark proves no match "
+    "can still arrive. The 1 h interval span makes the two sides' "
+    "eviction frontiers coincide at (global watermark - delay - "
+    "span), which the oracle models exactly — the engine's "
+    "outer-emission semantics is the thing under differential test.",
+    tags=("streaming", "join"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer interval join with watermark-gated null emission.
+
+    Scale: state per side is bounded by (watermark delay + interval
+    span) of events, evicted at the shared frontier; null emission is
+    a state-cleanup byproduct, not a scan. Same contract as the
+    left-outer variant, now certifying absence in BOTH directions."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select("purchase_id", "click_id", "purchase_ts", "click_ts")
+
+    _RUN_SEQ[0] += 1
+    name = f"stream_stream_full_outer_{_RUN_SEQ[0]}"
+    _drain(joined, name, "append")
+    return spark.table(name).orderBy("purchase_id", "click_id")

@@ -686,3 +686,32 @@ def test_sqlite_concat_ws_denied(spark):
         F.concat_ws("-", "c_name", "c_mktsegment").alias("x")
     )
     assert try_unparse(df) is None
+
+
+def test_transparent_offset_unparses(spark):
+    """LIMIT+OFFSET above a sort must unparse whole (the Offset arm,
+    round 7) and return the identical row slice."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_pushdown,
+        try_unparse,
+    )
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from oracle_util import assert_matches
+
+    df = (
+        _fed_table(spark, SF_DIR, "nation")
+        .orderBy("n_nationkey")
+        .offset(5)
+        .limit(7)
+    )
+    hit = try_unparse(df)
+    assert hit is not None and "OFFSET 5" in hit[0], hit
+    out = transparent_pushdown(df)
+    assert out is not df, "fell back unexpectedly"
+    assert_matches(out.toPandas(), df.toPandas(), "offset")
