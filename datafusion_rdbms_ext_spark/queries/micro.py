@@ -1601,3 +1601,45 @@ def micro_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "micro_collation",
+    oracle="""
+    WITH variants AS (
+      SELECT n_name AS s FROM nation
+      UNION ALL SELECT lower(n_name) FROM nation
+      UNION ALL SELECT upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+        FROM nation
+    )
+    SELECT MIN(s) AS canon, CAST(COUNT(*) AS BIGINT) AS n
+    FROM variants
+    GROUP BY s COLLATE NOCASE
+    ORDER BY canon
+    """,
+    doc="Collation-aware grouping (Spark 4 collate/UTF8_LCASE vs "
+    "DuckDB COLLATE NOCASE): three case variants of every nation "
+    "name collapse into one case-insensitive group. The group "
+    "REPRESENTATIVE under a collation is engine-defined, so the "
+    "output key is the deterministic binary MIN over the group, "
+    "never the collated key itself.",
+    tags=("micro", "sql"),
+)
+def micro_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 collations.
+
+    Scale: a collated groupBy is a plain hash aggregate on the
+    collation key — same shuffle as any groupBy; the collation only
+    changes the equality function, which whole-stage codegen inlines."""
+    n = spark.table("nation").select("n_name")
+    variants = (
+        n.select(F.col("n_name").alias("s"))
+        .unionAll(n.select(F.lower("n_name").alias("s")))
+        .unionAll(n.select(F.initcap(F.lower("n_name")).alias("s")))
+    )
+    return (
+        variants.groupBy(F.collate(F.col("s"), "UTF8_LCASE").alias("k"))
+        .agg(F.min("s").alias("canon"), F.count(F.lit(1)).alias("n"))
+        .select("canon", "n")
+        .orderBy("canon")
+    )

@@ -538,3 +538,112 @@ def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel with PER-STEP gaps (round 7; the ClickHouse
+# windowFunnel shape): view -> click -> purchase where each step must
+# follow the previous within 1 day — existence of ANY qualifying
+# chain, not just the chain through the earliest events (the cum-
+# budget olap_funnel measures a different thing). The existence test
+# chains two as-of passes: a click qualifies iff its NEAREST prior
+# view is within the gap (if any prior view is, the nearest is), and
+# a purchase iff its nearest prior QUALIFYING click is — so the
+# operator never forms candidate pairs, while the oracle may.
+# ---------------------------------------------------------------------------
+_WF_GAP_US = 86_400 * 1_000_000  # 1 day per step
+
+
+@register(
+    "olap_window_funnel",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    lvl1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    lvl2 AS (
+      SELECT DISTINCT c.user_id
+      FROM e c JOIN e v ON v.user_id = c.user_id AND v.event_type = 'view'
+      WHERE c.event_type = 'click' AND v.t < c.t AND c.t - v.t <= {_WF_GAP_US}
+    ),
+    qc AS (
+      SELECT DISTINCT c.user_id, c.t
+      FROM e c JOIN e v ON v.user_id = c.user_id AND v.event_type = 'view'
+      WHERE c.event_type = 'click' AND v.t < c.t AND c.t - v.t <= {_WF_GAP_US}
+    ),
+    lvl3 AS (
+      SELECT DISTINCT p.user_id
+      FROM e p JOIN qc ON qc.user_id = p.user_id
+      WHERE p.event_type = 'purchase' AND qc.t < p.t
+        AND p.t - qc.t <= {_WF_GAP_US}
+    ),
+    levels AS (
+      SELECT u.user_id,
+             CASE WHEN l3.user_id IS NOT NULL THEN 3
+                  WHEN l2.user_id IS NOT NULL THEN 2
+                  WHEN l1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN lvl1 l1 USING (user_id)
+      LEFT JOIN lvl2 l2 USING (user_id)
+      LEFT JOIN lvl3 l3 USING (user_id)
+    )
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM levels GROUP BY level ORDER BY level
+    """,
+    doc="Windowed funnel with per-step gaps (ClickHouse windowFunnel "
+    "shape): deepest view->click->purchase chain where each step "
+    "follows the previous within 1 day, counted per level. The "
+    "engine proves chain existence by chaining two as-of passes "
+    "(nearest prior view / nearest prior qualifying click) — the "
+    "oracle's pair joins never appear in the plan.",
+    tags=("olap", "events", "bench"),
+)
+def olap_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users per deepest funnel level reached.
+
+    Scale: two as-of compositions on the same user_id partitioning
+    plus per-user flags — every shuffle is user-keyed and reusable;
+    no view x click or click x purchase candidate pairs materialize
+    (the naive windowFunnel join is quadratic in per-user activity)."""
+    from ..functions.compat import ts_micros
+    from ..operators.temporal import asof_join
+
+    e = spark.table("events").select(
+        "user_id", "event_type", ts_micros(F.col("ts")).alias("t")
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "t")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "t")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "t")
+    # strict "<": shift the left side by one microsecond so an
+    # equal-timestamp view does NOT qualify (asof matches <=).
+    c_shift = clicks.select("user_id", (F.col("t") - 1).alias("t"), F.col("t").alias("ct"))
+    qc = (
+        asof_join(c_shift, views.select("user_id", "t", F.col("t").alias("vt")),
+                  on="t", by=("user_id",), right_alias="m")
+        .filter(F.col("m").isNotNull() & (F.col("ct") - F.col("m.vt") <= _WF_GAP_US))
+        .select("user_id", F.col("ct").alias("t"))
+    )
+    p_shift = purchases.select("user_id", (F.col("t") - 1).alias("t"), F.col("t").alias("pt"))
+    qp = (
+        asof_join(p_shift, qc.select("user_id", "t", F.col("t").alias("qct")),
+                  on="t", by=("user_id",), right_alias="m")
+        .filter(F.col("m").isNotNull() & (F.col("pt") - F.col("m.qct") <= _WF_GAP_US))
+        .select("user_id")
+    )
+    flags = (
+        e.select("user_id").distinct()
+        .join(views.select("user_id").distinct().withColumn("l1", F.lit(1)), "user_id", "left")
+        .join(qc.select("user_id").distinct().withColumn("l2", F.lit(1)), "user_id", "left")
+        .join(qp.distinct().withColumn("l3", F.lit(1)), "user_id", "left")
+    )
+    level = (
+        F.when(F.col("l3").isNotNull(), 3)
+        .when(F.col("l2").isNotNull(), 2)
+        .when(F.col("l1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        flags.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )
