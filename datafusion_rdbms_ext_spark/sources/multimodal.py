@@ -409,3 +409,125 @@ def mm_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 60)
     )
     return frame_features(assets).orderBy("doc_id", "frame_id")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup over binary assets (round 7) — the multimodal
+# member of the dedup family: an aHash-style 64-bit signature from
+# the decoded sample stream (bit i = 1 iff chunk i's sample sum
+# exceeds the asset mean, integer cross-multiplied so the bit is
+# engine-exact), then the SimHash banding scheme (4 x 16-bit bands,
+# pigeonhole: hamming<=3 pairs share a band) and an exact hamming
+# verify. Decode is the deterministic stub; everything around it —
+# Arrow-batched signature extraction, banded candidate join, XOR
+# bit_count verify — is the real production plumbing.
+# ---------------------------------------------------------------------------
+_PHASH_BITS = 64
+_PHASH_BANDS = 4
+_PHASH_MAX_HAMMING = 12
+
+
+def phash_signatures(assets: DataFrame) -> DataFrame:
+    """(doc_id, sig): 64-bit aHash per asset via mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for c in pdf["content"]:
+                a = _fake_decode(c)
+                n = a.size
+                # byte j (0-based) belongs to chunk (j*64)//n — the
+                # same rule the SQL oracle applies to 1-based pos.
+                idx = (np.arange(n, dtype=np.int64) * _PHASH_BITS) // n
+                sums = np.zeros(_PHASH_BITS, dtype=np.int64)
+                np.add.at(sums, idx, a.astype(np.int64))
+                total = int(a.sum(dtype=np.int64))
+                sig = 0
+                for i in range(_PHASH_BITS):
+                    # bit = chunk mean above asset mean, exact:
+                    # sum_i / (n_i/n...) — cross-multiplied to ints.
+                    if _PHASH_BITS * int(sums[i]) > total:
+                        sig |= 1 << i
+                # two's-complement into int64 (Spark/DuckDB BIGINT)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "sig": pd.array(sigs, dtype="int64")}
+            )
+
+    return assets.mapInPandas(fn, "doc_id long, sig long")
+
+
+@register(
+    "mm_dedup_phash",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, len(text) AS n FROM documents WHERE doc_id % 3 = 0
+    ),
+    bytes AS (
+      SELECT doc_id, n, pos,
+             ascii(substr(text, CAST(pos AS INTEGER), 1)) AS code,
+             CAST(((pos - 1) * {_PHASH_BITS}) // n AS BIGINT) AS chunk
+      FROM img, unnest(range(1, n + 1)) AS t(pos)
+    ),
+    chunks AS (
+      SELECT doc_id, chunk, SUM(code) AS s,
+             SUM(SUM(code)) OVER (PARTITION BY doc_id) AS total
+      FROM bytes GROUP BY doc_id, chunk
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN {_PHASH_BITS} * s > total
+                           THEN CASE WHEN chunk = 63 THEN -9223372036854775808
+                                     ELSE (CAST(1 AS BIGINT) << CAST(chunk AS INTEGER)) END
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM chunks GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_PHASH_MAX_HAMMING}
+      AND EXISTS (
+        SELECT 1 FROM range({_PHASH_BANDS}) t(bd)
+        WHERE ((a.sig >> CAST(bd * 16 AS INTEGER)) & 65535)
+              = ((b.sig >> CAST(bd * 16 AS INTEGER)) & 65535)
+      )
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Perceptual-hash (aHash) dedup over binary image assets: "
+    "64-bit chunk-mean signature extracted Arrow-batched from the "
+    "decoded sample stream, SimHash-style 4x16-bit banding bounds "
+    "candidate pairs (the oracle's all-pairs join never appears in "
+    f"the plan), exact XOR-popcount verify at hamming <= "
+    f"{_PHASH_MAX_HAMMING}. The banding makes recall partial by "
+    "design (pigeonhole-complete only to hamming 3); the oracle "
+    "applies the identical band filter, so the check is exact.",
+    tags=("multimodal", "dedup", "bench"),
+)
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image-asset pairs by banded perceptual hash.
+
+    Scale: signatures are 8 bytes/asset extracted in one Arrow pass
+    (payloads never shuffle); candidates form per 16-bit band bucket
+    exactly like SimHash text dedup; the verify is a popcount on the
+    joined longs. At 100 TB the signature table is ~10^-6 of the
+    asset bytes."""
+    img = load_assets(spark).filter(F.col("modality") == "image")
+    sigs = phash_signatures(img).localCheckpoint()
+    cand = None
+    for b in range(_PHASH_BANDS):
+        band = (F.shiftrightunsigned(F.col("sig"), b * 16).bitwiseAND(F.lit(65535)))
+        a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), band.alias("k"))
+        bb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), band.alias("k"))
+        c = (
+            a.join(bb, "k")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.distinct()
+        .filter(hamming <= _PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
