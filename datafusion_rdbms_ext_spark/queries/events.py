@@ -1050,7 +1050,8 @@ def ev_rolling_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Last-touch attribution (round 7): every purchase is credited to the
-# user's most recent click/view strictly before it and within the
+# user's most recent click/view at or before it (a same-instant touch
+# sorts ahead of the conversion, so it qualifies) within the
 # attribution window — the standard marketing-analytics operator,
 # and a second consumer of the as-of composition (union + carry-last
 # over one user-keyed window; operators/temporal.py documents the
@@ -1092,7 +1093,7 @@ _ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7 days
     FROM conv GROUP BY touch_type ORDER BY touch_type
     """,
     doc="Last-touch attribution: purchases credited to the user's "
-    "most recent click/view strictly before the purchase and within "
+    "most recent click/view at-or-before the purchase and within "
     "7 days; per-channel conversion counts and exact-decimal revenue, "
     "with unattributed purchases in the 'none' bucket. One user-keyed "
     "carry-last window — the as-of composition, no pair join.",

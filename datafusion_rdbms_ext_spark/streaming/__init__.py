@@ -1039,6 +1039,18 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
     import tempfile
 
+    # One two-drain replay per (session, sf_dir): the checkpoint's
+    # committed watermark makes a re-drain a no-op, so later calls
+    # just re-read the parquet sink (the memo pattern every sink op
+    # uses).
+    memo = f"spark.datafusion_rdbms_ext.late_policy.{abs(hash(sf_dir))}"
+    cached = spark.conf.get(memo, None)
+    if cached and os.path.isdir(os.path.join(cached, "out")):
+        return (
+            spark.read.parquet(os.path.join(cached, "out"))
+            .select("day", F.col("n").cast("long").alias("n"))
+            .orderBy("day")
+        )
     root = tempfile.mkdtemp(prefix="stream_late_")
     src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
     os.makedirs(src)
@@ -1083,6 +1095,7 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()  # advances + commits the watermark to max(ts) - 1 day
     land(2, ev.filter(F.dayofmonth("ts") < _LATE_SPLIT_DAY))
     drain()  # restored watermark drops the entire late batch
+    spark.conf.set(memo, root)
     return (
         spark.read.parquet(out)
         .select("day", F.col("n").cast("long").alias("n"))
