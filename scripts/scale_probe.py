@@ -84,6 +84,16 @@ QUERIES = (
     "llm_minhash_containment",
     "llm_curriculum_batches",
     "llm_negative_sampling",
+    # Round-7 late additions: the BPE trainer (vocab-sized rounds),
+    # M4's partial-aggregatable buckets, the attribution carry-last
+    # window, the banded perceptual-hash dedup, the per-step funnel's
+    # chained as-ofs, and DSIR's single vocab pass.
+    "llm_tokenize_bpe",
+    "op_downsample_m4",
+    "ev_attribution_last_touch",
+    "mm_dedup_phash",
+    "olap_window_funnel",
+    "llm_importance_resample",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
