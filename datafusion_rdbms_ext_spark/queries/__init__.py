@@ -90,7 +90,7 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: stream_late_data_policy, micro_listagg, op_asof_nearest,
 #: sink_zonemap_manifest, stream_stream_full_outer,
 #: micro_collation, olap_window_funnel, mm_dedup_phash,
-#: micro_nested_access and micro_sort_nulls
+#: llm_dedup_eval, micro_nested_access and micro_sort_nulls
 #: (the two displaced r2 canaries) — plus anything added later this
 #: round; all are in the local differential gate.
 _PRIORITY: tuple[str, ...] = (

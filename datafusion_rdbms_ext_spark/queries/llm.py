@@ -5883,3 +5883,80 @@ def llm_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "step INT, merged STRING, pair_cnt BIGINT, corpus_tokens_after BIGINT",
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# 43. Dedup quality evaluation (round 7): precision/recall of the
+#     approximate MinHash-LSH pair set against the exact inverted-
+#     index ground truth — the pipeline-QA meta-operator a production
+#     dedup deployment runs after every banding-parameter change.
+#     Ratios are exact integer ppm (the unigram_ppm discipline), so
+#     the evaluation itself is under the same bit-exact differential
+#     gate as the operators it measures. The oracle composes the two
+#     registered oracles verbatim as CTEs.
+# ---------------------------------------------------------------------------
+def _sql_dedup_eval_oracle() -> str:
+    from .base import REGISTRY as _R
+
+    lsh = _R["llm_dedup_minhash_lsh"].oracle
+    exact = _R["llm_dedup_ngram_exact"].oracle
+    return f"""
+    WITH lsh AS ({lsh}),
+    exact AS ({exact}),
+    tp AS (
+      SELECT COUNT(*) AS n FROM lsh
+      JOIN exact ON exact.doc_a = lsh.doc_a AND exact.doc_b = lsh.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST(tp.n AS BIGINT) AS n_true_pos,
+           CAST(tp.n * 1000000 // GREATEST((SELECT COUNT(*) FROM lsh), 1)
+                AS BIGINT) AS precision_ppm,
+           CAST(tp.n * 1000000 // GREATEST((SELECT COUNT(*) FROM exact), 1)
+                AS BIGINT) AS recall_ppm
+    FROM tp
+    """
+
+
+@register(
+    "llm_dedup_eval",
+    oracle=None,  # installed below (composes two registered oracles)
+    doc="Dedup quality evaluation: precision/recall (exact integer "
+    "ppm) of the MinHash-LSH candidate pairs against the exact "
+    "n-gram-Jaccard ground truth — the QA meta-operator that "
+    "re-validates banding parameters; its oracle composes the two "
+    "operators' own oracles as CTEs, so the measurement is "
+    "differentially exact too.",
+    tags=("llm", "dedup", "quality"),
+)
+def llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row precision/recall report for the LSH dedup.
+
+    Scale: both pair sets are the (already scale-safe) operators'
+    outputs — duplicate-density-sized, orders of magnitude smaller
+    than the corpus; the join keys on the pair ids. At 100 TB the
+    ground-truth side is run on a SAMPLE and the same report reads
+    as an estimate; the plumbing is unchanged."""
+    lsh = llm_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    exact = llm_dedup_ngram_exact(spark, sf_dir).select("doc_a", "doc_b")
+    tp = lsh.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_l = lsh.agg(F.count(F.lit(1)).alias("nl"))
+    n_e = exact.agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        tp.crossJoin(F.broadcast(n_l))
+        .crossJoin(F.broadcast(n_e))
+        .select(
+            F.col("ne").cast("long").alias("n_exact"),
+            F.col("nl").cast("long").alias("n_lsh"),
+            F.col("n").cast("long").alias("n_true_pos"),
+            F.expr("n * 1000000 div greatest(nl, 1)").alias("precision_ppm"),
+            F.expr("n * 1000000 div greatest(ne, 1)").alias("recall_ppm"),
+        )
+    )
+
+
+from .base import REGISTRY as _R2  # noqa: E402
+
+_R2["llm_dedup_eval"].oracle = _sql_dedup_eval_oracle()

@@ -141,6 +141,8 @@ def test_broadcast_hints_only_on_fixed_dims():
             # stratified sampling: per-SOURCE quotas (#sources rows —
             # the training-mix catalog, not data-scaling).
             "quotas",
+            # dedup evaluation: the two 1-row pair-set counts.
+            "n_l", "n_e",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
