@@ -93,63 +93,69 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: llm_dedup_eval, micro_nested_access and micro_sort_nulls
 #: (the two displaced r2 canaries) — plus anything added later this
 #: round; all are in the local differential gate.
+#: ROUND-8 ROTATION (VERDICT r7 next #1): the complete 13-query
+#: never-proven queue takes the front slots (11 never in any gate +
+#: the two displaced r2 canaries), new round-8 operators follow for
+#: first-time proof in their own round, then the same 3 sentinels,
+#: then backfill by longest-unproven (mechanically recomputed from
+#: cumulative CORRECTNESS r1-r7: the 7 remaining r2-proven rows, all
+#: 12 r3-proven rows, then r4-proven rows in registration order).
 _PRIORITY: tuple[str, ...] = (
-    # -- 20 first-timers: the complete round-7 never-proven queue
-    "micro_group_by_all",
-    "micro_select_except",
-    "micro_arrow_udf",
-    "micro_posexplode_outer",
-    "micro_ilike",
-    "ev_rolling_distinct_users",
-    "ev_session_dynamic_gap",
-    "ev_seasonality_profile",
-    "ev_rolling_users_hll",
-    "llm_minhash_containment",
-    "llm_keyword_extract",
-    "llm_feature_hashing",
-    "llm_negative_sampling",
-    "olap_abc_pareto",
-    "stream_versioned_commits",
-    "stream_session_dynamic_gap",
-    "mm_frame_features",
-    "op_resample_linear",
-    "op_asof_tolerance",
-    "fed_cross_dialect_join",
-    # -- round-7 additions (first-time proof in their own round;
-    #    the last two displace the final two backfill canaries —
-    #    first-time hard-signal beats a third proof, the r6 rule)
-    "llm_quality_gopher",
-    "llm_importance_resample",
-    "sink_bloom_skip_index",
-    "llm_tokenize_bpe",
-    "op_downsample_m4",
+    # -- 13 first-timers: the complete round-8 never-proven queue
+    #    (11 never in any gate + the two r2 canaries displaced in r7)
+    "source_table_history",
+    "ev_attribution_last_touch",
+    "stream_late_data_policy",
+    "micro_listagg",
+    "op_asof_nearest",
+    "sink_zonemap_manifest",
+    "stream_stream_full_outer",
+    "micro_collation",
+    "olap_window_funnel",
+    "mm_dedup_phash",
+    "llm_dedup_eval",
+    "micro_nested_access",
+    "micro_sort_nulls",
+    # -- round-8 additions (first-time proof in their own round)
+    # (appended here as they are registered this round)
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- backfill: the 22 longest-unproven (last proof r2) canaries
-    "q14_promo_effect",
-    "q16_part_supplier_relationship",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "micro_math_scalars",
-    "micro_string_scalars",
-    "micro_regex_hash",
-    "micro_datetime",
-    "micro_interval_range",
-    "micro_conditional_null",
-    "micro_bitwise",
-    "micro_agg_stats",
-    "micro_agg_extras",
-    "micro_agg_approx",
-    "micro_set_ops",
-    "micro_join_right",
-    "micro_join_full_outer",
-    "micro_join_cross",
-    "micro_limit_offset",
-    "micro_rollup",
-    "micro_cube",
-    "micro_values_inline",
+    # -- backfill: longest-unproven first (verified mechanically
+    #    against cumulative CORRECTNESS r1-r7: 7 remaining r2 rows,
+    #    then the 12 r3 rows, then the oldest r4 rows in
+    #    registration order)
+    "micro_repartition",
+    "micro_grouping_sets",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_sliding_frames",
+    "win_distribution",
+    "win_first_last",
+    "micro_map_access",
+    "ev_session_windows",
+    "ev_json_props",
+    "llm_sim_topk_brute",
+    "llm_sim_topk_ivf",
+    "llm_sim_topk_ivf_learned",
+    "llm_heavy_hitters",
+    "llm_train_split",
+    "llm_dedup_incremental",
+    "stream_dedup",
+    "fed_limit_pushdown",
+    "fed_sink_roundtrip",
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+    "q02_top_balance_per_nation",
+    "q09_product_profit",
+    "q15_top_supplier",
+    "q21_suppliers_who_kept_waiting",
+    "ev_tumbling_daily",
+    "ev_variant_props",
+    "llm_dedup_exact",
+    "llm_dedup_clusters",
+    "llm_dedup_incremental_lsh",
 )
 
 
