@@ -57,6 +57,41 @@ def _seq(s) -> list:
     return [s.apply(i) for i in range(s.size())]
 
 
+def _strip_base_qualifier(cond: str, base_table: str) -> str:
+    """Strip ``base_table.`` qualifiers at identifier boundaries on
+    BOTH sides (ADVICE r7 #3) and only outside string literals: a
+    pass-through group dim renders base-qualified in a HAVING
+    predicate even though it names the aggregate's output column.
+    ``my_events.x`` and ``db.events.x`` name OTHER relations and must
+    pass through untouched."""
+    import re as _re
+
+    return _re.sub(
+        r"(?<![A-Za-z0-9_.])"
+        + _re.escape(f"{base_table}.")
+        + r"(?=[A-Za-z_])",
+        lambda m: m.group(0) if cond.count("'", 0, m.start()) % 2 == 1 else "",
+        cond,
+    )
+
+
+def _rewrite_dim_refs(cond: str, dims: dict) -> str:
+    """Remap every dimension occurrence (canonical Catalyst SQL) in a
+    filter predicate to its MV column — longest dim first, at
+    identifier boundaries on BOTH sides (ADVICE r7 #3: a longer
+    qualified name that merely ends with the dim must not be
+    partially rewritten)."""
+    import re as _re
+
+    for dim_sql in sorted(dims, key=len, reverse=True):
+        cond = _re.sub(
+            r"(?<![A-Za-z0-9_.])" + _re.escape(dim_sql) + r"(?![A-Za-z0-9_])",
+            dims[dim_sql],
+            cond,
+        )
+    return cond
+
+
 def _base_matches(node, base_table: str) -> bool:
     """Walk SubqueryAlias/View wrappers down to the relation and
     check the alias chain names the MV's base table."""
@@ -109,23 +144,10 @@ def mv_rewrite(df: DataFrame, mv: MaterializedView, strict: bool = False) -> Dat
                 ),
                 raw,
             )
-            # A pass-through group dim renders BASE-QUALIFIED
-            # (events.event_type) in the HAVING predicate even though
-            # it names the aggregate's output column; strip the
-            # qualifier at identifier boundaries (and only outside
-            # string literals) so it resolves on the rewritten frame.
-            # Any OTHER surviving base reference is a non-output leak
-            # and must fall through, not analyze by accident.
-            stripped = cond
-            cond = _re.sub(
-                _re.escape(f"{mv.base_table}.") + r"(?=[A-Za-z_])",
-                lambda m: (
-                    m.group(0)
-                    if stripped.count("'", 0, m.start()) % 2 == 1
-                    else ""
-                ),
-                stripped,
-            )
+            # Any OTHER surviving base reference after the strip is a
+            # non-output leak and must fall through, not analyze by
+            # accident (the forced-analysis guard below).
+            cond = _strip_base_qualifier(cond, mv.base_table)
             try:
                 out = inner.filter(F.expr(cond))
                 out.schema  # force analysis now, inside the guard
@@ -148,19 +170,8 @@ def _try_rewrite(df: DataFrame, plan, mv: MaterializedView) -> DataFrame | None:
     # not derivable.
     mv_filter = None
     if child.getClass().getSimpleName() == "Filter":
-        import re
-
         cond = child.condition().sql()
-        # Longest dim first, and only at identifier boundaries: a
-        # column whose canonical SQL extends a dim's (events.x vs
-        # events.x_extra) must not be partially rewritten into a
-        # corrupted — and silently wrong — MV predicate.
-        for dim_sql in sorted(mv.dims, key=len, reverse=True):
-            cond = re.sub(
-                re.escape(dim_sql) + r"(?![A-Za-z0-9_])",
-                mv.dims[dim_sql],
-                cond,
-            )
+        cond = _rewrite_dim_refs(cond, mv.dims)
         if f"{mv.base_table}." in cond:
             return None
         mv_filter = cond

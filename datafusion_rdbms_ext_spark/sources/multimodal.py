@@ -461,7 +461,8 @@ def phash_signatures(assets: DataFrame) -> DataFrame:
     "mm_dedup_phash",
     oracle=f"""
     WITH img AS (
-      SELECT doc_id, text, len(text) AS n FROM documents WHERE doc_id % 3 = 0
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE doc_id % 3 = 0 AND len(text) > 0
     ),
     bytes AS (
       SELECT doc_id, n, pos,
@@ -511,7 +512,14 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like SimHash text dedup; the verify is a popcount on the
     joined longs. At 100 TB the signature table is ~10^-6 of the
     asset bytes."""
-    img = load_assets(spark).filter(F.col("modality") == "image")
+    # Zero-byte assets carry no signal: the engine would emit sig=0
+    # (no chunk mean exceeds an all-zero total) and pair every empty
+    # asset with every all-zero-sig asset, while the oracle's
+    # unnest(range(1, n+1)) yields no rows for n=0 so the doc is
+    # absent entirely (ADVICE r7 #4). Drop them on both sides.
+    img = load_assets(spark).filter(
+        (F.col("modality") == "image") & (F.length(F.col("content")) > 0)
+    )
     sigs = phash_signatures(img).localCheckpoint()
     cand = None
     for b in range(_PHASH_BANDS):

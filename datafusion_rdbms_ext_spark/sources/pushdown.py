@@ -111,6 +111,32 @@ def _split_args(s: str) -> list[str]:
     return parts
 
 
+def _in_string(s: str, pos: int) -> bool:
+    """Is ``pos`` inside a single-quoted SQL literal? ('' escapes
+    count as two delimiters, which keeps the parity correct.)"""
+    return s.count("'", 0, pos) % 2 == 1
+
+
+def _replace_outside_strings(sql: str, old: str, new: str) -> str:
+    """``str.replace`` restricted to positions outside single-quoted
+    literals (ADVICE r7 #1: a pushed-down filter value containing the
+    needle — e.g. " OFFSET " inside a comment-column literal — must
+    not be mutated; that is the same silent-semantics-change class the
+    quote-aware call rewriter exists to prevent)."""
+    out, i = [], 0
+    while True:
+        j = sql.find(old, i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        if _in_string(sql, j):
+            out.append(old)  # inside a literal — keep verbatim
+        else:
+            out.append(new)
+        i = j + len(old)
+
+
 def _rewrite_calls(sql: str, rules: dict) -> str:
     """Rewrite whole function calls (balanced parens, quote-aware) by
     name. Each rule maps a lowercase function name to a callable over
@@ -124,11 +150,6 @@ def _rewrite_calls(sql: str, rules: dict) -> str:
     out = sql
     # Restart the scan after every mutation: replacements can contain
     # further rewritable calls in their (already-rewritten) arguments.
-    def _in_string(s: str, pos: int) -> bool:
-        """Is ``pos`` inside a single-quoted SQL literal? ('' escapes
-        count as two delimiters, which keeps the parity correct.)"""
-        return s.count("'", 0, pos) % 2 == 1
-
     guard = 0
     while guard < 1000:
         guard += 1
@@ -256,19 +277,33 @@ def _deny(name: str):
 #:   BACKWARD; Spark's negative length yields empty string. Catalyst
 #:   only renders literal lengths from user code, so deny only the
 #:   negative-literal shape and keep the common case.
+#: - substring/substr non-positive START (ADVICE r7 #2): Spark treats
+#:   substring(x, 0, n) as position 1 and returns n characters, while
+#:   SQLite counts position 0 as *before* the string and returns n-1
+#:   characters; negative starts diverge the same way. The shape
+#:   parses fine remotely (passes the LIMIT-0 probe) and returns
+#:   silently different values, so deny any literal start <= 0.
+
+
+def _substr_rule(name: str):
+    def rule(a):
+        if len(a) == 3 and a[2].lstrip().startswith("-"):
+            raise _Unsupported(f"{name}: negative length reads backward")
+        if len(a) in (2, 3):
+            start = a[1].strip()
+            neg = start.startswith("-") and start[1:].strip().isdigit()
+            if neg or (start.isdigit() and int(start) == 0):
+                raise _Unsupported(f"{name}: non-positive start diverges")
+        return None  # positive-literal / non-literal start: exact
+
+    return rule
+
+
 _SQLITE_CALL_RULES = {
     "concat": lambda a: "(" + " || ".join(a) + ")" if len(a) >= 2 else None,
     "concat_ws": _deny("concat_ws"),
-    "substring": lambda a: (
-        _deny("substring negative length")(a)
-        if len(a) == 3 and a[2].lstrip().startswith("-")
-        else None
-    ),
-    "substr": lambda a: (
-        _deny("substr negative length")(a)
-        if len(a) == 3 and a[2].lstrip().startswith("-")
-        else None
-    ),
+    "substring": _substr_rule("substring"),
+    "substr": _substr_rule("substr"),
 }
 
 #: LIKE is an OPERATOR, so the call-rule table can't catch it — and
@@ -287,10 +322,10 @@ def _dialect_sqlite(sql: str) -> str:
     sql = _SUFFIX_RE.sub(r"\1", sql)
     # SQLite refuses OFFSET without LIMIT; LIMIT -1 is its documented
     # "no limit" spelling. The unparser only emits OFFSET bare (a
-    # user LIMIT lands in its own enclosing SELECT), and [a-z_)]
-    # tokens can't precede the keyword inside a string literal that
-    # this generator produces, so the plain substitution is safe.
-    sql = sql.replace(" OFFSET ", " LIMIT -1 OFFSET ")
+    # user LIMIT lands in its own enclosing SELECT). Quote-aware
+    # (ADVICE r7 #1): a pushed-down string literal containing
+    # " OFFSET " must pass through verbatim.
+    sql = _replace_outside_strings(sql, " OFFSET ", " LIMIT -1 OFFSET ")
     sql = _rewrite_calls(sql, _SQLITE_CALL_RULES)
     for m in _LIKE_RE.finditer(sql):
         if sql.count("'", 0, m.start()) % 2 == 0:  # outside literals
@@ -363,6 +398,12 @@ def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
     except _Unsupported:
         return None
     if u.sf_dir is None:
+        return None
+    # Capability gates mirror try_unparse (ADVICE r7 #5): SQLite has
+    # no INTERSECT/EXCEPT ALL, so rendering such a plan must return
+    # None, not SQL the engine cannot execute faithfully. DuckDB and
+    # Postgres both support the ALL set operators — no gate.
+    if dialect == "sqlite" and u.setop_all:
         return None
     passes = {
         "duckdb": _dialect,
