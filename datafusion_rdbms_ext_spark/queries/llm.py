@@ -5801,6 +5801,126 @@ def _sql_bpe_oracle() -> str:
     )
 
 
+def bpe_train(words: DataFrame, rounds: int, batch: int = 1):
+    """Learn BPE merge rules from a (s, freq) symbol-string vocabulary.
+
+    ``batch=1`` is classic sequential BPE (Sennrich 2016): one
+    vocab-sized pair count + one top-1 collect + one map-side rewrite
+    per rule. ``batch=B`` (VERDICT r7 next #4) learns the top-B
+    pairwise NON-OVERLAPPING pairs per round from one pair count and
+    applies them in a single rewrite pass: two pairs are independent
+    iff their symbol sets are disjoint — then neither merge can
+    create or destroy occurrences of the other, so the batched rules
+    and counts equal the sequential ones whenever the sequential run
+    would have learned non-overlapping pairs in that window (property
+    test: tests/test_properties.py). A real 32k-vocab training run
+    costs ~vocab/B rounds instead of ~vocab rounds — the difference
+    between 10^3 and 10^4.6 Spark jobs.
+
+    Returns (rules, words): rules is a list of
+    (step, merged, pair_cnt, corpus_tokens_after_or_None) — the
+    token count is measured once per BATCH (exact for batch=1, the
+    registered query's contract); words is the rewritten vocabulary.
+    """
+    rules: list[tuple] = []
+    step = 0
+    for _ in range(rounds):
+        arr = F.split(F.col("s"), " ")
+        sz = F.size(arr)
+        top = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(arr, 1, sz - 1), F.slice(arr, 2, sz - 1)
+                    )
+                ).alias("z"),
+            )
+            .filter(F.col("z.1").isNotNull())
+            .select(
+                F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            # 4x headroom: greedy disjoint selection may skip ranked
+            # pairs whose symbols an earlier pick already consumed —
+            # skipped pairs are simply learned in a later round.
+            .limit(max(batch * 4, batch))
+            .collect()  # bounded: <= 4B rows, the round's candidates
+        )
+        used: set[str] = set()
+        chosen: list[tuple[str, int]] = []
+        for row in top:
+            a, b = row["pair"].split(" ")
+            if a in used or b in used:
+                continue
+            chosen.append((row["pair"], int(row["cnt"])))
+            used.update((a, b))
+            if len(chosen) >= batch:
+                break
+        if not chosen:
+            break
+        col = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        for pair, _cnt in chosen:
+            merged = pair.replace(" ", "")
+            pat, rep = f" {pair} ", f" {merged} "
+            # two-pass replace-all == greedy left-to-right merge
+            col = F.regexp_replace(F.regexp_replace(col, pat, rep), pat, rep)
+        words = words.select(F.trim(col).alias("s"), "freq").localCheckpoint()
+        tokens_after = int(
+            words.agg(
+                F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t")
+            ).collect()[0]["t"]
+        )
+        for i, (pair, cnt) in enumerate(chosen):
+            step += 1
+            last = i == len(chosen) - 1
+            rules.append(
+                (step, pair.replace(" ", ""), cnt, tokens_after if last else None)
+            )
+    return rules, words
+
+
+def bpe_train_local(words: dict[str, int], rounds: int, batch: int = 1):
+    """Pure-Python reference for :func:`bpe_train` (same symbol-string
+    model, same two-pass greedy-merge identity, same (cnt desc, pair)
+    ordering) — the property-test executable spec; no Spark."""
+    vocab = dict(words)
+    rules: list[tuple[str, int]] = []
+    for _ in range(rounds):
+        counts: dict[str, int] = {}
+        for s, f in vocab.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + f
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        used: set[str] = set()
+        chosen: list[tuple[str, int]] = []
+        for pair, cnt in ranked:
+            a, b = pair.split(" ")
+            if a in used or b in used:
+                continue
+            chosen.append((pair, cnt))
+            used.update((a, b))
+            if len(chosen) >= batch:
+                break
+        if not chosen:
+            break
+        nxt = {}
+        for s, f in vocab.items():
+            padded = f" {s} "
+            for pair, _ in chosen:
+                pat = f" {pair} "
+                rep = f" {pair.replace(' ', '')} "
+                padded = padded.replace(pat, rep).replace(pat, rep)
+            nxt[padded.strip()] = nxt.get(padded.strip(), 0) + f
+        vocab = nxt
+        rules.extend(chosen)
+    return [p.replace(" ", "") for p, _ in rules], [c for _, c in rules], vocab
+
+
 @register(
     "llm_tokenize_bpe",
     oracle=_sql_bpe_oracle(),
@@ -5838,47 +5958,8 @@ def llm_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    out_rows = []
-    for r in range(_BPE_ROUNDS):
-        arr = F.split(F.col("s"), " ")
-        sz = F.size(arr)
-        pairs = (
-            words.select(
-                "freq",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice(arr, 1, sz - 1), F.slice(arr, 2, sz - 1)
-                    )
-                ).alias("z"),
-            )
-            .filter(F.col("z.1").isNotNull())
-            .select(
-                F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("pair"),
-                "freq",
-            )
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "pair")
-            .limit(1)
-            .collect()  # 1 row: the round's learned rule
-        )
-        pair, cnt = pairs[0]["pair"], int(pairs[0]["cnt"])
-        merged = pair.replace(" ", "")
-        pat, rep = f" {pair} ", f" {merged} "
-        two_pass = F.trim(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")), pat, rep
-                ),
-                pat,
-                rep,
-            )
-        )
-        words = words.select(two_pass.alias("s"), "freq").localCheckpoint()
-        tokens_after = words.agg(
-            F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t")
-        ).collect()[0]["t"]
-        out_rows.append((r + 1, merged, cnt, int(tokens_after)))
+    rules, _ = bpe_train(words, _BPE_ROUNDS, batch=1)
+    out_rows = [(s, m, c, t) for (s, m, c, t) in rules]
     return spark.createDataFrame(
         out_rows,
         "step INT, merged STRING, pair_cnt BIGINT, corpus_tokens_after BIGINT",

@@ -1070,3 +1070,124 @@ def test_m4_bucket_invariants(spark):
         assert r["vmin"] <= r["vmax"]
         assert r["vmin"] <= r["vfirst"] <= r["vmax"]
         assert r["vmin"] <= r["vlast"] <= r["vmax"]
+
+
+# ---------------------------------------------------------------------------
+# Batched BPE == sequential BPE when the sequentially-learned pairs
+# in each batch window are pairwise symbol-disjoint (VERDICT r7 next
+# #4). The pure-Python reference is the executable spec; a separate
+# Spark test pins the distributed implementation against it.
+# ---------------------------------------------------------------------------
+_BPE_WORDS = st.dictionaries(
+    keys=st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+    values=st.integers(1, 40),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _to_symbol_vocab(words: dict[str, int]) -> dict[str, int]:
+    vocab: dict[str, int] = {}
+    for w, f in words.items():
+        s = " ".join(list(w) + ["_"])
+        vocab[s] = vocab.get(s, 0) + f
+    return vocab
+
+
+@given(words=_BPE_WORDS, batch=st.integers(2, 4))
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.filter_too_much, HealthCheck.too_slow],
+)
+def test_bpe_batched_equals_sequential_when_disjoint(words, batch):
+    from hypothesis import assume
+
+    from datafusion_rdbms_ext_spark.queries.llm import bpe_train_local
+
+    vocab = _to_symbol_vocab(words)
+    rounds = 1  # one batch window (disjointness is rare beyond it)
+    seq_rules, seq_cnts, seq_vocab = bpe_train_local(
+        vocab, rounds * batch, batch=1
+    )
+    # Precondition: within each window of `batch` sequential rules,
+    # the merged pairs are pairwise symbol-disjoint (a rule's RESULT
+    # feeding a later rule in the same window counts as overlap).
+    def window_disjoint() -> bool:
+        # reconstruct each rule's (a, b) symbols by replaying
+        replay, syms = dict(vocab), []
+        for merged in seq_rules:
+            # find the split point: the unique (a, b) with a+b == merged
+            # present in the replay vocab's adjacent pairs
+            found = None
+            for s in replay:
+                t = s.split(" ")
+                for a, b in zip(t, t[1:]):
+                    if a + b == merged:
+                        found = (a, b)
+                        break
+                if found:
+                    break
+            if found is None:
+                return False  # can't attribute — treat as overlap
+            syms.append(found)
+            nxt = {}
+            pat, rep = f" {found[0]} {found[1]} ", f" {merged} "
+            for s, f in replay.items():
+                p = f" {s} ".replace(pat, rep).replace(pat, rep).strip()
+                nxt[p] = nxt.get(p, 0) + f
+            replay = nxt
+        for w0 in range(0, len(syms), batch):
+            win = syms[w0 : w0 + batch]
+            used: set[str] = set()
+            for a, b in win:
+                if a in used or b in used:
+                    return False
+                # a rule's RESULT feeding a later rule in the same
+                # window is a chain — count the produced symbol too
+                used.update((a, b, a + b))
+        return True
+
+    assume(len(seq_rules) == rounds * batch)
+    assume(window_disjoint())
+    bat_rules, bat_cnts, bat_vocab = bpe_train_local(
+        vocab, rounds, batch=batch
+    )
+    assert bat_rules == seq_rules
+    assert bat_cnts == seq_cnts
+    assert bat_vocab == seq_vocab
+
+
+def test_bpe_spark_matches_local_reference(spark):
+    """The distributed bpe_train (batch=1 AND batch>1) must agree
+    with the pure-Python reference on rules, counts, and the final
+    corpus token count."""
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        bpe_train,
+        bpe_train_local,
+    )
+
+    words = {"abc": 16, "abd": 15, "xy": 20, "xz": 7, "pq": 5}
+    vocab = _to_symbol_vocab(words)
+    sdf = spark.createDataFrame(
+        [(s, f) for s, f in vocab.items()], "s string, freq long"
+    )
+    for rounds, batch in ((6, 1), (3, 2), (2, 3)):
+        rules, out_words = bpe_train(sdf, rounds, batch=batch)
+        ref_rules, ref_cnts, ref_vocab = bpe_train_local(
+            vocab, rounds, batch=batch
+        )
+        assert [m for (_, m, _, _) in rules] == ref_rules
+        assert [c for (_, _, c, _) in rules] == ref_cnts
+        got_vocab = {
+            r["s"]: 0 for r in out_words.select("s").collect()
+        }
+        for r in out_words.collect():
+            got_vocab[r["s"]] = got_vocab.get(r["s"], 0) + r["freq"]
+        assert got_vocab == ref_vocab
+        # measured corpus tokens after the last batch == reference
+        final_tokens = [t for (_, _, _, t) in rules if t is not None][-1]
+        ref_tokens = sum(
+            f * len(s.split(" ")) for s, f in ref_vocab.items()
+        )
+        assert final_tokens == ref_tokens
