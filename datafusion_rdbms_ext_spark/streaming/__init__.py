@@ -1008,6 +1008,66 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATE_SPLIT_DAY = 8  # days < 8 replay late; days >= 8 are batch one
 
 
+def late_policy_land(spark: SparkSession, root: str, i: int, part: DataFrame) -> None:
+    """Land one deterministic file-batch into the replay source dir."""
+    import shutil as _shutil
+
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    tmp = os.path.join(root, f"_stage{i}")
+    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+    f = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+    _shutil.move(os.path.join(tmp, f), os.path.join(src, f"{i:04d}.parquet"))
+    _shutil.rmtree(tmp)
+
+
+def late_policy_drain(spark: SparkSession, root: str, schema) -> None:
+    """One availableNow drain of the daily-window count over the
+    replay source, from the durable checkpoint under ``root`` — each
+    call is a fresh streaming query planned from the RESTORED
+    watermark, i.e. a driver restart."""
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(os.path.join(root, "src", "*.parquet"))
+    )
+    df = normalize_ts(raw, "events")
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = (
+        df.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n",
+        )
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", os.path.join(root, "out"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def late_policy_replay(spark: SparkSession, sf_dir: str, root: str) -> str:
+    """The two-drain late-data replay: recent days first (advances +
+    commits the watermark), then the oldest week, dropped entirely by
+    the checkpoint-restored watermark. Returns the parquet out path.
+    The restart test drives these same helpers through a THIRD drain
+    and a late-batch redelivery (VERDICT r7 next #5)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    late_policy_land(spark, root, 1, ev.filter(F.dayofmonth("ts") >= _LATE_SPLIT_DAY))
+    late_policy_drain(spark, root, ev.schema)
+    late_policy_land(spark, root, 2, ev.filter(F.dayofmonth("ts") < _LATE_SPLIT_DAY))
+    late_policy_drain(spark, root, ev.schema)
+    return os.path.join(root, "out")
+
+
 @register(
     "stream_late_data_policy",
     oracle=f"""
@@ -1036,7 +1096,6 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs its scan, never state growth), and the watermark itself is
     durable in the checkpoint — the restart replay here is the
     mechanism a production pipeline relies on after every deploy."""
-    import shutil as _shutil
     import tempfile
 
     # One two-drain replay per (session, sf_dir): the checkpoint's
@@ -1052,55 +1111,27 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day")
         )
     root = tempfile.mkdtemp(prefix="stream_late_")
-    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
-    os.makedirs(src)
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-
-    def land(i: int, part: DataFrame) -> None:
-        tmp = os.path.join(root, f"_stage{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        f = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
-        _shutil.move(os.path.join(tmp, f), os.path.join(src, f"{i:04d}.parquet"))
-        _shutil.rmtree(tmp)
-
-    def drain() -> None:
-        raw = (
-            spark.readStream.schema(ev.schema)
-            .format("parquet")
-            .load(os.path.join(src, "*.parquet"))
-        )
-        df = normalize_ts(raw, "events")
-        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        counts = (
-            df.withWatermark("ts", "1 day")
-            .groupBy(F.window("ts", "1 day").alias("w"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
-                "n",
-            )
-        )
-        q = (
-            counts.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    land(1, ev.filter(F.dayofmonth("ts") >= _LATE_SPLIT_DAY))
-    drain()  # advances + commits the watermark to max(ts) - 1 day
-    land(2, ev.filter(F.dayofmonth("ts") < _LATE_SPLIT_DAY))
-    drain()  # restored watermark drops the entire late batch
+    late_policy_replay(spark, sf_dir, root)
     spark.conf.set(memo, root)
+    out = os.path.join(root, "out")
     return (
         spark.read.parquet(out)
         .select("day", F.col("n").cast("long").alias("n"))
         .orderBy("day")
     )
+
+
+def full_outer_interval_join(p: DataFrame, c: DataFrame) -> DataFrame:
+    """The FULL OUTER interval-join shape shared by the registered
+    query and the kill-and-restart test: purchases full-outer clicks
+    within a trailing 1 h span on the same user."""
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    ).select("purchase_id", "click_id", "purchase_ts", "click_ts")
 
 
 # ---------------------------------------------------------------------------
@@ -1172,13 +1203,7 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("click_ts", "1 day")
     )
-    joined = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-        "full_outer",
-    ).select("purchase_id", "click_id", "purchase_ts", "click_ts")
+    joined = full_outer_interval_join(p, c)
 
     _RUN_SEQ[0] += 1
     name = f"stream_stream_full_outer_{_RUN_SEQ[0]}"

@@ -282,3 +282,131 @@ def test_durable_sketch_state_survives_restart_without_double_apply(tmp_path):
     s3.commit(3, {"a": 100})
     s2.commit(3, {"a": 100})
     assert s2.latest() == {"a": 103, "b": 15}
+
+
+def test_late_policy_restart_and_redelivery_stay_dropped(spark, tmp_path):
+    """Kill-and-restart for the late-data policy (VERDICT r7 next
+    #5): after the registered two-drain replay, a THIRD drain from
+    the same checkpoint (a restarted driver with no new data) must
+    emit nothing, and a REDELIVERED copy of the late week must still
+    be dropped by the checkpoint-restored watermark — finalized
+    windows never change and never duplicate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.streaming import (
+        _LATE_SPLIT_DAY,
+        late_policy_drain,
+        late_policy_land,
+        late_policy_replay,
+    )
+
+    root = str(tmp_path / "late")
+    os.makedirs(root)
+    out = late_policy_replay(spark, SMOKE_SF_DIR, root)
+    rows1 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert rows1, "replay emitted no finalized windows"
+    # Restart 1: no new data — the restored watermark and the file-
+    # source log make the drain a pure no-op.
+    ev = spark.read.parquet(os.path.join(SMOKE_SF_DIR, "events.parquet"))
+    late_policy_drain(spark, root, ev.schema)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == rows1
+    # Restart 2: the late week is REDELIVERED as a new file (an
+    # upstream replay after the restart). The restored watermark must
+    # drop every row again: same finalized windows, no duplicates.
+    late_policy_land(
+        spark, root, 3, ev.filter(F.dayofmonth("ts") < _LATE_SPLIT_DAY)
+    )
+    late_policy_drain(spark, root, ev.schema)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == rows1
+
+
+def test_full_outer_stream_join_restart_no_duplicate_nulls(spark, tmp_path):
+    """Kill-and-restart for the FULL OUTER interval join (VERDICT r7
+    next #5): the source arrives as two file-batches into the same
+    durable checkpoint; the second drain is a restarted driver whose
+    join state and watermark come from the checkpoint. Unmatched-row
+    (null-padded) emissions must not duplicate across the restart,
+    and a third no-op drain must emit nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.catalog import normalize_ts
+    from datafusion_rdbms_ext_spark.streaming import (
+        full_outer_interval_join,
+        late_policy_land,
+    )
+
+    root = str(tmp_path / "fo")
+    os.makedirs(root)
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    ev = spark.read.parquet(os.path.join(SMOKE_SF_DIR, "events.parquet"))
+
+    def drain() -> None:
+        raw = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .load(os.path.join(root, "src", "*.parquet"))
+        )
+        df = normalize_ts(raw, "events")
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        p = (
+            df.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 day")
+        )
+        c = (
+            df.filter((F.col("event_type") == "click") & (F.col("user_id") < 30))
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 day")
+        )
+        q = (
+            full_outer_interval_join(p, c)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = F.dayofmonth("ts") < 15
+    late_policy_land(spark, root, 1, ev.filter(half))
+    drain()  # run 1: builds join state, commits the watermark
+    late_policy_land(spark, root, 2, ev.filter(~half))
+    drain()  # run 2: RESTART — state + watermark restored
+    got = spark.read.parquet(out)
+
+    def _key(r):
+        return tuple((v is None, v) for v in r)
+
+    rows2 = sorted(map(tuple, got.collect()), key=_key)
+    # No duplicated matched pairs and no duplicated null emissions:
+    # every (purchase_id, click_id) combination — including the
+    # null-padded ones — appears exactly once.
+    keys = [
+        (r["purchase_id"], r["click_id"]) for r in got.collect()
+    ]
+    assert len(keys) == len(set(keys)), "duplicate emission across restart"
+    n_null = sum(1 for a, b in keys if a is None or b is None)
+    assert n_null > 0, "restart run finalized no unmatched rows"
+    # Run 3: no new data — nothing may be emitted again.
+    drain()
+    assert (
+        sorted(map(tuple, spark.read.parquet(out).collect()), key=_key)
+        == rows2
+    )
