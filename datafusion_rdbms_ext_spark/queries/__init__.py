@@ -117,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "micro_nested_access",
     "micro_sort_nulls",
     # -- round-8 additions (first-time proof in their own round)
-    # (appended here as they are registered this round)
+    "sink_skipping_composed",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -1469,3 +1469,182 @@ def sink_zonemap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity")).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed skipping index (round 8, VERDICT r7 next #6): ONE layout,
+# ONE manifest, BOTH pruning modes — the per-file min/max zonemap
+# answers range predicates, a per-file Bloom bitmap over a NON-layout
+# column answers point predicates, and a conjunctive query prunes
+# through both before any parquet footer is opened. This is the
+# reference's supports_filter_pushdown classification
+# (/root/reference/src/table_provider.rs:241-306 — inexact vs exact
+# filter classes routed to different evaluation sites) promoted from
+# row filtering to file skipping: the zonemap is the "exact range"
+# class, the Bloom the "membership, no false negatives" class, and
+# whatever survives still pushes the residual filters into the scan.
+# ---------------------------------------------------------------------------
+_COMPOSED_DIR_CONF = "spark.datafusion_rdbms_ext.composed_skip_dir"
+_COMPOSED_KEY = 1  # suppkey present at every sf, uncorrelated with layout
+
+
+def composed_skip_root(spark: SparkSession, sf_dir: str) -> tuple[str, dict, int]:
+    """Write lineitem range-clustered on l_orderkey once per
+    (session, sf_dir) with a manifest holding per-file zonemaps AND a
+    per-file Bloom bitmap index over l_suppkey.
+
+    Scale: the layout + zonemap half is exactly zonemap_lineitem_root;
+    the Bloom half is a distributed parquet index table (file, bit) —
+    ndv x k rows of two small columns per file, never collected. The
+    JSON manifest stays KB-sized (ranges only); the bitmap side scales
+    with data but reads pruned (bit IN probes) at lookup."""
+    import json as _json
+
+    key = f"{_COMPOSED_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing:
+        root, m = existing.rsplit("|", 1)
+        if os.path.isdir(root):
+            with open(os.path.join(root, "manifest.json")) as fh:
+                return root, _json.load(fh), int(m)
+    root = tempfile.mkdtemp(prefix="sink_composed_skip_")
+    data = os.path.join(root, "data")
+    (
+        spark.table("lineitem")
+        .repartitionByRange(_ZONEMAP_FILES, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(data)
+    )
+    by_file = spark.read.parquet(data).select(
+        F.input_file_name().alias("f"), "l_orderkey", "l_suppkey"
+    )
+    stats = (
+        by_file.groupBy("f")
+        .agg(F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx"))
+        .collect()  # <= #files rows: manifest-sized, never data-sized
+    )
+    manifest = {
+        r["f"].replace("file://", ""): [int(r["mn"]), int(r["mx"])]
+        for r in stats
+    }
+    with open(os.path.join(root, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    # Bloom bitmap per FILE over the point column, m self-scaled from
+    # the fattest file's key count (the r7 knob-derivation rule).
+    keys = by_file.select("f", "l_suppkey").distinct()
+    max_ndv = (
+        keys.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ndv"))
+        .agg(F.max("ndv"))
+        .collect()[0][0]
+    )
+    m = 1 << max(int(max_ndv * _BLOOM_LOAD) - 1, 1).bit_length()
+    bits = keys.select(
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    _bloom_bit_spark(F.col("l_suppkey"), i, m)
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    ).distinct()
+    bits.repartition(1).write.mode("overwrite").parquet(
+        os.path.join(root, "bloom")
+    )
+    spark.conf.set(key, f"{root}|{m}")
+    return root, manifest, m
+
+
+def composed_skip_files(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    m: int,
+    lo: int,
+    hi: int,
+    point_key: int,
+) -> tuple[list[str], list[str]]:
+    """Two-stage file pruning for ``l_orderkey BETWEEN lo AND hi AND
+    l_suppkey = point_key``: zonemap range overlap first (pure
+    metadata, zero reads), then the Bloom membership probe over ONLY
+    the range survivors. Returns (range_files, final_files) so rails
+    can assert each stage pruned. No false negatives in either stage:
+    the zonemap covers every row by construction, the Bloom bitmap
+    contains every present key's bits."""
+    range_files = zonemap_prune(manifest, lo, hi)
+    if not range_files:
+        return [], []
+    probes = sorted(set(_bloom_bits_py(point_key, m)))
+    idx = spark.read.parquet(os.path.join(root, "bloom"))
+    rows = (
+        idx.filter(
+            F.regexp_replace(F.col("f"), "^file://", "").isin(range_files)
+            & F.col("bit").isin(probes)
+        )
+        .groupBy("f")
+        .agg(F.countDistinct("bit").alias("nb"))
+        .filter(F.col("nb") == len(probes))
+        .select("f")
+        .collect()  # <= #surviving-files rows: metadata-sized
+    )
+    final = sorted(r[0].replace("file://", "") for r in rows)
+    return range_files, final
+
+
+def _composed_agg(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@register(
+    "sink_skipping_composed",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {_ZONEMAP_LO} AND {_ZONEMAP_HI}
+      AND l_suppkey = {_COMPOSED_KEY}
+    """,
+    doc="Composed file skipping: one range-clustered layout whose "
+    "manifest carries BOTH per-file l_orderkey zonemaps and a "
+    "per-file Bloom bitmap over l_suppkey; a conjunctive "
+    "range+point query prunes through zonemap then Bloom before any "
+    "footer is opened (the reference's filter-pushdown "
+    "classification, table_provider.rs:241-306, promoted to file "
+    "skipping). Stage-by-stage pruning and the zero-files-read "
+    "corners are asserted in tests/test_skew_and_sinks.py.",
+    tags=("sink", "source", "bench"),
+)
+def sink_skipping_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range+point aggregate over only the doubly-surviving files.
+
+    Scale: the zonemap stage is driver-side metadata (KBs at any
+    table size); the Bloom stage reads bit-pruned slices of a
+    file-keyed index table and returns file NAMES; the data scan
+    reads range/total of the files further thinned by key membership
+    — at 100 TB a point-in-range lookup touches a handful of files
+    instead of the clustered range's hundreds. Residual filters
+    still push into the parquet scan below the file skip."""
+    root, manifest, m = composed_skip_root(spark, sf_dir)
+    _, files = composed_skip_files(
+        spark, root, manifest, m, _ZONEMAP_LO, _ZONEMAP_HI, _COMPOSED_KEY
+    )
+    if not files:
+        # Every file pruned: aggregate over an empty, zero-read scan.
+        files = sorted(manifest)[:1]
+        return _composed_agg(
+            spark.read.parquet(*files).filter(F.lit(False))
+        )
+    return _composed_agg(
+        spark.read.parquet(*files).filter(
+            F.col("l_orderkey").between(_ZONEMAP_LO, _ZONEMAP_HI)
+            & (F.col("l_suppkey") == _COMPOSED_KEY)
+        )
+    )

@@ -386,3 +386,54 @@ def test_zonemap_manifest_prunes_files(spark):
         .count()
     )
     assert n_all == n_sel > 0
+
+
+def test_composed_skipping_prunes_stage_by_stage(spark):
+    """The composed index must prune at BOTH stages — the zonemap
+    cuts the file list to the range overlap, the Bloom cuts the
+    survivors to the files that can hold the point key — and never
+    lose a qualifying row (no false negatives through the
+    composition). Zero-read corners: a range outside every zonemap,
+    and a present range with an absent point key, must both return
+    ZERO data files (VERDICT r7 next #6)."""
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        _COMPOSED_KEY,
+        _ZONEMAP_HI,
+        _ZONEMAP_LO,
+        composed_skip_files,
+        composed_skip_root,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    root, manifest, m = composed_skip_root(spark, SMOKE_SF_DIR)
+    range_files, final = composed_skip_files(
+        spark, root, manifest, m, _ZONEMAP_LO, _ZONEMAP_HI, _COMPOSED_KEY
+    )
+    assert len(manifest) > 1
+    # stage 1 pruned, stage 2 pruned further or held (Bloom may keep
+    # all range files when the key truly spans them — assert <=, and
+    # strictly below the full layout).
+    assert 0 < len(range_files) < len(manifest)
+    assert 0 < len(final) <= len(range_files) < len(manifest)
+    # No false negatives through the composition: every qualifying
+    # row lives in a finally-selected file.
+    pred = F.col("l_orderkey").between(_ZONEMAP_LO, _ZONEMAP_HI) & (
+        F.col("l_suppkey") == _COMPOSED_KEY
+    )
+    n_all = spark.read.parquet(*manifest.keys()).filter(pred).count()
+    n_sel = spark.read.parquet(*final).filter(pred).count()
+    assert n_all == n_sel > 0
+    # Zero-files corner 1: a range beyond every zonemap reads NOTHING
+    # — not even the Bloom index is consulted.
+    rf, ff = composed_skip_files(
+        spark, root, manifest, m, 10**12, 10**12 + 500, _COMPOSED_KEY
+    )
+    assert rf == [] and ff == []
+    # Zero-files corner 2 (point-in-pruned-range): the range overlaps
+    # files but the point key doesn't exist anywhere — the Bloom
+    # stage must shed (almost) every range survivor; with k=3 probes
+    # at ~0.5% fpp an accidental survivor is possible but rare.
+    _, ghost = composed_skip_files(
+        spark, root, manifest, m, _ZONEMAP_LO, _ZONEMAP_HI, 10**12 + 7
+    )
+    assert len(ghost) <= 1
