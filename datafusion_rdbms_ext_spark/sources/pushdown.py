@@ -453,7 +453,21 @@ class _Unparser:
             # Name scoping is handled by our own nesting; pass through.
             return self.unparse(node.child())
         if nm == "Project":
-            cols = ", ".join(e.sql() for e in _seq(node.projectList()))
+            # Dedupe byte-identical projections: Catalyst sometimes
+            # lists the same attribute twice (e.g. a window column
+            # both projected and re-selected), which renders as
+            # "..., r, r" — DuckDB binds the first, but a live
+            # Postgres rejects the outer reference as ambiguous
+            # (round-8 battery finding). Identical SQL means
+            # identical value, so keeping the first is exact.
+            seen: set[str] = set()
+            parts: list[str] = []
+            for e in _seq(node.projectList()):
+                s = e.sql()
+                if s not in seen:
+                    seen.add(s)
+                    parts.append(s)
+            cols = ", ".join(parts)
             return f"SELECT {cols} FROM ({self.unparse(node.child())}) {self._alias()}"
         if nm == "Filter":
             cond = node.condition().sql()

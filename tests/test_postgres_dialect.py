@@ -267,3 +267,71 @@ def test_postgres_unparse_full_pin(spark):
         "(SELECT * FROM (SELECT * FROM nation) _p1 WHERE (n_regionkey > 1)) _p2 "
         "GROUP BY n_regionkey"
     ), sql
+
+
+def test_postgres_join_window_setop_pins(spark):
+    """Byte-for-byte pins for the join / window / set-op shapes in the
+    postgres dialect (VERDICT r7 next #7) — the same discipline as the
+    SQLite arm: a generation regression that silently changes any of
+    these statements fails here, not on a live wire. The window pin
+    also locks the round-8 duplicate-projection dedupe (Catalyst
+    lists a window column twice; Postgres would reject the outer
+    reference as ambiguous)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        unparse_to_dialect,
+    )
+    from tests.conftest import SF_DIR
+
+    ensure_tables(spark, SF_DIR)
+
+    j = (
+        _fed_table(spark, SF_DIR, "nation")
+        .join(
+            _fed_table(spark, SF_DIR, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "inner",
+        )
+        .select("n_name", "r_name")
+    )
+    assert unparse_to_dialect(j, "postgres") == (
+        "SELECT n_name, r_name FROM (SELECT * FROM (SELECT * FROM nation) _p1 "
+        "INNER JOIN (SELECT * FROM region) _p2 ON (n_regionkey = r_regionkey)) _p3"
+    )
+
+    w = _fed_table(spark, SF_DIR, "customer").select(
+        "c_custkey",
+        F.row_number()
+        .over(Window.partitionBy("c_mktsegment").orderBy("c_custkey"))
+        .alias("r"),
+    )
+    assert unparse_to_dialect(w, "postgres") == (
+        "SELECT c_custkey, r FROM (SELECT c_custkey, c_mktsegment, r FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY "
+        "c_custkey ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS r FROM (SELECT c_custkey, c_mktsegment FROM "
+        "(SELECT * FROM customer) _p1) _p2) _p3) _p4"
+    )
+
+    a = _fed_table(spark, SF_DIR, "nation").select(
+        F.col("n_regionkey").alias("k")
+    )
+    b = _fed_table(spark, SF_DIR, "region").select(
+        F.col("r_regionkey").alias("k")
+    )
+    for df, op in (
+        (a.intersectAll(b), "INTERSECT ALL"),
+        (a.exceptAll(b), "EXCEPT ALL"),
+        (a.union(b), "UNION ALL"),
+    ):
+        assert unparse_to_dialect(df, "postgres") == (
+            "SELECT * FROM (SELECT n_regionkey AS k FROM "
+            "(SELECT * FROM nation) _p1) _p2 "
+            f"{op} "
+            "SELECT * FROM (SELECT r_regionkey AS k FROM "
+            "(SELECT * FROM region) _p3) _p4"
+        ), op
