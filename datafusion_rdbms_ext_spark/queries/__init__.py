@@ -118,6 +118,9 @@ _PRIORITY: tuple[str, ...] = (
     "micro_sort_nulls",
     # -- round-8 additions (first-time proof in their own round)
     "sink_skipping_composed",
+    "llm_bpe_apply",
+    "ev_trend_ols",
+    "llm_embedding_quantize",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -1156,3 +1156,90 @@ def ev_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (round 8): closed-form least-squares slope and
+# intercept of the daily event count against the day index, per event
+# type — the "is this metric trending?" primitive every monitoring
+# stack computes. All moments are exact BIGINT sums (counts and day
+# indexes are integers), so the only floating-point work is ONE
+# division per group at the very end — the same single-terminal-op
+# discipline as the decimal-money aggregates, making the doubles
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_trend_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(d * y) AS BIGINT) AS sxy,
+             CAST(SUM(d * d) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+    FROM m WHERE n * sxx - sx * sx <> 0
+    ORDER BY event_type
+    """,
+    doc="Per-event-type OLS trend of daily counts: closed-form slope "
+    "and intercept from exact integer moment sums (n, Sx, Sy, Sxy, "
+    "Sxx), one double division per group at the end — bit-identical "
+    "across engines by construction. Degenerate groups (a single "
+    "day: zero variance) are excluded on both sides.",
+    tags=("events", "timeseries", "bench"),
+)
+def ev_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count trend line per event type.
+
+    Scale: one shuffle to (event_type, day) — partial-aggregated
+    map-side — then a per-type rollup of five integer moments
+    (map-side combine again; |types| rows). The regression itself is
+    arithmetic on the tiny moment table. At 100 TB this is the
+    pattern for ANY per-group linear fit: moments first, closed form
+    after, never a per-group collect."""
+    daily = (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("y")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        m.filter(den != 0)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / den.cast("double")
+            ).alias("slope"),
+            (
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+                / den.cast("double")
+            ).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )

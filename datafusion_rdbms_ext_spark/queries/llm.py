@@ -5868,7 +5868,10 @@ def bpe_train(words: DataFrame, rounds: int, batch: int = 1):
             pat, rep = f" {pair} ", f" {merged} "
             # two-pass replace-all == greedy left-to-right merge
             col = F.regexp_replace(F.regexp_replace(col, pat, rep), pat, rep)
-        words = words.select(F.trim(col).alias("s"), "freq").localCheckpoint()
+        # Preserve any extra columns (e.g. the word identity the
+        # APPLY path needs) — the trainer only consumes (s, freq).
+        others = [c for c in words.columns if c != "s"]
+        words = words.select(F.trim(col).alias("s"), *others).localCheckpoint()
         tokens_after = int(
             words.agg(
                 F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t")
@@ -6041,3 +6044,212 @@ def llm_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .base import REGISTRY as _R2  # noqa: E402
 
 _R2["llm_dedup_eval"].oracle = _sql_dedup_eval_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 44. BPE tokenizer APPLICATION (round 8): the other half of
+#     llm_tokenize_bpe — apply the learned merge table to the corpus
+#     and report per-document token counts. Training is vocab-sized;
+#     application is the map-side pass a 100 TB tokenization job
+#     actually spends its time in: explode to words, join the
+#     word -> token-count map (broadcast — vocabulary ~ sqrt(corpus)
+#     by Heaps' law), sum per document. The oracle threads the
+#     original word through the same unrolled merge stages so both
+#     engines tokenize with the identical learned rules.
+# ---------------------------------------------------------------------------
+_BPE_APPLY_DOCS = 50  # report the first N docs (bounded, deterministic)
+
+
+def _sql_bpe_apply_oracle() -> str:
+    """The llm_tokenize_bpe unrolled stages with ``word`` carried
+    through, finished by a corpus re-join: per-doc token counts under
+    the learned merges."""
+    stages = ["""
+    words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY word
+    ),
+    w0 AS (
+      SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS s, freq
+      FROM words
+    )"""]
+    for r in range(_BPE_ROUNDS):
+        stages.append(f"""
+    p{r} AS (
+      SELECT z[1] || ' ' || z[2] AS pair, SUM(freq) AS cnt
+      FROM (
+        SELECT freq, unnest(list_zip(l, list_slice(l, 2, len(l)))) AS z
+        FROM (SELECT freq, string_split(s, ' ') AS l FROM w{r})
+      )
+      WHERE z[2] IS NOT NULL
+      GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{r + 1} AS (
+      SELECT word, trim(regexp_replace(regexp_replace(
+               ' ' || s || ' ',
+               ' ' || p{r}.pair || ' ', ' ' || replace(p{r}.pair, ' ', '') || ' ', 'g'),
+               ' ' || p{r}.pair || ' ', ' ' || replace(p{r}.pair, ' ', '') || ' ', 'g')
+             ) AS s, freq
+      FROM w{r} CROSS JOIN p{r}
+    )""")
+    return (
+        "WITH" + ",".join(stages) + f""",
+    tok AS (
+      SELECT word, len(string_split(s, ' ')) AS nt FROM w{_BPE_ROUNDS}
+    )
+    SELECT d.doc_id,
+           CAST(SUM(tok.nt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < {_BPE_APPLY_DOCS}
+    ) d JOIN tok ON tok.word = d.word
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """
+    )
+
+
+@register(
+    "llm_bpe_apply",
+    oracle=_sql_bpe_apply_oracle(),
+    doc="BPE tokenizer application: the corpus tokenized under the "
+    f"{_BPE_ROUNDS} learned merge rules — per-document token counts "
+    "via a broadcast word->token-count map. Training and application "
+    "share one merge table (bpe_train), and the oracle threads the "
+    "word identity through the identical unrolled stages, so the "
+    "differential check covers the full train-then-tokenize path.",
+    tags=("llm", "text", "bench"),
+)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BPE merges.
+
+    Scale: training cost is vocab-sized (see llm_tokenize_bpe; the
+    batched trainer cuts it ~Bx further); application is ONE
+    corpus-sized explode + a broadcast hash join against the
+    vocab-sized (word, n_tokens) map + a partial-aggregated sum per
+    doc_id. Nothing corpus-sized ever shuffles except the final
+    per-doc rollup, which AQE coalesces."""
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            F.concat(
+                F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("_")
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    # The trainer passes the word identity through untouched, so the
+    # returned vocabulary IS the word -> merged-symbol-string map.
+    _rules, merged_words = bpe_train(words, _BPE_ROUNDS, batch=1)
+    tok_map = merged_words.select(
+        "word", F.size(F.split("s", " ")).alias("nt")
+    )
+    docs = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < _BPE_APPLY_DOCS)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    )
+    return (
+        docs.join(F.broadcast(tok_map), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 45. Int8 scalar quantization of embeddings (round 8): the serving-
+#     scale companion to the PQ family — per-vector (min, max) range,
+#     codes = floor((x - min) / scale) clipped to [0, 255], the
+#     asymmetric uint8 layout every vector store ships. All compared
+#     outputs are integers (codes and their sums); the only floating
+#     point is the (x - min) / scale expression, evaluated in double
+#     with identical operation order in both engines, then floored —
+#     so the differential check is exact despite the float interior.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx,
+             embedding
+      FROM embeddings WHERE vec_id < 200
+    ),
+    q AS (
+      SELECT vec_id, mn, mx,
+             CASE WHEN mx > mn THEN
+               list_transform(embedding, x ->
+                 LEAST(255, CAST(floor((CAST(x AS DOUBLE) - mn)
+                                       / ((mx - mn) / 255)) AS BIGINT)))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+             END AS codes
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(list_min(codes) AS BIGINT) AS min_code,
+           CAST(list_max(codes) AS BIGINT) AS max_code,
+           CAST(len(codes) AS BIGINT) AS dim
+    FROM q ORDER BY vec_id
+    """,
+    doc="Int8 scalar quantization (asymmetric uint8, per-vector "
+    "range): codes = clip(floor((x - min) / ((max - min) / 255)), "
+    "0..255) via a map-side higher-order transform — 4x memory "
+    "compression for ANN serving. Compared outputs are pure "
+    "integers; the float interior is one identically-ordered "
+    "double expression per element, so floor() agrees bit-exactly "
+    "across engines.",
+    tags=("llm", "embedding", "bench"),
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 code summaries for the quantized embeddings.
+
+    Scale: entirely map-side (transform + aggregate inside the row —
+    no explode, no shuffle except the final orderBy for the report);
+    at 100 TB the quantized table writes behind the same scan at
+    1/4 the embedding bytes, and the codes stay JVM-side in
+    whole-stage codegen (no Python)."""
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = lambda x: F.least(  # noqa: E731
+        F.lit(255).cast("long"),
+        F.floor((x.cast("double") - F.col("mn")) / F.col("scale")).cast("long"),
+    )
+    q = (
+        spark.table("embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding", mn.alias("mn"), mx.alias("mx"))
+        .withColumn("scale", scale)
+        .select(
+            "vec_id",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.transform(F.col("embedding"), code),
+            )
+            .otherwise(
+                F.transform(F.col("embedding"), lambda x: F.lit(0).cast("long"))
+            )
+            .alias("codes"),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_codes"),
+        F.array_min("codes").cast("long").alias("min_code"),
+        F.array_max("codes").cast("long").alias("max_code"),
+        F.size("codes").cast("long").alias("dim"),
+    ).orderBy("vec_id")
