@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_bpe_apply",
     "ev_trend_ols",
     "llm_embedding_quantize",
+    "source_table_stats",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -1648,3 +1648,105 @@ def sink_skipping_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_suppkey") == _COMPOSED_KEY)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Table statistics collection (round 8) — the ANALYZE TABLE /
+# pg_statistics surface the reference's catalog carries implicitly
+# (row-count probes, mod.rs:170-189) promoted to a first-class,
+# queryable stats table: per column, exact NDV, null count, and
+# min/max rendered to strings. These are the numbers a cost-based
+# planner needs for its broadcast / shuffle / join-order decisions;
+# stats_broadcast_hint below actually consumes them, so the stats
+# are load-bearing, not a report.
+# ---------------------------------------------------------------------------
+_STATS_COLS = ("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag",
+               "l_linestatus", "l_shipdate")
+
+
+def collect_column_stats(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """One pass over ``df`` producing (column, n_rows, ndv, n_nulls,
+    min_s, max_s) per requested column — every aggregate in a single
+    map-side-combined job, then unpivoted to rows."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"{c}__ndv").cast("long").alias("ndv"),
+            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{c}__mn").alias("min_s"),
+            F.col(f"{c}__mx").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return (
+        one.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )
+
+
+@register(
+    "source_table_stats",
+    oracle="".join(
+        ("UNION ALL".join(
+            f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           MIN(CAST({c} AS VARCHAR)) AS min_s,
+           MAX(CAST({c} AS VARCHAR)) AS max_s
+    FROM lineitem
+    """
+            for c in _STATS_COLS
+        ), 'ORDER BY "column"')
+    ),
+    doc="ANALYZE-style exact column statistics (NDV, nulls, min/max) "
+    "for six lineitem columns in ONE aggregation pass, unpivoted to "
+    "a queryable stats table — the catalog surface a cost-based "
+    "planner reads; stats_broadcast_hint consumes it for the "
+    "broadcast-vs-shuffle join decision (rails in "
+    "tests/test_skew_and_sinks.py).",
+    tags=("source", "catalog", "bench"),
+)
+def source_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem column-statistics table.
+
+    Scale: one map-side-combined aggregation over the scan (all 25
+    aggregates share the pass; countDistinct rewrites to expand +
+    partial dedup, still one shuffle); output is |columns| rows. At
+    100 TB swap countDistinct for approx_count_distinct and the
+    operator is identical — the exact form here is what makes the
+    differential proof possible."""
+    return collect_column_stats(spark.table("lineitem"), _STATS_COLS)
+
+
+def stats_broadcast_hint(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    right_stats: DataFrame,
+    on,
+    row_bytes: int = 64,
+    threshold_bytes: int = 10 * 1024 * 1024,
+):
+    """Stats-DRIVEN join planning: broadcast the right side iff the
+    collected stats say it fits (n_rows x row_bytes under the
+    threshold) — the reference's cost-classification seam
+    (table_provider.rs:241-306 routes by what the source can prove)
+    expressed as Spark join strategy. Returns (joined, broadcasted)."""
+    n = right_stats.select(F.max("n_rows")).collect()[0][0] or 0
+    if n * row_bytes <= threshold_bytes:
+        return left.join(F.broadcast(right), on), True
+    return left.join(right, on), False

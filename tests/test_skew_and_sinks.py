@@ -437,3 +437,37 @@ def test_composed_skipping_prunes_stage_by_stage(spark):
         spark, root, manifest, m, _ZONEMAP_LO, _ZONEMAP_HI, 10**12 + 7
     )
     assert len(ghost) <= 1
+
+
+def test_stats_broadcast_hint_drives_join_strategy(spark):
+    """The collected stats must actually STEER the join: a small
+    right side (stats say it fits) plans a BroadcastHashJoin; a
+    side the stats call too big for the threshold does not get the
+    hint. Values are strategy-invariant either way."""
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        collect_column_stats,
+        stats_broadcast_hint,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    li = spark.table("lineitem")
+    supp = spark.table("supplier")
+    stats = collect_column_stats(supp, ("s_suppkey",))
+    joined, did = stats_broadcast_hint(
+        spark, li, supp, stats, li["l_suppkey"] == supp["s_suppkey"]
+    )
+    assert did is True
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    # Force the threshold below the stats-estimated size: no hint.
+    joined2, did2 = stats_broadcast_hint(
+        spark,
+        li,
+        supp,
+        stats,
+        li["l_suppkey"] == supp["s_suppkey"],
+        threshold_bytes=1,
+    )
+    assert did2 is False
+    # Strategy choice never changes values.
+    assert joined.count() == joined2.count()
