@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev_trend_ols",
     "llm_embedding_quantize",
     "source_table_stats",
+    "olap_result_cache",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

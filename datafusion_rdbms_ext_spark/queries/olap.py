@@ -647,3 +647,72 @@ def olap_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Plan-digest result cache (round 8): the dashboard-traffic layer —
+# a repeated rollup is served from its materialized prior result,
+# keyed by the analyzed plan's canonical string + input snapshot
+# tokens (plans/result_cache.py). The registered query runs the
+# rollup through the cache TWICE inside one call: the second serve
+# must come from the cache (zero base-table scans — railed in
+# tests/test_plans.py), and what it returns is under the same
+# differential oracle as a direct execution, proving the cache is
+# semantics-invisible.
+# ---------------------------------------------------------------------------
+_RESULT_CACHE_CONF = "spark.datafusion_rdbms_ext.result_cache_dir"
+
+
+def _orders_rollup(spark: SparkSession) -> DataFrame:
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "olap_result_cache",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Plan-digest result cache: an order-priority rollup executed "
+    "through the cache twice in one call — the first serve "
+    "materializes, the second is addressed purely by the analyzed-"
+    "plan digest + snapshot token and reads the materialized "
+    "parquet (no base scan; tests/test_plans.py rails the plan and "
+    "the invalidation-by-token contract). The differential oracle "
+    "proves the cached serve is value-identical to direct "
+    "execution.",
+    tags=("olap", "cache"),
+)
+def olap_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup, served from the result cache.
+
+    Scale: the cached artifact is |priorities| rows regardless of
+    fact-table size; the digest is driver-side metadata. A dashboard
+    that refreshes every minute re-reads KBs instead of re-scanning
+    the table; a new table snapshot changes the token and naturally
+    re-materializes."""
+    import tempfile
+
+    from ..plans.result_cache import ResultCache
+
+    root = spark.conf.get(_RESULT_CACHE_CONF, None)
+    if not root or not __import__("os").path.isdir(root):
+        root = tempfile.mkdtemp(prefix="result_cache_")
+        spark.conf.set(_RESULT_CACHE_CONF, root)
+    cache = ResultCache(root)
+    token = [f"orders@{sf_dir}"]
+    cache.get_or_compute(spark, _orders_rollup(spark), token)  # materialize
+    served = cache.get_or_compute(spark, _orders_rollup(spark), token)  # hit
+    return served.orderBy("o_orderpriority")

@@ -685,3 +685,41 @@ def test_mv_having_strip_is_quote_aware(spark):
     assert "100L" in cond, cond  # string literal survived intact
     direct = sorted(tuple(r) for r in user.collect())
     assert sorted(tuple(r) for r in served.collect()) == direct
+
+
+def test_result_cache_hit_skips_base_scan_and_invalidates_by_token(spark, tmp_path):
+    """The result cache contract (round 8): (a) a HIT's plan reads
+    the materialized parquet, not the base table; (b) two
+    differently-authored frames with the same analyzed plan share an
+    entry; (c) changing the snapshot token re-addresses — stale
+    entries are simply never served."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.plans.result_cache import ResultCache
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+
+    ensure_tables(spark, SF_DIR)
+    cache = ResultCache(str(tmp_path / "rc"))
+
+    def rollup():
+        return (
+            spark.table("orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    first = cache.get_or_compute(spark, rollup(), ["orders@v1"])
+    assert (cache.hits, cache.misses) == (0, 1)
+    second = cache.get_or_compute(spark, rollup(), ["orders@v1"])
+    assert (cache.hits, cache.misses) == (1, 1)
+    # The served plan must scan ONLY the cache dir — no orders scan.
+    plan = "\n".join(read_schemas(second)) + plan_string(second)
+    assert "rc" in plan and "orders" not in plan.lower().replace(
+        "o_orderpriority", ""
+    ), plan[:800]
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, second.collect())
+    )
+    # New snapshot token -> different digest -> re-materializes.
+    cache.get_or_compute(spark, rollup(), ["orders@v2"])
+    assert cache.misses == 2
