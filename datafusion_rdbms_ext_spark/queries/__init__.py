@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_embedding_quantize",
     "source_table_stats",
     "olap_result_cache",
+    "mm_silence_trim",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

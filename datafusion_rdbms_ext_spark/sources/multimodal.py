@@ -539,3 +539,127 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence trimming (round 8) — the standard audio-preprocessing
+# step before ASR/diarization in a training pipeline: frame the
+# decoded sample stream, score per-frame energy, and trim the
+# leading/trailing frames below the silence threshold. The decode is
+# the same deterministic stub as the rest of the family
+# (_fake_decode: payload bytes ARE the samples); everything Spark —
+# Arrow batching, frame windowing, integer energy — is real and
+# differentially proven.
+# ---------------------------------------------------------------------------
+_AUDIO_FRAME = 16  # samples per frame
+_AUDIO_DC = 96  # stub DC offset (letter-range center)
+_AUDIO_SILENCE_T = 12000  # frame energy threshold
+
+
+def audio_frame_energy(assets: DataFrame) -> DataFrame:
+    """(doc_id, frame, energy): integer per-frame energy — sum of
+    squared deviation from the DC offset — via one Arrow pass."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, energies = [], [], []
+            for doc_id, c in zip(pdf["doc_id"], pdf["content"]):
+                a = _fake_decode(c).astype(np.int64)
+                n = a.size
+                if n == 0:
+                    continue
+                fr = np.arange(n) // _AUDIO_FRAME
+                nf = int(fr[-1]) + 1
+                dev = (a - _AUDIO_DC) ** 2
+                e = np.zeros(nf, dtype=np.int64)
+                np.add.at(e, fr, dev)
+                ids.extend([doc_id] * nf)
+                frames.extend(range(nf))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame": pd.array(frames, dtype="int64"),
+                    "energy": pd.array(energies, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(fn, "doc_id long, frame long, energy long")
+
+
+@register(
+    "mm_silence_trim",
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+      WHERE doc_id % 3 = 1 AND len(text) > 0
+    ),
+    frames AS (
+      SELECT doc_id, (pos - 1) // {_AUDIO_FRAME} AS frame,
+             SUM((ascii(substr(text, CAST(pos AS INTEGER), 1)) - {_AUDIO_DC})
+                 * (ascii(substr(text, CAST(pos AS INTEGER), 1)) - {_AUDIO_DC}))
+               AS energy
+      FROM audio, unnest(range(1, n + 1)) AS t(pos)
+      GROUP BY doc_id, (pos - 1) // {_AUDIO_FRAME}
+    ),
+    spans AS (
+      SELECT doc_id,
+             COUNT(*) AS n_frames,
+             MIN(CASE WHEN energy > {_AUDIO_SILENCE_T} THEN frame END)
+               AS first_loud,
+             MAX(CASE WHEN energy > {_AUDIO_SILENCE_T} THEN frame END)
+               AS last_loud,
+             SUM(energy) AS total_energy
+      FROM frames GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(COALESCE(last_loud - first_loud + 1, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(first_loud, -1) AS BIGINT) AS first_loud,
+           CAST(COALESCE(last_loud, -1) AS BIGINT) AS last_loud,
+           CAST(total_energy AS BIGINT) AS total_energy
+    FROM spans ORDER BY doc_id
+    """,
+    doc="Audio silence trimming: per-frame integer energy (sum of "
+    "squared DC-offset deviation over 16-sample frames, one Arrow "
+    "pass), leading/trailing frames at or below the threshold "
+    "trimmed — the kept span per asset plus its exact energy total. "
+    "All compared quantities are integers; the stub decode keeps "
+    "the oracle able to replay the identical samples.",
+    tags=("multimodal", "audio", "bench"),
+)
+def mm_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-span report after trimming silent edge frames.
+
+    Scale: payload bytes are consumed inside one mapInPandas pass and
+    never shuffle; what aggregates is (doc_id, frame, energy) — a
+    ~1/16 row-count reduction — and the per-doc rollup is five
+    integer aggregates with map-side combine. A real codec swaps in
+    behind _fake_decode without touching the plan."""
+    audio = load_assets(spark).filter(
+        (F.col("modality") == "audio") & (F.length(F.col("content")) > 0)
+    )
+    loud = F.when(
+        F.col("energy") > _AUDIO_SILENCE_T, F.col("frame")
+    )
+    return (
+        audio_frame_energy(audio)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min(loud).alias("_first"),
+            F.max(loud).alias("_last"),
+            F.sum("energy").alias("total_energy"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce(
+                F.col("_last") - F.col("_first") + 1, F.lit(0)
+            ).cast("long").alias("n_kept"),
+            F.coalesce(F.col("_first"), F.lit(-1)).cast("long").alias("first_loud"),
+            F.coalesce(F.col("_last"), F.lit(-1)).cast("long").alias("last_loud"),
+            "total_energy",
+        )
+        .orderBy("doc_id")
+    )
