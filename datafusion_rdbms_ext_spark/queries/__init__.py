@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_table_stats",
     "olap_result_cache",
     "mm_silence_trim",
+    "ev_attribution_linear",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -1243,3 +1243,148 @@ def ev_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (round 8): the companion to
+# ev_attribution_last_touch — every click/view in the 7-day window
+# before a purchase shares the credit equally. Credit is EXACT
+# integer ppm: each touch gets floor(1e6/n) and the remainder goes
+# one-millionth-each to the earliest touches (deterministic
+# (t, event_id) order), so per-conversion credit always sums to
+# exactly 1e6 and the differential check is integer-exact; revenue
+# splits are decimal-exact with one terminal double division.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS conv_id, user_id, epoch_us(ts) AS t, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS touch_id, user_id, epoch_us(ts) AS tt,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.conv_id, p.value, c.touch_type, c.tt, c.touch_id
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.tt BETWEEN p.t - {_ATTR_WINDOW_US} AND p.t
+    ),
+    ranked AS (
+      SELECT conv_id, value, touch_type,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY tt, touch_id) AS r
+      FROM pairs
+    ),
+    credits AS (
+      SELECT touch_type, value,
+             1000000 // n
+               + CASE WHEN r <= 1000000 % n THEN 1 ELSE 0 END AS ppm
+      FROM ranked
+      UNION ALL
+      SELECT 'none', p.value, 1000000
+      FROM p WHERE NOT EXISTS (
+        SELECT 1 FROM pairs WHERE pairs.conv_id = p.conv_id
+      )
+    )
+    SELECT touch_type,
+           CAST(SUM(ppm) AS BIGINT) AS credit_ppm,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(30,8)) * ppm
+                         AS DECIMAL(38,8))) AS DOUBLE) / 1000000
+             AS attributed_value
+    FROM credits GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Linear multi-touch attribution: every click/view in the "
+    "7-day pre-purchase window shares the conversion credit equally "
+    "— integer-ppm credit with the remainder to the earliest "
+    "touches (per-conversion credit sums to exactly 1e6), revenue "
+    "split decimal-exact. Pairs form in the bucketed interval join "
+    "(canonical-bucket, no inequality nested loop); unattributed "
+    "purchases land whole in the 'none' bucket.",
+    tags=("events", "olap", "bench"),
+)
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel linear-attributed credit and revenue.
+
+    Scale: candidate pairs form in interval_overlap_join's bucketed
+    equi-join (each conversion window spans <= 2 buckets; no
+    unbounded inequality join reaches the planner); the per-
+    conversion share needs one window over the pair set — pair-
+    volume-sized, duplicate-bounded by touches-per-user-week, orders
+    below the event count. Credit math is integer; the final rollup
+    is |channels| rows."""
+    from pyspark.sql import Window
+
+    from ..functions.compat import ts_micros
+    from ..operators.temporal import interval_overlap_join
+
+    ev = spark.table("events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("conv_id"),
+            ts_micros("ts").alias("conv_t"),
+            F.col("value").alias("conv_value"),
+        )
+        .withColumn("_s", F.col("conv_t") - F.lit(_ATTR_WINDOW_US))
+        .withColumn("_e", F.col("conv_t") + F.lit(1))
+    )
+    c = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+            ts_micros("ts").alias("touch_t"),
+        )
+        .withColumn("_s", F.col("touch_t"))
+        .withColumn("_e", F.col("touch_t") + F.lit(1))
+    )
+    pairs = interval_overlap_join(
+        p, c, bucket_us=_ATTR_WINDOW_US + 1_000_000
+    ).select("conv_id", "conv_value", "touch_type", "touch_t", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy("touch_t", "touch_id")
+    ranked = pairs.select(
+        "conv_id",
+        "conv_value",
+        "touch_type",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("r"),
+    )
+    credited = ranked.select(
+        "touch_type",
+        F.col("conv_value").alias("value"),
+        (
+            F.expr("1000000 div n")
+            + F.when(F.col("r") <= F.expr("1000000 % n"), 1).otherwise(0)
+        ).cast("long").alias("ppm"),
+    )
+    unattributed = (
+        p.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+        .select(
+            F.lit("none").alias("touch_type"),
+            F.col("conv_value").alias("value"),
+            F.lit(1_000_000).cast("long").alias("ppm"),
+        )
+    )
+    return (
+        credited.unionByName(unattributed)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("ppm").cast("long").alias("credit_ppm"),
+            (
+                F.sum(
+                    (F.col("value").cast("decimal(30,8)") * F.col("ppm")).cast(
+                        "decimal(38,8)"
+                    )
+                ).cast("double")
+                / F.lit(1_000_000)
+            ).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )

@@ -1665,34 +1665,39 @@ _STATS_COLS = ("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag",
 
 
 def collect_column_stats(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
-    """One pass over ``df`` producing (column, n_rows, ndv, n_nulls,
-    min_s, max_s) per requested column — every aggregate in a single
-    map-side-combined job, then unpivoted to rows."""
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    """(column, n_rows, ndv, n_nulls, min_s, max_s) per requested
+    column, as a UNION of per-column aggregates.
+
+    Why not one aggregate with N countDistincts: Catalyst plans
+    multi-distinct via Expand, multiplying every input row by N+1
+    before the shuffle — measured 10.7s for 6 columns at sf0.1 where
+    this shape takes ~1s. Each branch here has ONE distinct (no
+    Expand), reads ONE column (parquet pruning), and the branches run
+    as independent jobs of a single union plan."""
+    branches = []
     for c in cols:
-        aggs += [
-            F.countDistinct(c).alias(f"{c}__ndv"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
-        ]
-    one = df.agg(*aggs)
-    rows = [
-        F.struct(
-            F.lit(c).alias("column"),
-            F.col("_n").cast("long").alias("n_rows"),
-            F.col(f"{c}__ndv").cast("long").alias("ndv"),
-            F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
-            F.col(f"{c}__mn").alias("min_s"),
-            F.col(f"{c}__mx").alias("max_s"),
+        branches.append(
+            df.select(F.col(c))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(c).cast("long").alias("ndv"),
+                F.sum(F.col(c).isNull().cast("long")).cast("long").alias("n_nulls"),
+                F.min(F.col(c).cast("string")).alias("min_s"),
+                F.max(F.col(c).cast("string")).alias("max_s"),
+            )
+            .select(
+                F.lit(c).alias("column"),
+                "n_rows",
+                "ndv",
+                "n_nulls",
+                "min_s",
+                "max_s",
+            )
         )
-        for c in cols
-    ]
-    return (
-        one.select(F.explode(F.array(*rows)).alias("s"))
-        .select("s.*")
-        .orderBy("column")
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("column")
 
 
 @register(
