@@ -125,6 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "olap_result_cache",
     "mm_silence_trim",
     "ev_attribution_linear",
+    "olap_frequent_pairs",
+    "source_equidepth_histogram",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

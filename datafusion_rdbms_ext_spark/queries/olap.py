@@ -716,3 +716,65 @@ def olap_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache.get_or_compute(spark, _orders_rollup(spark), token)  # materialize
     served = cache.get_or_compute(spark, _orders_rollup(spark), token)  # hit
     return served.orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Frequent co-purchased pairs (round 8): the association-rule /
+# market-basket primitive (A-priori level 2) over order baskets —
+# which part pairs appear together in at least MINSUP orders. TPC-H
+# baskets are naturally bounded (<= 7 lineitems per order), so the
+# within-basket pair explode is quadratic only in basket size, never
+# in order count — the same bounded-cell discipline as the LSH band
+# joins.
+# ---------------------------------------------------------------------------
+_BASKET_MINSUP = 2
+
+
+@register(
+    "olap_frequent_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_BASKET_MINSUP}
+    ORDER BY support DESC, part_a, part_b
+    """,
+    doc="Frequent co-purchased part pairs (A-priori level 2): "
+    "within-order pair generation — bounded by basket size, "
+    f"quadratic only within a basket — with support >= "
+    f"{_BASKET_MINSUP}. The pair join is orderkey-equi-keyed; no "
+    "cross-order pair ever forms.",
+    tags=("olap", "bench"),
+)
+def olap_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-occurring in at least MINSUP orders.
+
+    Scale: the self-join keys on l_orderkey (co-partitioned shuffle,
+    no broadcast needed — both sides are the same relation), pairs
+    are bounded per order by basket size, and the support rollup is
+    map-side-combinable. At 100 TB add a support-based item prune
+    (classic A-priori level 1) before pairing; the fixture's item
+    frequencies make that prune a no-op here so the differential
+    stays exact."""
+    items = (
+        spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )

@@ -1755,3 +1755,73 @@ def stats_broadcast_hint(
     if n * row_bytes <= threshold_bytes:
         return left.join(F.broadcast(right), on), True
     return left.join(right, on), False
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (round 8) — the second half of the CBO
+# statistics story: source_table_stats gives NDV/min/max,
+# this gives the value DISTRIBUTION (selectivity estimation for
+# range predicates). Buckets are exact equal-frequency by global
+# rank — bucket = ((rank-1) * k) / n — with deterministic
+# (value, tiebreak) ordering, so counts and boundaries are
+# integer/string exact under the differential gate.
+# ---------------------------------------------------------------------------
+_HIST_BUCKETS = 8
+
+
+@register(
+    "source_equidepth_histogram",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_extendedprice AS v,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS r,
+             COUNT(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(((r - 1) * {_HIST_BUCKETS}) // n AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo,
+           MAX(v) AS hi
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    doc=f"Exact equi-depth histogram ({_HIST_BUCKETS} buckets) of "
+    "l_extendedprice by global rank — the range-selectivity "
+    "statistic a cost-based planner pairs with "
+    "source_table_stats' NDV/min/max. Deterministic total order "
+    "(value, orderkey, linenumber) makes bucket membership exact.",
+    tags=("source", "catalog", "bench"),
+)
+def source_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-bucket equal-frequency histogram of extended price.
+
+    Scale: the global rank reuses _global_rank (range-repartition +
+    per-partition local rank + broadcast prefix offsets — never a
+    data-sized single-partition window), then bucket arithmetic and a
+    map-side-combined rollup to k rows. At 100 TB swap the exact
+    sort for approxQuantile boundaries and the operator keeps its
+    shape; the exact form is what the differential gate can prove."""
+    from ..queries.llm import _global_rank
+
+    ranked = _global_rank(
+        spark.table("lineitem").select(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        ),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    n_total = ranked.count()
+    return (
+        ranked.select(
+            F.expr(f"((rn - 1) * {_HIST_BUCKETS}) div {n_total}")
+            .cast("long")
+            .alias("bucket"),
+            F.col("l_extendedprice").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
