@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev_attribution_linear",
     "olap_frequent_pairs",
     "source_equidepth_histogram",
+    "ev_attribution_ushape",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

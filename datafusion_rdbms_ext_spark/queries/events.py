@@ -1249,10 +1249,10 @@ def ev_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Linear multi-touch attribution (round 8): the companion to
 # ev_attribution_last_touch — every click/view in the 7-day window
 # before a purchase shares the credit equally. Credit is EXACT
-# integer ppm: each touch gets floor(1e6/n) and the remainder goes
-# one-millionth-each to the earliest touches (deterministic
+# integer basis points: each touch gets floor(1e4/n) and the
+# remainder goes one-bp-each to the earliest touches (deterministic
 # (t, event_id) order), so per-conversion credit always sums to
-# exactly 1e6 and the differential check is integer-exact; revenue
+# exactly 1e4 and the differential check is integer-exact; revenue
 # splits are decimal-exact with one terminal double division.
 # ---------------------------------------------------------------------------
 @register(
@@ -1281,27 +1281,29 @@ def ev_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     credits AS (
       SELECT touch_type, value,
-             1000000 // n
-               + CASE WHEN r <= 1000000 % n THEN 1 ELSE 0 END AS ppm
+             10000 // n
+               + CASE WHEN r <= 10000 % n THEN 1 ELSE 0 END AS bp
       FROM ranked
       UNION ALL
-      SELECT 'none', p.value, 1000000
+      SELECT 'none', p.value, 10000
       FROM p WHERE NOT EXISTS (
         SELECT 1 FROM pairs WHERE pairs.conv_id = p.conv_id
       )
     )
     SELECT touch_type,
-           CAST(SUM(ppm) AS BIGINT) AS credit_ppm,
-           CAST(SUM(CAST(CAST(value AS DECIMAL(30,8)) * ppm
-                         AS DECIMAL(38,8))) AS DOUBLE) / 1000000
+           CAST(SUM(bp) AS BIGINT) AS credit_bp,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(30,8)) * bp
+                         AS DECIMAL(38,8))) AS DOUBLE) / 10000
              AS attributed_value
     FROM credits GROUP BY touch_type ORDER BY touch_type
     """,
     doc="Linear multi-touch attribution: every click/view in the "
     "7-day pre-purchase window shares the conversion credit equally "
-    "— integer-ppm credit with the remainder to the earliest "
-    "touches (per-conversion credit sums to exactly 1e6), revenue "
-    "split decimal-exact. Pairs form in the bucketed interval join "
+    "— integer basis-point credit with the remainder to the "
+    "earliest touches (per-conversion credit sums to exactly 1e4; "
+    "bp rather than ppm keeps the scaled decimal revenue sum inside "
+    "the magnitude envelope where decimal->double conversion is "
+    "engine-consistent), revenue split decimal-exact. Pairs form in the bucketed interval join "
     "(canonical-bucket, no inequality nested loop); unattributed "
     "purchases land whole in the 'none' bucket.",
     tags=("events", "olap", "bench"),
@@ -1360,30 +1362,187 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_type",
         F.col("conv_value").alias("value"),
         (
-            F.expr("1000000 div n")
-            + F.when(F.col("r") <= F.expr("1000000 % n"), 1).otherwise(0)
-        ).cast("long").alias("ppm"),
+            F.expr("10000 div n")
+            + F.when(F.col("r") <= F.expr("10000 % n"), 1).otherwise(0)
+        ).cast("long").alias("bp"),
     )
     unattributed = (
         p.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
         .select(
             F.lit("none").alias("touch_type"),
             F.col("conv_value").alias("value"),
-            F.lit(1_000_000).cast("long").alias("ppm"),
+            F.lit(10_000).cast("long").alias("bp"),
         )
     )
     return (
         credited.unionByName(unattributed)
         .groupBy("touch_type")
         .agg(
-            F.sum("ppm").cast("long").alias("credit_ppm"),
+            F.sum("bp").cast("long").alias("credit_bp"),
             (
                 F.sum(
-                    (F.col("value").cast("decimal(30,8)") * F.col("ppm")).cast(
+                    (F.col("value").cast("decimal(30,8)") * F.col("bp")).cast(
                         "decimal(38,8)"
                     )
                 ).cast("double")
-                / F.lit(1_000_000)
+                / F.lit(10_000)
+            ).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution (round 8): the third member
+# of the attribution family — 40% of the credit to the FIRST touch,
+# 40% to the LAST, the remaining 20% split equally over the middle
+# touches. Same exact-integer-basis-point discipline as linear:
+# deterministic per-position credits that always sum to exactly 1e4
+# per conversion (n=1 -> 1e4; n=2 -> 5000/5000; middle remainder to
+# the earliest middles), so the comparison never touches a float
+# until the single terminal revenue division.
+# ---------------------------------------------------------------------------
+def _ushape_bp_sql(n: str, r: str) -> str:
+    """DuckDB CASE for the per-touch basis-point credit at rank r of n."""
+    return f"""CASE
+      WHEN {n} = 1 THEN 10000
+      WHEN {n} = 2 THEN 5000
+      WHEN {r} = 1 THEN 4000
+      WHEN {r} = {n} THEN 4000
+      ELSE 2000 // ({n} - 2)
+           + CASE WHEN {r} - 1 <= 2000 % ({n} - 2) THEN 1 ELSE 0 END
+    END"""
+
+
+@register(
+    "ev_attribution_ushape",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS conv_id, user_id, epoch_us(ts) AS t, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS touch_id, user_id, epoch_us(ts) AS tt,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT p.conv_id, p.value, c.touch_type, c.tt, c.touch_id
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.tt BETWEEN p.t - {_ATTR_WINDOW_US} AND p.t
+    ),
+    ranked AS (
+      SELECT conv_id, value, touch_type,
+             COUNT(*) OVER (PARTITION BY conv_id) AS n,
+             ROW_NUMBER() OVER (PARTITION BY conv_id
+                                ORDER BY tt, touch_id) AS r
+      FROM pairs
+    ),
+    credits AS (
+      SELECT touch_type, value, {_ushape_bp_sql("n", "r")} AS bp
+      FROM ranked
+      UNION ALL
+      SELECT 'none', p.value, 10000
+      FROM p WHERE NOT EXISTS (
+        SELECT 1 FROM pairs WHERE pairs.conv_id = p.conv_id
+      )
+    )
+    SELECT touch_type,
+           CAST(SUM(bp) AS BIGINT) AS credit_bp,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(30,8)) * bp
+                         AS DECIMAL(38,8))) AS DOUBLE) / 10000
+             AS attributed_value
+    FROM credits GROUP BY touch_type ORDER BY touch_type
+    """,
+    doc="Position-based (U-shaped) attribution: 40% first touch, "
+    "40% last, 20% equally over the middle touches — exact integer "
+    "basis points with deterministic remainders (per-conversion "
+    "credit is exactly 1e4 for every n), over the same "
+    "bucketed-interval pair set as the linear model.",
+    tags=("events", "olap", "bench"),
+)
+def ev_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel U-shaped credit and revenue.
+
+    Scale: identical plan shape to ev_attribution_linear (bucketed
+    interval join, one pair-sized window, |channels| output rows);
+    only the per-position credit CASE differs — which is the point:
+    the attribution family shares one physical strategy."""
+    from pyspark.sql import Window
+
+    from ..functions.compat import ts_micros
+    from ..operators.temporal import interval_overlap_join
+
+    ev = spark.table("events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("conv_id"),
+            ts_micros("ts").alias("conv_t"),
+            F.col("value").alias("conv_value"),
+        )
+        .withColumn("_s", F.col("conv_t") - F.lit(_ATTR_WINDOW_US))
+        .withColumn("_e", F.col("conv_t") + F.lit(1))
+    )
+    c = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+            ts_micros("ts").alias("touch_t"),
+        )
+        .withColumn("_s", F.col("touch_t"))
+        .withColumn("_e", F.col("touch_t") + F.lit(1))
+    )
+    pairs = interval_overlap_join(
+        p, c, bucket_us=_ATTR_WINDOW_US + 1_000_000
+    ).select("conv_id", "conv_value", "touch_type", "touch_t", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy("touch_t", "touch_id")
+    ranked = pairs.select(
+        "conv_id",
+        "conv_value",
+        "touch_type",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("r"),
+    )
+    bp = (
+        F.when(F.col("n") == 1, 10_000)
+        .when(F.col("n") == 2, 5_000)
+        .when(F.col("r") == 1, 4_000)
+        .when(F.col("r") == F.col("n"), 4_000)
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(F.col("r") - 1 <= F.expr("2000 % (n - 2)"), 1).otherwise(0)
+        )
+    )
+    credited = ranked.select(
+        "touch_type",
+        F.col("conv_value").alias("value"),
+        bp.cast("long").alias("bp"),
+    )
+    unattributed = (
+        p.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+        .select(
+            F.lit("none").alias("touch_type"),
+            F.col("conv_value").alias("value"),
+            F.lit(10_000).cast("long").alias("bp"),
+        )
+    )
+    return (
+        credited.unionByName(unattributed)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("bp").cast("long").alias("credit_bp"),
+            (
+                F.sum(
+                    (F.col("value").cast("decimal(30,8)") * F.col("bp")).cast(
+                        "decimal(38,8)"
+                    )
+                ).cast("double")
+                / F.lit(10_000)
             ).alias("attributed_value"),
         )
         .orderBy("touch_type")
