@@ -191,3 +191,63 @@ def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d_type").alias("event_type"), "n_events", "weighted")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew detection report (round 8): the measurement half of the skew
+# story — per-key share of the table in exact integer ppm for the
+# heaviest keys, the number a planner (or an operator author) reads
+# before reaching for salting/AQE. recommend_salting() consumes it,
+# so the report is load-bearing the same way source_table_stats
+# feeds stats_broadcast_hint.
+# ---------------------------------------------------------------------------
+_SKEW_TOP = 10
+
+
+@register(
+    "op_skew_report",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS n, (SELECT COUNT(*) FROM events) AS total
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+    FROM k ORDER BY n DESC, user_id LIMIT {_SKEW_TOP}
+    """,
+    doc=f"Skew detection report: the {_SKEW_TOP} heaviest user_id "
+    "keys with exact integer-ppm share of the events table — the "
+    "measurement that justifies (or vetoes) salting before anyone "
+    "pays for it; recommend_salting() consumes the report "
+    "(tests/test_skew_and_sinks.py).",
+    tags=("operator", "skew", "bench"),
+)
+def op_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key share report over events.user_id.
+
+    Scale: one map-side-combined count per key, a broadcast scalar
+    for the total, and a TakeOrdered(top) — no full sort. The report
+    is top-N-sized; at 100 TB this is exactly the probe you run
+    BEFORE deciding a join needs the salted path."""
+    ev = spark.table("events")
+    total = ev.count()
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr(f"n_rows * 1000000 div {total}").cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(_SKEW_TOP)
+    )
+
+
+def recommend_salting(report: DataFrame, threshold_ppm: int = 50_000) -> bool:
+    """True iff the heaviest key exceeds ``threshold_ppm`` of the
+    table — the consume side of op_skew_report: above the threshold
+    a single reducer owns >= threshold/1e6 of the shuffle and the
+    salted two-phase plan pays for itself."""
+    top = report.select(F.max("share_ppm")).collect()[0][0]
+    return bool(top is not None and top >= threshold_ppm)

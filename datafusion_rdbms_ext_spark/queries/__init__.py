@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "olap_frequent_pairs",
     "source_equidepth_histogram",
     "ev_attribution_ushape",
+    "op_skew_report",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -471,3 +471,34 @@ def test_stats_broadcast_hint_drives_join_strategy(spark):
     assert did2 is False
     # Strategy choice never changes values.
     assert joined.count() == joined2.count()
+
+
+def test_skew_report_drives_salting_recommendation(spark):
+    """The skew report must steer the decision in both directions:
+    a deliberately skewed frame recommends salting; the (uniform)
+    fixture does not at a high threshold."""
+    from datafusion_rdbms_ext_spark.operators.skew import (
+        op_skew_report,
+        recommend_salting,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    report = op_skew_report(spark, SMOKE_SF_DIR)
+    # fixture users are roughly uniform: nobody owns 20%+ of events
+    assert recommend_salting(report, threshold_ppm=200_000) is False
+    # a synthetic hot key (60% of rows on one user) must trip it
+    hot = spark.createDataFrame(
+        [(1,)] * 60 + [(i,) for i in range(2, 42)], "user_id long"
+    )
+    hot_report = (
+        hot.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr(f"n_rows * 1000000 div {hot.count()}")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+    assert recommend_salting(hot_report, threshold_ppm=200_000) is True
