@@ -20,6 +20,7 @@ from ..sources import multimodal  # noqa: E402,F401
 from ..operators import bucketing  # noqa: E402,F401
 from ..operators import skew  # noqa: E402,F401
 from ..operators import temporal  # noqa: E402,F401
+from ..operators import bloomjoin  # noqa: E402,F401
 from ..sources import federation  # noqa: E402,F401
 from ..sources import pyds  # noqa: E402,F401
 from ..sources import pushdown  # noqa: E402,F401
@@ -129,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_equidepth_histogram",
     "ev_attribution_ushape",
     "op_skew_report",
+    "op_bloom_semi_join",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -502,3 +502,32 @@ def test_skew_report_drives_salting_recommendation(spark):
         )
     )
     assert recommend_salting(hot_report, threshold_ppm=200_000) is True
+
+
+def test_bloom_semi_filter_prunes_without_false_negatives(spark):
+    """The Bloom pre-filter must (a) actually shrink the fact side
+    for a selective dimension filter and (b) never drop a row that
+    would have joined — the filtered join equals the plain join."""
+    from datafusion_rdbms_ext_spark.operators.bloomjoin import (
+        bloom_semi_filter,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    li = spark.table("lineitem")
+    supp = spark.table("supplier").filter(F.col("s_acctbal") > 9000)
+    filtered, m = bloom_semi_filter(li, supp.select("s_suppkey"), "l_suppkey")
+    n_all, n_kept = li.count(), filtered.count()
+    n_match = li.join(
+        supp.select("s_suppkey"), li["l_suppkey"] == F.col("s_suppkey")
+    ).count()
+    assert n_kept < n_all  # it pruned
+    # superset of true matches (no false negatives)
+    direct = li.join(
+        supp.select("s_suppkey"), li["l_suppkey"] == F.col("s_suppkey")
+    )
+    via_bloom = filtered.join(
+        supp.select("s_suppkey"), filtered["l_suppkey"] == F.col("s_suppkey")
+    )
+    assert via_bloom.count() == n_match == direct.count()
+    # the false-positive overhead stays near the fpp design point
+    assert n_kept <= max(2 * n_match, n_match + n_all // 50)
