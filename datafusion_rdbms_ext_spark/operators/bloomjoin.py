@@ -117,8 +117,11 @@ def op_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered, _m = bloom_semi_filter(
         spark.table("lineitem"), supp.select("s_suppkey"), "l_suppkey"
     )
+    # No broadcast hint: supplier scales with SF, so the strategy
+    # choice belongs to AQE/stats (stats_broadcast_hint), not a
+    # hardcoded hint — the bloom pre-filter is the operator's point.
     return filtered.join(
-        F.broadcast(supp.select("s_suppkey")),
+        supp.select("s_suppkey"),
         filtered["l_suppkey"] == F.col("s_suppkey"),
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),

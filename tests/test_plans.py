@@ -126,7 +126,10 @@ def test_broadcast_hints_only_on_fixed_dims():
         "events.py": {"anchor", "d0"},  # both 1-row min/max-ts aggregates
         # M4 downsampling: the 1-row global (min,max) epoch anchor.
         "temporal.py": {"anchor_b"},
-        "sinks.py": {"deltas"},
+        # stats_broadcast_hint's `right` is gated by the COLLECTED
+        # stats against a byte threshold — bounded by the gate, which
+        # is the operator's whole contract (round 8).
+        "sinks.py": {"deltas", "right"},
         "streaming/__init__.py": {"sketch.filter("},
         "llm.py": {
             "q", "cents_arr", "mix_spec", "candidates", "total", "ns",
@@ -143,6 +146,11 @@ def test_broadcast_hints_only_on_fixed_dims():
             "quotas",
             # dedup evaluation: the two 1-row pair-set counts.
             "n_l", "n_e",
+            # BPE apply: the word -> token-count map is VOCABULARY-
+            # sized (~sqrt(corpus) by Heaps' law; a production
+            # tokenizer's vocab is fixed 32k-100k by construction) —
+            # broadcast is the production plan (round 8).
+            "tok_map",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
