@@ -1191,3 +1191,38 @@ def test_bpe_spark_matches_local_reference(spark):
             f * len(s.split(" ")) for s, f in ref_vocab.items()
         )
         assert final_tokens == ref_tokens
+
+
+def test_attribution_credit_sums_to_exactly_one_per_conversion(spark):
+    """Credit conservation: for EVERY touch count n, the linear and
+    U-shaped basis-point credits must sum to exactly 10000 per
+    conversion — the invariant that makes cross-channel reports
+    additive. Evaluated through the engines' own column expressions
+    over a synthetic ranked frame (n = 1..40)."""
+    from pyspark.sql import functions as F
+
+    rows = [(n, r) for n in range(1, 41) for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, r long")
+    linear_bp = (
+        F.expr("10000 div n")
+        + F.when(F.col("r") <= F.expr("10000 % n"), 1).otherwise(0)
+    )
+    ushape_bp = (
+        F.when(F.col("n") == 1, 10_000)
+        .when(F.col("n") == 2, 5_000)
+        .when(F.col("r") == 1, 4_000)
+        .when(F.col("r") == F.col("n"), 4_000)
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(F.col("r") - 1 <= F.expr("2000 % (n - 2)"), 1).otherwise(0)
+        )
+    )
+    sums = (
+        df.select("n", linear_bp.alias("lin"), ushape_bp.alias("ush"))
+        .groupBy("n")
+        .agg(F.sum("lin").alias("slin"), F.sum("ush").alias("sush"))
+        .collect()
+    )
+    bad = [(r["n"], r["slin"], r["sush"]) for r in sums
+           if r["slin"] != 10_000 or r["sush"] != 10_000]
+    assert not bad, f"credit not conserved: {bad}"
