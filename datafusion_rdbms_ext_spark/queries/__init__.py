@@ -131,6 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "ev_attribution_ushape",
     "op_skew_report",
     "op_bloom_semi_join",
+    "llm_pipeline_tokenize",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

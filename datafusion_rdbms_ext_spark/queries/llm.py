@@ -6253,3 +6253,157 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").cast("long").alias("max_code"),
         F.size("codes").cast("long").alias("dim"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# 46. Composed pipeline v2 (round 8): quality filter -> exact dedup
+#     -> BPE TOKENIZATION of the survivor corpus -> per-language
+#     token budget. The round-8 extension of llm_pipeline_end2end:
+#     the tokenizer is trained ON the cleaned corpus (the real
+#     ordering of a pre-training build — dedup before tokenizer fit),
+#     and the final report is the number every training run actually
+#     budgets against: tokens per language.
+# ---------------------------------------------------------------------------
+def _sql_bpe_stages_over(words_source: str) -> str:
+    """The unrolled BPE stage CTEs (word identity carried through)
+    over an arbitrary ``(SELECT text ...)`` corpus source."""
+    stages = [f"""
+    bwords AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM ({words_source})
+      ) GROUP BY word
+    ),
+    bw0 AS (
+      SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS s, freq
+      FROM bwords
+    )"""]
+    for r in range(_BPE_ROUNDS):
+        stages.append(f"""
+    bp{r} AS (
+      SELECT z[1] || ' ' || z[2] AS pair, SUM(freq) AS cnt
+      FROM (
+        SELECT freq, unnest(list_zip(l, list_slice(l, 2, len(l)))) AS z
+        FROM (SELECT freq, string_split(s, ' ') AS l FROM bw{r})
+      )
+      WHERE z[2] IS NOT NULL
+      GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    bw{r + 1} AS (
+      SELECT word, trim(regexp_replace(regexp_replace(
+               ' ' || s || ' ',
+               ' ' || bp{r}.pair || ' ', ' ' || replace(bp{r}.pair, ' ', '') || ' ', 'g'),
+               ' ' || bp{r}.pair || ' ', ' ' || replace(bp{r}.pair, ' ', '') || ' ', 'g')
+             ) AS s, freq
+      FROM bw{r} CROSS JOIN bp{r}
+    )""")
+    return ",".join(stages) + f""",
+    btok AS (
+      SELECT word, len(string_split(s, ' ')) AS nt FROM bw{_BPE_ROUNDS}
+    )"""
+
+
+@register(
+    "llm_pipeline_tokenize",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             ROUND(
+               0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.4 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),
+                                            t -> t IN ('the', 'a', 'of', 'and'))) * 1.0
+                            / len(string_split(text, ' '))), 6) AS score
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE score >= 0.5),
+    surv AS (
+      SELECT MIN({{'doc_id': doc_id, 'lang': lang, 'text': text}}) AS s
+      FROM kept GROUP BY md5(text)
+    ),
+    sdocs AS (SELECT s.doc_id AS doc_id, s.lang AS lang, s.text AS text
+              FROM surv),
+    {_sql_bpe_stages_over("SELECT text FROM sdocs")},
+    dtok AS (
+      SELECT d.doc_id, d.lang, SUM(btok.nt) AS n_tokens
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM sdocs) d
+      JOIN btok ON btok.word = d.word
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM dtok GROUP BY lang ORDER BY lang
+    """,
+    doc="Composed pipeline v2: quality filter -> exact dedup "
+    "(struct-min survivor carrying the text) -> BPE tokenizer "
+    "TRAINED ON the cleaned corpus -> per-language token budget. "
+    "The round-8 end-to-end: dedup-before-tokenizer-fit is the real "
+    "build order, and the output is the tokens-per-language number "
+    "a training run budgets against — all one differential-checked "
+    "program.",
+    tags=("llm", "text", "bench"),
+)
+def llm_pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens per language over the cleaned, deduped corpus.
+
+    Scale: filter + scoring map-side; dedup one digest shuffle; BPE
+    training vocab-sized on the SURVIVOR vocabulary (smaller than
+    the corpus vocab); tokenization one broadcast join + one rollup.
+    The whole pipeline is two corpus-sized shuffles (dedup digest,
+    per-doc rollup) regardless of how many stages compose."""
+    w = F.split(F.col("text"), " ")
+    n_tok = F.size(w)
+    uniq_ratio = F.size(F.array_distinct(w)) * F.lit(1.0) / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(*_STOPWORDS))) * F.lit(1.0) / n_tok
+    )
+    score = F.round(
+        F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio),
+        6,
+    )
+    kept = (
+        spark.table("documents")
+        .select("doc_id", "lang", "text", score.alias("score"))
+        .filter(F.col("score") >= 0.5)
+    )
+    surv = (
+        kept.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min(F.struct("doc_id", "lang", "text")).alias("s"))
+        .select("s.doc_id", "s.lang", "s.text")
+        .localCheckpoint()  # feeds vocab build AND tokenization
+    )
+    words = (
+        surv.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            F.concat(
+                F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("_")
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    _rules, merged = bpe_train(words, _BPE_ROUNDS, batch=1)
+    tok_map = merged.select("word", F.size(F.split("s", " ")).alias("nt"))
+    exploded = surv.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    per_doc = (
+        exploded.join(F.broadcast(tok_map), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
