@@ -782,3 +782,15 @@ def test_result_cache_uses_versioned_snapshot_tokens(spark, tmp_path):
         return  # table already at head; the token path was still proven
     cache.get_or_compute(spark, rollup(v2), [f"corpus@{root}#v{v2}"])
     assert cache.misses == 2  # new snapshot re-addressed, not served stale
+
+
+def test_bpe_apply_tokenizes_via_broadcast_join(spark):
+    """The corpus-side tokenization join must broadcast the
+    vocabulary map — a shuffled join here would move the corpus for
+    a vocab-sized build side."""
+    df = _df(spark, "llm_bpe_apply")
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p, p[:1200]
+    df2 = _df(spark, "llm_pipeline_tokenize")
+    p2 = plan_string(df2)
+    assert "BroadcastHashJoin" in p2, p2[:1200]
