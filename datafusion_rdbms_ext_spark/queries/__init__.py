@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "op_skew_report",
     "op_bloom_semi_join",
     "llm_pipeline_tokenize",
+    "micro_pipe_syntax",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -1643,3 +1643,53 @@ def micro_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("canon", "n")
         .orderBy("canon")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (round 8) — Spark 4's |> operator chain (SQL
+# pipe syntax, standardized from the GoogleSQL proposal): the same
+# logical plan as nested SELECTs, authored as a linear dataflow. The
+# engine runs the PIPE form; the oracle is the classic form — one
+# more proof that the new surface is sugar over the identical
+# semantics, under the same differential gate as everything else.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days
+      FROM orders WHERE o_totalprice > 1000
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Spark 4 SQL pipe syntax (|> WHERE / EXTEND / AGGREGATE / "
+    "ORDER BY): the linear-dataflow authoring surface over the "
+    "identical logical plan — the oracle is the classic nested "
+    "form, proving the sugar changes nothing.",
+    tags=("micro", "sql"),
+)
+def micro_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-syntax aggregate over orders.
+
+    Scale: identical plan to the classic form by construction —
+    Catalyst sees the same operators, so pushdown/codegen/AQE apply
+    unchanged; the surface is purely front-end."""
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 1000
+        |> EXTEND datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+                       AS sum_price,
+                     CAST(MAX(days) AS BIGINT) AS max_days
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n", "sum_price", "max_days")
