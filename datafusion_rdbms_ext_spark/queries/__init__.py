@@ -133,6 +133,11 @@ _PRIORITY: tuple[str, ...] = (
     "op_bloom_semi_join",
     "llm_pipeline_tokenize",
     "micro_pipe_syntax",
+    "ev_holt_linear",
+    "llm_hybrid_search_rrf",
+    "llm_kmv_distinct",
+    "micro_lateral_alias",
+    "micro_parameterized_sql",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

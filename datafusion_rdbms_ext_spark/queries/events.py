@@ -1547,3 +1547,120 @@ def ev_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (round 8): double exponential smoothing
+# of the per-type daily count series — the EWMA operator's big
+# sibling, carrying a trend term so it can FORECAST, not just smooth
+# (Holt 1957; the standard recurrence from Hyndman & Athanasopoulos,
+# "Forecasting: Principles and Practice" §8.2). The recurrence is
+# inherently sequential per series, so the scale-safe formulation is
+# the same one ev_ewma_smoothing pinned: fold over ONE bounded
+# day-ordered array per group, never a data-sized window. Alpha/beta
+# are dyadic (0.5 / 0.25) so every multiply is exact in binary
+# floating point and the recursion stays bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+_HOLT_ALPHA = 0.5  # level gain (dyadic: exact double)
+_HOLT_BETA = 0.25  # trend gain (dyadic: exact double)
+_HOLT_H = 7  # forecast horizon, days
+
+
+@register(
+    "ev_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    rec AS (
+      SELECT s1.event_type, 1 AS rn, s1.n, s1.y AS l, s2.y - s1.y AS b
+      FROM seq s1 JOIN seq s2
+        ON s2.event_type = s1.event_type AND s2.rn = 2
+      WHERE s1.rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn + 1, r.n,
+             {_HOLT_ALPHA} * s.y + {1 - _HOLT_ALPHA} * (r.l + r.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * s.y
+                              + {1 - _HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - _HOLT_BETA} * r.b
+      FROM rec r JOIN seq s
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1
+      WHERE r.rn < r.n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + {_HOLT_H} * b, 6) AS forecast_h
+    FROM rec WHERE rn = n AND n >= 2
+    ORDER BY event_type
+    """,
+    doc="Holt double exponential smoothing per event type: level and "
+    f"trend recurrence (alpha={_HOLT_ALPHA}, beta={_HOLT_BETA}) over "
+    "the day-ordered daily-count series as a declarative in-engine "
+    f"fold, plus the {_HOLT_H}-day-ahead linear forecast l + h*b. "
+    "Oracle runs the identical recurrence as a recursive CTE; dyadic "
+    "gains keep the doubles bit-identical across engines.",
+    tags=("events", "timeseries", "forecast", "bench"),
+)
+def ev_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend state + h-step forecast per event type.
+
+    Scale: identical envelope to ev_ewma_smoothing — the heavy work
+    is the map-side-combined (type, day) rollup; the sequential
+    recurrence folds over ONE per-type array bounded by the retention
+    window (|days| elements, not |events|), partitioned by type. At
+    100 TB the daily rollup is the incremental table and the fold
+    re-runs on the bounded tail only. The classic init (l1 = y1,
+    b1 = y2 - y1) then fold over y2..yn matches the oracle's
+    recursion base/step exactly."""
+    a = F.lit(_HOLT_ALPHA)
+    one_a = F.lit(1 - _HOLT_ALPHA)
+    bt = F.lit(_HOLT_BETA)
+    one_bt = F.lit(1 - _HOLT_BETA)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "y"))
+        ).alias("s"),
+    )
+    vals = F.transform(F.col("s"), lambda r: r["y"])
+
+    def step(acc, x):
+        l_new = a * x + one_a * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (bt * (l_new - acc["l"]) + one_bt * acc["b"]).alias("b"),
+        )
+
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+    )
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        step,
+    )
+    return (
+        arr.filter(F.size(vals) >= 2)
+        .select(
+            "event_type",
+            F.size(vals).cast("long").alias("n_days"),
+            F.round(fold["l"], 6).alias("level"),
+            F.round(fold["b"], 6).alias("trend"),
+            F.round(fold["l"] + F.lit(float(_HOLT_H)) * fold["b"], 6).alias(
+                "forecast_h"
+            ),
+        )
+        .orderBy("event_type")
+    )

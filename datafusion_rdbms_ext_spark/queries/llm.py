@@ -4795,6 +4795,18 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive three-table form re-scanned the corpus 3x), df and the
     corpus stats collapse to a broadcastable one-row side, and the
     final top-10 is a TakeOrdered, not a global sort."""
+    scored = _bm25_scores(spark)
+    return (
+        scored.filter(F.col("score") > 0.0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scores(spark: SparkSession) -> DataFrame:
+    """(doc_id, score) BM25 scores for the fixed query terms — the
+    shared index+score subtree behind llm_bm25_search and the RRF
+    hybrid retrieval operator."""
     k1 = F.lit(_BM25_K1).cast("double")
     b = F.lit(_BM25_B).cast("double")
     tok = spark.table("documents").select(
@@ -4850,9 +4862,153 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (term_score(0) + term_score(1)) + term_score(2)
         ).alias("score"),
     )
-    return (
-        scored.filter(F.col("score") > 0.0)
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# 27b. Hybrid retrieval with reciprocal rank fusion (round 8): the
+#      standard two-arm RAG retrieval stack — a lexical BM25 arm and
+#      a dense cosine-similarity arm, fused by RRF (Cormack, Clarke &
+#      Buettcher, SIGIR 2009: score = sum 1/(K + rank)). Ranks are
+#      integers and 1/(K+r) is one IEEE division, so the fused scores
+#      are bit-identical cross-engine even though the arms' raw
+#      scores live on different scales — which is exactly WHY RRF is
+#      the fusion everyone ships: it needs no score calibration.
+#      The fixed query is (_BM25_TERMS, embedding of vec_id 0): the
+#      documents and embeddings fixtures share the 0..N id space.
+# ---------------------------------------------------------------------------
+_RRF_K = 60  # the canonical RRF damping constant
+_RRF_ARM_K = 20  # per-arm candidate depth
+_RRF_QVEC = 0  # query vector id (excluded from both arms)
+
+
+@register(
+    "llm_hybrid_search_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BM25_TOKRE}')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok
+      WHERE t IN {_BM25_TERMS!r} GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+             ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * (CAST({_BM25_K1} AS DOUBLE) + 1.0))
+                / (CAST(tf.tf AS DOUBLE)
+                   + CAST({_BM25_K1} AS DOUBLE)
+                     * (1.0 - CAST({_BM25_B} AS DOUBLE)
+                        + CAST({_BM25_B} AS DOUBLE)
+                          * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) AS s
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+              JOIN dfreq ON dfreq.t = tf.t
+              CROSS JOIN stats
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN t = 'hash' THEN s END), 0.0) AS s1,
+             COALESCE(MAX(CASE WHEN t = 'join' THEN s END), 0.0) AS s2,
+             COALESCE(MAX(CASE WHEN t = 'vector' THEN s END), 0.0) AS s3
+      FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+      FROM (
+        SELECT doc_id, ((s1 + s2) + s3) AS score FROM pivoted
+      ) WHERE score > 0.0 AND doc_id <> {_RRF_QVEC}
+      QUALIFY lex_rk <= {_RRF_ARM_K}
+    ),
+    {_SQL_BASE},
+    q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM base
+          WHERE vec_id = {_RRF_QVEC}),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS vec_rk
+      FROM (
+        SELECT b.vec_id,
+               {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+        FROM base b CROSS JOIN q WHERE b.vec_id <> {_RRF_QVEC}
+      ) ranked_src
+      QUALIFY vec_rk <= {_RRF_ARM_K}
+    )
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           CAST(lex.lex_rk AS BIGINT) AS lex_rk,
+           CAST(vec.vec_rk AS BIGINT) AS vec_rk,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + lex.lex_rk), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + vec.vec_rk), 0.0), 9) AS rrf
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval: BM25 lexical arm + dense cosine arm, each "
+    f"cut to top-{_RRF_ARM_K}, fused by reciprocal rank fusion "
+    f"(K={_RRF_K}) over a FULL OUTER rank join — the calibration-free "
+    "fusion of SIGIR'09. Integer ranks + one IEEE division keep the "
+    "fused scores bit-identical across engines.",
+    tags=("llm", "similarity", "search", "bench"),
+)
+def llm_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 RRF fusion of the BM25 and cosine retrieval arms.
+
+    Scale: each arm is its proven scale shape (BM25: one tokenize
+    pass + broadcast stats; dense: broadcast ONE query vector over a
+    map-side corpus scan); each arm's candidate cut is an
+    orderBy().limit(K) — a distributed TakeOrdered with per-partition
+    partial top-K, NEVER an unpartitioned rank window over the corpus
+    — and the rank stamp then runs over exactly K rows. The fusion
+    join is K-vs-K, metadata-sized, and the final sort is a 2K-row
+    TakeOrdered. The arms are independent subtrees and run
+    concurrently under AQE."""
+    lex_top = (
+        _bm25_scores(spark)
+        .filter((F.col("score") > 0.0) & (F.col("doc_id") != _RRF_QVEC))
         .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_ARM_K)
+    )
+    lex = lex_top.withColumn(
+        "lex_rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "lex_rk")
+    base = _vectors_with_norm(spark)
+    q = base.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    vec_top = (
+        base.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_ARM_K)
+    )
+    vec = vec_top.withColumn(
+        "vec_rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .cast("long"),
+    ).select("doc_id", "vec_rk")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rk")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rk")), F.lit(0.0)),
+        9,
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "lex_rk", "vec_rk", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
     )
 
@@ -6406,4 +6562,232 @@ def llm_pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 49. KMV distinct-count sketch (round 8): the k-minimum-values
+#     estimator (Bar-Yossef et al. 2002; the Theta-sketch family's
+#     ancestor) — keep the k smallest hash values per set; if the set
+#     has fewer than k distinct hashes it IS the exact answer, else
+#     estimate (k-1) / R where R is the k-th minimum as a fraction of
+#     the hash space. Unlike HLL (micro_hll_sketch_merge,
+#     ev_rolling_users_hll), KMV sketches support set INTERSECTION
+#     natively: the k smallest of a union of sketches is the union's
+#     sketch, and the fraction of those present in both inputs is an
+#     unbiased Jaccard estimate — so |A∩B| ≈ jaccard × |A∪B|-est.
+#     The reference's only cardinality surface is the count_records
+#     probe (src/sqldb/postgres/mod.rs:170-189); this is that probe
+#     promoted to a mergeable, intersectable sketch. Every step is
+#     deterministic (_phash) and the estimator is pinned-order IEEE
+#     arithmetic, so the sketch AND the estimates are bit-identical
+#     cross-engine — a sketch an oracle can hash-check exactly.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # _phash range: [0, 2^60); exact double
+_KMV_A, _KMV_B = "src0", "src1"  # the fixed intersection pair
+
+
+def _kmv_sketch(h: DataFrame, k: int) -> DataFrame:
+    """k smallest hashes per source — PARTITION BY source so the rank
+    sorts within each source's partition, never through one task
+    (plan-pinned by tests/test_plans.py)."""
+    wsrc = Window.partitionBy("source").orderBy("h")
+    return (
+        h.withColumn("rk", F.row_number().over(wsrc))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+@register(
+    "llm_kmv_distinct",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             unnest(regexp_extract_all(lower(text), '{_BM25_TOKRE}')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT DISTINCT source, {_sql_phash('t', 'kmv')} AS h FROM tok
+    ),
+    rk AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM h
+    ),
+    sk AS (SELECT source, h FROM rk WHERE rk <= {_KMV_K}),
+    per AS (
+      SELECT source, COUNT(*) AS n_sk, MAX(h) AS kth FROM sk GROUP BY source
+    ),
+    ex AS (SELECT source, COUNT(*) AS ex FROM h GROUP BY source),
+    src_rows AS (
+      SELECT p.source AS set_name,
+             CAST(p.n_sk AS BIGINT) AS n_sk,
+             CAST(p.kth AS BIGINT) AS kth_hash,
+             ROUND(CASE WHEN p.n_sk < {_KMV_K} THEN CAST(p.n_sk AS DOUBLE)
+                   ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r} / CAST(p.kth AS DOUBLE)
+                   END, 4) AS est_distinct,
+             CAST(e.ex AS BIGINT) AS exact_distinct
+      FROM per p JOIN ex e USING (source)
+    ),
+    uh AS (
+      SELECT DISTINCT h FROM h WHERE source IN ('{_KMV_A}', '{_KMV_B}')
+    ),
+    urk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM uh),
+    usk AS (SELECT h FROM urk WHERE rk <= {_KMV_K}),
+    uper AS (SELECT COUNT(*) AS n_sk, MAX(h) AS kth FROM usk),
+    uest AS (
+      SELECT n_sk, kth,
+             CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
+             ELSE {_KMV_K - 1}.0 * {_KMV_SPACE!r} / CAST(kth AS DOUBLE)
+             END AS est
+      FROM uper
+    ),
+    uex AS (SELECT COUNT(*) AS ex FROM uh),
+    both_cnt AS (
+      SELECT COUNT(*) AS c FROM usk
+      WHERE h IN (SELECT h FROM sk WHERE source = '{_KMV_A}')
+        AND h IN (SELECT h FROM sk WHERE source = '{_KMV_B}')
+    ),
+    iex AS (
+      SELECT COUNT(*) AS ex FROM (
+        SELECT h FROM h WHERE source = '{_KMV_A}'
+        INTERSECT
+        SELECT h FROM h WHERE source = '{_KMV_B}'
+      )
+    ),
+    extra AS (
+      SELECT 'union:{_KMV_A}+{_KMV_B}' AS set_name,
+             CAST(u.n_sk AS BIGINT) AS n_sk,
+             CAST(u.kth AS BIGINT) AS kth_hash,
+             ROUND(u.est, 4) AS est_distinct,
+             CAST(uex.ex AS BIGINT) AS exact_distinct
+      FROM uest u CROSS JOIN uex
+      UNION ALL
+      SELECT 'intersect:{_KMV_A}+{_KMV_B}' AS set_name,
+             CAST(b.c AS BIGINT) AS n_sk,
+             CAST(NULL AS BIGINT) AS kth_hash,
+             ROUND(CAST(b.c AS DOUBLE) / CAST(u.n_sk AS DOUBLE) * u.est, 4)
+               AS est_distinct,
+             CAST(iex.ex AS BIGINT) AS exact_distinct
+      FROM both_cnt b CROSS JOIN uest u CROSS JOIN iex
+    )
+    SELECT * FROM src_rows
+    UNION ALL
+    SELECT * FROM extra
+    ORDER BY set_name
+    """,
+    doc=f"KMV (k={_KMV_K}) distinct-token sketch per source, plus the "
+    f"merged union sketch and the Jaccard-derived intersection "
+    f"estimate for ({_KMV_A}, {_KMV_B}) — the mergeable+intersectable "
+    "cardinality sketch (Bar-Yossef'02 / Theta family). Deterministic "
+    "60-bit hashing and pinned-order estimator arithmetic make sketch "
+    "contents AND estimates hash-check exactly; exact_distinct rides "
+    "along as the accuracy anchor (dropped in production).",
+    tags=("llm", "sketch", "dedup", "bench"),
+)
+def llm_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV sketches + union/intersection estimates.
+
+    Scale: the (source, token-hash) distinct is the one data-sized
+    shuffle (map-side combined). The per-source rank window sorts
+    only within each source partition and is cut to k=64 rows
+    immediately; production would swap it for the partial top-k
+    merge pattern (_global_rank's per-partition k-min then re-rank,
+    a metadata-sized second stage). Everything downstream — union
+    merge, Jaccard intersection, estimates — runs on <= k rows per
+    set: sketches, not data. exact_distinct is the fixture-scale
+    accuracy anchor; at 100 TB you'd drop that column (it IS the
+    expensive query the sketch replaces)."""
+    k = _KMV_K
+    tok = spark.table("documents").select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_BM25_TOKRE}', 0)")
+        ).alias("t"),
+    )
+    # One distinct (source, h) table feeds sketches AND exact anchors.
+    h = (
+        tok.select("source", _phash(F.col("t"), "kmv").alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # The sketch table is <= k rows per source — metadata-sized — and
+    # feeds five consumers (per-source rollup, both union arms, the
+    # merge, the intersection probe); checkpoint it once so each
+    # consumer reads k-row sketches instead of replaying the ranked
+    # distinct-hash lineage.
+    sk = _kmv_sketch(h, k).localCheckpoint()
+    per = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    ex = h.groupBy("source").agg(F.count(F.lit(1)).alias("ex"))
+
+    def est(n_sk, kth):
+        return F.round(
+            F.when(n_sk < k, n_sk.cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / kth.cast("double")
+            ),
+            4,
+        )
+
+    src_rows = per.join(ex, "source").select(
+        F.col("source").alias("set_name"),
+        F.col("n_sk").cast("long").alias("n_sk"),
+        F.col("kth").cast("long").alias("kth_hash"),
+        est(F.col("n_sk"), F.col("kth")).alias("est_distinct"),
+        F.col("ex").cast("long").alias("exact_distinct"),
+    )
+    # Union sketch by the KMV merge property: the k smallest of
+    # sketch(A) ∪ sketch(B) EQUALS the k smallest of the full union
+    # (any hash in the true union k-min is within its own set's
+    # k-min), so the merge ranks <= 2k sketch rows — metadata-sized
+    # regardless of corpus size. The oracle computes the same values
+    # from the full union, proving the property differentially.
+    a_sk = sk.filter(F.col("source") == _KMV_A).select("h")
+    b_sk = sk.filter(F.col("source") == _KMV_B).select("h")
+    merged = a_sk.unionByName(b_sk).distinct()
+    # <= 2k rows in: TakeOrdered (orderBy+limit), not a global window
+    # — no single-partition WindowExec, no extra exchange.
+    usk = merged.orderBy("h").limit(k)
+    # Exact union anchor (fixture-scale only; dropped in production).
+    uh = (
+        h.filter(F.col("source").isin(_KMV_A, _KMV_B)).select("h").distinct()
+    )
+    both = usk.join(a_sk, "h", "semi").join(b_sk, "h", "semi")
+    uper = usk.agg(F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth"))
+    uex = uh.agg(F.count(F.lit(1)).alias("ex"))
+    bcnt = both.agg(F.count(F.lit(1)).alias("c"))
+    iex = (
+        h.filter(F.col("source") == _KMV_A)
+        .select("h")
+        .intersect(h.filter(F.col("source") == _KMV_B).select("h"))
+        .agg(F.count(F.lit(1)).alias("ex"))
+    )
+    union_row = uper.crossJoin(uex).select(
+        F.lit(f"union:{_KMV_A}+{_KMV_B}").alias("set_name"),
+        F.col("n_sk").cast("long").alias("n_sk"),
+        F.col("kth").cast("long").alias("kth_hash"),
+        est(F.col("n_sk"), F.col("kth")).alias("est_distinct"),
+        F.col("ex").cast("long").alias("exact_distinct"),
+    )
+    uest = F.when(
+        F.col("n_sk") < k, F.col("n_sk").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("kth").cast("double")
+    )
+    inter_row = bcnt.crossJoin(uper).crossJoin(iex).select(
+        F.lit(f"intersect:{_KMV_A}+{_KMV_B}").alias("set_name"),
+        F.col("c").cast("long").alias("n_sk"),
+        F.lit(None).cast("long").alias("kth_hash"),
+        F.round(
+            F.col("c").cast("double") / F.col("n_sk").cast("double") * uest, 4
+        ).alias("est_distinct"),
+        F.col("ex").cast("long").alias("exact_distinct"),
+    )
+    return (
+        src_rows.unionByName(union_row)
+        .unionByName(inter_row)
+        .orderBy("set_name")
     )

@@ -1693,3 +1693,96 @@ def micro_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     ).select("o_orderpriority", "n", "sum_price", "max_days")
+
+
+# ---------------------------------------------------------------------------
+# Lateral column aliases (Spark 3.4+/4): a SELECT item referencing an
+# alias defined earlier in the SAME select list — the ergonomic
+# surface that kills the derived-table-per-intermediate pattern. The
+# reference's parser has no such rule (projection items are
+# independent: src/sqldb/parser.rs projection walk); Catalyst resolves
+# the alias chain into one Project. Oracle writes the expressions
+# fully expanded, proving the sugar is pure resolution.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_lateral_alias",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal * 2.0 AS doubled,
+           c_acctbal * 2.0 + 100.0 AS boosted,
+           (c_acctbal * 2.0 + 100.0) / 10.0 AS scaled
+    FROM customer
+    WHERE c_custkey <= 50
+    ORDER BY c_custkey
+    """,
+    doc="Lateral column aliases: select items chain on aliases from "
+    "the same projection (doubled -> boosted -> scaled); resolved "
+    "into one Project node. Oracle uses the expanded expressions.",
+    tags=("micro", "sql"),
+)
+def micro_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-chained projection via lateral column aliases.
+
+    Scale: pure projection — whole-stage-codegen'd, no shuffle; the
+    filter pushes to the scan."""
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               c_acctbal * 2.0 AS doubled,
+               doubled + 100.0 AS boosted,
+               boosted / 10.0 AS scaled
+        FROM customer
+        WHERE c_custkey <= 50
+        ORDER BY c_custkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (Spark 3.4+/4 spark.sql(sql, args)): named-marker
+# queries with literal binding server-side — the injection-safe
+# surface the reference's string-assembled SQL layer
+# (src/sqldb/postgres/mod.rs query assembly) never had. The markers
+# bind as typed literals BEFORE analysis, so Catalyst constant-folds
+# and pushes them down exactly like inline literals.
+# ---------------------------------------------------------------------------
+_PARAM_STATUS = "F"
+_PARAM_MIN_QTY = 25
+
+
+@register(
+    "micro_parameterized_sql",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_linestatus = '{_PARAM_STATUS}' AND l_quantity >= {_PARAM_MIN_QTY}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Parameterized SQL via spark.sql(query, args={...}): named "
+    "markers (:status, :min_qty) bind as typed literals pre-analysis "
+    "— same plan, same pushdown as inline literals; the oracle runs "
+    "the bound form.",
+    tags=("micro", "sql"),
+)
+def micro_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL execution surface.
+
+    Scale: identical plan to the literal form — both predicates reach
+    the parquet scan as PushedFilters (bound before optimization)."""
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        WHERE l_linestatus = :status AND l_quantity >= :min_qty
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        args={"status": _PARAM_STATUS, "min_qty": _PARAM_MIN_QTY},
+    )

@@ -94,6 +94,13 @@ QUERIES = (
     "mm_dedup_phash",
     "olap_window_funnel",
     "llm_importance_resample",
+    # Round-8 late additions: the two-arm RRF fusion (each arm a
+    # TakeOrdered candidate cut), the KMV sketch build (one distinct
+    # shuffle + k-row sketches), and the Holt fold (bounded per-type
+    # arrays over the daily rollup).
+    "llm_hybrid_search_rrf",
+    "llm_kmv_distinct",
+    "ev_holt_linear",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -794,3 +794,57 @@ def test_bpe_apply_tokenizes_via_broadcast_join(spark):
     df2 = _df(spark, "llm_pipeline_tokenize")
     p2 = plan_string(df2)
     assert "BroadcastHashJoin" in p2, p2[:1200]
+
+
+def test_hybrid_rrf_arms_are_takeordered_and_qvec_broadcast(spark):
+    """Each retrieval arm's top-K cut must compile to TakeOrdered
+    (distributed partial top-K), never a single-partition global
+    sort window over the corpus; the dense arm's one-row query
+    vector must be broadcast."""
+    df = _df(spark, "llm_hybrid_search_rrf")
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "Broadcast" in p, p[:1500]
+    # The rank windows run over exactly K rows per arm: the plan's
+    # Window nodes sit ABOVE a TakeOrdered/limit, so no Window may
+    # consume a raw parquet scan subtree directly. Cheap proxy: every
+    # Sort feeding a Window is under a limit — assert there is no
+    # data-sized global Window by checking the plan has no Window
+    # node without a preceding TakeOrderedAndProject.
+    assert p.index("TakeOrderedAndProject") < p.index("Window"), p[:2000]
+
+
+def test_holt_linear_is_fold_not_window(spark):
+    """The Holt recurrence must run as a per-group array fold — the
+    plan may contain NO window operator at all and exactly the two
+    aggregation shuffles (daily rollup, per-type array)."""
+    df = _df(spark, "ev_holt_linear")
+    p = plan_string(df)
+    assert "Window" not in p, p[:1500]
+    assert not has_cartesian(df)
+
+
+def test_kmv_per_source_window_is_partitioned(spark):
+    """The per-source rank window must be PARTITION BY source — an
+    unpartitioned rank over the (source, hash) table would serialize
+    the corpus through one task. The full query checkpoints the
+    k-row sketch (so the window is invisible in its final plan);
+    pin the spec on the sketch builder itself."""
+    from datafusion_rdbms_ext_spark.queries.llm import _kmv_sketch
+
+    h = (
+        spark.range(100)
+        .selectExpr("cast(id % 3 as string) source", "id * 37 % 97 h")
+        .distinct()
+    )
+    p = plan_string(_kmv_sketch(h, 4))
+    details = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", p)
+    assert details, p[:1500]
+    assert all("source" in d for d in details), details
+    # And the executed query's final plan must not contain any
+    # unpartitioned row_number window (the union-sketch merge is a
+    # TakeOrdered, not a global window).
+    df = _df(spark, "llm_kmv_distinct")
+    fp = plan_string(df)
+    for d in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", fp):
+        assert "source" in d, d
