@@ -138,6 +138,10 @@ _PRIORITY: tuple[str, ...] = (
     "llm_kmv_distinct",
     "micro_lateral_alias",
     "micro_parameterized_sql",
+    "ev_ohlc_bars",
+    "ev_changepoint_cusum",
+    "llm_sample_priority",
+    "llm_ann_recall_eval",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -1664,3 +1664,217 @@ def ev_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# 25. OHLC bars (round 8): the candlestick downsampling every
+#     monitoring/market pipeline runs — per (event_type, day): the
+#     first value (open), max (high), min (low) and last value
+#     (close), plus the event count as volume. Unlike M4
+#     (op_downsample_m4, which keeps the 4 EXTREME points for pixel-
+#     perfect line rendering), OHLC keeps the 4 SEMANTIC points of the
+#     interval. min_by/max_by over a (ts, event_id) struct key make
+#     open/close deterministic under timestamp ties AND fully
+#     partial-aggregatable — each map task emits one candidate per
+#     bar, the merge picks the winner, so the shuffle carries one row
+#     per (type, day) regardless of corpus size. The reference's
+#     aggregate surface stops at plain min/max (physical_plan.rs
+#     aggregates); ordered-selection aggregates are an extension.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM r GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    doc="OHLC candlestick bars per (event_type, day): open/close via "
+    "min_by/max_by over a (ts, event_id) struct key (deterministic "
+    "under timestamp ties), high/low plain extremes, count as volume. "
+    "All five are partial-aggregatable, so the bar table shuffles one "
+    "row per bar. Values are picked raw doubles (never summed) — "
+    "bit-identical cross-engine by construction.",
+    tags=("events", "timeseries", "bench"),
+)
+def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type.
+
+    Scale: one map-side-combined aggregation — min_by/max_by carry a
+    single (key, value) candidate through the partial/merge phases,
+    so the shuffle is bar-count-sized (types x days), independent of
+    event volume. No window over the raw stream, no sort: the
+    ordered-selection is inside the aggregate. At 100 TB this is the
+    canonical first rollup a metrics store materializes
+    incrementally per closing day."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 26. CUSUM changepoint detection (round 8, Page 1954): the classic
+#     sequential drift detector over the per-type daily-count series —
+#     s_i = max(0, s_{i-1} + (y_i - mean - slack)) upward and the
+#     mirrored downward sum, alarm when a sum crosses the threshold.
+#     Everything runs in SCALED INTEGER space (residual n*y_i - S has
+#     exact mean 0; slack = S div 4, threshold = S div 2 in the same
+#     scale), so the recurrence is integer arithmetic end-to-end and
+#     the oracle's recursive CTE reproduces it bit-for-bit — no
+#     stddev, no float accumulation order to drift.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_changepoint_cusum",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT event_type, day, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(y) OVER (PARTITION BY event_type) AS s_tot
+      FROM daily
+    ),
+    rec AS (
+      SELECT event_type, rn, n, s_tot,
+             GREATEST(0, (n * y - s_tot) - s_tot // 4) AS s,
+             GREATEST(0, -(n * y - s_tot) - s_tot // 4) AS t,
+             CASE WHEN GREATEST(0, (n * y - s_tot) - s_tot // 4) > s_tot // 2
+                  THEN 1 ELSE 0 END AS npos,
+             CASE WHEN GREATEST(0, -(n * y - s_tot) - s_tot // 4) > s_tot // 2
+                  THEN 1 ELSE 0 END AS nneg,
+             GREATEST(0, (n * y - s_tot) - s_tot // 4) AS maxs,
+             GREATEST(0, -(n * y - s_tot) - s_tot // 4) AS maxt,
+             CASE WHEN GREATEST(0, (n * y - s_tot) - s_tot // 4) > s_tot // 2
+                  THEN day END AS first_day
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn + 1, r.n, r.s_tot,
+             GREATEST(0, r.s + (r.n * q.y - r.s_tot) - r.s_tot // 4),
+             GREATEST(0, r.t - (r.n * q.y - r.s_tot) - r.s_tot // 4),
+             r.npos + CASE WHEN GREATEST(0, r.s + (r.n * q.y - r.s_tot)
+                                 - r.s_tot // 4) > r.s_tot // 2
+                           THEN 1 ELSE 0 END,
+             r.nneg + CASE WHEN GREATEST(0, r.t - (r.n * q.y - r.s_tot)
+                                 - r.s_tot // 4) > r.s_tot // 2
+                           THEN 1 ELSE 0 END,
+             GREATEST(r.maxs, GREATEST(0, r.s + (r.n * q.y - r.s_tot)
+                                        - r.s_tot // 4)),
+             GREATEST(r.maxt, GREATEST(0, r.t - (r.n * q.y - r.s_tot)
+                                        - r.s_tot // 4)),
+             COALESCE(r.first_day,
+                      CASE WHEN GREATEST(0, r.s + (r.n * q.y - r.s_tot)
+                                         - r.s_tot // 4) > r.s_tot // 2
+                           THEN q.day END)
+      FROM rec r JOIN seq q
+        ON q.event_type = r.event_type AND q.rn = r.rn + 1
+      WHERE r.rn < r.n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(npos AS BIGINT) AS pos_alarm_days,
+           CAST(nneg AS BIGINT) AS neg_alarm_days,
+           CAST(maxs AS BIGINT) AS max_cusum_up,
+           CAST(maxt AS BIGINT) AS max_cusum_down,
+           CAST(first_day AS VARCHAR) AS first_up_alarm_day
+    FROM rec WHERE rn = n
+    ORDER BY event_type
+    """,
+    doc="Page's CUSUM changepoint detector per event type over the "
+    "daily-count series: upward and downward cumulative sums with "
+    "slack 25% and threshold 50% of the (integer-scaled) per-type "
+    "mean; reports alarm-day counts, the max excursions and the "
+    "first upward-alarm day. Scaled-integer recurrence == recursive "
+    "CTE oracle bit-for-bit.",
+    tags=("events", "timeseries", "anomaly", "bench"),
+)
+def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift alarms per event type (integer-exact).
+
+    Scale: the ev_holt_linear envelope — a map-side-combined
+    (type, day) rollup, then one fold over the day-ordered per-type
+    array (|days| elements, bounded by retention; never |events|).
+    The scaled-integer formulation (residual n*y - S) avoids both a
+    second variance pass and any float accumulation: mean-centering
+    is exact, the fold is pure BIGINT arithmetic. At 100 TB the
+    daily rollup is the incrementally maintained table; the detector
+    re-folds only the monitored tail."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s_tot"),
+    )
+    slack = F.expr("s_tot div 4")
+    thresh = F.expr("s_tot div 2")
+    n = F.col("n")
+    s_tot = F.col("s_tot")
+    zero = F.lit(0).cast("long")
+
+    def step(acc, r):
+        resid = n * r["y"] - s_tot
+        s_new = F.greatest(zero, acc["s"] + resid - slack)
+        t_new = F.greatest(zero, acc["t"] - resid - slack)
+        up = s_new > thresh
+        dn = t_new > thresh
+        return F.struct(
+            s_new.alias("s"),
+            t_new.alias("t"),
+            (acc["npos"] + F.when(up, 1).otherwise(0)).alias("npos"),
+            (acc["nneg"] + F.when(dn, 1).otherwise(0)).alias("nneg"),
+            F.greatest(acc["maxs"], s_new).alias("maxs"),
+            F.greatest(acc["maxt"], t_new).alias("maxt"),
+            F.coalesce(
+                acc["first_day"], F.when(up, r["day"])
+            ).alias("first_day"),
+        )
+
+    init = F.struct(
+        zero.alias("s"),
+        zero.alias("t"),
+        zero.alias("npos"),
+        zero.alias("nneg"),
+        zero.alias("maxs"),
+        zero.alias("maxt"),
+        F.lit(None).cast("date").alias("first_day"),
+    )
+    fold = F.aggregate(F.col("rows"), init, step)
+    return arr.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        fold["npos"].cast("long").alias("pos_alarm_days"),
+        fold["nneg"].cast("long").alias("neg_alarm_days"),
+        fold["maxs"].cast("long").alias("max_cusum_up"),
+        fold["maxt"].cast("long").alias("max_cusum_down"),
+        fold["first_day"].cast("string").alias("first_up_alarm_day"),
+    ).orderBy("event_type")

@@ -6791,3 +6791,283 @@ def llm_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(inter_row)
         .orderBy("set_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# 50. Priority sampling (round 8; Duffield-Lund-Thorup, JACM 2007):
+#     fixed-size weighted sampling without replacement PLUS unbiased
+#     subset-sum estimation from the sample — the scheme a 100 TB
+#     pipeline uses to keep a k-row sample per stratum whose weights
+#     still estimate the stratum total. Priority q_i = w_i / u_i with
+#     u_i uniform from the deterministic 60-bit hash; keep the k
+#     largest priorities per language, tau = the (k+1)-th priority,
+#     estimate sum(w) by sum(max(w_i, tau)) over the sample. Every
+#     arithmetic op on the priority path (one multiply, one divide)
+#     is IEEE correctly-rounded, so priorities — and therefore the
+#     SELECTION and the estimate — are bit-identical cross-engine
+#     (no transcendentals, unlike the exp-key A-ES formulation).
+#     tau is floored to an integer before the estimator so the
+#     subset-sum is pure BIGINT arithmetic (order-free summation).
+# ---------------------------------------------------------------------------
+_PSAMP_K = 8
+
+
+@register(
+    "llm_sample_priority",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, GREATEST(n_chars, 1) AS w,
+             {_sql_phash("CAST(doc_id AS VARCHAR)", "psam")} AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, lang, w,
+             CAST(w AS DOUBLE) * {float(1 << 60)!r}
+               / (CAST(h AS DOUBLE) + 1) AS pri
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, lang, w, pri,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY pri DESC, doc_id) AS rk
+      FROM p
+    ),
+    tau AS (
+      SELECT lang,
+             CAST(FLOOR(COALESCE(MAX(CASE WHEN rk = {_PSAMP_K + 1}
+                                          THEN pri END), 0)) AS BIGINT)
+               AS tau_floor
+      FROM r GROUP BY lang
+    ),
+    tot AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS true_total
+            FROM d GROUP BY lang),
+    est AS (
+      SELECT s.lang,
+             CAST(SUM(GREATEST(s.w, t.tau_floor)) AS BIGINT) AS est_total
+      FROM r s JOIN tau t USING (lang)
+      WHERE s.rk <= {_PSAMP_K} GROUP BY s.lang
+    )
+    SELECT s.lang, CAST(s.rk AS BIGINT) AS rk, s.doc_id,
+           CAST(s.w AS BIGINT) AS w_chars,
+           ROUND(s.pri, 4) AS priority_r,
+           t.tau_floor, e.est_total, o.true_total
+    FROM r s JOIN tau t USING (lang)
+             JOIN est e ON e.lang = s.lang
+             JOIN tot o ON o.lang = s.lang
+    WHERE s.rk <= {_PSAMP_K}
+    ORDER BY s.lang, s.rk
+    """,
+    doc=f"Priority sampling per language (k={_PSAMP_K}): weight = "
+    "n_chars, priority = w/u from the deterministic hash, keep the k "
+    "largest, tau = (k+1)-th priority, estimate the stratum's total "
+    "chars by sum(max(w_i, floor(tau))) over the sample "
+    "(Duffield-Lund-Thorup unbiased subset-sum estimator; floored "
+    "tau keeps the estimator in exact integer arithmetic). The "
+    "priority path is one IEEE multiply + one divide — both "
+    "correctly rounded — so selection and estimates hash-check "
+    "exactly.",
+    tags=("llm", "sampling", "bench"),
+)
+def llm_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-row weighted sample per language + subset-sum estimate.
+
+    Scale: priorities are map-side (hash + two float ops); the only
+    shuffle is the per-language top-(k+1) rank — at production scale
+    the window is replaced by a per-partition top-(k+1) pre-cut
+    feeding the same rank (the classic distributed top-k), so the
+    shuffle carries k+1 candidates per (partition, lang), never the
+    corpus. Estimation then runs on k rows per stratum. This is the
+    operator that lets a 100 TB pipeline keep per-domain samples
+    whose WEIGHTS still answer 'how many chars does this domain
+    contribute' without a second full scan."""
+    k = _PSAMP_K
+    d = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("w"),
+        _phash(F.col("doc_id").cast("string"), "psam").alias("h"),
+    )
+    p = d.select(
+        "doc_id",
+        "lang",
+        "w",
+        (
+            F.col("w").cast("double")
+            * F.lit(float(1 << 60))
+            / (F.col("h").cast("double") + F.lit(1.0))
+        ).alias("pri"),
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("pri").desc(), "doc_id")
+    r = p.withColumn("rk", F.row_number().over(wl)).filter(
+        F.col("rk") <= k + 1
+    )
+    tau = r.groupBy("lang").agg(
+        F.floor(
+            F.coalesce(
+                F.max(F.when(F.col("rk") == k + 1, F.col("pri"))), F.lit(0.0)
+            )
+        )
+        .cast("long")
+        .alias("tau_floor")
+    )
+    tot = d.groupBy("lang").agg(F.sum("w").cast("long").alias("true_total"))
+    samp = r.filter(F.col("rk") <= k)
+    est = (
+        samp.join(tau, "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.greatest(F.col("w"), F.col("tau_floor")))
+            .cast("long")
+            .alias("est_total")
+        )
+    )
+    return (
+        samp.join(F.broadcast(tau), "lang")
+        .join(F.broadcast(est), "lang")
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            F.col("w").cast("long").alias("w_chars"),
+            F.round("pri", 4).alias("priority_r"),
+            "tau_floor",
+            "est_total",
+            "true_total",
+        )
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 51. ANN recall evaluation (round 8): recall@k of the IVF cell-pruned
+#     search against the exact brute-force ground truth over the SAME
+#     query set — the QA meta-operator every ANN deployment runs when
+#     it tunes nprobe/cell counts (the similarity-search sibling of
+#     llm_dedup_eval). Integer ppm ratios; the pair sets come from the
+#     same deterministic fold-ordered cosine, so the measurement is
+#     under the same bit-exact differential gate as the operators.
+# ---------------------------------------------------------------------------
+_RECALL_Q = 30  # query set: vec_id < 30 (matches llm_sim_topk_ivf)
+_RECALL_K = 3
+
+
+@register(
+    "llm_ann_recall_eval",
+    oracle=f"""
+    WITH {_SQL_BASE},
+    q AS (SELECT vec_id AS q_id, label, embedding AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id < {_RECALL_Q}),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) DESC, b.vec_id
+               ) AS rk
+        FROM q, base b WHERE b.vec_id <> q.q_id
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) DESC, b.vec_id
+               ) AS rk
+        FROM q JOIN base b ON b.label = q.label AND b.vec_id <> q.q_id
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT t.q_id, COUNT(a.vec_id) AS h, COUNT(*) AS t_n
+      FROM truth t LEFT JOIN approx a
+        ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+      GROUP BY t.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(t_n) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST(SUM(h) AS BIGINT) AS n_hits,
+           CAST(SUM(h) * 1000000 // SUM(t_n) AS BIGINT) AS recall_ppm,
+           CAST(MIN(h * 1000000 // t_n) AS BIGINT) AS worst_query_recall_ppm
+    FROM hits
+    """,
+    doc=f"ANN quality evaluation: recall@{_RECALL_K} of the IVF "
+    "cell-pruned search vs the exact brute-force ground truth over "
+    f"the same {_RECALL_Q}-query set — micro and macro (worst-query) "
+    "recall in exact integer ppm. The similarity-search sibling of "
+    "llm_dedup_eval: the meta-operator that re-validates cell/nprobe "
+    "choices after every index rebuild.",
+    tags=("llm", "similarity", "quality"),
+)
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall@k report: IVF vs brute-force ground truth.
+
+    Scale: the truth side is brute force over the QUERY SET only
+    (fixed small; broadcast) — at 100 TB ground truth comes from a
+    sampled query panel exactly like this, never the full corpus.
+    The approx side is the production IVF plan (co-partitioned cell
+    equi-join). Both searched sets reduce to (q_id, neighbor) pairs
+    — k rows per query — before the eval join, so the comparison
+    itself is metadata-sized."""
+    base = _vectors_with_norm(spark)
+    q = base.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cos")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select("q_id", "vec_id", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _RECALL_K)
+            .select("q_id", "vec_id")
+        )
+
+    truth = topk(base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")))
+    approx = topk(
+        base.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+    )
+    n_approx = approx.agg(F.count(F.lit(1)).alias("na"))
+    a = approx.select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vec")
+    )
+    hits = (
+        truth.join(
+            a,
+            (truth["q_id"] == a["a_qid"]) & (truth["vec_id"] == a["a_vec"]),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("a_vec").alias("h"),
+            F.count(F.lit(1)).alias("t_n"),
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("t_n").cast("long").alias("n_truth"),
+        F.sum("h").cast("long").alias("n_hits"),
+        F.expr("sum(h) * 1000000 div sum(t_n)").alias("recall_ppm"),
+        F.min(F.expr("h * 1000000 div t_n"))
+        .cast("long")
+        .alias("worst_query_recall_ppm"),
+    ).crossJoin(F.broadcast(n_approx)).select(
+        "n_queries",
+        "n_truth",
+        F.col("na").cast("long").alias("n_approx"),
+        "n_hits",
+        "recall_ppm",
+        "worst_query_recall_ppm",
+    )

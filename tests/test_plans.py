@@ -151,6 +151,12 @@ def test_broadcast_hints_only_on_fixed_dims():
             # tokenizer's vocab is fixed 32k-100k by construction) —
             # broadcast is the production plan (round 8).
             "tok_map",
+            # priority sampling: per-stratum tau/estimate/true-total
+            # rollups — one row per LANGUAGE (the training-mix
+            # catalog, not data-scaling).
+            "tau", "est",
+            # ANN recall eval: the 1-row approx-pair count.
+            "n_approx",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
@@ -848,3 +854,50 @@ def test_kmv_per_source_window_is_partitioned(spark):
     fp = plan_string(df)
     for d in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", fp):
         assert "source" in d, d
+
+
+def test_ohlc_is_pure_aggregate(spark):
+    """OHLC bars must be ONE map-side-combined aggregation: min_by/
+    max_by carry their (key, value) candidate through partial/merge,
+    so the plan may contain no window, no join, no cartesian — and
+    the aggregate must show a partial_* merge phase (evidence the
+    shuffle is bar-count-sized, not event-sized)."""
+    df = _df(spark, "ev_ohlc_bars")
+    p = plan_string(df)
+    assert "Window" not in p, p[:1500]
+    assert "Join" not in p, p[:1500]
+    assert not has_cartesian(df)
+    assert "partial_" in p or "partial" in p.lower(), p[:1500]
+
+
+def test_cusum_is_fold_not_window(spark):
+    """CUSUM folds the day-ordered per-type array — like Holt, the
+    plan may contain NO window operator (the recurrence lives inside
+    aggregate()) and no cartesian."""
+    df = _df(spark, "ev_changepoint_cusum")
+    p = plan_string(df)
+    assert "Window" not in p, p[:1500]
+    assert not has_cartesian(df)
+
+
+def test_priority_sample_window_is_per_stratum(spark):
+    """The top-(k+1) rank must partition by the stratum (lang) —
+    an unpartitioned rank would serialize the corpus through one
+    task. All post-rank joins run on k-row-per-stratum sides and
+    must be broadcasts."""
+    df = _df(spark, "llm_sample_priority")
+    p = plan_string(df)
+    details = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", p)
+    assert details, p[:1500]
+    assert all("lang" in d for d in details), details
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert not has_cartesian(df)
+
+
+def test_ann_recall_eval_broadcasts_query_panel(spark):
+    """Both search arms must broadcast the fixed query panel (the
+    corpus side streams map-side); no cartesian product anywhere."""
+    df = _df(spark, "llm_ann_recall_eval")
+    p = plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 2, p[:2000]
+    assert not has_cartesian(df)
