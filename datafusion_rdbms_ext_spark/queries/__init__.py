@@ -142,6 +142,10 @@ _PRIORITY: tuple[str, ...] = (
     "ev_changepoint_cusum",
     "llm_sample_priority",
     "llm_ann_recall_eval",
+    "mm_scene_cuts",
+    "stream_chained_windows",
+    "micro_xml_parse",
+    "micro_identifier_clause",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

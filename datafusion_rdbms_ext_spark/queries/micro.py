@@ -1786,3 +1786,123 @@ def micro_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": _PARAM_STATUS, "min_qty": _PARAM_MIN_QTY},
     )
+
+
+# ---------------------------------------------------------------------------
+# 57. XML parsing (round 8, Spark 4.0 native XML): from_xml over an
+#     XML payload column plus an xpath extraction — the semi-
+#     structured sibling of the JSON/VARIANT surface (ev_json_props,
+#     ev_variant_props). The fixture has no XML column, so the query
+#     SYNTHESIZES the canonical roundtrip: render supplier rows to
+#     XML strings with concat (exactly what an upstream exporter
+#     does), parse them back with from_xml(schema), and aggregate the
+#     parsed fields; the oracle computes the same aggregate from the
+#     base columns — parse(render(x)) == x, differentially proven.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_xml_parse",
+    oracle="""
+    SELECT s_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+             AS sum_bal,
+           MAX(s_name) AS max_name
+    FROM supplier
+    WHERE s_suppkey % 2 = 0
+    GROUP BY s_nationkey
+    ORDER BY nation
+    """,
+    doc="Spark 4 native XML surface: suppliers rendered to XML "
+    "payload strings, parsed back with from_xml (struct schema) and "
+    "an xpath_long probe on the same payload; aggregate over parsed "
+    "fields == aggregate over base columns (roundtrip identity as "
+    "the oracle).",
+    tags=("micro", "sql"),
+)
+def micro_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml / xpath over synthesized XML payloads.
+
+    Scale: render and parse are both map-side whole-stage-codegen
+    expressions (no UDF, no shuffle added): the plan is scan ->
+    project(render, parse) -> partial agg -> exchange -> final agg,
+    identical envelope to the plain aggregation. The parse cost is
+    the point — it's the decode path a 100 TB XML ingest spends its
+    time in, and it scales embarrassingly."""
+    xml = F.concat(
+        F.lit("<sup><k>"),
+        F.col("s_suppkey"),
+        F.lit("</k><name>"),
+        F.col("s_name"),
+        F.lit("</name><nat>"),
+        F.col("s_nationkey"),
+        F.lit("</nat><bal>"),
+        F.col("s_acctbal").cast("string"),
+        F.lit("</bal></sup>"),
+    ).alias("payload")
+    parsed = (
+        spark.table("supplier")
+        .select(xml)
+        .select(
+            F.from_xml(
+                "payload",
+                "k BIGINT, name STRING, nat BIGINT, bal DOUBLE",
+            ).alias("x"),
+            F.xpath_long("payload", F.lit("/sup/k")).alias("k_xpath"),
+        )
+    )
+    return (
+        parsed.filter(F.col("k_xpath") % 2 == 0)
+        .groupBy(F.col("x.nat").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x.bal").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("sum_bal"),
+            F.max("x.name").alias("max_name"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 58. IDENTIFIER clause (round 8, Spark 4 / SQL:2023-adjacent): a
+#     parameter marker bound as a TABLE NAME — the injection-safe
+#     dynamic-SQL surface (templated jobs pick the table/column at
+#     submit time without string-splicing SQL). The reference parses
+#     3-part static names only (parser.rs:459-465); IDENTIFIER
+#     parameterizes the name itself.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderdate) AS first_date
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="IDENTIFIER(:tbl) / IDENTIFIER(:col): table and group-by "
+    "column chosen via bound parameters — injection-safe dynamic SQL "
+    "(the name is resolved as an identifier, never spliced as text); "
+    "plan and pushdown identical to the static form, which is the "
+    "oracle.",
+    tags=("micro", "sql"),
+)
+def micro_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic table/column names through IDENTIFIER + named args.
+
+    Scale: resolution happens at analysis time — the optimized plan
+    is byte-identical to the static query, so every pushdown/pruning
+    property carries over unchanged."""
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_orderdate) AS first_date
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        ORDER BY IDENTIFIER(:col)
+        """,
+        args={"tbl": "orders", "col": "o_orderpriority"},
+    )

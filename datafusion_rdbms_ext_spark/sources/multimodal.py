@@ -30,7 +30,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries.base import register
@@ -662,4 +662,99 @@ def mm_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_energy",
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection over the decoded frame stream (round 8): the
+# video-pipeline operator that segments footage before sampling
+# training clips — a cut is a frame whose feature delta vs the
+# previous frame exceeds an ADAPTIVE per-asset threshold (2x the
+# asset's mean absolute delta, cross-multiplied to stay in exact
+# integer arithmetic: n_deltas * |d_k| > 2 * sum|d|). Decode is the
+# deterministic stub (_fake_decode); the plumbing — per-frame fan-out
+# via mapInPandas, per-asset lag window, per-asset threshold rollup,
+# co-partitioned join back — is the real distributed shape.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id < 90
+    ),
+    frames AS (
+      SELECT doc_id,
+             unnest(range(0, (n + {_FRAME_BYTES} - 1) // {_FRAME_BYTES})) AS k,
+             text, n
+      FROM v
+    ),
+    feat AS (
+      SELECT doc_id, k,
+             list_sum(list_transform(
+               range(k * {_FRAME_BYTES} + 1,
+                     LEAST((k + 1) * {_FRAME_BYTES}, n) + 1),
+               j -> ascii(substr(text, j, 1)))) AS f_sum
+      FROM frames
+    ),
+    deltas AS (
+      SELECT doc_id, k,
+             ABS(f_sum - LAG(f_sum) OVER (PARTITION BY doc_id ORDER BY k))
+               AS d
+      FROM feat
+    ),
+    thr AS (
+      SELECT doc_id, COUNT(d) AS n_d, SUM(d) AS s_d
+      FROM deltas GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.k AS BIGINT) AS frame_id,
+           CAST(d.d AS BIGINT) AS delta_abs
+    FROM deltas d JOIN thr t USING (doc_id)
+    WHERE d.d IS NOT NULL AND t.n_d * d.d > 2 * t.s_d
+    ORDER BY d.doc_id, frame_id
+    """,
+    doc="Scene-cut detection over stub-decoded frames: per-frame "
+    f"features ({_FRAME_BYTES}-byte chunk sums) via mapInPandas, "
+    "frame-to-frame absolute deltas by a per-asset lag window, and "
+    "an adaptive per-asset threshold (delta > 2x mean |delta|, "
+    "cross-multiplied so the cut decision is exact integer "
+    "arithmetic). The segmentation step every video training "
+    "pipeline runs before clip sampling.",
+    tags=("multimodal", "udf", "bench"),
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames flagged as scene cuts, per asset.
+
+    Scale: frames never leave their asset's partition — the lag
+    window, the threshold rollup and the join all key on doc_id, so
+    the whole pipeline is one co-partitioned pass over the frame
+    table (payload bytes are dropped at feature-extraction time;
+    only 16-byte-chunk sums shuffle). The adaptive threshold is the
+    standard practice (fixed thresholds break across codecs); its
+    integer cross-multiplication keeps the decision bit-exact."""
+    assets = load_assets(spark).filter(
+        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 90)
+    )
+    feat = frame_features(assets).select("doc_id", "frame_id", "f_sum")
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    deltas = feat.select(
+        "doc_id",
+        "frame_id",
+        F.abs(F.col("f_sum") - F.lag("f_sum").over(w)).alias("d"),
+    )
+    thr = deltas.groupBy("doc_id").agg(
+        F.count("d").alias("n_d"), F.sum("d").alias("s_d")
+    )
+    return (
+        deltas.join(thr, "doc_id")
+        .filter(
+            F.col("d").isNotNull()
+            & (F.col("n_d") * F.col("d") > 2 * F.col("s_d"))
+        )
+        .select(
+            "doc_id",
+            F.col("frame_id").cast("long").alias("frame_id"),
+            F.col("d").cast("long").alias("delta_abs"),
+        )
+        .orderBy("doc_id", "frame_id")
     )

@@ -1209,3 +1209,70 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_stream_full_outer_{_RUN_SEQ[0]}"
     _drain(joined, name, "append")
     return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+@register(
+    "stream_chained_windows",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             COUNT(*) AS n_h
+      FROM events GROUP BY h, event_type
+    ),
+    daily AS (
+      SELECT time_bucket(INTERVAL '1 day', h) AS bucket_start, event_type,
+             CAST(SUM(n_h) AS BIGINT) AS n_events,
+             CAST(MAX(n_h) AS BIGINT) AS max_hourly
+      FROM hourly GROUP BY bucket_start, event_type
+    )
+    SELECT * FROM daily
+    WHERE bucket_start + INTERVAL '1 day'
+          <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)
+    ORDER BY bucket_start, event_type
+    """,
+    doc="Chained stateful streaming aggregations (Spark 3.5+/4): an "
+    "hourly tumbling rollup feeds a SECOND windowed aggregation "
+    "(window over window_time) inside one streaming graph — daily "
+    "totals plus the max hourly rate, a metric a single-level "
+    "aggregation cannot produce. Append mode end-to-end, so both "
+    "operators' state is watermark-evicted; the oracle is the batch "
+    "two-level rollup restricted to finalized days.",
+    tags=("streaming", "window"),
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly -> daily chained streaming aggregation.
+
+    Scale: the classic streaming rollup cascade — the first operator
+    reduces the raw stream to one row per (hour, type) before the
+    second ever sees data, so the daily operator's input (and state)
+    is 24 rows per day per type regardless of event volume. Both
+    levels evict finalized windows at the watermark (append mode is
+    REQUIRED for chained stateful operators — complete mode would
+    hold every hourly row forever). At 100 TB this is how a metrics
+    pipeline keeps per-minute, per-hour and per-day rollups in one
+    pass with bounded state."""
+    _RUN_SEQ[0] += 1
+    name = f"stream_chained_windows_{_RUN_SEQ[0]}"
+    hourly = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_h"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("n_h").cast("long").alias("n_events"),
+            F.max("n_h").cast("long").alias("max_hourly"),
+        )
+        .select(
+            F.col("d.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "max_hourly",
+        )
+    )
+    _drain(daily, name, "append")
+    return spark.table(name).orderBy("bucket_start", "event_type")

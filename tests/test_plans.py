@@ -901,3 +901,24 @@ def test_ann_recall_eval_broadcasts_query_panel(spark):
     p = plan_string(df)
     assert p.count("BroadcastHashJoin") >= 2, p[:2000]
     assert not has_cartesian(df)
+
+
+def test_scene_cuts_stay_per_asset(spark):
+    """Frames must never leave their asset: the lag window partitions
+    by doc_id, and the threshold join keys on doc_id (co-partitioned,
+    no cartesian)."""
+    df = _df(spark, "mm_scene_cuts")
+    p = plan_string(df)
+    details = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert details and all("doc_id" in d for d in details), details
+    assert not has_cartesian(df)
+
+
+def test_xml_parse_is_map_side_codegen(spark):
+    """Render + from_xml + xpath must all be JVM expressions — no
+    Python eval node — and add no shuffle beyond the aggregation."""
+    df = _df(spark, "micro_xml_parse")
+    p = plan_string(df)
+    assert "EvalPython" not in p, p[:1500]
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    assert not has_cartesian(df)
