@@ -146,6 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_chained_windows",
     "micro_xml_parse",
     "micro_identifier_clause",
+    "llm_span_corrupt",
+    "micro_execute_immediate",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -7071,3 +7071,165 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_ppm",
         "worst_query_recall_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# 52. T5-style span corruption (round 8; Raffel et al. 2020): the
+#     denoising-objective preprocessor — select ~15% of tokens in
+#     short spans, replace each maximal masked run with one sentinel
+#     in the input, emit the masked tokens as the target. Span
+#     starts are chosen by the deterministic hash (5% of positions
+#     start a 3-token span, so expected coverage ~15%); a token is
+#     masked iff a span starts at any of the 3 positions ending at
+#     it — a pure per-row predicate (3 hash probes), NO self-join,
+#     no window over the corpus. Both the corruption and the target
+#     are exact string constructions, differentially provable.
+# ---------------------------------------------------------------------------
+_SPAN_EVERY = 20  # 1-in-20 positions start a span (5%)
+_SPAN_LEN = 3  # span length in tokens (~15% coverage)
+_SPAN_DOCS = 120  # bounded report set
+
+
+def _sql_span_start(j: str) -> str:
+    """DuckDB: position j (0-based) starts a span."""
+    h = _sql_phash(f"doc_id || ':' || CAST({j} AS VARCHAR)", "t5span")
+    return f"({j} >= 0 AND {h} % {_SPAN_EVERY} = 0)"
+
+
+@register(
+    "llm_span_corrupt",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_zip(string_split(text, ' '),
+                             range(0, len(string_split(text, ' '))))) AS z
+      FROM documents WHERE doc_id < {_SPAN_DOCS}
+    ),
+    tokens AS (
+      SELECT doc_id, z[1] AS word, CAST(z[2] AS BIGINT) AS pos FROM w
+    ),
+    flagged AS (
+      SELECT doc_id, word, pos,
+             ({_sql_span_start('pos')}
+              OR {_sql_span_start('pos - 1')}
+              OR {_sql_span_start('pos - 2')}) AS masked
+      FROM tokens
+    ),
+    runs AS (
+      SELECT doc_id, word, pos, masked,
+             CASE WHEN masked AND NOT COALESCE(
+               LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+             THEN 1 ELSE 0 END AS run_start
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           CAST(SUM(run_start) AS BIGINT) AS n_spans,
+           regexp_replace(
+             array_to_string(
+               list(CASE WHEN masked THEN '<X>' ELSE word END
+                    ORDER BY pos), ' '),
+             '<X>( <X>)+', '<X>', 'g') AS corrupted,
+           COALESCE(array_to_string(
+             list(word ORDER BY pos) FILTER (WHERE masked), ' '), '')
+             AS target
+    FROM runs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=f"T5 span corruption (Raffel 2020): deterministic-hash span "
+    f"starts (1/{_SPAN_EVERY} of positions, span length {_SPAN_LEN} "
+    "-> ~15% token coverage), maximal masked runs collapsed to one "
+    "<X> sentinel in the corrupted input, masked tokens emitted as "
+    "the target sequence. Masking is a pure per-token predicate "
+    "(3 hash probes) — no self-join; run counting and string "
+    "assembly happen once per document.",
+    tags=("llm", "text", "augment", "bench"),
+)
+def llm_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective corruption: (corrupted, target) per doc.
+
+    Scale: tokenize via posexplode (map-side), masking is 3 hash
+    probes per token (map-side), and the only shuffle is the
+    per-document reassembly — keyed on doc_id, so each document's
+    tokens collapse in one task. Sentinel-run collapsing happens on
+    the assembled string (one regexp per doc), not per token. This
+    is the corruption pass a 100 TB T5-style pretraining pipeline
+    runs over every document; everything here is O(tokens) with no
+    pairwise blowup."""
+    def start(j: Column) -> Column:
+        return (j >= 0) & (
+            _phash(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                ),
+                "t5span",
+            )
+            % _SPAN_EVERY
+            == 0
+        )
+
+    tokens = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < _SPAN_DOCS)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    )
+    p = F.col("pos").cast("long")
+    flagged = tokens.select(
+        "doc_id",
+        "word",
+        p.alias("pos"),
+        (start(p) | start(p - 1) | start(p - 2)).alias("masked"),
+    )
+    rows = flagged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "word", "masked"))).alias(
+            "toks"
+        )
+    )
+    toks = F.col("toks")
+    n_masked = F.size(F.filter(toks, lambda t: t["masked"]))
+    # maximal masked runs: fold tracking (prev_masked, n_runs)
+    runs = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(False).alias("prev"), F.lit(0).cast("long").alias("n")
+        ),
+        lambda acc, t: F.struct(
+            t["masked"].alias("prev"),
+            (
+                acc["n"]
+                + F.when(t["masked"] & ~acc["prev"], 1).otherwise(0)
+            ).alias("n"),
+        ),
+    )["n"]
+    corrupted = F.regexp_replace(
+        F.array_join(
+            F.transform(
+                toks,
+                lambda t: F.when(t["masked"], F.lit("<X>")).otherwise(
+                    t["word"]
+                ),
+            ),
+            " ",
+        ),
+        "<X>( <X>)+",
+        "<X>",
+    )
+    target = F.array_join(
+        F.transform(
+            F.filter(toks, lambda t: t["masked"]), lambda t: t["word"]
+        ),
+        " ",
+    )
+    return rows.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        runs.alias("n_spans"),
+        corrupted.alias("corrupted"),
+        target.alias("target"),
+    ).orderBy("doc_id")

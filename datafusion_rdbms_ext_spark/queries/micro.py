@@ -1906,3 +1906,51 @@ def micro_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "col": "o_orderpriority"},
     )
+
+
+# ---------------------------------------------------------------------------
+# 59. EXECUTE IMMEDIATE (round 8, Spark 4): SQL-in-SQL dynamic
+#     execution with USING parameter binding — the stored-procedure-
+#     style templating surface that pairs with IDENTIFIER and
+#     parameterized spark.sql(); the statement text arrives as a
+#     string, parameters bind as typed literals, and the inner plan
+#     optimizes exactly like the static form (which is the oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS sum_bal
+    FROM customer
+    WHERE c_nationkey < 10
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="EXECUTE IMMEDIATE with a USING clause: the statement text is "
+    "a string value, the predicate binds through a named parameter "
+    "marker — Spark 4's dynamic-SQL surface; the inner query "
+    "analyzes/optimizes identically to the static form (the oracle).",
+    tags=("micro", "sql"),
+)
+def micro_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL text executed with bound parameters.
+
+    Scale: a front-end feature — the executed statement's plan is
+    byte-identical to the static query (filter pushed to the scan,
+    partial aggregation), so there is no runtime cost to the
+    indirection."""
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT c_mktsegment,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+                    AS sum_bal
+           FROM customer
+           WHERE c_nationkey < :mx
+           GROUP BY c_mktsegment
+           ORDER BY c_mktsegment'
+          USING 10 AS mx
+        """
+    )

@@ -101,6 +101,14 @@ QUERIES = (
     "llm_hybrid_search_rrf",
     "llm_kmv_distinct",
     "ev_holt_linear",
+    # Round-8 final additions: OHLC's single partial-aggregatable
+    # rollup, CUSUM's bounded per-type fold, priority sampling's
+    # per-stratum top-(k+1), and the scene-cut frame pipeline
+    # (mapInPandas fan-out + per-asset window + co-partitioned join).
+    "ev_ohlc_bars",
+    "ev_changepoint_cusum",
+    "llm_sample_priority",
+    "mm_scene_cuts",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -922,3 +922,15 @@ def test_xml_parse_is_map_side_codegen(spark):
     assert "EvalPython" not in p, p[:1500]
     assert count_exchanges(df) <= 2, count_exchanges(df)
     assert not has_cartesian(df)
+
+
+def test_span_corrupt_is_single_reassembly_shuffle(spark):
+    """Masking must be a per-token predicate (map-side hash probes) —
+    no self-join, no window over the corpus; the only shuffle is the
+    per-document reassembly aggregation."""
+    df = _df(spark, "llm_span_corrupt")
+    p = plan_string(df)
+    assert "Window" not in p, p[:1500]
+    assert "Join" not in p, p[:1500]
+    assert count_exchanges(df) <= 2, count_exchanges(df)
+    assert not has_cartesian(df)
