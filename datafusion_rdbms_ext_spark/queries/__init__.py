@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "micro_identifier_clause",
     "llm_span_corrupt",
     "micro_execute_immediate",
+    "llm_mixture_temperature",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

@@ -7233,3 +7233,127 @@ def llm_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         corrupted.alias("corrupted"),
         target.alias("target"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 53. Temperature-weighted mixture quotas (round 8; the mT5/XLM-R
+#     multilingual rebalancing rule, Xue et al. 2021): sample source s
+#     proportionally to n_s^alpha with alpha = 0.5, so high-resource
+#     sources are downweighted and low-resource ones upweighted.
+#     Integer-exact cross-engine: the weight is floor(sqrt(n_s)) —
+#     IEEE sqrt is CORRECTLY ROUNDED, so the double is bit-identical
+#     in both engines and its floor is the same integer — after which
+#     quota_s = T * w_s div W is pure BIGINT arithmetic. Selection
+#     within each source is the deterministic-hash rank (the
+#     llm_stratified_sample discipline), checksummed by the exact
+#     integer sum of sampled doc_ids.
+# ---------------------------------------------------------------------------
+_TEMP_T = 200  # total sampled docs across sources
+
+
+@register(
+    "llm_mixture_temperature",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt
+      FROM n
+    ),
+    tot AS (SELECT SUM(wt) AS big_w FROM w),
+    quota AS (
+      SELECT source, n_docs, wt,
+             {_TEMP_T} * wt // tot.big_w AS q
+      FROM w CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, q.wt,
+           CAST(q.q AS BIGINT) AS quota,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS id_checksum
+    FROM quota q LEFT JOIN ranked r
+      ON r.source = q.source AND r.rk <= q.q
+    GROUP BY q.source, q.n_docs, q.wt, q.q
+    ORDER BY q.source
+    """,
+    doc=f"Temperature sampling quotas (alpha=0.5, T={_TEMP_T}): "
+    "per-source weight floor(sqrt(n)) — IEEE sqrt is correctly "
+    "rounded, so the weight is the identical integer cross-engine — "
+    "then quota = T*w div W in pure BIGINT arithmetic and a "
+    "deterministic-hash per-source selection, checksummed by the "
+    "exact sum of sampled doc_ids. The mT5/XLM-R multilingual "
+    "rebalancing rule as a first-class operator.",
+    tags=("llm", "sampling", "bench"),
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature quotas + the sampled-set checksum.
+
+    Scale: weights/quotas live on a #sources-row table (broadcast);
+    the selection is the per-stratum deterministic-hash rank — one
+    shuffle on source, parallelism = #sources with salting available
+    for skewed strata. Exactly the sampling pass a multilingual
+    100 TB pretraining mix runs per epoch; alpha generalizes by
+    swapping the weight expression (n^alpha via exp/ln loses the
+    exactness guarantee, so production pins alpha=0.5 or
+    precomputes integer weights)."""
+    n = spark.table("documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = n.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")))
+        .cast("long")
+        .alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").alias("big_w"))
+    quotas = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "wt",
+        F.expr(f"{_TEMP_T} * wt div big_w").alias("q"),
+    )
+    ranked = (
+        spark.table("documents")
+        .select(
+            "source",
+            "doc_id",
+            F.md5(
+                F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("h", "doc_id")
+            ),
+        )
+    )
+    samp = ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("rk") <= F.col("q")
+    )
+    agg = samp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+    return (
+        quotas.join(agg, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "wt",
+            F.col("q").cast("long").alias("quota"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.coalesce(F.col("id_checksum"), F.lit(0)).alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
