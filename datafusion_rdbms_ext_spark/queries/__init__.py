@@ -149,6 +149,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_span_corrupt",
     "micro_execute_immediate",
     "llm_mixture_temperature",
+    "stream_stream_semi",
+    "ev_stickiness_dau_mau",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",

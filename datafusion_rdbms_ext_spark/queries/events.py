@@ -1878,3 +1878,104 @@ def ev_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["maxt"].cast("long").alias("max_cusum_down"),
         fold["first_day"].cast("string").alias("first_up_alarm_day"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# 27. DAU/MAU stickiness (round 8): the product-analytics ratio —
+#     distinct daily actives over distinct trailing-28-day actives,
+#     per day, in exact integer ppm. Reuses the rolling-distinct
+#     fan-out discipline (ev_rolling_distinct_users): each (day,
+#     user) pair fans out map-side to the <= 28 windows it belongs
+#     to, ONE distinct aggregation per window — no per-window
+#     rescan, no self-join.
+# ---------------------------------------------------------------------------
+_STICKY_WIN = 28
+
+
+@register(
+    "ev_stickiness_dau_mau",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    bounds AS (
+      SELECT MIN(day) AS d0,
+             datediff('day', MIN(day), MAX(day)) AS max_off
+      FROM days
+    ),
+    dau AS (
+      SELECT datediff('day', d0, day) AS off,
+             COUNT(DISTINCT user_id) AS dau
+      FROM days CROSS JOIN bounds GROUP BY off
+    ),
+    fanout AS (
+      SELECT user_id,
+             unnest(range(datediff('day', d0, day),
+                          LEAST(datediff('day', d0, day) + {_STICKY_WIN - 1},
+                                max_off) + 1)) AS w
+      FROM days CROSS JOIN bounds
+    ),
+    mau AS (
+      SELECT w AS off, COUNT(DISTINCT user_id) AS mau
+      FROM fanout GROUP BY w
+    )
+    SELECT CAST(d.off AS BIGINT) AS day_off,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN mau m ON m.off = d.off
+    ORDER BY day_off
+    """,
+    doc=f"DAU/MAU stickiness per day (window={_STICKY_WIN}d): daily "
+    "distinct actives over trailing-window distinct actives as exact "
+    "integer ppm. Map-side fan-out of the (day, user) rollup to its "
+    "covering windows, one distinct aggregation per window — the "
+    "rolling-distinct discipline applied to the canonical "
+    "product-analytics ratio.",
+    tags=("events", "window", "bench"),
+)
+def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-28d MAU and their ppm ratio.
+
+    Scale: both aggregations run over the (day, user) distinct
+    rollup — already orders of magnitude smaller than events — and
+    the fan-out multiplies it by at most 28 BEFORE a distinct that
+    shuffles (window, user) pairs once. The DAU/MAU join is
+    day-count-sized. At 100 TB the rollup is the incrementally
+    maintained table and each new day appends 28 fan-out targets."""
+    days = (
+        spark.table("events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    d0 = days.agg(
+        F.min("day").alias("d0"),
+        F.datediff(F.max("day"), F.min("day")).alias("max_off"),
+    )
+    with_b = days.crossJoin(F.broadcast(d0))
+    off = F.datediff(F.col("day"), F.col("d0"))
+    dau = with_b.groupBy(off.alias("off")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    fanout = with_b.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                off,
+                F.least(off + F.lit(_STICKY_WIN - 1), F.col("max_off")),
+            )
+        ).alias("w"),
+    )
+    mau = fanout.groupBy(F.col("w").alias("off")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(mau, "off")
+        .select(
+            F.col("off").cast("long").alias("day_off"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day_off")
+    )

@@ -1276,3 +1276,66 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(daily, name, "append")
     return spark.table(name).orderBy("bucket_start", "event_type")
+
+
+@register(
+    "stream_stream_semi",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id < 30
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+      )
+    ORDER BY purchase_id
+    """,
+    doc="Stream-stream LEFT SEMI interval join: purchases emitted "
+    "exactly once on their first in-interval click — the streaming "
+    "EXISTS. Unlike the outer variant there is no watermark-gated "
+    "null tail (matches emit eagerly; the dedup state guarantees "
+    "once-only emission), so the oracle is the plain batch EXISTS.",
+    tags=("streaming", "join"),
+)
+def stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join completion of the stream-stream join family.
+
+    Scale: same bounded-state envelope as the inner join (interval-
+    bounded condition in both directions -> state eviction at the
+    watermark), PLUS the semi shape never materializes the match
+    rows — one output row per qualifying purchase regardless of how
+    many clicks hit the interval, which is exactly what a 100 TB
+    conversion-flagging stream wants (the inner join's output is
+    match-pair-sized; the semi's is left-side-sized)."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_semi",
+    ).select("purchase_id", "purchase_ts")
+
+    _RUN_SEQ[0] += 1
+    name = f"stream_stream_semi_{_RUN_SEQ[0]}"
+    _drain(joined, name, "append")
+    return spark.table(name).orderBy("purchase_id")
