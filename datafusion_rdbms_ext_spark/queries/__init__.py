@@ -117,6 +117,14 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_eval",
     "micro_nested_access",
     "micro_sort_nulls",
+    # -- 3 sentinels (regression canaries from driver-proven
+    #    families). Placed BEFORE the additions block so late-round
+    #    additions can never push a canary out of the 50 recorded
+    #    slots — the additions spill to the local gate instead and
+    #    become the next round's rotation queue.
+    "q01_pricing_summary",
+    "llm_dedup_minhash_lsh",
+    "fed_transparent_agg",
     # -- round-8 additions (first-time proof in their own round)
     "sink_skipping_composed",
     "llm_bpe_apply",
@@ -151,10 +159,6 @@ _PRIORITY: tuple[str, ...] = (
     "llm_mixture_temperature",
     "stream_stream_semi",
     "ev_stickiness_dau_mau",
-    # -- 3 sentinels (regression canaries from driver-proven families)
-    "q01_pricing_summary",
-    "llm_dedup_minhash_lsh",
-    "fed_transparent_agg",
     # -- backfill: longest-unproven first (verified mechanically
     #    against cumulative CORRECTNESS r1-r7: 7 remaining r2 rows,
     #    then the 12 r3 rows, then the oldest r4 rows in
