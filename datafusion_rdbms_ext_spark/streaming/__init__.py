@@ -1327,15 +1327,22 @@ def stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("click_ts", "1 day")
     )
-    joined = p.join(
+    joined = semi_interval_join(p, c)
+
+    _RUN_SEQ[0] += 1
+    name = f"stream_stream_semi_{_RUN_SEQ[0]}"
+    _drain(joined, name, "append")
+    return spark.table(name).orderBy("purchase_id")
+
+
+def semi_interval_join(p: DataFrame, c: DataFrame) -> DataFrame:
+    """The LEFT SEMI interval-join shape shared by the registered
+    query and the kill-and-restart test: purchases having at least
+    one click within the trailing 1 h span on the same user."""
+    return p.join(
         c,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "left_semi",
     ).select("purchase_id", "purchase_ts")
-
-    _RUN_SEQ[0] += 1
-    name = f"stream_stream_semi_{_RUN_SEQ[0]}"
-    _drain(joined, name, "append")
-    return spark.table(name).orderBy("purchase_id")

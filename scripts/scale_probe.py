@@ -109,6 +109,11 @@ QUERIES = (
     "ev_changepoint_cusum",
     "llm_sample_priority",
     "mm_scene_cuts",
+    # ...and the corpus-scaling text/rollup passes added after them:
+    # span corruption (token explode + per-doc reassembly) and the
+    # DAU/MAU fan-out distinct.
+    "llm_span_corrupt",
+    "ev_stickiness_dau_mau",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -410,3 +410,101 @@ def test_full_outer_stream_join_restart_no_duplicate_nulls(spark, tmp_path):
         sorted(map(tuple, spark.read.parquet(out).collect()), key=_key)
         == rows2
     )
+
+
+def test_semi_stream_join_restart_no_duplicate_emission(spark, tmp_path):
+    """Kill-and-restart for the LEFT SEMI interval join: two
+    file-batches drain into the same durable checkpoint (the second
+    drain is a restarted driver whose join state and watermark come
+    from the checkpoint). Each qualifying purchase must be emitted
+    exactly once ACROSS the restart — including purchases whose
+    matching click arrived in the earlier batch (buffered click
+    state must survive the restart) — and the final set must equal
+    the batch EXISTS. A third no-op drain emits nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_rdbms_ext_spark.catalog import normalize_ts
+    from datafusion_rdbms_ext_spark.streaming import (
+        late_policy_land,
+        semi_interval_join,
+    )
+
+    root = str(tmp_path / "semi")
+    os.makedirs(root)
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    ev = spark.read.parquet(os.path.join(SMOKE_SF_DIR, "events.parquet"))
+
+    def drain() -> None:
+        raw = (
+            spark.readStream.schema(ev.schema)
+            .format("parquet")
+            .load(os.path.join(root, "src", "*.parquet"))
+        )
+        df = normalize_ts(raw, "events")
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        p = (
+            df.filter(
+                (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+            )
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 day")
+        )
+        c = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 day")
+        )
+        q = (
+            semi_interval_join(p, c)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = F.dayofmonth("ts") < 15
+    late_policy_land(spark, root, 1, ev.filter(half))
+    drain()  # run 1: buffers click state, commits the watermark
+    late_policy_land(spark, root, 2, ev.filter(~half))
+    drain()  # run 2: RESTART — state + watermark restored
+    got = spark.read.parquet(out)
+    ids = [r["purchase_id"] for r in got.collect()]
+    assert len(ids) == len(set(ids)), "duplicate emission across restart"
+    # Semi matches emit eagerly (no watermark gate), so the final set
+    # must equal the batch EXISTS over the full fixture.
+    evn = normalize_ts(ev, "events")
+    if isinstance(evn.schema["ts"].dataType, T.TimestampNTZType):
+        evn = evn.withColumn("ts", F.col("ts").cast("timestamp"))
+    evn.createOrReplaceTempView("semi_restart_events")
+    expect = {
+        r["event_id"]
+        for r in spark.sql(
+            """
+            SELECT p.event_id FROM semi_restart_events p
+            WHERE p.event_type = 'purchase' AND p.user_id < 30
+              AND EXISTS (
+                SELECT 1 FROM semi_restart_events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+              )
+            """
+        ).collect()
+    }
+    assert set(ids) == expect
+    # Run 3: no new data — nothing may be emitted again.
+    drain()
+    assert spark.read.parquet(out).count() == len(ids)
