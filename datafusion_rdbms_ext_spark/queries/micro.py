@@ -1954,3 +1954,50 @@ def micro_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 10 AS mx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# 60. GROUPING / GROUPING_ID indicator functions (round 8): the
+#     disambiguators that make rollup/cube output machine-readable —
+#     a NULL key may be a real NULL or a super-aggregate row, and
+#     only GROUPING() can tell them apart (SQL:1999; the reference's
+#     parser has no grouping-sets surface at all). Completes the
+#     micro_rollup/micro_cube/micro_grouping_sets family.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    doc="GROUPING()/GROUPING_ID() over ROLLUP(l_returnflag, "
+    "l_linestatus): the SQL:1999 indicator functions that separate "
+    "super-aggregate NULLs from data NULLs; gid is the bitmask of "
+    "rolled-up dimensions. Same partial-aggregatable expand-then-agg "
+    "plan as micro_rollup.",
+    tags=("micro", "sql"),
+)
+def micro_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-indicator functions over a rollup.
+
+    Scale: Spark plans rollup as Expand (one replicated row per
+    grouping set) feeding ONE partial aggregation — the indicator
+    columns are constants per expanded set, adding nothing to the
+    shuffle beyond the grouping-set id already present."""
+    return (
+        spark.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
