@@ -2001,3 +2001,48 @@ def micro_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# 61. Named WINDOW clause (round 8): one window specification shared
+#     by several window functions via WINDOW w AS (...) — the
+#     SQL:2003 spelling that also guarantees Spark plans ONE Window
+#     node for all consumers of the spec (shared partition/sort).
+# ---------------------------------------------------------------------------
+@register(
+    "micro_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           LAG(o_orderstatus) OVER w AS prev_status
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+    doc="Named WINDOW clause: three window functions share one "
+    "specification (SQL:2003) — and therefore one Window node / one "
+    "sort in the physical plan, the cheap spelling of multi-function "
+    "window analytics.",
+    tags=("micro", "sql", "window"),
+)
+def micro_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW w AS (...) shared by row_number/rank/lag.
+
+    Scale: one partition+sort pass serves all three functions; the
+    alternative (three inline OVER clauses) plans identically only
+    if the specs match exactly — the named form makes that sharing
+    structural."""
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               LAG(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn
+        """
+    )
