@@ -934,3 +934,15 @@ def test_span_corrupt_is_single_reassembly_shuffle(spark):
     assert "Join" not in p, p[:1500]
     assert count_exchanges(df) <= 2, count_exchanges(df)
     assert not has_cartesian(df)
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    """Spark's rank-filter pushdown (WindowGroupLimit) must fire for
+    the top-N-per-group query — and fire TWICE: a map-side partial
+    cut before the exchange (each task ships <= k rows per group)
+    and the final cut after it. Losing this (e.g. by filtering on a
+    derived column the optimizer can't see through) silently
+    reverts to shuffling whole groups."""
+    df = _df(spark, "win_topn_per_group")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("WindowGroupLimit") >= 2, p[:2000]
