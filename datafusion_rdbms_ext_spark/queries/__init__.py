@@ -101,6 +101,12 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: then backfill by longest-unproven (mechanically recomputed from
 #: cumulative CORRECTNESS r1-r7: the 7 remaining r2-proven rows, all
 #: 12 r3-proven rows, then r4-proven rows in registration order).
+#: ROUND-9 ROTATION QUEUE (registered after the r8 curation filled
+#: the 50 recorded slots, never driver-proven): micro_grouping_id,
+#: micro_named_window, plus whatever the backfill cap displaces this
+#: round (the driver records the first 50 only — backfill entries
+#: past slot 50 keep their older proofs). All are green in the local
+#: differential gate today.
 _PRIORITY: tuple[str, ...] = (
     # -- 13 first-timers: the complete round-8 never-proven queue
     #    (11 never in any gate + the two r2 canaries displaced in r7)
