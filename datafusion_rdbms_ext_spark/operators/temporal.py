@@ -1093,3 +1093,103 @@ def op_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest.alias("nearest_click_us"),
         (F.col("t") - nearest).alias("signed_gap_us"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Interval union / coverage (round 8): the gaps-and-islands classic —
+# each event claims a fixed activity interval [ts, ts + 5 min]; per
+# user, merge overlapping/touching intervals into islands and report
+# the island count and total covered seconds (the union length, NOT
+# the sum of interval lengths — overlaps counted once). One lag +
+# one running-max window per user in exact epoch-microsecond
+# arithmetic, then an island-id prefix sum: the textbook distributed
+# formulation, no self-join, no interval explosion.
+# ---------------------------------------------------------------------------
+_COVER_SPAN_US = 5 * 60 * 1_000_000  # 5 minutes in microseconds
+
+
+@register(
+    "op_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_COVER_SPAN_US} AS e
+      FROM events WHERE user_id < 40
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s <= MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, isl, MIN(s) AS s0, MAX(e) AS e1
+      FROM islands GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM((e1 - s0) // 1000000) AS BIGINT) AS covered_seconds,
+           CAST(MAX((e1 - s0) // 1000000) AS BIGINT) AS longest_island_s
+    FROM merged GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Interval union per user (gaps-and-islands): events claim "
+    "[ts, ts+5min]; overlapping/touching intervals merge via a "
+    "running-max-of-end window and an island-id prefix sum — union "
+    "length counts overlaps once. Exact epoch-microsecond integers "
+    "end-to-end; the canonical 'total active time' operator.",
+    tags=("operators", "timeseries", "bench"),
+)
+def op_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user merged-interval count and union coverage.
+
+    Scale: both windows partition by user_id (parallelism = users;
+    no global sort) and carry 16 bytes per row; the island rollup
+    and the final per-user aggregation are map-side-combinable.
+    This is the O(n log n)-per-partition formulation — the naive
+    alternative (self-join on overlap) is quadratic in events per
+    user and never survives scale-up."""
+    iv = (
+        spark.table("events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            ts_micros("ts").alias("s"),
+            (ts_micros("ts") + F.lit(_COVER_SPAN_US)).alias("e"),
+        )
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") <= prev_max_e, 0).otherwise(1),
+    )
+    islands = marked.withColumn(
+        "isl",
+        F.sum("new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    span_s = F.expr("(e1 - s0) div 1000000")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum(span_s).cast("long").alias("covered_seconds"),
+            F.max(span_s).cast("long").alias("longest_island_s"),
+        )
+        .orderBy("user_id")
+    )
