@@ -7357,3 +7357,92 @@ def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# 54. Tokenizer fertility per language (round 8): tokens-per-word
+#     under the learned BPE merges, reported per language in exact
+#     integer ppm — THE multilingual-tokenizer health metric (a
+#     vocabulary trained on one language mix over-fragments the
+#     others; fertility spikes are how you see it). Reuses the
+#     train-then-tokenize machinery of llm_bpe_apply; the oracle
+#     threads the word through the identical unrolled merge stages
+#     and rolls up by language.
+# ---------------------------------------------------------------------------
+def _sql_bpe_fertility_oracle() -> str:
+    """llm_bpe_apply's unrolled stages, finished by a per-language
+    fertility rollup instead of the per-doc report."""
+    base = _sql_bpe_apply_oracle()
+    head, _, _tail = base.rpartition("SELECT d.doc_id,")
+    return (
+        head
+        + f"""
+    SELECT d.lang,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(tok.nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok.nt) * 1000000 // COUNT(*) AS BIGINT)
+             AS fertility_ppm
+    FROM (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ) d JOIN tok ON tok.word = d.word
+    GROUP BY d.lang ORDER BY d.lang
+    """
+    )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=None,  # installed below (reuses the unrolled BPE stages)
+    doc="Tokenizer fertility (tokens per word, exact integer ppm) per "
+    "language under the learned BPE merges — the multilingual health "
+    "metric that exposes a vocabulary over-fragmenting low-resource "
+    "languages. Same train-then-tokenize path as llm_bpe_apply, "
+    "rolled up by language; oracle threads words through the "
+    "identical unrolled merge stages.",
+    tags=("llm", "text", "quality"),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility under the learned tokenizer.
+
+    Scale: identical envelope to llm_bpe_apply — vocab-sized
+    training, one corpus explode, a broadcast vocab join — but the
+    rollup key is language (dozens of rows), so the final shuffle
+    is even smaller than the per-doc report. Run per training-mix
+    candidate to compare vocabularies before committing to one."""
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            F.concat(
+                F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("_")
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    _rules, merged_words = bpe_train(words, _BPE_ROUNDS, batch=1)
+    tok_map = merged_words.select(
+        "word", F.size(F.split("s", " ")).alias("nt")
+    )
+    docs = spark.table("documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        docs.join(F.broadcast(tok_map), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.expr("sum(nt) * 1000000 div count(1)").alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_R2["llm_tokenizer_fertility"].oracle = _sql_bpe_fertility_oracle()
