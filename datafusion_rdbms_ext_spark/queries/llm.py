@@ -7446,3 +7446,64 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R2["llm_tokenizer_fertility"].oracle = _sql_bpe_fertility_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 55. k-anonymity audit (round 8; Sweeney 2002): the data-governance
+#     gate a training corpus passes before release — group documents
+#     by their quasi-identifier tuple (language, source, length
+#     bucket) and report every equivalence class smaller than k:
+#     those rows are re-identification risk (the complement of
+#     llm_pii_redact, which scrubs direct identifiers; k-anonymity
+#     measures the INDIRECT ones). Pure integer grouping — exact.
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+_KANON_BUCKET = 100  # n_chars bucket width (the generalized QI)
+
+
+@register(
+    "llm_kanonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT lang, source, n_chars // {_KANON_BUCKET} AS len_bucket,
+             COUNT(*) AS grp
+      FROM documents GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(grp AS BIGINT) AS group_n
+    FROM qi WHERE grp < {_KANON_K}
+    ORDER BY lang, source, len_bucket
+    """,
+    doc=f"k-anonymity audit (k={_KANON_K}): every quasi-identifier "
+    f"equivalence class (lang, source, n_chars/{_KANON_BUCKET} "
+    "bucket) smaller than k — the re-identification risk set a "
+    "corpus release gate must clear (Sweeney 2002). Complements "
+    "llm_pii_redact: redaction scrubs direct identifiers, "
+    "k-anonymity measures the indirect ones. One integer grouping.",
+    tags=("llm", "quality", "privacy", "bench"),
+)
+def llm_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QI equivalence classes violating k-anonymity.
+
+    Scale: one map-side-combined aggregation over three cheap
+    columns (text never read — column pruning leaves it on disk);
+    the violating-class report is governance-sized. At 100 TB the
+    remediation loop (generalize the bucket, re-audit) re-runs this
+    exact query per candidate generalization."""
+    return (
+        spark.table("documents")
+        .groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {_KANON_BUCKET}").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp"))
+        .filter(F.col("grp") < _KANON_K)
+        .select(
+            "lang",
+            "source",
+            F.col("len_bucket").cast("long").alias("len_bucket"),
+            F.col("grp").cast("long").alias("group_n"),
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )

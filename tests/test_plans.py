@@ -946,3 +946,12 @@ def test_topn_per_group_uses_window_group_limit(spark):
     df = _df(spark, "win_topn_per_group")
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("WindowGroupLimit") >= 2, p[:2000]
+
+
+def test_kanonymity_prunes_text_column(spark):
+    """The audit reads three cheap columns; the text payload must be
+    pruned from the parquet scan (at 100 TB the text IS the table)."""
+    df = _df(spark, "llm_kanonymity_audit")
+    schemas = "".join(read_schemas(df))
+    assert "text" not in schemas, schemas
+    assert count_exchanges(df) <= 2
