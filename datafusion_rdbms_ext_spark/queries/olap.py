@@ -778,3 +778,108 @@ def olap_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= _BASKET_MINSUP)
         .orderBy(F.desc("support"), "part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Funnel latency distribution (round 8): time-to-convert — for
+#     every purchase with a click in the preceding hour, the latency
+#     to the LATEST such click, summarized as exact p50/p90/p99 via
+#     the histogram-selection discipline (op_percentile_exact). The
+#     metric product analytics pairs with the funnel COUNTS the
+#     windowed-funnel operators already report: not just how many
+#     convert, but how fast.
+# ---------------------------------------------------------------------------
+@register(
+    "olap_funnel_latency",
+    oracle="""
+    WITH conv AS (
+      SELECT p.event_id,
+             (epoch_us(p.ts) - MAX(epoch_us(c.ts))) // 1000000 AS lat_s
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+      GROUP BY p.event_id, p.ts
+    ),
+    hist AS (SELECT lat_s, COUNT(*) AS c FROM conv GROUP BY lat_s),
+    cum AS (
+      SELECT lat_s, c,
+             SUM(c) OVER (ORDER BY lat_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER () AS n
+      FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+           CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN lat_s END) AS BIGINT)
+             AS p50_s,
+           CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN lat_s END) AS BIGINT)
+             AS p90_s,
+           CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN lat_s END) AS BIGINT)
+             AS p99_s,
+           CAST(MAX(lat_s) AS BIGINT) AS max_s
+    FROM cum
+    """,
+    doc="Funnel latency distribution: seconds from the latest "
+    "in-window click to its purchase, summarized as EXACT p50/p90/"
+    "p99 by histogram selection (cum*100 >= p*n in pure integers) — "
+    "time-to-convert alongside the funnel counts. The as-of match "
+    "is the interval-bounded join; percentiles never sort raw "
+    "conversions.",
+    tags=("olap", "funnel", "timeseries", "bench"),
+)
+def olap_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact time-to-convert percentiles for the click->purchase
+    funnel.
+
+    Scale: the conversion join is interval-bounded per user (the
+    same envelope as the stream-stream join's state bound) and
+    collapses to one row per purchase via max(). Percentile
+    selection runs on the latency HISTOGRAM (<= 3600 distinct
+    second values regardless of corpus size), so the global
+    cumulative window is bounded-metadata-sized — never a sort of
+    the conversions themselves."""
+    from ..functions.compat import ts_micros
+
+    ev = spark.table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        ts_micros("ts").alias("p_t"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), ts_micros("ts").alias("c_t")
+    )
+    conv = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_t") <= F.col("p_t"))
+            & (F.col("c_t") >= F.col("p_t") - F.lit(3600 * 1_000_000)),
+        )
+        .groupBy("event_id", "p_t")
+        .agg(F.max("c_t").alias("last_c"))
+        .select(F.expr("(p_t - last_c) div 1000000").alias("lat_s"))
+    )
+    hist = conv.groupBy("lat_s").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "lat_s",
+        "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(pct: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= pct * F.col("n"), F.col("lat_s"))
+        ).cast("long")
+
+    return cum.agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        pick(50).alias("p50_s"),
+        pick(90).alias("p90_s"),
+        pick(99).alias("p99_s"),
+        F.max("lat_s").cast("long").alias("max_s"),
+    )
