@@ -883,3 +883,97 @@ def olap_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(99).alias("p99_s"),
         F.max("lat_s").cast("long").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. RFM segmentation (round 8): the classic customer scoring —
+#     Recency (days since last purchase), Frequency (purchase
+#     count), Monetary (integer-cent spend) quintiled with NTILE(5)
+#     into a 3-digit segment code (5-5-5 = best). Deterministic:
+#     every NTILE orders with a user_id tiebreak, and all three
+#     metrics are exact integers (cents via round(value*100)).
+# ---------------------------------------------------------------------------
+@register(
+    "olap_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    base AS (
+      SELECT user_id,
+             datediff('day', MAX(ts), (SELECT mx FROM anchor)) AS rec_days,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, rec_days, freq, cents,
+             NTILE(5) OVER (ORDER BY rec_days DESC, user_id) AS r,
+             NTILE(5) OVER (ORDER BY freq, user_id) AS f,
+             NTILE(5) OVER (ORDER BY cents, user_id) AS m
+      FROM base
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS segment_cents,
+           CAST(MIN(user_id) AS BIGINT) AS example_user
+    FROM scored
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary "
+    "quintiles (NTILE(5), user_id tiebreak -> deterministic) over "
+    "exact integer metrics (days, counts, cents), rolled up to "
+    "3-digit segment codes with user counts and segment spend. The "
+    "classic marketing-analytics scoring as one declarative plan.",
+    tags=("olap", "segmentation", "bench"),
+)
+def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users per RFM segment with segment spend.
+
+    Scale: the per-user rollup is map-side-combined; the three
+    NTILEs rank the USER table (already |users|-sized, orders of
+    magnitude under the event volume). At true scale the global
+    NTILE sort becomes a range-partitioned rank (the _global_rank
+    offset pattern llm_curriculum_batches uses) — same semantics,
+    no single-task sort; at fixture scale Spark's single Window
+    over |users| rows is the honest plan."""
+    from ..functions.compat import ts_micros  # noqa: F401 (parity)
+
+    ev = spark.table("events").filter(F.col("event_type") == "purchase")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("mx"), F.col("last_ts")).alias("rec_days"),
+            "freq",
+            "cents",
+        )
+    )
+    scored = base.select(
+        "user_id",
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_days").desc(), "user_id"))
+        .alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id")).alias("f"),
+        F.ntile(5).over(Window.orderBy("cents", "user_id")).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("long")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("segment_cents"),
+            F.min("user_id").cast("long").alias("example_user"),
+        )
+        .orderBy("segment")
+    )

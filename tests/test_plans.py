@@ -122,6 +122,8 @@ def test_broadcast_hints_only_on_fixed_dims():
             # ABC/Pareto: <=32-row partition-offset table and the
             # 1-row grand total.
             "offsets", "total",
+            # RFM: the 1-row max-ts recency anchor.
+            "anchor",
         },
         "events.py": {"anchor", "d0"},  # both 1-row min/max-ts aggregates
         # M4 downsampling: the 1-row global (min,max) epoch anchor.
