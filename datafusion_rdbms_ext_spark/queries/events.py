@@ -1979,3 +1979,116 @@ def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# 28. Holt forecast backtest (round 8): walk-forward evaluation of
+#     ev_holt_linear — at every day i >= 2 the model's one-step-ahead
+#     forecast (l_{i-1} + b_{i-1}) is compared to the actual count,
+#     accumulating the absolute error INSIDE the same fold that
+#     advances the state. Counts are integers and the gains are
+#     dyadic, so every level/trend/error value is an exact binary
+#     fraction — the fold and the recursive-CTE oracle agree
+#     bit-for-bit, error sums included. This is the forecast-model
+#     acceptance test a production rollout runs per series.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_holt_backtest",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    rec AS (
+      SELECT s1.event_type, 1 AS rn, s1.n, s1.y AS l, s2.y - s1.y AS b,
+             CAST(0 AS DOUBLE) AS sae, 0 AS n_fc
+      FROM seq s1 JOIN seq s2
+        ON s2.event_type = s1.event_type AND s2.rn = 2
+      WHERE s1.rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn + 1, r.n,
+             {_HOLT_ALPHA} * s.y + {1 - _HOLT_ALPHA} * (r.l + r.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * s.y
+                              + {1 - _HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - _HOLT_BETA} * r.b,
+             r.sae + ABS(s.y - (r.l + r.b)),
+             r.n_fc + 1
+      FROM rec r JOIN seq s
+        ON s.event_type = r.event_type AND s.rn = r.rn + 1
+      WHERE r.rn < r.n
+    )
+    SELECT event_type,
+           CAST(n_fc AS BIGINT) AS n_forecasts,
+           ROUND(sae, 6) AS sum_abs_err,
+           ROUND(sae / n_fc, 6) AS mae
+    FROM rec WHERE rn = n AND n >= 2
+    ORDER BY event_type
+    """,
+    doc="Walk-forward backtest of the Holt model: one-step-ahead "
+    "forecast l+b vs the actual daily count at every step, absolute "
+    "errors accumulated inside the same state-advancing fold. "
+    "Dyadic gains + integer counts keep state AND error sums exact "
+    "binary fractions, so even the MAE hash-checks bit-for-bit "
+    "against the recursive-CTE oracle.",
+    tags=("events", "timeseries", "forecast", "bench"),
+)
+def ev_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead MAE of the Holt model per event type.
+
+    Scale: the ev_holt_linear envelope exactly — the error
+    accumulation adds two struct fields to the same bounded
+    per-type fold, zero extra passes. This is how a forecasting
+    deployment scores candidate smoothing configs across millions
+    of series in one job: the fold is per-series, the scoring is
+    inside it."""
+    a = F.lit(_HOLT_ALPHA)
+    one_a = F.lit(1 - _HOLT_ALPHA)
+    bt = F.lit(_HOLT_BETA)
+    one_bt = F.lit(1 - _HOLT_BETA)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s"),
+    )
+    vals = F.transform(F.col("s"), lambda r: r["y"])
+
+    def step(acc, x):
+        fc = acc["l"] + acc["b"]
+        l_new = a * x + one_a * fc
+        return F.struct(
+            l_new.alias("l"),
+            (bt * (l_new - acc["l"]) + one_bt * acc["b"]).alias("b"),
+            (acc["sae"] + F.abs(x - fc)).alias("sae"),
+            (acc["n_fc"] + F.lit(1)).alias("n_fc"),
+        )
+
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        F.lit(0.0).alias("sae"),
+        F.lit(0).alias("n_fc"),
+    )
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        step,
+    )
+    return (
+        arr.filter(F.size(vals) >= 2)
+        .select(
+            "event_type",
+            fold["n_fc"].cast("long").alias("n_forecasts"),
+            F.round(fold["sae"], 6).alias("sum_abs_err"),
+            F.round(fold["sae"] / fold["n_fc"], 6).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
