@@ -159,3 +159,112 @@ def test_span_corrupt_matches_sequential_reference(spark):
         assert row["target"] == " ".join(
             w for w, m in zip(words, masked) if m
         )
+
+
+def test_ohlc_matches_sequential_reference(spark):
+    """min_by/max_by OHLC equals a plain Python scan picking first/
+    last by (ts, event_id) and min/max values per (type, day)."""
+    ensure_tables(spark, SMOKE_SF_DIR)
+    rows = (
+        spark.table("events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    bars: dict[tuple, dict] = {}
+    for r in rows:
+        key = (r["event_type"], str(r["ts"].date()))
+        b = bars.setdefault(
+            key,
+            {"o": None, "ok": None, "h": r["value"], "l": r["value"],
+             "c": None, "ck": None, "n": 0},
+        )
+        k = (r["ts"], r["event_id"])
+        if b["ok"] is None or k < b["ok"]:
+            b["o"], b["ok"] = r["value"], k
+        if b["ck"] is None or k > b["ck"]:
+            b["c"], b["ck"] = r["value"], k
+        b["h"] = max(b["h"], r["value"])
+        b["l"] = min(b["l"], r["value"])
+        b["n"] += 1
+    got = _run(spark, "ev_ohlc_bars")
+    assert len(got) == len(bars)
+    for _, row in got.iterrows():
+        b = bars[(row["event_type"], row["day"])]
+        assert (
+            row["open"], row["high"], row["low"], row["close"], row["volume"]
+        ) == (b["o"], b["h"], b["l"], b["c"], b["n"]), (
+            row["event_type"], row["day"]
+        )
+
+
+def test_kmv_union_merge_property(spark):
+    """The KMV merge theorem, proven directly on the engine output:
+    the reported union sketch (k smallest of sketch(A) u sketch(B))
+    must equal the k smallest hashes of the TRUE union — recomputed
+    here in Python from the raw token hashes."""
+    import re as _re
+
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _BM25_TOKRE,
+        _KMV_A,
+        _KMV_B,
+        _KMV_K,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    docs = (
+        spark.table("documents")
+        .filter(F.col("source").isin(_KMV_A, _KMV_B))
+        .select("source", "text")
+        .collect()
+    )
+    hashes: set[int] = set()
+    tokre = _re.compile(_BM25_TOKRE)
+    for r in docs:
+        for t in set(tokre.findall(r["text"].lower())):
+            hashes.add(_phash_py("kmv", t))
+    true_union_kmin = sorted(hashes)[:_KMV_K]
+    got = _run(spark, "llm_kmv_distinct")
+    urow = got[got["set_name"] == f"union:{_KMV_A}+{_KMV_B}"].iloc[0]
+    assert urow["n_sk"] == len(true_union_kmin)
+    assert urow["kth_hash"] == max(true_union_kmin)
+    assert urow["exact_distinct"] == len(hashes)
+
+
+def test_interval_coverage_matches_sequential_reference(spark):
+    """The windowed gaps-and-islands merge equals a plain Python
+    sweep-line union per user."""
+    from datafusion_rdbms_ext_spark.operators.temporal import (
+        _COVER_SPAN_US,
+    )
+    from datafusion_rdbms_ext_spark.functions.compat import ts_micros
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    rows = (
+        spark.table("events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", ts_micros("ts").alias("t"))
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(int(r["t"]))
+    expect = {}
+    for u, ts in by_user.items():
+        ivs = sorted((t, t + _COVER_SPAN_US) for t in ts)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        spans = [(e - s) // 1_000_000 for s, e in merged]
+        expect[u] = (len(merged), sum(spans), max(spans))
+    got = _run(spark, "op_interval_coverage")
+    assert len(got) == len(expect)
+    for _, row in got.iterrows():
+        assert (
+            row["n_islands"],
+            row["covered_seconds"],
+            row["longest_island_s"],
+        ) == expect[row["user_id"]], row["user_id"]
