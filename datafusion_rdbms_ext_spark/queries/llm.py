@@ -307,12 +307,12 @@ def _lsh_index(spark: SparkSession):
         "doc_id", *[F.col(f"x.{k}").alias(k) for k in keys]
     )
 
-    return bands, hs, cnt, keys
+    return bands, hs, cnt, keys, sig
 
 
 def _lsh_verified_pairs(spark: SparkSession) -> DataFrame:
     """Verified near-duplicate pairs ``(da, db, jac)`` with da < db."""
-    bands, hs, cnt, keys = _lsh_index(spark)
+    bands, hs, cnt, keys, _sig = _lsh_index(spark)
     ba = bands.select(F.col("doc_id").alias("da"), *keys)
     bb = bands.select(F.col("doc_id").alias("db"), *keys)
     cand = (
@@ -545,7 +545,7 @@ def llm_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-bands x history-bands on the band-signature longs — the same
     bounded-bucket guarantee as the full pair query, minus the
     history-history quadrant entirely."""
-    bands, hs, cnt, keys = _lsh_index(spark)
+    bands, hs, cnt, keys, _sig = _lsh_index(spark)
     side = spark.table("documents").select(
         "doc_id", (F.col("source") == "src0").alias("is_new")
     )
@@ -7507,3 +7507,125 @@ def llm_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "len_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# 56. MinHash estimator error (round 8): per candidate pair, the
+#     Jaccard ESTIMATE from signature agreement (matching minhashes
+#     / K) against the EXACT shingle Jaccard — both in integer ppm,
+#     with the signed error alongside. The estimator-calibration
+#     companion to llm_dedup_eval (which scores the BANDING's
+#     precision/recall; this scores the SKETCH's accuracy) — the
+#     measurement that justifies a chosen K before scaling it.
+# ---------------------------------------------------------------------------
+def _sql_minhash_err_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_K)
+    )
+    return f"""
+    WITH {_SQL_DS},
+    {_sql_minhash_sig()},
+    {_sql_bands()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       AND a.k3 = b.k3 AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT c.da, c.db, ({matches}) AS agree
+      FROM cand c JOIN sig a ON a.doc_id = c.da
+                  JOIN sig b ON b.doc_id = c.db
+    ),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS i
+      FROM cand c
+      JOIN ds x ON x.doc_id = c.da
+      JOIN ds y ON y.doc_id = c.db AND y.s = x.s
+      GROUP BY c.da, c.db
+    )
+    SELECT m.da AS doc_a, m.db AS doc_b,
+           CAST(m.agree * 1000000 // {_K} AS BIGINT) AS est_ppm,
+           CAST(COALESCE(i.i, 0) * 1000000
+                // (ca.n + cb.n - COALESCE(i.i, 0)) AS BIGINT) AS exact_ppm,
+           CAST(m.agree * 1000000 // {_K}
+                - COALESCE(i.i, 0) * 1000000
+                  // (ca.n + cb.n - COALESCE(i.i, 0)) AS BIGINT) AS err_ppm
+    FROM m
+    LEFT JOIN inter i ON i.da = m.da AND i.db = m.db
+    JOIN cnt ca ON ca.doc_id = m.da
+    JOIN cnt cb ON cb.doc_id = m.db
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "llm_minhash_estimate_error",
+    oracle=None,  # installed below (builds on the minhash CTE chain)
+    doc=f"MinHash estimator calibration: per banded candidate pair, "
+    f"Jaccard estimated from signature agreement (matches/{_K}) vs "
+    "the exact shingle Jaccard, both integer ppm with the signed "
+    "error. Scores the SKETCH's accuracy (llm_dedup_eval scores the "
+    "banding's recall) — the measurement behind choosing K.",
+    tags=("llm", "dedup", "quality"),
+)
+def llm_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact Jaccard per candidate pair (integer ppm).
+
+    Scale: candidates come from the banded join (never all pairs);
+    the signature join adds K=12 longs per side; the exact arm is
+    the same candidate-restricted intersection the verifier runs.
+    Everything downstream is pair-count-sized."""
+    bands, hs, cnt, keys, sig = _lsh_index(spark)
+    ba = bands.select(F.col("doc_id").alias("da"), *keys)
+    bb = bands.select(F.col("doc_id").alias("db"), *keys)
+    cand = (
+        ba.join(bb, keys)
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("da"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(_K)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(_K)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_K)
+    )
+    m = cand.join(sa, "da").join(sb, "db").select(
+        "da", "db", agree.alias("agree")
+    )
+    dsa = hs.select(F.col("doc_id").alias("da"), "hsh")
+    dsb = hs.select(F.col("doc_id").alias("db"), "hsh")
+    inter = (
+        cand.join(dsa, "da")
+        .join(dsb, ["db", "hsh"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    out = (
+        m.join(inter, ["da", "db"], "left")
+        .join(na, "da")
+        .join(nb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.expr(f"agree * 1000000 div {_K}").alias("est_ppm"),
+            F.expr(
+                "coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0))"
+            ).alias("exact_ppm"),
+            F.expr(
+                f"agree * 1000000 div {_K}"
+                " - coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0))"
+            ).alias("err_ppm"),
+        )
+    )
+    return out.orderBy("doc_a", "doc_b")
+
+
+_R2["llm_minhash_estimate_error"].oracle = _sql_minhash_err_oracle()
