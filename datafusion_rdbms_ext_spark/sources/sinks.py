@@ -1825,3 +1825,95 @@ def source_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (round 8): the Iceberg lifecycle move the
+# hive layout can't do — OLD data stays under the original spec
+# (month=...) while NEW writes land under the evolved spec
+# (month=.../event_type=...), and one logical table serves both
+# generations with each generation pruned by ITS OWN spec. Here:
+# events before day 16 stay day-partitioned (gen1), day 16 onward is
+# (day, event_type)-partitioned (gen2); the reader unions the two
+# generations by name and the rails assert the type filter prunes
+# file listings in gen2 while gen1 is day-pruned only — exactly
+# the per-spec pruning contract partition evolution promises
+# (ref table_provider.rs:241-306 classifies filters per source; this
+# is that classification driven by the LAYOUT generation).
+# ---------------------------------------------------------------------------
+_EVOLVE_DIR_CONF = "spark.datafusion_rdbms_ext.evolve_dir"
+_EVOLVE_SPLIT_DAY = 16  # days < 16 -> gen1 spec; >= 16 -> gen2 spec
+
+
+def evolved_events_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the two partition-spec generations once per session."""
+    key = f"{_EVOLVE_DIR_CONF}.{abs(hash(sf_dir))}"
+    existing = spark.conf.get(key, None)
+    if existing and os.path.isdir(existing):
+        return os.path.join(existing, "gen1"), os.path.join(existing, "gen2")
+    out = tempfile.mkdtemp(prefix="evolved_events_")
+    ev = spark.table("events").withColumn("day", F.dayofmonth("ts"))
+    (
+        ev.filter(F.col("day") < _EVOLVE_SPLIT_DAY)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(os.path.join(out, "gen1"))
+    )
+    (
+        ev.filter(F.col("day") >= _EVOLVE_SPLIT_DAY)
+        .write.mode("overwrite")
+        .partitionBy("day", "event_type")
+        .parquet(os.path.join(out, "gen2"))
+    )
+    spark.conf.set(key, out)
+    return os.path.join(out, "gen1"), os.path.join(out, "gen2")
+
+
+def evolved_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logical table spanning both partition-spec generations."""
+    g1, g2 = evolved_events_roots(spark, sf_dir)
+    return spark.read.parquet(g1).unionByName(spark.read.parquet(g2))
+
+
+@register(
+    "source_partition_evolution",
+    oracle=f"""
+    SELECT CAST(dayofmonth(ts) AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type = 'purchase'
+      AND dayofmonth(ts) IN ({_EVOLVE_SPLIT_DAY - 1}, {_EVOLVE_SPLIT_DAY})
+    GROUP BY day ORDER BY day
+    """,
+    doc="Partition-spec evolution: day-partitioned history (gen1) "
+    "and (day, event_type)-partitioned new data (gen2) served as "
+    "ONE table; a (type, day) query straddling the spec boundary "
+    "must return exactly the base-table answer, with each generation "
+    "pruned under its own spec (plan-railed: gen2 lists only its "
+    "purchase directory, gen1 is day-pruned and row-filtered).",
+    tags=("source", "sink", "bench"),
+)
+def source_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query straddling the partition-spec boundary.
+
+    Scale: this is why evolution beats rewrite — at 100 TB you
+    cannot re-partition history to adopt a better spec, but new
+    data should still benefit from it. Each generation prunes
+    under its own spec at file-listing time (day for gen1;
+    day AND type for gen2); the union adds no shuffle. The
+    correctness contract is spec-independence: the answer equals
+    the unpartitioned base table's."""
+    t = evolved_events_table(spark, sf_dir)
+    return (
+        t.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("day").isin(_EVOLVE_SPLIT_DAY - 1, _EVOLVE_SPLIT_DAY)
+        )
+        .groupBy(F.col("day").cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("day")
+    )

@@ -957,3 +957,19 @@ def test_kanonymity_prunes_text_column(spark):
     schemas = "".join(read_schemas(df))
     assert "text" not in schemas, schemas
     assert count_exchanges(df) <= 2
+
+
+def test_partition_evolution_prunes_per_spec(spark):
+    """Each layout generation must prune under ITS OWN spec: both
+    FileScans carry a `day` partition filter; the gen2 scan (evolved
+    spec) additionally carries the event_type partition filter,
+    while in gen1 the type predicate is a data filter. And the union
+    must add no shuffle beyond the aggregation."""
+    df = _df(spark, "source_partition_evolution")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert len(pf) == 2, p[:2000]
+    assert all("day" in f for f in pf), pf
+    assert any("event_type" in f for f in pf), pf
+    assert not all("event_type" in f for f in pf), pf
+    assert count_exchanges(df) <= 3
