@@ -103,10 +103,13 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: 12 r3-proven rows, then r4-proven rows in registration order).
 #: ROUND-9 ROTATION QUEUE (registered after the r8 curation filled
 #: the 50 recorded slots, never driver-proven): micro_grouping_id,
-#: micro_named_window, plus whatever the backfill cap displaces this
-#: round (the driver records the first 50 only — backfill entries
-#: past slot 50 keep their older proofs). All are green in the local
-#: differential gate today.
+#: micro_named_window, op_interval_coverage, llm_tokenizer_fertility,
+#: llm_kanonymity_audit, olap_funnel_latency, olap_rfm_segmentation,
+#: ev_holt_backtest, llm_minhash_estimate_error,
+#: source_partition_evolution — plus whatever the backfill cap
+#: displaces this round (the driver records the first 50 only —
+#: backfill entries past slot 50 keep their older proofs). All are
+#: green in the local differential gate today.
 _PRIORITY: tuple[str, ...] = (
     # -- 13 first-timers: the complete round-8 never-proven queue
     #    (11 never in any gate + the two r2 canaries displaced in r7)
