@@ -977,3 +977,198 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Association-rule metrics (round 8): confidence and lift for the
+#     frequent pairs — support alone ranks popular items, not
+#     ASSOCIATED ones; lift = P(a,b) / (P(a) P(b)) > 1 is the actual
+#     affinity signal. All ratios in exact integer ppm:
+#     confidence(a->b) = sup(a,b) / cnt(a), lift scaled by the basket
+#     count N so everything stays in BIGINT division.
+# ---------------------------------------------------------------------------
+@register(
+    "olap_pair_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    cnt AS (
+      SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_BASKET_MINSUP}
+    )
+    SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+           CAST(p.support * 1000000 // ca.c AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(p.support * 1000000 // cb.c AS BIGINT) AS conf_b_to_a_ppm,
+           CAST(p.support * n.n_orders * 1000000 // (ca.c * cb.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs p
+    JOIN cnt ca ON ca.l_partkey = p.part_a
+    JOIN cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, part_a, part_b
+    """,
+    doc="Association-rule metrics over the frequent pairs: both "
+    "confidences and lift in exact integer ppm (lift scaled by the "
+    "basket count so the whole computation stays in BIGINT). "
+    "Support ranks popularity; lift > 1e6 ppm is the affinity "
+    "signal a recommender actually wants.",
+    tags=("olap",),
+)
+def olap_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence/lift for co-purchased part pairs (integer ppm).
+
+    Scale: the pair join is the same orderkey-equi-keyed self-join
+    as olap_frequent_pairs (bounded per basket); the item counts and
+    the 1-row basket total join onto the SUPPORT-FILTERED pair set —
+    affinity-pair-sized, not item-pair-sized."""
+    items = (
+        spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MINSUP)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.expr("support * 1000000 div ca").alias("conf_a_to_b_ppm"),
+            F.expr("support * 1000000 div cb").alias("conf_b_to_a_ppm"),
+            F.expr("support * n_orders * 1000000 div (ca * cb)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "part_a", "part_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. Embedding QA audit (round 8): the data-quality gate an
+#     embedding pipeline runs before indexing — vector count, dims
+#     consistency, zero/NaN vectors, and the exact norm distribution
+#     (p50/p99 by histogram selection over round(norm*1000) — the
+#     fold-ordered dot product keeps norms bit-identical, the
+#     millinorm quantization keeps the percentiles integer-exact).
+# ---------------------------------------------------------------------------
+@register(
+    "llm_embedding_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, len(embedding) AS dim,
+             CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000)
+               AS BIGINT) AS millinorm,
+             len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) AS n_nan
+      FROM embeddings
+    ),
+    hist AS (SELECT millinorm, COUNT(*) AS c FROM v GROUP BY millinorm),
+    cum AS (
+      SELECT millinorm, c,
+             SUM(c) OVER (ORDER BY millinorm
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER () AS n
+      FROM hist
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vectors,
+           (SELECT CAST(COUNT(DISTINCT dim) AS BIGINT) FROM v) AS n_dims,
+           (SELECT CAST(COUNT(*) FILTER (WHERE millinorm = 0) AS BIGINT)
+            FROM v) AS n_zero,
+           (SELECT CAST(COUNT(*) FILTER (WHERE n_nan > 0) AS BIGINT)
+            FROM v) AS n_nan_vectors,
+           CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN millinorm END)
+                AS BIGINT) AS p50_millinorm,
+           CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN millinorm END)
+                AS BIGINT) AS p99_millinorm
+    FROM cum
+    """,
+    doc="Embedding QA audit: vector count, dimensionality "
+    "consistency, zero-norm and NaN-component vectors, and the "
+    "exact p50/p99 norm distribution (histogram selection over "
+    "integer millinorms; fold-ordered dot products keep norms "
+    "bit-identical cross-engine). The gate an indexing pipeline "
+    "runs before building ANN structures.",
+    tags=("llm", "quality", "similarity"),
+)
+def llm_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-table health report.
+
+    Scale: one map-side pass computes dim/norm/NaN flags per vector
+    (JVM HOFs, no UDF); the percentile selection runs on the
+    millinorm HISTOGRAM — bounded by the norm range, independent of
+    vector count. Run per ingest batch; a p99 shift or a NaN count
+    is the canary for an upstream encoder regression."""
+    sq = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nan_ct = F.size(
+        F.filter("embedding", lambda x: F.isnan(x.cast("double")))
+    )
+    v = spark.table("embeddings").select(
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq) * 1000).cast("long").alias("millinorm"),
+        nan_ct.alias("n_nan"),
+    )
+    hist = v.groupBy("millinorm").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("millinorm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "millinorm",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(pct: int):
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= pct * F.col("n"), F.col("millinorm")
+            )
+        ).cast("long")
+
+    stats = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("dim").cast("long").alias("n_dims"),
+        F.sum(F.when(F.col("millinorm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nan_vectors"),
+    )
+    pcts = cum.agg(
+        pick(50).alias("p50_millinorm"), pick(99).alias("p99_millinorm")
+    )
+    return stats.crossJoin(F.broadcast(pcts))

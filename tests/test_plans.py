@@ -124,6 +124,9 @@ def test_broadcast_hints_only_on_fixed_dims():
             "offsets", "total",
             # RFM: the 1-row max-ts recency anchor.
             "anchor",
+            # pair lift: the 1-row basket-count total; embedding
+            # audit: the 1-row percentile pair.
+            "n", "pcts",
         },
         "events.py": {"anchor", "d0"},  # both 1-row min/max-ts aggregates
         # M4 downsampling: the 1-row global (min,max) epoch anchor.
