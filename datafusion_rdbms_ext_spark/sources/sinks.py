@@ -1917,3 +1917,78 @@ def source_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table content checksum (round 8): the reference's count_records
+# probe (src/sqldb/postgres/mod.rs:170-189) promoted to a CONTENT
+# fingerprint — per group, the XOR of a canonical per-row digest plus
+# the row count. XOR is commutative/associative and overflow-free,
+# so the checksum is order-insensitive, partition-insensitive and
+# mergeable (XOR of group checksums = table checksum): the
+# migration-verification primitive that catches a changed VALUE,
+# which row counts cannot.
+# ---------------------------------------------------------------------------
+@register(
+    "source_table_checksum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) || '|' ||
+             CAST(l_suppkey AS VARCHAR) || '|' ||
+             l_linestatus || '|' ||
+             CAST(l_shipdate AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+             AS xor_checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Order-insensitive table content checksum: per-row canonical "
+    "digest (md5 over a '|'-joined rendering of the integer/string/"
+    "date columns — float columns are excluded because engines "
+    "render doubles differently; checksum floats via their exact "
+    "integer quantization instead, e.g. round(x*100)) "
+    "folded with XOR — commutative, overflow-free, mergeable across "
+    "groups/partitions — beside the row count. Catches a changed "
+    "value where count_records-style probes (ref mod.rs:170-189) "
+    "only catch a changed cardinality.",
+    tags=("source", "quality"),
+)
+def source_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group row count + XOR content fingerprint for lineitem.
+
+    Scale: entirely map-side until the group rollup (digest per row,
+    XOR partial per task); comparing source and destination runs one
+    scan on each side with no data movement between them — the
+    standard post-migration verification at any volume. Mergeable:
+    XOR of the group checksums is the whole-table checksum."""
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("l_suppkey").cast("string"),
+                    F.col("l_linestatus"),
+                    F.col("l_shipdate").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        spark.table("lineitem")
+        .select("l_returnflag", digest.alias("d"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("d").cast("long").alias("xor_checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
