@@ -25,7 +25,7 @@ registration (catalog.py), mirroring the reference's epoch rebasing
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.compat import dsum, sql_dsum
@@ -2091,4 +2091,77 @@ def ev_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(fold["sae"] / fold["n_fc"], 6).alias("mae"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 29. Top user paths (round 8): clickstream path analysis — each
+#     user's first-5-event-type journey (deterministic (ts,
+#     event_id) order), rolled up to pattern frequencies. The rank
+#     pre-cut keeps only 5 rows per user BEFORE any collection
+#     (WindowGroupLimit pushes it map-side), so path assembly never
+#     buffers a whale user's full history.
+# ---------------------------------------------------------------------------
+_PATH_LEN = 5
+_PATH_TOPN = 20
+
+
+@register(
+    "ev_top_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY rn), '>') AS path
+      FROM ranked WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOPN}
+    """,
+    doc=f"Top-{_PATH_TOPN} user journeys: each user's first-"
+    f"{_PATH_LEN} event types in deterministic (ts, event_id) order "
+    "joined with '>', rolled up to pattern frequencies. The rank "
+    "pre-cut bounds per-user state to 5 rows before assembly "
+    "(WindowGroupLimit fires map-side), so whale histories never "
+    "buffer.",
+    tags=("events", "funnel"),
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common first-5-step event-type journeys.
+
+    Scale: the per-user rank is the only event-volume window and it
+    carries the WindowGroupLimit pre-cut (each map task emits at
+    most 5 rows per user before the exchange); path assembly then
+    runs on <= 5 rows per user, and the frequency rollup keys on
+    the path string. The final top-N is a TakeOrdered, not a global
+    sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        spark.table("events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOPN)
     )
