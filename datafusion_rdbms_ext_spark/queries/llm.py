@@ -7629,3 +7629,102 @@ def llm_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _R2["llm_minhash_estimate_error"].oracle = _sql_minhash_err_oracle()
+
+
+# ---------------------------------------------------------------------------
+# 57. Embedding outlier detection (round 8): distance-to-centroid
+#     audit — per label group, the integer-quantized squared-L2 from
+#     each vector to its group centroid (the _quantize/_l2q IVF
+#     machinery reused as a QA instrument), flagged when it exceeds
+#     4x the group median distance (integer cross-multiplication).
+#     The mislabeled-point detector an embedding pipeline runs after
+#     every encoder change: a vector far from its own label's
+#     centroid is either mislabeled or an encoder regression.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_embedding_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT))
+               AS eq
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, unnest(range(1, len(eq) + 1)) AS pos,
+             eq[unnest(range(1, len(eq) + 1))] AS val
+      FROM q
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(ROUND(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS cemb FROM cent GROUP BY label
+    ),
+    dist AS (
+      SELECT q.vec_id, q.label,
+             list_sum(list_transform(range(1, len(q.eq) + 1),
+               i -> (q.eq[i] - v.cemb[i]) * (q.eq[i] - v.cemb[i]))) AS d2
+      FROM q JOIN cvec v USING (label)
+    ),
+    med AS (
+      SELECT label, CAST(MEDIAN(d2) AS BIGINT) AS med_d2
+      FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label, CAST(d.d2 AS BIGINT) AS dist2,
+           m.med_d2
+    FROM dist d JOIN med m USING (label)
+    WHERE d.d2 > 4 * m.med_d2
+    ORDER BY d.label, d.vec_id
+    """,
+    doc="Embedding outlier audit: exact integer squared-L2 from each "
+    "vector to its LABEL centroid (quantized components, the IVF "
+    "machinery as a QA instrument), flagging vectors beyond 4x the "
+    "group median distance — the mislabeled-point / encoder-"
+    "regression detector. Median over integer distances keeps the "
+    "threshold engine-exact.",
+    tags=("llm", "quality", "similarity"),
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors suspiciously far from their own label's centroid.
+
+    Scale: centroids come from the posexplode partial aggregation
+    (K*dim shuffle rows — the Lloyd's update step reused); the
+    distance pass broadcasts the label->centroid array table
+    (label-count-sized) and is otherwise map-side; the median and
+    the flag filter run per label. One corpus scan end-to-end."""
+    q = _quantize(spark).join(
+        spark.table("embeddings").select("vec_id", "label"), "vec_id"
+    )
+    comps = q.select("label", F.posexplode("eq").alias("pos", "val"))
+    cent = (
+        comps.groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1))).cast("long").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cemb")
+        )
+    )
+    dist = q.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", _l2q(F.col("eq"), F.col("cemb")).alias("d2")
+    )
+    med = dist.groupBy("label").agg(
+        F.expr("CAST(median(d2) AS BIGINT)").alias("med_d2")
+    )
+    return (
+        dist.join(med, "label")
+        .filter(F.col("d2") > 4 * F.col("med_d2"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("d2").cast("long").alias("dist2"),
+            "med_d2",
+        )
+        .orderBy("label", "vec_id")
+    )

@@ -162,6 +162,9 @@ def test_broadcast_hints_only_on_fixed_dims():
             "tau", "est",
             # ANN recall eval: the 1-row approx-pair count.
             "n_approx",
+            # embedding outlier audit: the label -> centroid array
+            # table (one row per LABEL — class-count-sized).
+            "cent",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
