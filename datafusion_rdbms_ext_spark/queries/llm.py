@@ -7674,22 +7674,29 @@ _R2["llm_minhash_estimate_error"].oracle = _sql_minhash_err_oracle()
       SELECT label, CAST(MEDIAN(d2) AS BIGINT) AS med_d2
       FROM dist GROUP BY label
     )
-    SELECT d.vec_id, d.label, CAST(d.d2 AS BIGINT) AS dist2,
-           m.med_d2
+    SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           m.med_d2,
+           CAST(MAX(d.d2) AS BIGINT) AS max_d2,
+           CAST(MAX(d.d2) * 1000000 // m.med_d2 AS BIGINT)
+             AS max_over_med_ppm,
+           CAST(SUM(CASE WHEN d.d2 > 2 * m.med_d2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_2x
     FROM dist d JOIN med m USING (label)
-    WHERE d.d2 > 4 * m.med_d2
-    ORDER BY d.label, d.vec_id
+    GROUP BY d.label, m.med_d2
+    ORDER BY d.label
     """,
     doc="Embedding outlier audit: exact integer squared-L2 from each "
     "vector to its LABEL centroid (quantized components, the IVF "
-    "machinery as a QA instrument), flagging vectors beyond 4x the "
-    "group median distance — the mislabeled-point / encoder-"
-    "regression detector. Median over integer distances keeps the "
-    "threshold engine-exact.",
+    "machinery as a QA instrument), profiled per label — median and "
+    "max distance, max/median ppm, and the count beyond 2x median "
+    "(the mislabeled-point / encoder-regression signal; this "
+    "fixture's clusters are tight, so the profile showing zero "
+    "flags IS the finding). Integer distances keep every statistic "
+    "engine-exact.",
     tags=("llm", "quality", "similarity"),
 )
 def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectors suspiciously far from their own label's centroid.
+    """Per-label distance-to-centroid profile with outlier counts.
 
     Scale: centroids come from the posexplode partial aggregation
     (K*dim shuffle rows — the Lloyd's update step reused); the
@@ -7719,12 +7726,24 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dist.join(med, "label")
-        .filter(F.col("d2") > 4 * F.col("med_d2"))
-        .select(
-            "vec_id",
-            "label",
-            F.col("d2").cast("long").alias("dist2"),
-            "med_d2",
+        .groupBy("label", "med_d2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.max("d2").cast("long").alias("max_d2"),
+            F.expr("max(d2) * 1000000 div first(med_d2)").alias(
+                "max_over_med_ppm"
+            ),
+            F.sum(F.when(F.col("d2") > 2 * F.col("med_d2"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_beyond_2x"),
         )
-        .orderBy("label", "vec_id")
+        .select(
+            "label",
+            "n_vectors",
+            "med_d2",
+            "max_d2",
+            "max_over_med_ppm",
+            "n_beyond_2x",
+        )
+        .orderBy("label")
     )
