@@ -107,7 +107,8 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: llm_kanonymity_audit, olap_funnel_latency, olap_rfm_segmentation,
 #: ev_holt_backtest, llm_minhash_estimate_error,
 #: source_partition_evolution, olap_pair_lift, llm_embedding_audit,
-#: source_table_checksum, ev_top_paths, llm_embedding_outliers —
+#: source_table_checksum, ev_top_paths, llm_embedding_outliers,
+#: ev_growth_accounting —
 #: plus whatever the backfill cap
 #: displaces this round (the driver records the first 50 only —
 #: backfill entries past slot 50 keep their older proofs). All are

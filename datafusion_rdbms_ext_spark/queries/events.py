@@ -2165,3 +2165,139 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATH_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# 30. Growth accounting (round 8): the canonical WAU decomposition —
+#     each week's active users split into NEW (first week ever),
+#     RETAINED (active previous week) and RESURRECTED (active before,
+#     not last week), with CHURNED = last week's actives who went
+#     silent. The bookkeeping identity wau = new + retained +
+#     resurrected and wau - prev_wau = new + resurrected - churned
+#     holds exactly in integers — the conservation law the report is
+#     trusted for.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_growth_accounting",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+      FROM events
+    ),
+    lagged AS (
+      SELECT week, user_id,
+             LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_wk
+      FROM wk
+    ),
+    classified AS (
+      SELECT week, user_id,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN prev_wk = week - INTERVAL '7 days' THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM lagged
+    ),
+    churn AS (
+      SELECT CAST(l.week + INTERVAL '7 days' AS DATE) AS week,
+             COUNT(*) AS churned
+      FROM lagged l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM wk n
+        WHERE n.user_id = l.user_id
+          AND n.week = l.week + INTERVAL '7 days'
+      )
+      AND l.week < (SELECT MAX(week) FROM wk)
+      GROUP BY 1
+    )
+    SELECT CAST(c.week AS VARCHAR) AS week,
+           CAST(COUNT(*) AS BIGINT) AS wau,
+           CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS retained,
+           CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                AS BIGINT) AS resurrected,
+           CAST(COALESCE(MAX(ch.churned), 0) AS BIGINT) AS churned
+    FROM classified c LEFT JOIN churn ch ON ch.week = c.week
+    GROUP BY c.week
+    ORDER BY c.week
+    """,
+    doc="Growth accounting: weekly actives decomposed into new / "
+    "retained / resurrected, with churn (prior week's actives gone "
+    "silent) — the canonical product-growth report. Integer "
+    "conservation holds exactly: wau = new + retained + resurrected "
+    "and wau - prev_wau = new + resurrected - churned.",
+    tags=("events", "window", "funnel"),
+)
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned decomposition.
+
+    Scale: everything runs on the (week, user) distinct rollup —
+    orders of magnitude under event volume. Classification is one
+    lag window partitioned by user; churn is an anti-join of last
+    week's actives against this week's (here via the same lagged
+    table, no second scan). At 100 TB the weekly rollup is the
+    incrementally maintained table and each new week classifies
+    against one window step."""
+    wk = (
+        spark.table("events")
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "user_id",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = wk.withColumn("prev_wk", F.lag("week").over(w))
+    classified = lagged.select(
+        "week",
+        "user_id",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(
+            F.col("prev_wk") == F.date_sub(F.col("week"), 7), "retained"
+        )
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    max_wk = wk.agg(F.max("week").alias("mx"))
+    nxt = wk.select(
+        F.date_sub(F.col("week"), 7).alias("week"),
+        F.col("user_id").alias("n_user"),
+    )
+    churn = (
+        wk.crossJoin(F.broadcast(max_wk))
+        .filter(F.col("week") < F.col("mx"))
+        .join(
+            nxt,
+            (wk["user_id"] == nxt["n_user"]) & (wk["week"] == nxt["week"]),
+            "left_anti",
+        )
+        .groupBy(F.date_add(F.col("week"), 7).alias("week"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        classified.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("wau"),
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("retained"),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("resurrected"),
+        )
+        .join(churn, "week", "left")
+        .select(
+            F.col("week").cast("string").alias("week"),
+            "wau",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0))
+            .cast("long")
+            .alias("churned"),
+        )
+        .orderBy("week")
+    )

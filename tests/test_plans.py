@@ -128,7 +128,8 @@ def test_broadcast_hints_only_on_fixed_dims():
             # audit: the 1-row percentile pair.
             "n", "pcts",
         },
-        "events.py": {"anchor", "d0"},  # both 1-row min/max-ts aggregates
+        # anchor/d0/max_wk: 1-row min/max-ts (or max-week) aggregates
+        "events.py": {"anchor", "d0", "max_wk"},
         # M4 downsampling: the 1-row global (min,max) epoch anchor.
         "temporal.py": {"anchor_b"},
         # stats_broadcast_hint's `right` is gated by the COLLECTED

@@ -268,3 +268,20 @@ def test_interval_coverage_matches_sequential_reference(spark):
             row["covered_seconds"],
             row["longest_island_s"],
         ) == expect[row["user_id"]], row["user_id"]
+
+
+def test_growth_accounting_conservation(spark):
+    """The bookkeeping identities must hold exactly: wau = new +
+    retained + resurrected for every week, and wau - prev_wau =
+    new + resurrected - churned for every consecutive week pair."""
+    got = _run(spark, "ev_growth_accounting").sort_values("week")
+    assert len(got) >= 2
+    prev_wau = None
+    for _, r in got.iterrows():
+        assert r["wau"] == r["new_users"] + r["retained"] + r["resurrected"]
+        if prev_wau is not None:
+            assert (
+                r["wau"] - prev_wau
+                == r["new_users"] + r["resurrected"] - r["churned"]
+            ), r["week"]
+        prev_wau = r["wau"]
