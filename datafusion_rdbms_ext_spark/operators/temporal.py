@@ -1193,3 +1193,91 @@ def op_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted percentiles (round 8): the quantity-weighted median/p90 of
+# unit price per return flag — each row counts with weight w, so the
+# percentile is over SHIPPED UNITS, not line items (the difference
+# matters whenever rows aggregate unequal volumes). Same exact
+# histogram-selection discipline as op_percentile_exact, with the
+# cumulative WEIGHT replacing the cumulative count: smallest value v
+# with cumw(v) * 100 >= p * W. Prices quantize to exact integer
+# millicents, weights to integer units — engine-exact end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "op_weighted_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 1000) AS BIGINT) AS vm,
+             CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT flag, vm, SUM(w) AS w FROM q GROUP BY flag, vm
+    ),
+    cum AS (
+      SELECT flag, vm, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY vm
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM hist
+    )
+    SELECT flag,
+           CAST(MAX(tot) AS BIGINT) AS total_units,
+           CAST(MIN(CASE WHEN cumw * 100 >= 50 * tot THEN vm END) AS BIGINT)
+             AS wp50_millis,
+           CAST(MIN(CASE WHEN cumw * 100 >= 90 * tot THEN vm END) AS BIGINT)
+             AS wp90_millis
+    FROM cum GROUP BY flag
+    ORDER BY flag
+    """,
+    doc="Quantity-weighted exact percentiles of extended price per "
+    "return flag: histogram selection with cumulative WEIGHT "
+    "(smallest v with cumw*100 >= p*W) — the percentile over shipped "
+    "units, not line items. Millicent quantization and integer "
+    "weights keep selection engine-exact; the histogram, not the "
+    "rows, feeds the cumulative window.",
+    tags=("operators", "percentile"),
+)
+def op_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted p50/p90 of unit price per return flag.
+
+    Scale: the per-(flag, value) weight histogram is the only
+    data-volume aggregation (map-side combined); the cumulative
+    window runs over histogram rows — bounded by distinct price
+    points, not row count — partitioned by flag. The unweighted
+    sibling is op_percentile_exact; the weighted form is what
+    inventory/revenue distributions actually need."""
+    q = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 1000).cast("long").alias("vm"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    hist = q.groupBy("flag", "vm").agg(F.sum("w").alias("w"))
+    wc = Window.partitionBy("flag").orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "flag",
+        "vm",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+
+    def pick(pct: int):
+        return F.min(
+            F.when(F.col("cumw") * 100 >= pct * F.col("tot"), F.col("vm"))
+        ).cast("long")
+
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.max("tot").cast("long").alias("total_units"),
+            pick(50).alias("wp50_millis"),
+            pick(90).alias("wp90_millis"),
+        )
+        .orderBy("flag")
+    )
