@@ -108,7 +108,8 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: ev_holt_backtest, llm_minhash_estimate_error,
 #: source_partition_evolution, olap_pair_lift, llm_embedding_audit,
 #: source_table_checksum, ev_top_paths, llm_embedding_outliers,
-#: ev_growth_accounting, op_weighted_percentile —
+#: ev_growth_accounting, op_weighted_percentile,
+#: ev_interarrival_profile —
 #: plus whatever the backfill cap
 #: displaces this round (the driver records the first 50 only —
 #: backfill entries past slot 50 keep their older proofs). All are

@@ -2301,3 +2301,106 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# 31. Inter-arrival profile (round 8): the distribution of per-user
+#     gaps between consecutive events, per event type — the metric
+#     that calibrates session-gap thresholds (ev_session_windows'
+#     6h/dynamic gaps) and streaming watermark delays from DATA
+#     instead of folklore. Exact p50/p90 via the histogram-selection
+#     discipline over integer gap-seconds.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_interarrival_profile",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+               // 1000000 AS gap_s
+      FROM events
+    ),
+    g AS (SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL),
+    hist AS (
+      SELECT event_type, gap_s, COUNT(*) AS c FROM g GROUP BY event_type, gap_s
+    ),
+    cum AS (
+      SELECT event_type, gap_s, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN gap_s END) AS BIGINT)
+             AS p50_gap_s,
+           CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN gap_s END) AS BIGINT)
+             AS p90_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM cum GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Inter-arrival profile: per-user consecutive-event gaps per "
+    "type, summarized as exact p50/p90/max gap seconds by histogram "
+    "selection — the data-driven calibration for session-gap "
+    "thresholds and streaming watermark delays. Integer "
+    "gap-seconds; the cumulative window runs over the gap "
+    "HISTOGRAM, never the raw gaps.",
+    tags=("events", "timeseries", "window"),
+)
+def ev_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact gap percentiles per event type.
+
+    Scale: the lag window partitions by (user, type) — the natural
+    key, no global sort; gaps quantize to integer seconds map-side,
+    and the percentile selection runs on the (type, gap_s)
+    histogram, bounded by the gap range rather than event volume.
+    Re-run per retention window to keep session/watermark knobs
+    honest as traffic patterns drift."""
+    from ..functions.compat import ts_micros
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        spark.table("events")
+        .select(
+            "event_type",
+            (ts_micros("ts") - F.lag(ts_micros("ts")).over(w)).alias(
+                "gap_us"
+            ),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    hist = gaps.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "event_type",
+        "gap_s",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(pct: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= pct * F.col("n"), F.col("gap_s"))
+        ).cast("long")
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            pick(50).alias("p50_gap_s"),
+            pick(90).alias("p90_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
