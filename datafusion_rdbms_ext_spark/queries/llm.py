@@ -7747,3 +7747,76 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# 58. Cluster purity (round 8): evaluation of the LEARNED IVF cells
+#     against the fixture labels — per cell, the majority-label
+#     fraction in integer ppm, plus the size-weighted overall purity.
+#     The clustering-quality meta-operator (the unsupervised sibling
+#     of llm_ann_recall_eval): run after every index rebuild to catch
+#     a degenerate k-means (one mega-cell, empty cells) before it
+#     silently destroys ANN recall. Composes the existing SQL k-means
+#     mirror, so the evaluation shares the bit-exact training path.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_cluster_purity",
+    oracle=f"""
+    WITH {_sql_lloyds_cells()},
+    lab AS (
+      SELECT c.cell, e.label FROM cells c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+    ),
+    per AS (
+      SELECT cell, label, COUNT(*) AS c FROM lab GROUP BY cell, label
+    ),
+    tot AS (SELECT cell, SUM(c) AS n FROM per GROUP BY cell),
+    best AS (SELECT cell, MAX(c) AS m FROM per GROUP BY cell)
+    SELECT t.cell AS cell,
+           CAST(t.n AS BIGINT) AS n_vectors,
+           CAST(b.m AS BIGINT) AS majority_n,
+           CAST(b.m * 1000000 // t.n AS BIGINT) AS purity_ppm,
+           CAST((SELECT SUM(b2.m) * 1000000 // SUM(t2.n)
+                 FROM best b2 JOIN tot t2 ON t2.cell = b2.cell) AS BIGINT)
+             AS overall_purity_ppm
+    FROM tot t JOIN best b ON b.cell = t.cell
+    ORDER BY cell
+    """,
+    doc="Cluster purity of the learned IVF cells vs labels: per-cell "
+    "majority-label fraction and size-weighted overall purity in "
+    "exact integer ppm — the unsupervised index-quality gate (the "
+    "clustering sibling of llm_ann_recall_eval). Composes the same "
+    "bit-exact SQL k-means mirror the learned-IVF queries train "
+    "against.",
+    tags=("llm", "similarity", "quality"),
+)
+def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell and overall purity of the learned IVF clustering.
+
+    Scale: cell assignment is the map-side broadcast-centroid pass
+    (learned_ivf_cells); everything after runs on (cell, label)
+    counts — K x #labels rows. The report is what decides whether
+    to retrain with a different K before an index ships."""
+    cells = learned_ivf_cells(spark, _IVF_K)
+    lab = cells.join(
+        spark.table("embeddings").select("vec_id", "label"), "vec_id"
+    )
+    per = lab.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("cell").agg(F.sum("c").alias("n"))
+    best = per.groupBy("cell").agg(F.max("c").alias("m"))
+    overall = (
+        tot.join(best, "cell")
+        .agg(F.expr("sum(m) * 1000000 div sum(n)").alias("o"))
+    )
+    return (
+        tot.join(best, "cell")
+        .crossJoin(F.broadcast(overall))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.col("m").cast("long").alias("majority_n"),
+            F.expr("m * 1000000 div n").alias("purity_ppm"),
+            F.col("o").cast("long").alias("overall_purity_ppm"),
+        )
+        .orderBy("cell")
+    )

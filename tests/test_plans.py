@@ -166,6 +166,8 @@ def test_broadcast_hints_only_on_fixed_dims():
             # embedding outlier audit: the label -> centroid array
             # table (one row per LABEL — class-count-sized).
             "cent",
+            # cluster purity: the 1-row overall-purity aggregate.
+            "overall",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
