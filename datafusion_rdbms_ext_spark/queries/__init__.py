@@ -109,7 +109,7 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: source_partition_evolution, olap_pair_lift, llm_embedding_audit,
 #: source_table_checksum, ev_top_paths, llm_embedding_outliers,
 #: ev_growth_accounting, op_weighted_percentile,
-#: ev_interarrival_profile, llm_cluster_purity —
+#: ev_interarrival_profile, llm_cluster_purity, win_share_of_total —
 #: plus whatever the backfill cap
 #: displaces this round (the driver records the first 50 only —
 #: backfill entries past slot 50 keep their older proofs). All are

@@ -281,3 +281,58 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Share-of-total (round 8): RATIO_TO_REPORT — each (day, type)
+#    cell's share of its day's events in exact integer ppm, computed
+#    as a window sum over the (day, type) rollup. The reporting
+#    function behind every "% of total" column; kept integer-exact
+#    by dividing counts, never floats.
+# ---------------------------------------------------------------------------
+@register(
+    "win_share_of_total",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY day, event_type
+    )
+    SELECT CAST(day AS VARCHAR) AS day, event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY day) AS BIGINT)
+             AS share_ppm
+    FROM d ORDER BY day, event_type
+    """,
+    doc="RATIO_TO_REPORT / share-of-total: each (day, type) cell's "
+    "share of its day's events in exact integer ppm — one window "
+    "sum over the already-aggregated rollup, the canonical "
+    "'% of total' reporting column.",
+    tags=("windows",),
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-type shares in ppm.
+
+    Scale: the window runs over the (day, type) ROLLUP — days x
+    types rows, not events — partitioned by day; the event-volume
+    work is one map-side-combined aggregation. This ordering
+    (aggregate THEN window) is the scalable spelling; windowing the
+    raw events first would shuffle the corpus."""
+    d = (
+        spark.table("events")
+        .groupBy(
+            F.col("ts").cast("date").cast("string").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("day")
+    return (
+        d.withColumn("day_n", F.sum("n").over(w))
+        .select(
+            "day",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 div day_n").alias("share_ppm"),
+        )
+        .orderBy("day", "event_type")
+    )
