@@ -51,6 +51,14 @@ def bloom_semi_filter(
     keys = small_keys.distinct()
     k_col = keys.columns[0]
     n = keys.count()
+    if n * _BLOOM_LOAD > _MAX_BITS:
+        # Saturation guard (ADVICE r8 #2): past _MAX_BITS the load
+        # factor blows through _BLOOM_LOAD bits/key and the false-
+        # positive rate approaches 1 — every big-side row would pay
+        # 3 codegen hash probes for no pruning. Skip the pre-filter
+        # entirely; the join itself is still exact, and m=0 tells
+        # the caller the bitmap was never built.
+        return big, 0
     # >= 64 so the packed-word array is never empty (an all-zero
     # single word correctly rejects everything when n == 0)
     m = max(

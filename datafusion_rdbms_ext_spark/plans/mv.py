@@ -80,13 +80,21 @@ def _rewrite_dim_refs(cond: str, dims: dict) -> str:
     filter predicate to its MV column — longest dim first, at
     identifier boundaries on BOTH sides (ADVICE r7 #3: a longer
     qualified name that merely ends with the dim must not be
-    partially rewritten)."""
+    partially rewritten), and only OUTSIDE string literals (ADVICE
+    r8 #1: a literal that happens to contain a dim's canonical SQL —
+    ``label = 'events.event_type'`` — must pass through untouched,
+    the same quote-parity guard as ``_strip_base_qualifier``)."""
     import re as _re
 
     for dim_sql in sorted(dims, key=len, reverse=True):
+        col = dims[dim_sql]
         cond = _re.sub(
             r"(?<![A-Za-z0-9_.])" + _re.escape(dim_sql) + r"(?![A-Za-z0-9_])",
-            dims[dim_sql],
+            lambda m, _col=col: (
+                m.group(0)
+                if cond.count("'", 0, m.start()) % 2 == 1
+                else _col
+            ),
             cond,
         )
     return cond

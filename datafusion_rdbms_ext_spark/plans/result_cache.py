@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,5 +74,21 @@ class ResultCache:
             self.hits += 1
             return spark.read.parquet(path)
         self.misses += 1
-        df.write.mode("overwrite").parquet(path)
+        # Entries are content-addressed and immutable (ADVICE r8 #5):
+        # never overwrite in place — a concurrent reader of the same
+        # digest could observe the _SUCCESS marker deleted mid-write.
+        # Materialize into a private temp dir, then atomically rename
+        # into the digest path; if another writer won the race (the
+        # marker appeared meanwhile), discard ours and read theirs.
+        tmp = f"{path}.tmp-{os.getpid()}-{id(df)}"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # lost an atomic-rename race: the winner's entry is
+                # byte-equivalent (same digest), use it
+                shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(path)

@@ -7636,7 +7636,7 @@ _R2["llm_minhash_estimate_error"].oracle = _sql_minhash_err_oracle()
 #     audit — per label group, the integer-quantized squared-L2 from
 #     each vector to its group centroid (the _quantize/_l2q IVF
 #     machinery reused as a QA instrument), flagged when it exceeds
-#     4x the group median distance (integer cross-multiplication).
+#     2x the group median distance (integer cross-multiplication).
 #     The mislabeled-point detector an embedding pipeline runs after
 #     every encoder change: a vector far from its own label's
 #     centroid is either mislabeled or an encoder regression.

@@ -681,7 +681,7 @@ def mm_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (
       SELECT doc_id, text, length(text) AS n FROM documents
-      WHERE doc_id % 3 = 1 AND doc_id < 90
+      WHERE doc_id % 3 = 2 AND doc_id < 90
     ),
     frames AS (
       SELECT doc_id,
@@ -732,8 +732,11 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     only 16-byte-chunk sums shuffle). The adaptive threshold is the
     standard practice (fixed thresholds break across codecs); its
     integer cross-multiplication keeps the decision bit-exact."""
+    # modality == 'video' (doc_id % 3 == 2, the same fixture slice
+    # mm_frame_features decodes) — ADVICE r8 #3: the operator is the
+    # VIDEO-pipeline segmenter and must run on video assets.
     assets = load_assets(spark).filter(
-        (F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 90)
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 90)
     )
     feat = frame_features(assets).select("doc_id", "frame_id", "f_sum")
     w = Window.partitionBy("doc_id").orderBy("frame_id")
