@@ -65,6 +65,47 @@ def read_schemas(df: DataFrame) -> list[str]:
     ]
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Physical ``Window`` nodes with an EMPTY partition spec — the
+    single-task global sort that dies first at 100 TB (every row of
+    the input lands on one executor core).
+
+    Detection: in simple-mode physical plans a Window prints its
+    top-level bracket groups as ``[exprs], [partcols], [ordercols]``
+    — a fully-specified window has three; with only two, the second
+    is the ORDER spec (contains ``ASC``/``DESC``) when the partition
+    spec is empty, or the partition spec when there is no ORDER; a
+    single group is a global-frame window over one task. Returns the
+    offending lines; whether the INPUT is bounded (metadata-sized —
+    #partitions offset merges, K-row rank stamps, histogram picks)
+    is the caller's audit, via the sweep whitelist in
+    tests/test_plans.py."""
+    out = []
+    for line in plan_string(df, "simple").splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups: list[str] = []
+        depth = 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if depth > 0:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # [exprs], [part], [order]
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            continue  # [exprs], [partcols] — partitioned, no order
+        out.append(line.strip())
+    return out
+
+
 def broadcast_joins(df: DataFrame) -> int:
     """Count of broadcast joins in the plan."""
     p = plan_string(df)

@@ -114,69 +114,52 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: displaces this round (the driver records the first 50 only —
 #: backfill entries past slot 50 keep their older proofs). All are
 #: green in the local differential gate today.
+#: ROUND-9 ROTATION (VERDICT r8 next #1): the complete 20-query
+#: never-proven queue takes the front slots — olap_rfm_segmentation
+#: enters with its REWRITTEN scale-safe plan (distributed quintiles,
+#: VERDICT r8 #2) so its first driver proof is of that plan. The
+#: same 3 sentinels follow, ahead of the round-9 additions block;
+#: backfill by longest-unproven (recomputed from cumulative
+#: CORRECTNESS r1-r8: 6 r2 rows, 12 r3 rows, then r4 rows in
+#: registration order).
 _PRIORITY: tuple[str, ...] = (
-    # -- 13 first-timers: the complete round-8 never-proven queue
-    #    (11 never in any gate + the two r2 canaries displaced in r7)
-    "source_table_history",
-    "ev_attribution_last_touch",
-    "stream_late_data_policy",
-    "micro_listagg",
-    "op_asof_nearest",
-    "sink_zonemap_manifest",
-    "stream_stream_full_outer",
-    "micro_collation",
-    "olap_window_funnel",
-    "mm_dedup_phash",
-    "llm_dedup_eval",
-    "micro_nested_access",
-    "micro_sort_nulls",
+    # -- 20 first-timers: the complete round-9 never-proven queue
+    #    (verified mechanically against cumulative CORRECTNESS r1-r8)
+    "micro_grouping_id",
+    "micro_named_window",
+    "op_interval_coverage",
+    "llm_tokenizer_fertility",
+    "llm_kanonymity_audit",
+    "olap_funnel_latency",
+    "olap_rfm_segmentation",
+    "ev_holt_backtest",
+    "llm_minhash_estimate_error",
+    "source_partition_evolution",
+    "olap_pair_lift",
+    "llm_embedding_audit",
+    "source_table_checksum",
+    "ev_top_paths",
+    "llm_embedding_outliers",
+    "ev_growth_accounting",
+    "op_weighted_percentile",
+    "ev_interarrival_profile",
+    "llm_cluster_purity",
+    "win_share_of_total",
     # -- 3 sentinels (regression canaries from driver-proven
     #    families). Placed BEFORE the additions block so late-round
     #    additions can never push a canary out of the 50 recorded
     #    slots — the additions spill to the local gate instead and
-    #    become the next round's rotation queue.
+    #    become the next round's rotation queue (the r8 ordering,
+    #    kept per VERDICT r8 next #1).
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- round-8 additions (first-time proof in their own round)
-    "sink_skipping_composed",
-    "llm_bpe_apply",
-    "ev_trend_ols",
-    "llm_embedding_quantize",
-    "source_table_stats",
-    "olap_result_cache",
-    "mm_silence_trim",
-    "ev_attribution_linear",
-    "olap_frequent_pairs",
-    "source_equidepth_histogram",
-    "ev_attribution_ushape",
-    "op_skew_report",
-    "op_bloom_semi_join",
-    "llm_pipeline_tokenize",
-    "micro_pipe_syntax",
-    "ev_holt_linear",
-    "llm_hybrid_search_rrf",
-    "llm_kmv_distinct",
-    "micro_lateral_alias",
-    "micro_parameterized_sql",
-    "ev_ohlc_bars",
-    "ev_changepoint_cusum",
-    "llm_sample_priority",
-    "llm_ann_recall_eval",
-    "mm_scene_cuts",
-    "stream_chained_windows",
-    "micro_xml_parse",
-    "micro_identifier_clause",
-    "llm_span_corrupt",
-    "micro_execute_immediate",
-    "llm_mixture_temperature",
-    "stream_stream_semi",
-    "ev_stickiness_dau_mau",
-    # -- backfill: longest-unproven first (verified mechanically
-    #    against cumulative CORRECTNESS r1-r7: 7 remaining r2 rows,
-    #    then the 12 r3 rows, then the oldest r4 rows in
-    #    registration order)
-    "micro_repartition",
+    # -- round-9 additions (first-time proof in their own round)
+    # (appended here as they are registered this round)
+    # -- backfill: longest-unproven first (mechanically recomputed
+    #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
+    #    rows, then the 12 r3-proven rows, then r4-proven rows in
+    #    registration order; only the first 50 total are recorded)
     "micro_grouping_sets",
     "win_lag_lead",
     "win_running_sum",
@@ -193,6 +176,9 @@ _PRIORITY: tuple[str, ...] = (
     "llm_train_split",
     "llm_dedup_incremental",
     "stream_dedup",
+    # mm_binary_features promoted within its r4 tier so the recorded
+    # 50 always cover the multimodal subsystem
+    "mm_binary_features",
     "fed_limit_pushdown",
     "fed_sink_roundtrip",
     "q03_shipping_priority",

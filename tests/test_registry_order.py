@@ -127,3 +127,65 @@ def test_survey_bench_total_matches_latest_bench_artifact():
             f"SURVEY's tagged-query claims {[int(n) for _, n in claims]} "
             f"never mention the current suite size {nq} ({name})"
         )
+
+
+def test_documented_rotation_queue_is_exactly_the_never_proven_set():
+    """Doc-sync guard (VERDICT r8 next #8): the latest 'ROUND-N
+    ROTATION QUEUE' names documented in queries/__init__.py must
+    equal REGISTRY minus everything proven in CORRECTNESS rounds
+    < N minus this round's additions block — computed mechanically,
+    so the documented queue can never drift from the real
+    never-proven set (it drifted twice in round 8)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    src = (
+        root / "datafusion_rdbms_ext_spark" / "queries" / "__init__.py"
+    ).read_text()
+
+    # latest documented queue: names between the ROUND-N ROTATION
+    # QUEUE header and the next non-name sentence boundary
+    queue_blocks = re.findall(
+        r"ROUND-(\d+) ROTATION QUEUE[^:]*:(.*?)(?=#: ROUND-|_PRIORITY)",
+        src,
+        re.S,
+    )
+    assert queue_blocks, "no documented rotation queue"
+    n_round, block = max(queue_blocks, key=lambda t: int(t[0]))
+    n_round = int(n_round)
+    documented = set(re.findall(r"\b([a-z][a-z0-9]*_[a-z0-9_]+)\b", block))
+    documented &= set(REGISTRY)
+
+    # additions block for the SAME round inside _PRIORITY source
+    pri_src = src[src.index("_PRIORITY: tuple") :]
+    m = re.search(
+        rf"round-{n_round} additions(.*?)(?:# -- backfill|\)\n)",
+        pri_src,
+        re.S,
+    )
+    additions = set(re.findall(r'"([a-z0-9_]+)"', m.group(1))) if m else set()
+
+    proven: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", f.name).group(1))
+        if rnd >= n_round:
+            continue
+        for name, res in json.loads(f.read_text()).items():
+            ok = (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match") is not False
+                and not res.get("err")
+            )
+            if ok:
+                proven.add(name)
+
+    never_proven = set(REGISTRY) - proven - additions
+    assert documented == never_proven, (
+        f"documented queue drifted: documented-but-proven="
+        f"{sorted(documented - never_proven)}, "
+        f"unproven-but-undocumented={sorted(never_proven - documented)}"
+    )

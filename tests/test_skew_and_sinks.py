@@ -531,3 +531,47 @@ def test_bloom_semi_filter_prunes_without_false_negatives(spark):
     assert via_bloom.count() == n_match == direct.count()
     # the false-positive overhead stays near the fpp design point
     assert n_kept <= max(2 * n_match, n_match + n_all // 50)
+
+
+def test_stats_join_decision_plans_both_strategies(spark):
+    """source_stats_join_decision (round 9): ONE physical plan must
+    carry BOTH stats decisions — the fits-the-budget path as a
+    BroadcastHashJoin and the too-big-for-budget path as the PINNED
+    SortMergeJoin (the explicit negative decision: without the merge
+    pin, Spark's size-based file heuristic would silently broadcast
+    the small fixture anyway and the rail would test nothing)."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    df = REGISTRY["source_stats_join_decision"].fn(spark, SMOKE_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" in plan, plan[:1200]
+    # and the values agree between the two strategies, row for row
+    for r in df.collect():
+        assert r["n_bcast"] == r["n_merge"]
+        assert r["qty_bcast"] == r["qty_merge"]
+
+
+def test_stats_hint_negative_decision_pins_merge(spark):
+    """stats_broadcast_hint's else branch must PIN sort-merge: a
+    right side the stats call too big never broadcasts via the
+    size-based heuristic either (the decision overrules both ways)."""
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        collect_column_stats,
+        stats_broadcast_hint,
+    )
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    li = spark.table("lineitem")
+    supp = spark.table("supplier")
+    stats = collect_column_stats(supp, ("s_suppkey",))
+    joined, did = stats_broadcast_hint(
+        spark, li, supp, stats,
+        li["l_suppkey"] == supp["s_suppkey"],
+        threshold_bytes=1,
+    )
+    assert did is False
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1200]
+    assert "BroadcastHashJoin" not in plan, plan[:1200]
