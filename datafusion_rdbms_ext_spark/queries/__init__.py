@@ -156,6 +156,8 @@ _PRIORITY: tuple[str, ...] = (
     "fed_transparent_agg",
     # -- round-9 additions (first-time proof in their own round)
     # (appended here as they are registered this round)
+    "source_stats_join_decision",
+    "source_skipping_rewrite",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

@@ -1651,6 +1651,74 @@ def sink_skipping_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Transparent skipping rewrite (round 9, VERDICT r8 #6): the composed
+# zonemap+Bloom index wired into the try-rewrite-else-fall-through
+# optimizer contract (plans/skipping.py). The user authors an
+# ORDINARY filter+aggregate against the base lineitem table; the
+# rewrite routes it through the index's pruned file list with the
+# full predicate re-applied — or falls through untouched for any
+# ineligible shape (OR/NOT, non-indexed columns, other tables).
+# ---------------------------------------------------------------------------
+_REWRITE_LO, _REWRITE_HI = 300, 900  # distinct from the direct probe
+_REWRITE_KEY = 2
+
+
+def composed_skipping_index(spark: SparkSession, sf_dir: str):
+    """The SkippingIndex handle over the session's composed layout."""
+    from ..plans.skipping import SkippingIndex
+
+    root, manifest, m = composed_skip_root(spark, sf_dir)
+    return SkippingIndex(
+        "lineitem", root, manifest, m, "l_orderkey", "l_suppkey"
+    )
+
+
+@register(
+    "source_skipping_rewrite",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           {sql_dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {_REWRITE_LO} AND {_REWRITE_HI}
+      AND l_suppkey = {_REWRITE_KEY}
+    """,
+    doc="Transparent file-skipping rewrite: an ordinary range+point "
+    "filter aggregate authored against the BASE lineitem table is "
+    "routed through the composed zonemap+Bloom index's pruned file "
+    "list by plans/skipping.skipping_rewrite (strict mode — the "
+    "cheap path provably executed), values identical to the direct "
+    "plan; ineligible shapes fall through untouched "
+    "(tests/test_skipping_rewrite.py).",
+    tags=("source", "sink", "rewrite", "bench"),
+)
+def source_skipping_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-served range+point aggregate.
+
+    Scale: same pruning economics as sink_skipping_composed — but
+    TRANSPARENT: the user plan never names the index; the rewrite
+    walks the analyzed predicate (the optimizer.rs:14-39 contract)
+    and swaps the scan. The served scan's inputFiles are asserted a
+    subset of the index's surviving files."""
+    from ..plans.skipping import skipping_rewrite
+
+    idx = composed_skipping_index(spark, sf_dir)
+    user = (
+        spark.table("lineitem")
+        .filter(
+            F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI)
+            & (F.col("l_suppkey") == _REWRITE_KEY)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+    return skipping_rewrite(user, idx, strict=True)
+
+
+# ---------------------------------------------------------------------------
 # Table statistics collection (round 8) — the ANALYZE TABLE /
 # pg_statistics surface the reference's catalog carries implicitly
 # (row-count probes, mod.rs:170-189) promoted to a first-class,

@@ -1,0 +1,130 @@
+"""Transparent skipping-rewrite contract (round 9, VERDICT r8 #6).
+
+The rewrite must (a) serve an eligible point/range plan from the
+index's pruned file list — the scan reads ONLY surviving files —
+with values identical to the direct plan, and (b) fall through
+UNCHANGED for every ineligible shape (the optimizer.rs:14-39
+try-rewrite-else-fall-through contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_rdbms_ext_spark.functions.compat import dsum
+from datafusion_rdbms_ext_spark.plans.skipping import skipping_rewrite
+from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+from datafusion_rdbms_ext_spark.sources.sinks import (
+    _REWRITE_HI,
+    _REWRITE_KEY,
+    _REWRITE_LO,
+    composed_skip_files,
+    composed_skipping_index,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture()
+def idx(spark):
+    ensure_tables(spark, SF_DIR)
+    return composed_skipping_index(spark, SF_DIR)
+
+
+def _user_filter(spark):
+    return spark.table("lineitem").filter(
+        F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI)
+        & (F.col("l_suppkey") == _REWRITE_KEY)
+    )
+
+
+def test_rewrite_reads_only_surviving_files(spark, idx):
+    """The served scan's input files must be exactly the index's
+    doubly-surviving list — a strict subset of the layout."""
+    served = skipping_rewrite(_user_filter(spark), idx, strict=True)
+    _, files = composed_skip_files(
+        spark, idx.root, idx.manifest, idx.m,
+        _REWRITE_LO, _REWRITE_HI, _REWRITE_KEY,
+    )
+    read = {f.replace("file://", "") for f in served.inputFiles()}
+    assert read == set(files), (sorted(read), sorted(files))
+    assert 0 < len(read) < len(idx.manifest)  # real pruning happened
+
+
+def test_rewrite_values_identical_to_direct_plan(spark, idx):
+    user = _user_filter(spark).select("l_orderkey", "l_suppkey", "l_quantity")
+    served = skipping_rewrite(user, idx, strict=True)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, user.collect())
+    )
+
+
+def test_rewrite_serves_grouped_aggregate(spark, idx):
+    user = (
+        _user_filter(spark)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity")).alias("qty"),
+        )
+    )
+    served = skipping_rewrite(user, idx, strict=True)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, user.collect())
+    )
+
+
+def test_rewrite_zero_files_is_statically_empty(spark, idx):
+    """A key absent from every surviving file prunes everything: the
+    rewrite returns a zero-read, statically-empty frame."""
+    user = spark.table("lineitem").filter(
+        F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI)
+        & (F.col("l_suppkey") == 10**12 + 7)
+    )
+    served = skipping_rewrite(user, idx)
+    # bloom fpp can leave <=1 ghost file; rows must still be 0
+    assert served.count() == 0
+
+
+def test_rewrite_range_only_uses_zonemap_stage(spark, idx):
+    user = spark.table("lineitem").filter(
+        F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI)
+    )
+    served = skipping_rewrite(user, idx, strict=True)
+    assert len(served.inputFiles()) < len(idx.manifest)
+    assert served.count() == user.count()
+
+
+def test_fall_through_shapes_return_original(spark, idx):
+    """OR at top level, NOT, non-indexed column, half-open range,
+    other table: every one returns the ORIGINAL frame object."""
+    li = spark.table("lineitem")
+    shapes = [
+        li.filter(
+            (F.col("l_orderkey") <= 900) | (F.col("l_suppkey") == 2)
+        ),
+        li.filter(~F.col("l_orderkey").between(300, 900)),
+        li.filter(F.col("l_partkey") == 5),
+        li.filter(F.col("l_orderkey") >= 300),  # half-open
+        spark.table("orders").filter(F.col("o_orderkey") <= 900),
+    ]
+    for bad in shapes:
+        assert skipping_rewrite(bad, idx) is bad
+        with pytest.raises(ValueError):
+            skipping_rewrite(bad, idx, strict=True)
+
+
+def test_fall_through_literal_containing_atom_text(spark, idx):
+    """A string literal that happens to contain an indexed atom's
+    text must not make the plan eligible by regex accident — the
+    extra conjunct is re-applied either way, so values are safe, but
+    the quote-parity discipline (ADVICE r8 #1) still applies to the
+    re-applied predicate."""
+    li = spark.table("lineitem")
+    user = li.filter(
+        F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI)
+        & (F.col("l_suppkey") == _REWRITE_KEY)
+        & (F.col("l_returnflag") != "lineitem.l_orderkey >= 1L")
+    )
+    served = skipping_rewrite(user, idx)
+    assert served.count() == user.count()
