@@ -158,6 +158,12 @@ _PRIORITY: tuple[str, ...] = (
     # (appended here as they are registered this round)
     "source_stats_join_decision",
     "source_skipping_rewrite",
+    "win_pattern_match",
+    "olap_overlap_matrix",
+    "ev_scd2_intervals",
+    "mm_clip_sample",
+    "stream_upsert_sink",
+    "micro_order_by_all",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

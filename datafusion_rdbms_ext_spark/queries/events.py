@@ -2404,3 +2404,80 @@ def ev_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 interval build (round 9) — the slowly-changing-dimension
+# transform every warehouse runs to historize a mutable attribute:
+# collapse each user's event stream into contiguous STATE intervals
+# (a new interval starts when event_type changes), stamping
+# valid_from / valid_to and flagging the open current row. Kimball's
+# SCD2 (The Data Warehouse Toolkit) as one declarative plan; the
+# reference has no temporal-dimension surface at all. All interval
+# math is exact integer microseconds.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, t,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open,
+           CAST(SUM(COALESCE(valid_to - t, 0)) AS BIGINT) AS dwell_us,
+           CAST(MAX(COALESCE(valid_to - t, 0)) AS BIGINT) AS max_dwell_us
+    FROM changes GROUP BY event_type ORDER BY event_type
+    """,
+    doc="SCD type-2 historization (Kimball): per-user event streams "
+    "collapsed to contiguous state intervals with valid_from / "
+    "valid_to stamps (change rows via lag, closure via lead — both "
+    "user-partitioned), rolled up to per-state interval counts, "
+    "open-row counts and exact integer-microsecond dwell totals.",
+    tags=("events", "window", "bench"),
+)
+def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state SCD2 interval summary.
+
+    Scale: ONE shuffle on user_id; both windows (change detection,
+    interval closure) are user-partitioned in-partition sorts — the
+    sessionization contract, per-user state only. The dimension this
+    builds is |state changes|-sized, orders of magnitude under the
+    event volume; at 100 TB the same plan historizes any mutable
+    attribute keyed by entity."""
+    from ..functions.compat import ts_micros
+
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    o = spark.table("events").select(
+        "user_id",
+        "event_type",
+        ts_micros(F.col("ts")).alias("t"),
+        "event_id",
+    ).withColumn("prev", F.lag("event_type").over(w))
+    changes = (
+        o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .withColumn("valid_to", F.lead("t").over(w))
+    )
+    dwell = F.coalesce(F.col("valid_to") - F.col("t"), F.lit(0))
+    return (
+        changes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("valid_to").isNull().cast("long"))
+            .cast("long")
+            .alias("n_open"),
+            F.sum(dwell).cast("long").alias("dwell_us"),
+            F.max(dwell).cast("long").alias("max_dwell_us"),
+        )
+        .orderBy("event_type")
+    )

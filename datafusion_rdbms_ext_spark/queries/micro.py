@@ -2046,3 +2046,20 @@ def micro_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, rn
         """
     )
+
+
+@register(
+    "micro_order_by_all",
+    oracle="""
+    SELECT n_regionkey, n_name FROM nation ORDER BY ALL
+    """,
+    doc="ORDER BY ALL (Spark 4/DuckDB shared spelling): sort by "
+    "every select item left to right — the deterministic-output "
+    "sugar both engines resolve identically (companion to "
+    "micro_group_by_all).",
+    tags=("micro", "sql"),
+)
+def micro_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL resolution — analyzer sugar, zero extra plan
+    surface beyond the Sort it expands to."""
+    return spark.sql("SELECT n_regionkey, n_name FROM nation ORDER BY ALL")

@@ -1208,3 +1208,85 @@ def llm_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(50).alias("p50_millinorm"), pick(99).alias("p99_millinorm")
     )
     return stats.crossJoin(F.broadcast(pcts))
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix (round 9) — for every pair of event types,
+# how many users do both (segment intersection), with exact Jaccard
+# similarity in ppm. The audience-analytics primitive behind
+# "viewers who also purchase"; the pairwise-exact sibling of the KMV
+# union/intersection ESTIMATES (llm_kmv_distinct). All counts and
+# the Jaccard ratio are exact integers (cross-multiplied ppm).
+# ---------------------------------------------------------------------------
+@register(
+    "olap_overlap_matrix",
+    oracle="""
+    WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+    cnt AS (SELECT event_type, COUNT(*) AS c FROM s GROUP BY event_type),
+    ovl AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(ca.c AS BIGINT) AS n_a,
+           CAST(cb.c AS BIGINT) AS n_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(p.n_both * 1000000 // (ca.c + cb.c - p.n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM ovl p
+    JOIN cnt ca ON ca.event_type = p.type_a
+    JOIN cnt cb ON cb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+    doc="Audience overlap matrix: distinct-user intersection and "
+    "exact Jaccard (integer ppm) for every event-type pair — the "
+    "pairwise-exact sibling of the KMV set-operation estimates. "
+    "Pairs expand per USER (<= C(|types|,2) = 10 rows each), never "
+    "as a type-level cross join.",
+    tags=("olap", "aggregate", "bench"),
+)
+def olap_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersections with exact Jaccard.
+
+    Scale: ONE shuffle on user_id dedups (user, type) and the pair
+    expansion happens inside each user's tiny type set (<= 10 pairs
+    per user at 5 types) — the co-partitioned self-join spelling;
+    a type-keyed self-join would carry |users| rows per type pair.
+    The per-type counts are a 5-row broadcast."""
+    s = spark.table("events").select("user_id", "event_type").distinct()
+    cnt = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    types = s.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    # all (i, j) index pairs filtered to i < j — sequence(a, b) with
+    # a > b DESCENDS in Spark, so a naive sequence(i+1, n-1) inner
+    # loop would fabricate reversed pairs at the boundary
+    pairs = types.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(sequence(0, size(ts) - 1), i ->"
+                " transform(sequence(0, size(ts) - 1), j ->"
+                " struct(ts[i] AS a, ts[j] AS b)))), x -> x.a < x.b)"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    both = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_both"))
+    ca = F.broadcast(cnt.select(F.col("event_type").alias("a"), F.col("c").alias("n_a")))
+    cb = F.broadcast(cnt.select(F.col("event_type").alias("b"), F.col("c").alias("n_b")))
+    return (
+        both.join(ca, "a").join(cb, "b")
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr("n_both * 1000000 div (n_a + n_b - n_both)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -336,3 +336,108 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (round 9) — the MATCH_RECOGNIZE /
+# Flink-CEP capability re-expressed relationally: each user's event
+# history becomes one deterministic journey string (one char per
+# event type, (t, event_id)-ordered), and a funnel pattern is a
+# regex counted per user. The reference parses none of this
+# (parser.rs window/expr todo!()s); neither Spark nor DuckDB has
+# MATCH_RECOGNIZE, but BOTH have leftmost-non-overlapping
+# regexp_extract_all, so the differential check pins identical
+# match semantics across two independent regex engines (Java
+# regex vs RE2).
+# ---------------------------------------------------------------------------
+#: signup, then any clicks/views, then purchase — the conversion
+#: journey. Greedy [cv]* is deterministic under leftmost scanning in
+#: both engines.
+_PATTERN = "s[cv]*p"
+
+
+@register(
+    "win_pattern_match",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'signup' THEN 's'
+                          WHEN 'click' THEN 'c'
+                          WHEN 'view' THEN 'v'
+                          WHEN 'purchase' THEN 'p'
+                          ELSE 'e' END, ''
+                        ORDER BY epoch_us(ts), event_id) AS journey
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(length(regexp_extract_all(journey, '{_PATTERN}')) AS BIGINT)
+               AS n_matches
+      FROM j
+    )
+    SELECT n_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS example_user
+    FROM m GROUP BY n_matches ORDER BY n_matches
+    """,
+    doc="Sequence-pattern matching (MATCH_RECOGNIZE shape): per-user "
+    "journeys as deterministic event-type strings, conversion "
+    f"pattern '{_PATTERN}' counted with leftmost-non-overlapping "
+    "regex on BOTH engines (Java regex vs RE2 — the differential "
+    "check pins the semantics), rolled up to a match-count "
+    "distribution.",
+    tags=("windows", "events", "bench"),
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users by conversion-pattern match count.
+
+    Scale: ONE shuffle on user_id builds the journeys (array_sort
+    of per-user (t, event_id, char) structs — per-user state only,
+    the sessionization contract; journeys are bounded by per-user
+    event counts, which a production deployment bounds with a
+    retention window). The regex runs JVM-side per user row; the
+    rollup output is |distinct match counts| rows."""
+    from ..functions.compat import ts_micros
+
+    ch = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    j = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.struct(
+                ts_micros(F.col("ts")).alias("t"),
+                F.col("event_id").alias("event_id"),
+                ch.alias("ch"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    m = j.select(
+        "user_id",
+        F.size(F.regexp_extract_all("journey", F.lit(_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_matches"),
+    )
+    return (
+        m.groupBy("n_matches")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("user_id").cast("long").alias("example_user"),
+        )
+        .orderBy("n_matches")
+    )

@@ -761,3 +761,143 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clip sampling around scene cuts (round 9): the step after
+# segmentation in every video training pipeline — materialize a
+# fixed-radius clip of frames centered on each detected cut
+# (clamped to the asset's frame range) and profile it. Overlapping
+# clips are kept (each cut owns its clip); membership, clamping and
+# the feature rollup are all exact integer arithmetic, so the
+# composition scene-cuts -> clips is differential-provable
+# end-to-end.
+# ---------------------------------------------------------------------------
+_CLIP_RADIUS = 2  # frames either side of the cut
+
+
+@register(
+    "mm_clip_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id < 90
+    ),
+    frames AS (
+      SELECT doc_id,
+             unnest(range(0, (n + {_FRAME_BYTES} - 1) // {_FRAME_BYTES})) AS k,
+             text, n
+      FROM v
+    ),
+    feat AS (
+      SELECT doc_id, k,
+             (n + {_FRAME_BYTES} - 1) // {_FRAME_BYTES} AS n_frames,
+             list_sum(list_transform(
+               range(k * {_FRAME_BYTES} + 1,
+                     LEAST((k + 1) * {_FRAME_BYTES}, n) + 1),
+               j -> ascii(substr(text, j, 1)))) AS f_sum
+      FROM frames
+    ),
+    deltas AS (
+      SELECT doc_id, k,
+             ABS(f_sum - LAG(f_sum) OVER (PARTITION BY doc_id ORDER BY k))
+               AS d
+      FROM feat
+    ),
+    thr AS (
+      SELECT doc_id, COUNT(d) AS n_d, SUM(d) AS s_d
+      FROM deltas GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT d.doc_id, d.k AS cut_frame
+      FROM deltas d JOIN thr t USING (doc_id)
+      WHERE d.d IS NOT NULL AND t.n_d * d.d > 2 * t.s_d
+    ),
+    clips AS (
+      SELECT c.doc_id, c.cut_frame,
+             GREATEST(c.cut_frame - {_CLIP_RADIUS}, 0) AS start_frame,
+             LEAST(c.cut_frame + {_CLIP_RADIUS}, f.n_frames - 1) AS end_frame
+      FROM cuts c JOIN (SELECT DISTINCT doc_id, n_frames FROM feat) f
+        USING (doc_id)
+    )
+    SELECT cl.doc_id, CAST(cl.cut_frame AS BIGINT) AS cut_frame,
+           CAST(cl.start_frame AS BIGINT) AS start_frame,
+           CAST(cl.end_frame AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(ft.f_sum) AS BIGINT) AS clip_feature_sum
+    FROM clips cl JOIN feat ft
+      ON ft.doc_id = cl.doc_id
+     AND ft.k BETWEEN cl.start_frame AND cl.end_frame
+    GROUP BY cl.doc_id, cl.cut_frame, cl.start_frame, cl.end_frame
+    ORDER BY cl.doc_id, cut_frame
+    """,
+    doc="Clip sampling around scene cuts: each detected cut yields a "
+    f"±{_CLIP_RADIUS}-frame clip (clamped to the asset), profiled "
+    "with exact frame counts and feature sums — the segmentation -> "
+    "clip-selection composition a video training pipeline runs "
+    "before decode-heavy sampling, provable end-to-end because "
+    "every step is integer arithmetic over the stub-decoded bytes.",
+    tags=("multimodal", "udf", "bench"),
+)
+def mm_clip_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius clips centered on scene cuts, with exact profiles.
+
+    Scale: everything keys on doc_id — features, deltas, thresholds,
+    cuts and the clip-membership range join all happen inside one
+    asset's partition (the range join is cut x ±R frames, bounded by
+    the clip radius, never frames x frames). Payload bytes are gone
+    after feature extraction; only 16-byte-chunk sums move."""
+    assets = load_assets(spark).filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 90)
+    )
+    feat = frame_features(assets).select("doc_id", "frame_id", "f_sum")
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    deltas = feat.select(
+        "doc_id",
+        "frame_id",
+        F.abs(F.col("f_sum") - F.lag("f_sum").over(w)).alias("d"),
+    )
+    thr = deltas.groupBy("doc_id").agg(
+        F.count("d").alias("n_d"), F.sum("d").alias("s_d")
+    )
+    nfr = feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    cuts = (
+        deltas.join(thr, "doc_id")
+        .filter(
+            F.col("d").isNotNull()
+            & (F.col("n_d") * F.col("d") > 2 * F.col("s_d"))
+        )
+        .select("doc_id", F.col("frame_id").alias("cut_frame"))
+    )
+    clips = cuts.join(nfr, "doc_id").select(
+        "doc_id",
+        "cut_frame",
+        F.greatest(F.col("cut_frame") - _CLIP_RADIUS, F.lit(0)).alias(
+            "start_frame"
+        ),
+        F.least(
+            F.col("cut_frame") + _CLIP_RADIUS, F.col("n_frames") - 1
+        ).alias("end_frame"),
+    )
+    return (
+        clips.join(
+            feat,
+            (feat["doc_id"] == clips["doc_id"])
+            & feat["frame_id"].between(
+                clips["start_frame"], clips["end_frame"]
+            ),
+        )
+        .groupBy(
+            clips["doc_id"].alias("doc_id"),
+            "cut_frame",
+            "start_frame",
+            "end_frame",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("f_sum").cast("long").alias("clip_feature_sum"),
+        )
+        .orderBy("doc_id", "cut_frame")
+    )

@@ -1346,3 +1346,108 @@ def semi_interval_join(p: DataFrame, c: DataFrame) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "left_semi",
     ).select("purchase_id", "purchase_ts")
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert sink via foreachBatch (round 9) — the MERGE-INTO
+# application of a CDC-style stream into a keyed store: each
+# micro-batch's per-key winners (latest (t, event_id)) merge
+# last-writer-wins into a parquet key-value table, swapped in with
+# an atomic rename per batch (the versioned-table commit discipline;
+# a replayed batch finds its version durable and no-ops). The
+# batch-side sibling is llm_corpus_upsert; this is the streaming
+# half of the reference's unimplemented federation INSERT
+# (parser.rs:218,280), pointed at a keyed store.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_upsert_sink",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {sql_dsum('value')} AS sum_value
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming upsert (MERGE) sink: foreachBatch merges each "
+    "micro-batch last-writer-wins (latest (t, event_id) per user) "
+    "into a keyed parquet store with atomic versioned swaps and "
+    "replayed-batch no-ops; the final store's per-state rollup is "
+    "hash-checked against the batch last-per-key window — the "
+    "streaming half of the reference's INSERT todo!() "
+    "(parser.rs:218,280).",
+    tags=("streaming", "sink", "bench"),
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final keyed-store state after draining the stream.
+
+    Scale: per-batch work is one user_id-partitioned window over
+    (store ∪ batch) — the store is |keys|-sized, not event-sized,
+    and batches are bounded by the trigger; the swap writes the
+    |keys|-sized store, the state-store write a production
+    checkpoint would make. At 100 TB the store would live as a
+    partitioned table and the merge would touch only the batch's
+    key partitions."""
+    import shutil
+    import tempfile
+
+    from ..functions.compat import ts_micros
+
+    root = tempfile.mkdtemp(prefix="stream_upsert_")
+    store = os.path.join(root, "store")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        version = os.path.join(root, f"v{int(batch_id) + 1}.done")
+        if os.path.exists(version):
+            return  # replayed batch: already durable
+        from pyspark.sql import Window
+
+        sess = batch_df.sparkSession
+        cur = batch_df.select("user_id", "event_type", "value", "t", "event_id")
+        if os.path.exists(store):
+            cur = cur.unionByName(sess.read.parquet(store))
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("t").desc(), F.col("event_id").desc()
+        )
+        winners = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = os.path.join(root, f"store.tmp-{int(batch_id)}")
+        winners.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(root, f"store.old-{int(batch_id)}")
+        if os.path.exists(store):
+            os.rename(store, old)
+        os.rename(tmp, store)
+        shutil.rmtree(old, ignore_errors=True)
+        open(version, "w").close()
+
+    changes = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "value",
+        ts_micros(F.col("ts")).alias("t"),
+        "event_id",
+    )
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(store)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

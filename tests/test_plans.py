@@ -129,6 +129,9 @@ def test_broadcast_hints_only_on_fixed_dims():
             # pair lift: the 1-row basket-count total; embedding
             # audit: the 1-row percentile pair.
             "n", "pcts",
+            # overlap matrix: the |event types|-row (5) per-type
+            # distinct-user counts, joined twice.
+            "cnt.select(",
         },
         # anchor/d0/max_wk: 1-row min/max-ts (or max-week) aggregates
         "events.py": {"anchor", "d0", "max_wk"},

@@ -161,7 +161,7 @@ def test_documented_rotation_queue_is_exactly_the_never_proven_set():
     # additions block for the SAME round inside _PRIORITY source
     pri_src = src[src.index("_PRIORITY: tuple") :]
     m = re.search(
-        rf"round-{n_round} additions(.*?)(?:# -- backfill|\)\n)",
+        rf"round-{n_round} additions(.*?)(?:# -- backfill|\n\))",
         pri_src,
         re.S,
     )
