@@ -64,9 +64,14 @@ class ResultCache:
         spark: SparkSession,
         df: DataFrame,
         snapshot_tokens: list[str],
+        via: DataFrame | None = None,
     ) -> DataFrame:
         """Serve ``df``'s result from cache, executing at most once
-        per (plan, snapshots) digest."""
+        per (plan, snapshots) digest. ``via`` (round 9, the serving
+        stack) executes a cheaper semantically-equal plan on a miss
+        (an MV/skipping rewrite of ``df``) while the entry stays
+        keyed on the ORIGINAL plan's digest — a later identical
+        query hits regardless of which layer computed it."""
         digest = plan_digest(df, snapshot_tokens)
         path = self._entry(digest)
         marker = os.path.join(path, "_SUCCESS")
@@ -81,7 +86,7 @@ class ResultCache:
         # into the digest path; if another writer won the race (the
         # marker appeared meanwhile), discard ours and read theirs.
         tmp = f"{path}.tmp-{os.getpid()}-{id(df)}"
-        df.write.mode("overwrite").parquet(tmp)
+        (via if via is not None else df).write.mode("overwrite").parquet(tmp)
         if os.path.exists(marker):
             shutil.rmtree(tmp, ignore_errors=True)
         else:

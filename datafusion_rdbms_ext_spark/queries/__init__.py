@@ -164,6 +164,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_clip_sample",
     "stream_upsert_sink",
     "micro_order_by_all",
+    "olap_percent_change_wow",
+    "source_expectations",
+    "olap_serving_stack",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

@@ -1290,3 +1290,131 @@ def olap_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week change (round 9) — the reporting layer's growth
+# column: weekly event volumes with the previous week's count and
+# the signed change in exact integer ppm (cross-multiplied; no
+# floats). LAG over the (week x type) rollup — the
+# aggregate-then-window ordering, so the event volume never feeds a
+# window.
+# ---------------------------------------------------------------------------
+@register(
+    "olap_percent_change_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS wk,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(wk AS VARCHAR) AS week,
+           CAST(n AS BIGINT) AS n,
+           CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY wk)
+                AS BIGINT) AS prev_n,
+           CAST((n - LAG(n) OVER (PARTITION BY event_type ORDER BY wk))
+                * 1000000 // LAG(n) OVER (PARTITION BY event_type
+                                          ORDER BY wk) AS BIGINT)
+             AS change_ppm
+    FROM weekly ORDER BY event_type, week
+    """,
+    doc="Week-over-week growth: weekly volumes per event type with "
+    "the prior week and signed change in exact integer ppm — LAG "
+    "over the (week x type) rollup, aggregate-then-window so the "
+    "event volume never enters a window.",
+    tags=("olap", "window", "bench"),
+)
+def olap_percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly volumes with signed WoW change in ppm.
+
+    Scale: one map-side-combined rollup to weeks x types cells;
+    the LAG window is partitioned by event_type over |weeks| rows
+    (calendar-bounded). Integer floor division matches DuckDB's //
+    for both signs via F.floor of the exact product."""
+    weekly = spark.table("events").groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return (
+        weekly.select(
+            "event_type",
+            F.col("wk").cast("string").alias("week"),
+            F.col("n").cast("long").alias("n"),
+            F.lag("n").over(w).cast("long").alias("prev_n"),
+        )
+        # `div` truncates toward zero on both engines (DuckDB's //
+        # on integers does too — NOT a floor; a floor() here drifts
+        # one ppm on negative changes)
+        .withColumn(
+            "change_ppm", F.expr("(n - prev_n) * 1000000 div prev_n")
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layered serving stack (round 9) — the three transparent layers
+# (result cache, MV rewrite, skipping rewrite; plans/serving.py)
+# composed into one front door with the reference's
+# try-rewrite-else-fall-through contract at every level
+# (optimizer.rs:14-39). The registered query routes the SAME daily
+# rollup through the stack twice: serve #1 must land on the MV
+# (cache cold), serve #2 on the cache — and the ROUTE ITSELF is in
+# the output columns, so the driver's hash check pins the routing,
+# not just the values.
+# ---------------------------------------------------------------------------
+@register(
+    "olap_serving_stack",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           'mv' AS first_via, 'cache' AS second_via
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Layered transparent serving: cache -> MV rewrite -> "
+    "skipping rewrite -> base, each try-rewrite-else-fall-through "
+    "(plans/serving.py). The same rollup served twice must route "
+    "MV then cache; the route literals ride in the OUTPUT so the "
+    "differential hash pins the routing itself. Fall-through and "
+    "skip-layer routing railed in tests/test_serving_stack.py.",
+    tags=("olap", "rewrite", "bench"),
+)
+def olap_serving_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV-derivable rollup, served twice through the stack.
+
+    Scale: serve #1 reads the (days x types)-row MV parquet — the
+    base table is never scanned (railed); serve #2 reads the
+    KB-sized cached result. Dashboard traffic at 100 TB terminates
+    in layers 1-2; only novel plans pay a scan."""
+    import tempfile
+
+    from ..plans.result_cache import ResultCache
+    from ..plans.serving import serve
+
+    mv = events_daily_mv(spark)
+    # fresh cache root PER INVOCATION: the mv -> cache route is part
+    # of the hash-checked output, so it must reproduce on every call
+    # (a session-memoized root would route cache/cache the second
+    # time the query runs in one session — e.g. under bench warmup)
+    cache = ResultCache(tempfile.mkdtemp(prefix="serving_cache_"))
+
+    def user_query() -> DataFrame:
+        return (
+            spark.table("events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    tokens = [f"events@{sf_dir}"]
+    _, via1 = serve(user_query(), cache=cache, snapshot_tokens=tokens, mvs=(mv,))
+    served, via2 = serve(
+        user_query(), cache=cache, snapshot_tokens=tokens, mvs=(mv,)
+    )
+    return served.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(via1).alias("first_via"),
+        F.lit(via2).alias("second_via"),
+    ).orderBy("event_type")

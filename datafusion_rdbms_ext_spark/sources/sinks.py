@@ -2132,3 +2132,117 @@ def source_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (round 9) — the Deequ/Great-Expectations
+# constraint gate a 100 TB ingest runs before publishing a
+# partition: declarative rules (completeness, key uniqueness, value
+# range, set membership, positivity) evaluated to an exact
+# violation-count report. The catalog sibling of
+# source_table_stats: stats DESCRIBE the data, expectations JUDGE
+# it.
+# ---------------------------------------------------------------------------
+def expectation_report(df: DataFrame) -> DataFrame:
+    """(rule, n_rows, n_violations, passed) for the lineitem rule
+    set. Scalar rules share ONE aggregation pass; the key-uniqueness
+    rule is its own groupBy (a different shuffle shape) unioned in."""
+    scalar = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("v_complete"),
+        F.sum(
+            (~F.col("l_quantity").between(1, 50)).cast("long")
+        ).alias("v_range"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("v_set"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias("v_pos"),
+    )
+    rules = [
+        ("completeness:l_orderkey", "v_complete"),
+        ("range:l_quantity[1,50]", "v_range"),
+        ("set:l_returnflag{A,N,R}", "v_set"),
+        ("positive:l_extendedprice", "v_pos"),
+    ]
+    parts = [
+        scalar.select(
+            F.lit(rule).alias("rule"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(col).cast("long").alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        for rule, col in rules
+    ]
+    uniq = (
+        df.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "v"
+            ),
+        )
+        .select(
+            F.lit("unique:(l_orderkey,l_linenumber)").alias("rule"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("v").cast("long").alias("n_violations"),
+            (F.col("v") == 0).alias("passed"),
+        )
+    )
+    out = parts[0]
+    for p_ in parts[1:] + [uniq]:
+        out = out.unionByName(p_)
+    return out.orderBy("rule")
+
+
+@register(
+    "source_expectations",
+    oracle="""
+    WITH scalar AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_complete,
+             SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                      THEN 1 ELSE 0 END) AS v_range,
+             SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                      THEN 1 ELSE 0 END) AS v_set,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_pos
+      FROM lineitem
+    ),
+    uniq AS (
+      SELECT SUM(c) AS n_rows,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS v
+      FROM (SELECT COUNT(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)
+    )
+    SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'completeness:l_orderkey' AS rule, n_rows,
+             v_complete AS n_violations FROM scalar
+      UNION ALL
+      SELECT 'range:l_quantity[1,50]', n_rows, v_range FROM scalar
+      UNION ALL
+      SELECT 'set:l_returnflag{A,N,R}', n_rows, v_set FROM scalar
+      UNION ALL
+      SELECT 'positive:l_extendedprice', n_rows, v_pos FROM scalar
+      UNION ALL
+      SELECT 'unique:(l_orderkey,l_linenumber)', n_rows, v FROM uniq
+    ) ORDER BY rule
+    """,
+    doc="Deequ-style data-quality expectations: completeness, value "
+    "range, set membership, positivity (ONE shared aggregation "
+    "pass) and composite-key uniqueness (its own groupBy shape), "
+    "reported as exact violation counts with pass flags — the "
+    "publish gate a production ingest runs; catalog sibling of "
+    "source_table_stats.",
+    tags=("source", "catalog", "bench"),
+)
+def source_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-rule expectation report over lineitem.
+
+    Scale: four rules ride one map-side-combined scalar aggregate
+    (zero extra passes per rule — adding a rule adds a column, not
+    a scan); uniqueness is one groupBy on the candidate key. Output
+    is |rules| rows at any table size."""
+    return expectation_report(spark.table("lineitem"))

@@ -114,6 +114,20 @@ QUERIES = (
     # DAU/MAU fan-out distinct.
     "llm_span_corrupt",
     "ev_stickiness_dau_mau",
+    # Round-9 additions: the rewritten RFM (three _global_rank
+    # passes), pattern matching's per-user journey build, the
+    # audience-overlap pair expansion, SCD2's user-partitioned
+    # windows, clip sampling's bounded range join, the two-decision
+    # stats join, the index-served rewrite, and the foreachBatch
+    # upsert merge.
+    "olap_rfm_segmentation",
+    "win_pattern_match",
+    "olap_overlap_matrix",
+    "ev_scd2_intervals",
+    "mm_clip_sample",
+    "source_stats_join_decision",
+    "source_skipping_rewrite",
+    "stream_upsert_sink",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -200,6 +214,12 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     ensure_tables(spark, sf_dir)
     out: dict[str, float] = {}
     probes = {n: REGISTRY[n].fn for n in QUERIES} | _extra_probes()
+    # SCALE_PROBE_ONLY=a,b,c re-probes a subset (a round's additions)
+    # without re-timing the whole table.
+    only = os.environ.get("SCALE_PROBE_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        probes = {n: f for n, f in probes.items() if n in keep}
     for name, fn in probes.items():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
