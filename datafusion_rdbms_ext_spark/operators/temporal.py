@@ -1281,3 +1281,86 @@ def op_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-gap detection (round 9) — the time-series completeness
+# check a monitoring pipeline runs before trusting any daily rollup:
+# for each series, generate its expected calendar (min..max observed
+# day) and anti-join the observed days; a gap is a day the series
+# should have had but didn't. Both engines generate the calendar
+# independently (Spark sequence() vs DuckDB generate_series), so
+# the differential check pins the date arithmetic too.
+# ---------------------------------------------------------------------------
+@register(
+    "op_calendar_gaps",
+    oracle="""
+    WITH obs AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      FROM obs GROUP BY event_type
+    ),
+    expected AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_expected,
+           CAST(COUNT(o.day) AS BIGINT) AS n_observed,
+           CAST(COUNT(*) - COUNT(o.day) AS BIGINT) AS n_missing,
+           MIN(CASE WHEN o.day IS NULL
+                    THEN CAST(e.day AS VARCHAR) END) AS first_missing
+    FROM expected e LEFT JOIN obs o
+      ON o.event_type = e.event_type AND o.day = e.day
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="Calendar-gap detection: per-series expected calendar "
+    "(min..max day, generated independently by each engine) "
+    "anti-joined with observed days — expected/observed/missing "
+    "counts and the first gap; the completeness gate for daily "
+    "rollups, companion to ev_anomaly_mad's volume check.",
+    tags=("operator", "temporal", "bench"),
+)
+def op_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series calendar completeness summary.
+
+    Scale: events collapse to DISTINCT (type, day) in one map-side-
+    combined pass; the expected calendar explodes |days| rows per
+    SERIES (calendar-bounded, never event-bounded), and the gap join
+    keys on (type, day) — cells, not events."""
+    obs = (
+        spark.table("events")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    expected = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day"),
+    )
+    return (
+        expected.join(
+            obs.withColumnRenamed("day", "oday"),
+            (obs["event_type"] == expected["event_type"])
+            & (F.col("oday") == F.col("day")),
+            "left",
+        )
+        .groupBy(expected["event_type"].alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_expected"),
+            F.count("oday").cast("long").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("oday"))
+            .cast("long")
+            .alias("n_missing"),
+            F.min(
+                F.when(F.col("oday").isNull(), F.col("day").cast("string"))
+            ).alias("first_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -1451,3 +1451,83 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream RIGHT OUTER join (round 9) — completes the
+# stream-stream join matrix (inner / left / full / semi proven
+# r4-r8): the preserved side is now the RIGHT (purchases), so the
+# null-extension and watermark-gated emission logic runs on the
+# opposite input. Mirrors stream_stream_left_outer with the sides
+# swapped — the oracle models the identical eviction frontier.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_right_outer",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase' AND user_id < 30),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    wm AS (
+      SELECT ((epoch_us(LEAST((SELECT MAX(purchase_ts) FROM p),
+                              (SELECT MAX(click_ts) FROM c))) // 1000)
+              - 86400000 - 3600000) * 1000 AS w
+    ),
+    j AS (
+      SELECT p.purchase_id, c.click_id, p.purchase_ts, c.click_ts
+      FROM c RIGHT JOIN p ON c.user_id = p.user_id
+        AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'
+        AND c.click_ts <= p.purchase_ts
+    )
+    SELECT purchase_id, click_id, purchase_ts, click_ts
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR epoch_us(purchase_ts) < w
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream RIGHT OUTER interval join (completes the "
+    "inner/left/full/semi matrix): clicks RIGHT JOIN purchases — "
+    "the preserved side is the right input, so null extension and "
+    "watermark-gated emission run on the opposite side from the "
+    "left-outer form; the oracle models the same eviction frontier "
+    "(min per-side max event time, ms-truncated, - 1 day - the 1 h "
+    "interval width).",
+    tags=("streaming", "join"),
+)
+def stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer interval join with watermark-gated null emission.
+
+    Scale: state is keyed on user within the watermark + interval
+    horizon on both sides — O(in-horizon events), evicted at the
+    frontier, identical to the left-outer form with sides swapped."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "right_outer",
+    ).select("purchase_id", "click_id", "purchase_ts", "click_ts")
+
+    _RUN_SEQ[0] += 1
+    name = f"stream_stream_right_outer_{_RUN_SEQ[0]}"
+    _drain(joined, name, "append")
+    return spark.table(name).orderBy("purchase_id", "click_id")

@@ -191,4 +191,10 @@ def test_phash_empty_asset_excluded(spark):
         # The two identical non-empty docs still pair (hamming 0).
         assert (3, 6) in pairs, pairs
     finally:
+        # restore the REAL fixture view — a bare dropTempView leaves
+        # ensure_tables' memo claiming a complete catalog, and every
+        # later documents-reading test in the session breaks
+        from datafusion_rdbms_ext_spark.catalog import register_tables
+
         spark.catalog.dropTempView("documents")
+        register_tables(spark, SF_DIR)
