@@ -181,12 +181,16 @@ class SQLiteConnector(Connector):
 
 class PostgresConnector(Connector):
     """Dialect three: Postgres — the reference's ACTUAL backend
-    (/root/reference/src/sqldb/postgres/*). This container has no
-    Postgres server or driver, so ``fetch_pdf`` raises with a clear
-    message at use; everything ABOVE the wire is fully implemented
-    and unit-tested (tests/test_postgres_dialect.py), which is the
-    point of the seam: the third dialect is a page of configuration —
-    catalog SQL, quantile spelling, capability flags — not a pipeline.
+    (/root/reference/src/sqldb/postgres/*). LIVE since round 9: the
+    container carries server binaries, the engine boots a local
+    cluster (sources/pgserver.py) and talks to it over its own
+    stdlib protocol-v3 client (sources/pgwire.py) — no driver
+    package needed; ``fetch_pdf`` uses psycopg2 only if installed.
+    The dialect layer (tests/test_postgres_dialect.py) remains a
+    page of configuration — catalog SQL, quantile spelling,
+    capability flags — now exercised end-to-end
+    (tests/test_pgwire.py, fed_postgres_scan,
+    fed_postgres_binary_copy).
 
     Capabilities: information_schema catalog (the exact two-step
     bootstrap of reference mod.rs:67-125), quantile partition
@@ -227,17 +231,35 @@ class PostgresConnector(Connector):
         self.dsn = dsn
         self.schema_name = schema
 
-    # -- wire (absent in this container) --------------------------------
+    def _params(self) -> dict:
+        """Parse a ``key=value`` DSN into wire-client params."""
+        out = {"host": "127.0.0.1", "port": 5432, "user": "postgres",
+               "database": "postgres"}
+        for part in self.dsn.split():
+            k, _, v = part.partition("=")
+            if k == "port":
+                out["port"] = int(v)
+            elif k in ("host", "user"):
+                out[k] = v
+            elif k == "dbname":
+                out["database"] = v
+        return out
+
+    # -- wire: psycopg2 when installed, else the engine's own
+    # protocol-v3 client (sources/pgwire.py — round 9, now that the
+    # container carries a live server) ----------------------------------
     def fetch_pdf(self, sql: str) -> pd.DataFrame:
         try:
             import psycopg2  # noqa: F401
-        except ImportError as exc:
-            raise RuntimeError(
-                "PostgresConnector needs the psycopg2 driver and a "
-                "reachable server; neither exists in this container. "
-                "The dialect above the wire is unit-tested in "
-                "tests/test_postgres_dialect.py."
-            ) from exc
+        except ImportError:
+            from .pgwire import PgWireClient
+
+            cli = PgWireClient(**self._params())
+            try:
+                cols, _oids, rows = cli.query(sql)
+            finally:
+                cli.close()
+            return pd.DataFrame(rows, columns=cols)
         import psycopg2
 
         with psycopg2.connect(self.dsn) as con:  # pragma: no cover

