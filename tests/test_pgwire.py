@@ -170,3 +170,80 @@ def test_wire_error_surfaces_cleanly(pg):
         assert cli.query("SELECT 41 + 1")[2] == [(42,)]
     finally:
         cli.close()
+
+
+def test_postgres_pushdown_executes_live(spark, pg):
+    """The transparent-pushdown Postgres arm, EXECUTED (round 9):
+    the byte-pinned generation battery (test_postgres_dialect.py)
+    deliberately stopped at SQL text while no server existed; with
+    the live cluster, the same plan shapes now run remotely and the
+    remote result must equal the Spark plan over the identical
+    fixture — filter+agg, dialect-rewritten functions (strpos, '||'
+    concat), join, window, and set ops."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        unparse_to_dialect,
+    )
+
+    ensure_tables(spark, SF_DIR)
+
+    def nat():
+        return _fed_table(spark, SF_DIR, "nation")
+
+    def c():
+        return _fed_table(spark, SF_DIR, "customer")
+
+    cases = {
+        "filter_agg": nat()
+        .filter(F.col("n_regionkey") > 1)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n")),
+        "fn_rewrites": c()
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            F.concat("c_name", F.lit("|"), "c_mktsegment").alias("x"),
+            F.locate("a", F.col("c_name")).alias("p"),
+        ),
+        "join": nat()
+        .join(
+            _fed_table(spark, SF_DIR, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_name", "r_name"),
+        "window": c()
+        .filter(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.row_number()
+            .over(Window.partitionBy("c_mktsegment").orderBy("c_custkey"))
+            .alias("r"),
+        ),
+        "setop": nat()
+        .select(F.col("n_regionkey").alias("k"))
+        .intersect(
+            _fed_table(spark, SF_DIR, "region").select(
+                F.col("r_regionkey").alias("k")
+            )
+        ),
+    }
+    cli = PgWireClient(**pg)
+    try:
+        for name, df in cases.items():
+            sql = unparse_to_dialect(df, "postgres")
+            assert sql is not None, name
+            _cols, _oids, remote = cli.query(sql)
+            local = [tuple(r) for r in df.collect()]
+            assert sorted(map(str, remote)) == sorted(map(str, local)), (
+                name,
+                sql,
+                sorted(remote)[:3],
+                sorted(local)[:3],
+            )
+    finally:
+        cli.close()
