@@ -171,6 +171,8 @@ _PRIORITY: tuple[str, ...] = (
     "op_calendar_gaps",
     "fed_postgres_scan",
     "fed_postgres_binary_copy",
+    "fed_postgres_pushdown",
+    "fed_postgres_sink_roundtrip",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

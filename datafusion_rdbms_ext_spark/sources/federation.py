@@ -643,3 +643,118 @@ def fed_postgres_binary_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fed_postgres_pushdown",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rich,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer
+    WHERE c_acctbal > 5000.0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Transparent whole-plan pushdown EXECUTED on live Postgres: "
+    "the user's plain filter/groupBy/agg plan is unparsed by the "
+    "dialect rewriter (the byte-pinned generation arm of "
+    "tests/test_postgres_dialect.py) and RUN remotely over the "
+    "engine's wire client — only |segments| aggregated rows cross "
+    "the wire; integer-cent balances keep it hash-exact. The third "
+    "dialect's optimizer.rs:14-39 contract, live in the driver "
+    "gate.",
+    tags=("federation", "postgres", "pushdown", "bench"),
+)
+def fed_postgres_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment rollup computed REMOTELY by Postgres.
+
+    Scale: the full aggregation runs server-side (the point of
+    transparent pushdown — the warehouse does the scan); Spark
+    receives the rollup. The cents conversion happens in the pushed
+    SQL so the wire carries integers."""
+    from pyspark.sql import functions as F
+
+    from .pushdown import _fed_table, unparse_to_dialect
+    from .pgwire import PgWireClient
+
+    df = (
+        _fed_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich"),
+            # outer BIGINT cast: Postgres sum(bigint) widens to
+            # NUMERIC on the wire — the cast keeps int8 end-to-end
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    sql = unparse_to_dialect(df, "postgres")
+    if sql is None:  # fall-through contract: never wrong, maybe local
+        return df.orderBy("c_mktsegment")
+    con = _pg_connector(spark, sf_dir)
+    cli = PgWireClient(**con._params())
+    try:
+        cols, _oids, rows = cli.query(sql)
+    finally:
+        cli.close()
+    out = spark.createDataFrame(
+        rows, "c_mktsegment string, n_rich long, bal_cents long"
+    )
+    return out.orderBy("c_mktsegment")
+
+
+@register(
+    "fed_postgres_sink_roundtrip",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="Federation SINK for the Postgres dialect (the reference "
+    "leaves INSERT as todo!(), parser.rs:218,280): a Spark rollup "
+    "is written INTO the live server (CREATE TABLE + batched "
+    "INSERTs over the wire client) and read back — the write path "
+    "closes the same seam the DuckDB/SQLite sink roundtrips close "
+    "for dialects one and two.",
+    tags=("federation", "postgres", "sink", "bench"),
+)
+def fed_postgres_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup written to Postgres and read back.
+
+    Scale: what crosses the wire is the ROLLUP (|regions| rows); a
+    bulk sink would switch the same path to COPY FROM STDIN. The
+    sink table is rebuilt per call — idempotent, last write wins."""
+    from pyspark.sql import functions as F
+
+    from .pgwire import PgWireClient
+    from .pgserver import _sql_lit
+
+    rollup = (
+        spark.table("nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .collect()
+    )
+    con = _pg_connector(spark, sf_dir)
+    cli = PgWireClient(**con._params())
+    try:
+        cli.query("DROP TABLE IF EXISTS nation_rollup_sink")
+        cli.query(
+            "CREATE TABLE nation_rollup_sink "
+            "(n_regionkey bigint, n_nations bigint)"
+        )
+        values = ",".join(
+            f"({_sql_lit(r['n_regionkey'])}, {_sql_lit(r['n_nations'])})"
+            for r in rollup
+        )
+        cli.query(f"INSERT INTO nation_rollup_sink VALUES {values}")
+        _c, _o, rows = cli.query(
+            "SELECT n_regionkey, n_nations FROM nation_rollup_sink"
+        )
+    finally:
+        cli.close()
+    return spark.createDataFrame(
+        rows, "n_regionkey long, n_nations long"
+    ).orderBy("n_regionkey")

@@ -372,6 +372,13 @@ _POSTGRES_CALL_RULES = {
         if len(a) == 2
         else None
     ),
+    # Postgres has no round(double precision, int) — only
+    # round(numeric, int); both round half away from zero, matching
+    # Spark's HALF_UP on non-negative scales (round 9, surfaced by
+    # the first live execution).
+    "round": lambda a: (
+        f"round(CAST({a[0]} AS NUMERIC), {a[1]})" if len(a) == 2 else None
+    ),
 }
 
 
@@ -383,7 +390,11 @@ def _dialect_postgres(sql: str) -> str:
     sql = _SUFFIX_RE.sub(r"\1", sql)
     sql = _rewrite_calls(sql, _POSTGRES_CALL_RULES)
     sql = sql.replace("`", '"')
-    return re.sub(r"\bTIMESTAMP_NTZ\b", "TIMESTAMP", sql)
+    sql = re.sub(r"\bTIMESTAMP_NTZ\b", "TIMESTAMP", sql)
+    # Spark renders the fp64 cast target as DOUBLE; Postgres only
+    # knows the SQL-standard two-word spelling (round 9, surfaced by
+    # the first live execution of a DOUBLE-casting plan).
+    return re.sub(r"\bAS DOUBLE\b(?! PRECISION)", "AS DOUBLE PRECISION", sql)
 
 
 def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
