@@ -130,20 +130,16 @@ def load_fixture(spark, sf_dir: str) -> dict:
                 "s_acctbal double precision",
                 spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")),
             ),
-            # customer + orders: full tables, so the transparent
-            # Postgres pushdown battery can EXECUTE its unparsed SQL
-            # remotely and compare against the Spark plan over the
-            # identical fixture (tests/test_pgwire.py)
+            # customer: full table, so the transparent Postgres
+            # pushdown battery can EXECUTE its unparsed SQL remotely
+            # and compare against the Spark plan over the identical
+            # fixture (tests/test_pgwire.py). Fact-scale tables stay
+            # OUT of the INSERT loader — a production load rides
+            # COPY FROM STDIN.
             "customer": (
                 "c_custkey bigint, c_name text, c_nationkey bigint, "
                 "c_acctbal double precision, c_mktsegment text",
                 spark.read.parquet(os.path.join(sf_dir, "customer.parquet")),
-            ),
-            "orders": (
-                "o_orderkey bigint, o_custkey bigint, o_orderstatus text, "
-                "o_totalprice double precision, o_orderdate timestamp, "
-                "o_orderpriority text",
-                spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
             ),
             "events_slice": (
                 "event_id bigint, ts timestamp, user_id bigint, "
