@@ -232,7 +232,9 @@ class PostgresConnector(Connector):
         self.schema_name = schema
 
     def _params(self) -> dict:
-        """Parse a ``key=value`` DSN into wire-client params."""
+        """Parse a ``key=value`` DSN into wire-client params. The
+        connector's schema becomes the wire session's search_path
+        (per-scale-factor namespace isolation, round 9)."""
         out = {"host": "127.0.0.1", "port": 5432, "user": "postgres",
                "database": "postgres"}
         for part in self.dsn.split():
@@ -243,6 +245,8 @@ class PostgresConnector(Connector):
                 out[k] = v
             elif k == "dbname":
                 out["database"] = v
+        if self.schema_name != "public":
+            out["search_path"] = self.schema_name
         return out
 
     # -- wire: psycopg2 when installed, else the engine's own

@@ -510,11 +510,12 @@ def fed_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _pg_connector(spark: SparkSession, sf_dir: str):
     from .connector import PostgresConnector
-    from .pgserver import PG_PORT, PG_USER, load_fixture
+    from .pgserver import PG_PORT, PG_USER, load_fixture, schema_for
 
     load_fixture(spark, sf_dir)
     return PostgresConnector(
-        f"host=127.0.0.1 port={PG_PORT} user={PG_USER} dbname=postgres"
+        f"host=127.0.0.1 port={PG_PORT} user={PG_USER} dbname=postgres",
+        schema=schema_for(sf_dir),
     )
 
 

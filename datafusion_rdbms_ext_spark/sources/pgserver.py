@@ -32,6 +32,16 @@ _BIN = "/usr/local/bin"
 _EVENTS_USERS = 5
 
 
+def schema_for(sf_dir: str) -> str:
+    """Per-scale-factor schema name: concurrent sessions pointed at
+    different fixture dirs get disjoint table namespaces (a shared
+    ``public`` raced: a bench at sf0.1 reloaded tables under a
+    sf0.01 probe)."""
+    import re
+
+    return "sf_" + re.sub(r"[^0-9a-z]", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+
+
 def _tcp_up() -> bool:
     try:
         with socket.create_connection(("127.0.0.1", PG_PORT), timeout=1):
@@ -114,8 +124,11 @@ def load_fixture(spark, sf_dir: str) -> dict:
     Row-count-checked per (table, sf_dir): a fixture regen or sf
     switch reloads. Returns the connection params."""
     params = ensure_pg_server()
+    schema = schema_for(sf_dir)
     cli = PgWireClient(**params)
     try:
+        cli.query(f"CREATE SCHEMA IF NOT EXISTS {schema}")
+        cli.query(f"SET search_path TO {schema}, public")
         specs = {
             "nation": (
                 "n_nationkey bigint, n_name text, n_regionkey bigint",
@@ -167,7 +180,7 @@ def load_fixture(spark, sf_dir: str) -> dict:
             n_src = src.count()
             _, _, existing = cli.query(
                 "SELECT CAST(COUNT(*) AS BIGINT) FROM information_schema.tables "
-                f"WHERE table_schema = 'public' AND table_name = '{table}'"
+                f"WHERE table_schema = '{schema}' AND table_name = '{table}'"
             )
             if existing[0][0] == 1:
                 _, _, cnt = cli.query(f"SELECT COUNT(*) FROM {table}")
@@ -183,6 +196,6 @@ def load_fixture(spark, sf_dir: str) -> dict:
                     for r in chunk
                 )
                 cli.query(f"INSERT INTO {table} VALUES {values}")
-        return params
+        return dict(params, search_path=schema)
     finally:
         cli.close()

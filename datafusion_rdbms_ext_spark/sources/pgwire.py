@@ -71,10 +71,17 @@ class PgWireClient:
         user: str = "postgres",
         database: str = "postgres",
         timeout: float = 30.0,
+        search_path: str | None = None,
     ):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._startup(user, database)
+        if search_path:
+            # per-scale-factor schema isolation: concurrent sessions
+            # pointed at different fixture dirs must not fight over
+            # one table namespace (round 9 — a bench at sf0.1 reloaded
+            # `customer` under a probe at sf0.01)
+            self.query(f"SET search_path TO {search_path}, public")
 
     # -- framing --------------------------------------------------------
     def _send(self, data: bytes) -> None:

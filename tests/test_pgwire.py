@@ -80,9 +80,12 @@ def test_live_catalog_two_step_bootstrap(spark, pg):
     )
     from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
 
+    from datafusion_rdbms_ext_spark.sources.pgserver import schema_for
+
     con = PostgresConnector(
         f"host={pg['host']} port={pg['port']} user={pg['user']} "
-        f"dbname={pg['database']}"
+        f"dbname={pg['database']}",
+        schema=schema_for(SF_DIR),
     )
     cli = PgWireClient(**pg)
     try:
@@ -111,9 +114,12 @@ def test_live_quantile_partition_planning(spark, pg):
     )
     from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
 
+    from datafusion_rdbms_ext_spark.sources.pgserver import schema_for
+
     con = PostgresConnector(
         f"host={pg['host']} port={pg['port']} user={pg['user']} "
-        f"dbname={pg['database']}"
+        f"dbname={pg['database']}",
+        schema=schema_for(SF_DIR),
     )
     preds = con.partition_predicates(
         "SELECT * FROM supplier", "s_suppkey", 4
