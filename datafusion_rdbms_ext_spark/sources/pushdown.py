@@ -375,9 +375,16 @@ _POSTGRES_CALL_RULES = {
     # Postgres has no round(double precision, int) — only
     # round(numeric, int); both round half away from zero, matching
     # Spark's HALF_UP on non-negative scales (round 9, surfaced by
-    # the first live execution).
+    # the first live execution). MUST return None once rewritten:
+    # _rewrite_calls restarts its scan after every mutation, so a
+    # replacement that still matches its own rule would loop to the
+    # guard cap nesting 1000 casts (valid SQL — the bug shows up as
+    # 7s of rewrite time, not a wrong answer).
     "round": lambda a: (
-        f"round(CAST({a[0]} AS NUMERIC), {a[1]})" if len(a) == 2 else None
+        f"round(CAST({a[0]} AS NUMERIC), {a[1]})"
+        if len(a) == 2
+        and not a[0].upper().replace(" ", "").endswith("ASNUMERIC)")
+        else None
     ),
 }
 
