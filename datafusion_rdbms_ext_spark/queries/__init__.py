@@ -173,6 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "fed_postgres_binary_copy",
     "fed_postgres_pushdown",
     "fed_postgres_sink_roundtrip",
+    "fed_postgres_partitioned",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

@@ -759,3 +759,50 @@ def fed_postgres_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_regionkey long, n_nations long"
     ).orderBy("n_regionkey")
+
+
+@register(
+    "fed_postgres_partitioned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM supplier
+    """,
+    doc="Partitioned fetch from live Postgres (PostgresExec parity, "
+    "table_provider.rs:123-158): percentile_disc plans 4 disjoint "
+    "covering key ranges, and 4 Spark TASKS each open their own "
+    "wire connection inside mapInPandas — N concurrent remote "
+    "cursors, the reference's N concurrent COPY streams, against a "
+    "real server. Distinct-key count proves no slice overlap or "
+    "miss.",
+    tags=("federation", "postgres", "bench"),
+)
+def fed_postgres_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier rollup via the 4-slice executor-side fetch.
+
+    Scale: this IS the bulk path — slices planned by one remote
+    metadata query, each task streaming its own range; at real
+    volumes the same code with more partitions and COPY-based
+    cursors saturates the wire in parallel."""
+    from pyspark.sql import functions as F
+
+    from .connector import connector_scan
+
+    con = _pg_connector(spark, sf_dir)
+    df = connector_scan(
+        spark,
+        con,
+        "supplier",
+        columns=["s_suppkey", "s_acctbal"],
+        partitions=4,
+        partition_key="s_suppkey",
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("s_suppkey").cast("long").alias("n_keys"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("bal_cents"),
+    )
