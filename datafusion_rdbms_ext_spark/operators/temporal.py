@@ -1364,3 +1364,69 @@ def op_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (round 9): per-user 7-event discrete median of
+# purchase values — the robust smoother dashboards use where a rolling
+# mean would chase outliers. Discrete (type-2) median: the element at
+# 1-based position (n+1) div 2 of the sorted frame, so the result is
+# always an observed value and stays integer-exact in cents; DuckDB's
+# quantile_disc(0.5) window is the same selector. The frame is ROWS
+# BETWEEN 6 PRECEDING AND CURRENT ROW — bounded, so collect_list holds
+# at most 7 elements per row regardless of data volume, and the window
+# is partitioned by user: parallel across users, state O(frame).
+# ---------------------------------------------------------------------------
+@register(
+    "op_rolling_median",
+    oracle="""
+    WITH pv AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(quantile_disc(cents, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS med7_cents
+    FROM pv ORDER BY user_id, event_id
+    """,
+    doc="Rolling 7-event exact discrete median of purchase value per "
+    "user (type-2 / lower-middle selector, integer cents) — bounded "
+    "ROWS frame so per-row state is 7 elements at any scale; the "
+    "robust alternative to a rolling mean.",
+    tags=("op", "window", "bench"),
+)
+def op_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "ts",
+        )
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    sorted_frame = F.sort_array(F.collect_list("cents").over(frame))
+    med = F.element_at(
+        sorted_frame, ((F.size(sorted_frame) + 1) / 2).cast("int")
+    )
+    return (
+        pv.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("cents").cast("long").alias("cents"),
+            med.cast("long").alias("med7_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )

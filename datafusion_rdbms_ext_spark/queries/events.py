@@ -2481,3 +2481,77 @@ def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (round 9): customers grouped by first-order month,
+# cumulative revenue tracked by months-since-first-order — the
+# lifetime-value curve growth teams read next to cohort retention
+# (olap_cohort_retention gives the WHO, this gives the HOW MUCH).
+# Month index is pure integer arithmetic (year*12 + month) so the
+# offset never touches calendar-function portability. Shapes: one
+# shuffle on o_custkey (window stamps the cohort), a (cohort x offset)
+# rollup — months^2-sized, data-independent — and the cumulative
+# window runs over that rollup, partitioned by cohort.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    stamped AS (
+      SELECT midx, cents,
+             MIN(midx) OVER (PARTITION BY o_custkey) AS cohort
+      FROM o
+    ),
+    r AS (
+      SELECT cohort, midx - cohort AS months_since_first,
+             SUM(cents) AS rev_cents,
+             COUNT(*) AS n_orders
+      FROM stamped GROUP BY 1, 2
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort_midx,
+           CAST(months_since_first AS BIGINT) AS months_since_first,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(SUM(rev_cents) OVER (
+             PARTITION BY cohort ORDER BY months_since_first
+           ) AS BIGINT) AS cum_rev_cents
+    FROM r ORDER BY cohort_midx, months_since_first
+    """,
+    doc="Cohort LTV: cumulative order revenue per first-order-month "
+    "cohort by months-since-first-order, integer cents and integer "
+    "month indexes throughout; cumulative window runs over the "
+    "(cohort x offset) rollup, never the order table.",
+    tags=("events", "olap", "window", "bench"),
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohort = F.min("midx").over(Window.partitionBy("o_custkey"))
+    rollup = (
+        o.withColumn("cohort", cohort)
+        .groupBy("cohort", (F.col("midx") - F.col("cohort")).alias("months_since_first"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    cum = Window.partitionBy("cohort").orderBy("months_since_first")
+    return rollup.select(
+        F.col("cohort").cast("long").alias("cohort_midx"),
+        F.col("months_since_first").cast("long").alias("months_since_first"),
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(cum).cast("long").alias("cum_rev_cents"),
+    ).orderBy("cohort_midx", "months_since_first")

@@ -2063,3 +2063,56 @@ def micro_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY ALL resolution — analyzer sugar, zero extra plan
     surface beyond the Sort it expands to."""
     return spark.sql("SELECT n_regionkey, n_name FROM nation ORDER BY ALL")
+
+
+# ---------------------------------------------------------------------------
+# PK/FK join elimination (round 9) — the classical redundant-join
+# rewrite (plans/joinelim.py): the user query joins lineitem to
+# orders but projects only lineitem columns, so under the declared
+# (validated: tests/test_joinelim.py) l_orderkey -> o_orderkey
+# relationship the join is dropped and the plan is a bare lineitem
+# scan + aggregate. The oracle RUNS THE JOIN — equality of the two is
+# exactly the rewrite's soundness claim. A plan rail asserts no Join
+# node survives (and that asking for a dim column brings it back).
+# ---------------------------------------------------------------------------
+from ..plans.joinelim import declare_fk as _declare_fk
+from ..plans.joinelim import fk_join as _fk_join
+
+_declare_fk("lineitem", "l_orderkey", "orders", "o_orderkey")
+
+
+@register(
+    "micro_join_elimination",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="PK/FK join elimination: the oracle joins fact to dimension, "
+    "the engine proves the join redundant (declared+validated FK, no "
+    "dim columns referenced) and plans a join-free scan — "
+    "plan-railed in tests/test_joinelim.py.",
+    tags=("micro", "plan", "bench"),
+)
+def micro_join_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _fk_join(
+        spark,
+        "lineitem",
+        "orders",
+        "l_orderkey",
+        "o_orderkey",
+        needed=["l_returnflag", "l_extendedprice"],
+    )
+    return (
+        base.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

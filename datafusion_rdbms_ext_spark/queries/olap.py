@@ -1418,3 +1418,112 @@ def olap_serving_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(via1).alias("first_via"),
         F.lit(via2).alias("second_via"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (round 9): deterministic hash-bucket variant
+# assignment over customers (the same stable-assignment discipline as
+# llm_train_split — adding users never reassigns existing ones, unlike
+# randomSplit), conversion = placed >= 1 order, plus revenue-per-user.
+# Rates and lift are exact integer ppm: cross-multiplied, no floats,
+# so the readout hash-checks against any engine. Shapes: one shuffle
+# on custkey for the order rollup, a 2-group aggregate, and the
+# control row joins back as a broadcast of a 1-row side.
+# ---------------------------------------------------------------------------
+@register(
+    "olap_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5('ab:' || CAST(c_custkey AS VARCHAR)),
+                              1, 15))::BIGINT) % 2 AS variant
+      FROM customer
+    ),
+    conv AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    pv AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN n_orders IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted,
+             CAST(COALESCE(SUM(rev_cents), 0) AS BIGINT) AS rev_cents
+      FROM assign LEFT JOIN conv ON c_custkey = o_custkey
+      GROUP BY variant
+    )
+    SELECT CAST(v.variant AS BIGINT) AS variant,
+           v.n_users, v.n_converted, v.rev_cents,
+           CAST(v.n_converted * 1000000 // v.n_users AS BIGINT)
+             AS conv_ppm,
+           CAST(v.n_converted * 1000000 // v.n_users
+                - c.n_converted * 1000000 // c.n_users AS BIGINT)
+             AS lift_vs_control_ppm,
+           CAST(v.rev_cents // v.n_users AS BIGINT)
+             AS rev_per_user_cents
+    FROM pv v CROSS JOIN (SELECT * FROM pv WHERE variant = 0) c
+    ORDER BY variant
+    """,
+    doc="A/B readout: md5-bucket variant assignment (stable under "
+    "inserts), conversion + revenue per variant, exact integer-ppm "
+    "rates and lift vs control; 2-row aggregate, 1-row control "
+    "broadcast.",
+    tags=("olap", "join", "bench"),
+)
+def olap_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm import _phash
+
+    assign = spark.table("customer").select(
+        "c_custkey",
+        (_phash(F.col("c_custkey").cast("string"), "ab") % 2).alias(
+            "variant"
+        ),
+    )
+    conv = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    pv = (
+        assign.join(conv, assign["c_custkey"] == conv["o_custkey"], "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("n_orders").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_converted"),
+            F.coalesce(F.sum("rev_cents"), F.lit(0))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    control = F.broadcast(
+        pv.filter(F.col("variant") == 0).select(
+            F.col("n_users").alias("c_users"),
+            F.col("n_converted").alias("c_converted"),
+        )
+    )
+    return (
+        pv.crossJoin(control)
+        .select(
+            F.col("variant").cast("long").alias("variant"),
+            "n_users",
+            "n_converted",
+            "rev_cents",
+            F.expr("n_converted * 1000000 div n_users").alias("conv_ppm"),
+            F.expr(
+                "n_converted * 1000000 div n_users"
+                " - c_converted * 1000000 div c_users"
+            ).alias("lift_vs_control_ppm"),
+            F.expr("rev_cents div n_users").alias("rev_per_user_cents"),
+        )
+        .orderBy("variant")
+    )

@@ -117,9 +117,14 @@ def test_broadcast_hints_only_on_fixed_dims():
     # truncates nested calls at the first ')').
     allowed_by_file = {
         "tpch.py": {"n1", "n2", "nation", "region", 'spark.table("nation"'},
-        "federation.py": {'spark.table("nation"'},
+        # nat: the live-Postgres nation fetch (25 fixed rows — the
+        # TPC-H nation table never scales with SF).
+        "federation.py": {'spark.table("nation"', "nat"},
         "olap.py": {
             "carry", "q",
+            # A/B test: the 1-row control slice of the 2-row
+            # per-variant aggregate.
+            "pv.filter(",
             # ABC/Pareto: <=32-row partition-offset table and the
             # 1-row grand total.
             "offsets", "total",
