@@ -174,6 +174,12 @@ _PRIORITY: tuple[str, ...] = (
     "fed_postgres_pushdown",
     "fed_postgres_sink_roundtrip",
     "fed_postgres_partitioned",
+    # late round-9 additions — registered past the 50-slot cap, so
+    # they spill to the local gate and head the round-10 queue
+    "micro_join_elimination",
+    "olap_ab_test",
+    "ev_cohort_ltv",
+    "op_rolling_median",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in
