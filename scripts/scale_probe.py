@@ -128,6 +128,14 @@ QUERIES = (
     "source_stats_join_decision",
     "source_skipping_rewrite",
     "stream_upsert_sink",
+    # Round-9 late additions: the join-free eliminated aggregate
+    # (growth should track the bare lineitem scan), the A/B readout's
+    # custkey shuffle, cohort LTV's order-table window + rollup, and
+    # the bounded-frame rolling median.
+    "micro_join_elimination",
+    "olap_ab_test",
+    "ev_cohort_ltv",
+    "op_rolling_median",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
