@@ -195,13 +195,16 @@ def load_fixture(spark, sf_dir: str) -> dict:
                 cli.query(f"DROP TABLE {table}")
             cli.query(f"CREATE TABLE {table} ({ddl})")
             rows = src.collect()  # bounded: dims + a 5-user slice
-            for i in range(0, len(rows), 500):
-                chunk = rows[i : i + 500]
-                values = ",".join(
-                    "(" + ",".join(_sql_lit(v) for v in r) + ")"
-                    for r in chunk
+            # COPY FROM STDIN — the production bulk-load wire path
+            # (one copy stream, not N INSERT statements); the client
+            # chunks CopyData frames at 64 KiB.
+            n_copied = cli.copy_in_text(
+                table, cols, (tuple(r) for r in rows)
+            )
+            if n_copied != n_src:
+                raise RuntimeError(
+                    f"COPY {table}: sent {n_src}, server loaded {n_copied}"
                 )
-                cli.query(f"INSERT INTO {table} VALUES {values}")
         spark.conf.set(memo, "1")
         return dict(params, search_path=schema)
     finally:

@@ -151,6 +151,58 @@ class PgWireClient:
                 return cols, oids, rows
             # 'C' CommandComplete / 'N' Notice / 'I' EmptyQuery: skip
 
+    # -- COPY FROM STDIN (the bulk-load write path) -----------------------
+    def copy_in_text(
+        self, table: str, columns: list[str], rows
+    ) -> int:
+        """``COPY table (cols) FROM STDIN`` in text format — the
+        server-side bulk loader (one copy stream instead of N INSERT
+        statements; this is how production data actually enters
+        Postgres, and the write-side sibling of :meth:`copy_binary`).
+        Returns the server-reported row count."""
+        sql = (
+            f"COPY {table} ({', '.join(columns)}) FROM STDIN"
+        )
+        body = sql.encode() + b"\x00"
+        self._send(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        while True:  # wait for CopyInResponse (or fail fast)
+            mtype, payload = self._read_message()
+            if mtype == b"G":
+                break
+            if mtype == b"E":
+                err = _error_text(payload)
+                # server still sends ReadyForQuery after the error
+                while self._read_message()[0] != b"Z":
+                    pass
+                raise PgError(err)
+        chunk: list[str] = []
+        size = 0
+        for row in rows:
+            line = "\t".join(_copy_text_field(v) for v in row) + "\n"
+            chunk.append(line)
+            size += len(line)
+            if size >= 65536:
+                data = "".join(chunk).encode()
+                self._send(b"d" + struct.pack("!I", len(data) + 4) + data)
+                chunk, size = [], 0
+        if chunk:
+            data = "".join(chunk).encode()
+            self._send(b"d" + struct.pack("!I", len(data) + 4) + data)
+        self._send(b"c" + struct.pack("!I", 4))  # CopyDone
+        n = 0
+        error = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"C":  # CommandComplete: b"COPY <n>\x00"
+                tag = payload.rstrip(b"\x00").decode()
+                n = int(tag.rsplit(" ", 1)[-1])
+            elif mtype == b"E":
+                error = _error_text(payload)
+            elif mtype == b"Z":
+                if error:
+                    raise PgError(error)
+                return n
+
     # -- binary COPY (the binary_reader.rs parity path) ------------------
     def copy_binary(self, select_sql: str, oids: list[int]) -> list[tuple]:
         """``COPY (select_sql) TO STDOUT (FORMAT BINARY)`` decoded to
@@ -173,6 +225,28 @@ class PgWireClient:
                     raise PgError(error)
                 return _parse_pgcopy_binary(blob, oids)
             # 'H' CopyOutResponse / 'c' CopyDone / 'C': skip
+
+
+# -- COPY text-format field encoding --------------------------------------
+def _copy_text_field(v) -> str:
+    """One value in COPY text format: NULL is ``\\N``; backslash, tab,
+    newline and carriage return are backslash-escaped (the only four
+    bytes the format reserves)."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip — exact through float8
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return str(v)
+    s = v if isinstance(v, str) else str(v)
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
 
 
 # -- decoding helpers ----------------------------------------------------

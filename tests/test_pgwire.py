@@ -253,3 +253,104 @@ def test_postgres_pushdown_executes_live(spark, pg):
             )
     finally:
         cli.close()
+
+
+def test_copy_in_text_roundtrip(pg):
+    """COPY FROM STDIN (the write-side sibling of the binary COPY
+    reader, now the fixture loader's bulk path): every reserved byte
+    of the text format (backslash, tab, newline, CR), NULLs, bools,
+    dates, microsecond timestamps and full-precision doubles survive
+    a write + read-back through BOTH decode paths (text DataRow and
+    binary COPY)."""
+    import datetime as dt
+
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        OID_BOOL,
+        OID_FLOAT8,
+        OID_INT8,
+        OID_TEXT,
+        OID_TIMESTAMP,
+        PgWireClient,
+    )
+
+    cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
+    try:
+        cli.query("DROP TABLE IF EXISTS public.copy_probe")
+        cli.query(
+            "CREATE TABLE public.copy_probe (i bigint, f double precision,"
+            " b boolean, s text, t timestamp)"
+        )
+        rows = [
+            (1, 0.1, True, "plain", dt.datetime(2024, 3, 1, 12, 0, 0, 123456)),
+            (2, -2.5e-300, False, "tab\there", dt.datetime(2000, 1, 1)),
+            (3, None, None, "line\nbreak \\ back\rslash", None),
+            (None, 3.141592653589793, True, None, dt.datetime(1969, 12, 31, 23, 59, 59)),
+        ]
+        n = cli.copy_in_text(
+            "public.copy_probe", ["i", "f", "b", "s", "t"], rows
+        )
+        assert n == len(rows)
+        _, _, text_back = cli.query(
+            "SELECT i, f, b, s, t FROM public.copy_probe ORDER BY i NULLS LAST"
+        )
+        bin_back = cli.copy_binary(
+            "SELECT i, f, b, s, t FROM public.copy_probe ORDER BY i NULLS LAST",
+            [OID_INT8, OID_FLOAT8, OID_BOOL, OID_TEXT, OID_TIMESTAMP],
+        )
+        expected = sorted(rows, key=lambda r: (r[0] is None, r[0]))
+        assert [tuple(r) for r in text_back] == expected
+        assert [tuple(r) for r in bin_back] == expected
+    finally:
+        try:
+            cli.query("DROP TABLE IF EXISTS public.copy_probe")
+        finally:
+            cli.close()
+
+
+def test_copy_in_error_recovers_connection(pg):
+    """A failed COPY (bad table) must surface as PgError and leave
+    the connection usable — the error path drains to ReadyForQuery."""
+    import pytest as _pytest
+
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
+    try:
+        with _pytest.raises(PgError):
+            cli.copy_in_text("public.no_such_table_xyz", ["a"], [(1,)])
+        _, _, rows = cli.query("SELECT 41 + 1")
+        assert rows == [(42,)]
+    finally:
+        cli.close()
+
+
+def test_loader_copy_path_restores_dropped_table(spark, pg):
+    """End-to-end through load_fixture: drop a fixture table, clear
+    the session memo, reload — the COPY FROM STDIN bulk path must
+    rebuild it to the exact parquet row count."""
+    from datafusion_rdbms_ext_spark.sources.pgserver import (
+        load_fixture,
+        schema_for,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    schema = schema_for(SF_DIR)
+    cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
+    try:
+        cli.query(f"DROP TABLE IF EXISTS {schema}.region")
+        memo = (
+            "spark.datafusion_rdbms_ext.pg_loaded."
+            f"{schema}.{abs(hash(SF_DIR))}"
+        )
+        spark.conf.unset(memo)
+        load_fixture(spark, SF_DIR)
+        _, _, back = cli.query(f"SELECT COUNT(*) FROM {schema}.region")
+        n_parquet = spark.read.parquet(
+            os.path.join(SF_DIR, "region.parquet")
+        ).count()
+        assert back[0][0] == n_parquet > 0
+    finally:
+        cli.close()
