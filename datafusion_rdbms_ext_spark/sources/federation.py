@@ -715,8 +715,8 @@ def fed_postgres_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Federation SINK for the Postgres dialect (the reference "
     "leaves INSERT as todo!(), parser.rs:218,280): a Spark rollup "
-    "is written INTO the live server (CREATE TABLE + batched "
-    "INSERTs over the wire client) and read back — the write path "
+    "is written INTO the live server over COPY FROM STDIN (the "
+    "wire client's bulk write path) and read back — the write path "
     "closes the same seam the DuckDB/SQLite sink roundtrips close "
     "for dialects one and two.",
     tags=("federation", "postgres", "sink", "bench"),
@@ -724,13 +724,13 @@ def fed_postgres_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fed_postgres_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup written to Postgres and read back.
 
-    Scale: what crosses the wire is the ROLLUP (|regions| rows); a
-    bulk sink would switch the same path to COPY FROM STDIN. The
-    sink table is rebuilt per call — idempotent, last write wins."""
+    Scale: what crosses the wire is the ROLLUP (|regions| rows),
+    and it rides COPY FROM STDIN — the same one-stream bulk path a
+    full-volume sink uses, not per-row INSERT statements. The sink
+    table is rebuilt per call — idempotent, last write wins."""
     from pyspark.sql import functions as F
 
     from .pgwire import PgWireClient
-    from .pgserver import _sql_lit
 
     rollup = (
         spark.table("nation")
@@ -746,11 +746,13 @@ def fed_postgres_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CREATE TABLE nation_rollup_sink "
             "(n_regionkey bigint, n_nations bigint)"
         )
-        values = ",".join(
-            f"({_sql_lit(r['n_regionkey'])}, {_sql_lit(r['n_nations'])})"
-            for r in rollup
+        n = cli.copy_in_text(
+            "nation_rollup_sink",
+            ["n_regionkey", "n_nations"],
+            ((r["n_regionkey"], r["n_nations"]) for r in rollup),
         )
-        cli.query(f"INSERT INTO nation_rollup_sink VALUES {values}")
+        if n != len(rollup):
+            raise RuntimeError(f"COPY sink wrote {n}, expected {len(rollup)}")
         _c, _o, rows = cli.query(
             "SELECT n_regionkey, n_nations FROM nation_rollup_sink"
         )

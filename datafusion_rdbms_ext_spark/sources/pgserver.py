@@ -102,22 +102,6 @@ def ensure_pg_server() -> dict:
     return params
 
 
-def _sql_lit(v) -> str:
-    import datetime
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, (datetime.date, datetime.datetime)):
-        return f"'{v}'"
-    if isinstance(v, float):
-        return repr(v)  # full precision round-trip
-    return str(v)
-
-
 def load_fixture(spark, sf_dir: str) -> dict:
     """Idempotently load nation/region/supplier (full) and a bounded
     events slice into the live server from the parquet fixtures.
@@ -153,8 +137,8 @@ def load_fixture(spark, sf_dir: str) -> dict:
             # pushdown battery can EXECUTE its unparsed SQL remotely
             # and compare against the Spark plan over the identical
             # fixture (tests/test_pgwire.py). Fact-scale tables stay
-            # OUT of the INSERT loader — a production load rides
-            # COPY FROM STDIN.
+            # OUT of the fixture loader (bounded-slice discipline);
+            # what does load rides COPY FROM STDIN below.
             "customer": (
                 "c_custkey bigint, c_name text, c_nationkey bigint, "
                 "c_acctbal double precision, c_mktsegment text",
