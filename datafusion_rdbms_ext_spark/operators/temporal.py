@@ -1430,3 +1430,106 @@ def op_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fact -> SCD2 dimension temporal join (round 9): every purchase is
+# attributed to the user's state interval valid AT PURCHASE TIME —
+# the canonical Kimball fact-to-type-2-dimension join
+# ("WHERE fact.ts BETWEEN dim.valid_from AND dim.valid_to"). The
+# dimension here is the per-user state history ev_scd2_intervals
+# builds (non-purchase event-type changes); the engine never runs the
+# interval/range join the textbook SQL implies — it uses the as-of
+# carry composition (union the two sides, ONE user-partitioned window
+# carries the last state forward), so cost is one shuffle + one
+# in-partition sort, with no candidate-pair blowup on long histories.
+# Equal-timestamp discipline matches the oracle exactly: state rows
+# sort before fact rows at the same microsecond (side key), multiple
+# same-instant state changes collapse to the highest event_id (the
+# zero-length intervals the oracle's valid_to bound excludes).
+# ---------------------------------------------------------------------------
+@register(
+    "op_scd2_asof_join",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state, t,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS valid_to
+      FROM s WHERE prev IS NULL OR prev <> event_type
+    ),
+    f AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT dim.state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(f.cents) AS BIGINT) AS rev_cents
+    FROM f JOIN dim
+      ON f.user_id = dim.user_id
+     AND f.t >= dim.t
+     AND (dim.valid_to IS NULL OR f.t < dim.valid_to)
+    GROUP BY dim.state ORDER BY dim.state
+    """,
+    doc="Fact-to-SCD2 temporal join: purchases attributed to the "
+    "user state interval valid at purchase time — the oracle runs "
+    "the textbook point-in-interval join, the engine the as-of "
+    "carry composition (one user shuffle, one window, no interval "
+    "candidate pairs).",
+    tags=("op", "temporal", "join", "bench"),
+)
+def op_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "event_type",
+            ts_micros(F.col("ts")).alias("t"),
+            "event_id",
+        )
+        .withColumn("prev", F.lag("event_type").over(w))
+    )
+    dim = s.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id",
+        "t",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    f = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_micros(F.col("ts")).alias("t"),
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("string").alias("state"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    carry = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        dim.unionByName(f)
+        .withColumn("cur_state", F.last("state", ignorenulls=True).over(carry))
+        .filter((F.col("side") == 1) & F.col("cur_state").isNotNull())
+    )
+    return (
+        joined.groupBy(F.col("cur_state").alias("state"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("state")
+    )

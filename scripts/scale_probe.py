@@ -136,6 +136,8 @@ QUERIES = (
     "olap_ab_test",
     "ev_cohort_ltv",
     "op_rolling_median",
+    # ...and the fact->SCD2 temporal join (one user shuffle + carry).
+    "op_scd2_asof_join",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
