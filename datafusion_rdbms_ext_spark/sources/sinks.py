@@ -809,12 +809,33 @@ def versioned_corpus_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
-    """Expand a version's manifest into a DataFrame (time travel)."""
+    """Expand a version's manifest into a DataFrame (time travel).
+
+    A manifest may carry a ``delete_vectors`` sidecar (merge-on-read
+    row-level deletes, Iceberg-v2 position deletes): the read applies
+    it as an anti-join on (file_path, row_index) — the two columns
+    Spark's parquet ``_metadata`` exposes — so deleted rows vanish
+    without any data file having been rewritten."""
     import json
 
     with open(os.path.join(root, f"v{version}.json")) as fh:
         manifest = json.load(fh)
-    return spark.read.parquet(*manifest["files"]).select("doc_id", "text")
+    df = spark.read.parquet(*manifest["files"])
+    dv_dir = manifest.get("delete_vectors")
+    if dv_dir:
+        dv = spark.read.parquet(os.path.join(root, dv_dir))
+        df = df.withColumns(
+            {
+                "_f": F.col("_metadata.file_path"),
+                "_p": F.col("_metadata.row_index"),
+            }
+        ).join(
+            dv,
+            (F.col("_f") == dv["file_path"])
+            & (F.col("_p") == dv["row_index"]),
+            "left_anti",
+        )
+    return df.select("doc_id", "text")
 
 
 @register(
@@ -1038,6 +1059,174 @@ def compact_version(spark: SparkSession, root: str) -> None:
 
     files = sorted(_glob.glob(os.path.join(root, "gen3", "*.parquet")))
     _write_manifest(root, 3, {"version": 3, "files": files, "compacted_from": 2})
+
+
+def deletion_vector_root(spark: SparkSession, sf_dir: str) -> str:
+    """Versions 4 and 5 on the shared corpus root — merge-on-read
+    row-level deletes (the Delta deletion-vector / Iceberg-v2
+    position-delete design) built from primitives:
+
+    * v4 = ``DELETE WHERE doc_id % 10 = 3`` over the v2 snapshot,
+      committed as a POSITIONAL deletion-vector sidecar of
+      (file_path, row_index) pairs harvested from parquet
+      ``_metadata`` — NOT ONE data file is rewritten; the manifest
+      carries v2's file list by reference plus the sidecar pointer.
+      Commit cost = the predicate scan + a delete-count-sized write,
+      never table size: the merge-on-read half of the trade.
+    * v5 = materialization (the read-optimized half): ONLY files
+      that carry DV entries are rewritten with their deletes
+      applied; clean files are carried by path, the sidecar is
+      dropped. v4 and v5 must read back row-identical.
+
+    Idempotent per root (manifest existence is the memo; a lost
+    commit race means another session built the identical content —
+    the build is deterministic)."""
+    import glob as _glob
+    import json
+
+    root = versioned_corpus_root(spark, sf_dir)
+    if os.path.exists(os.path.join(root, "v5.json")):
+        return root
+    with open(os.path.join(root, "v2.json")) as fh:
+        v2_files = json.load(fh)["files"]
+    tagged = spark.read.parquet(*v2_files).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    dv = tagged.filter(F.col("doc_id") % 10 == 3).select(
+        "file_path", "row_index"
+    )
+    dv.write.mode("overwrite").parquet(os.path.join(root, "dv4"))
+    try:
+        _write_manifest(
+            root,
+            4,
+            {
+                "version": 4,
+                "files": sorted(v2_files),
+                "delete_vectors": "dv4",
+                "deleted_from": 2,
+            },
+        )
+    except CommitConflict:
+        pass  # concurrent identical build won the link race
+    # -- v5: rewrite ONLY the files the vector touches ------------------
+    dv_plain = {
+        r["file_path"].removeprefix("file:")
+        for r in spark.read.parquet(os.path.join(root, "dv4"))
+        .select("file_path")
+        .distinct()
+        .collect()
+    }  # bounded: one row per FILE, metadata-sized
+    affected = sorted(f for f in v2_files if f in dv_plain)
+    carried = sorted(f for f in v2_files if f not in dv_plain)
+    if affected:
+        # clean files are carried by reference; only DV-bearing files
+        # are re-read (with the vector applied) and rewritten
+        rewrite = spark.read.parquet(*affected).withColumns(
+            {
+                "_f": F.col("_metadata.file_path"),
+                "_p": F.col("_metadata.row_index"),
+            }
+        )
+        dvdf = spark.read.parquet(os.path.join(root, "dv4"))
+        (
+            rewrite.join(
+                dvdf,
+                (F.col("_f") == dvdf["file_path"])
+                & (F.col("_p") == dvdf["row_index"]),
+                "left_anti",
+            )
+            .select("doc_id", "text")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "gen5"))
+        )
+        gen5 = sorted(_glob.glob(os.path.join(root, "gen5", "*.parquet")))
+    else:
+        gen5 = []
+    try:
+        _write_manifest(
+            root,
+            5,
+            {
+                "version": 5,
+                "files": carried + gen5,
+                "carried_over": carried,
+                "materialized_from": 4,
+            },
+        )
+    except CommitConflict:
+        pass
+    return root
+
+
+@register(
+    "source_deletion_vectors",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v4 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3)
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len, MIN(md5(text)) AS min_md5
+    FROM v2
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(len(text)) AS BIGINT),
+           MIN(md5(text)) FROM v4
+    UNION ALL
+    SELECT 5, CAST(COUNT(*) AS BIGINT), CAST(SUM(len(text)) AS BIGINT),
+           MIN(md5(text)) FROM v4
+    ORDER BY version
+    """,
+    doc="Merge-on-read row-level deletes: v4 commits a positional "
+    "deletion-vector sidecar (parquet _metadata file_path/row_index "
+    "pairs) over the v2 snapshot without rewriting any data file "
+    "(pinned by test); v5 materializes by rewriting only DV-bearing "
+    "files. All three reads content-checked against the recomputed "
+    "semantics; v4 must equal v5 exactly.",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def source_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 (base), v4 (DV-applied read), v5 (materialized) summaries.
+
+    Scale: the DELETE's commit cost is the predicate scan plus a
+    sidecar write sized by the deleted-row count — at 100 TB that is
+    the difference between an overnight rewrite and a seconds-long
+    commit. The read-side anti-join keys on (file, position); real
+    formats push the per-file bitmap into the scan itself, which is
+    the refinement hook here (the DV is already grouped by file).
+    Materialization restores scan speed when deletes accumulate —
+    the same compaction trade as v3's OPTIMIZE."""
+    root = deletion_vector_root(spark, sf_dir)
+    out = None
+    for v in (2, 4, 5):
+        agg = (
+            read_version(spark, root, v)
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("sum_len"),
+                F.min(F.md5("text")).alias("min_md5"),
+            )
+            .select("version", "n_docs", "sum_len", "min_md5")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")
 
 
 def vacuum(root: str, keep: int) -> list[str]:

@@ -138,6 +138,8 @@ QUERIES = (
     "op_rolling_median",
     # ...and the fact->SCD2 temporal join (one user shuffle + carry).
     "op_scd2_asof_join",
+    # ...and the merge-on-read delete (sidecar write + anti-join read).
+    "source_deletion_vectors",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

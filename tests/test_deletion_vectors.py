@@ -1,0 +1,82 @@
+"""Deletion-vector layout invariants (merge-on-read deletes).
+
+The differential gate proves the VALUES; these tests pin the LAYOUT
+claims that make deletion vectors worth having:
+
+* the v4 DELETE commit rewrites ZERO data files (manifest carries
+  v2's list byte-for-byte, plus the sidecar pointer);
+* the sidecar holds exactly one (file, position) pair per deleted
+  row;
+* v5 materialization rewrites ONLY DV-bearing files — clean files
+  are carried by path — and reads back row-identical to v4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+from datafusion_rdbms_ext_spark.sources.sinks import (
+    deletion_vector_root,
+    read_version,
+)
+
+from .conftest import SF_DIR
+
+
+def _manifest(root: str, v: int) -> dict:
+    with open(os.path.join(root, f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+def test_delete_commit_rewrites_no_data_file(spark):
+    ensure_tables(spark, SF_DIR)
+    root = deletion_vector_root(spark, SF_DIR)
+    m2, m4 = _manifest(root, 2), _manifest(root, 4)
+    assert sorted(m4["files"]) == sorted(m2["files"])
+    assert m4["delete_vectors"] == "dv4"
+
+
+def test_sidecar_is_one_row_per_deleted_row(spark):
+    ensure_tables(spark, SF_DIR)
+    root = deletion_vector_root(spark, SF_DIR)
+    n_deleted = (
+        read_version(spark, root, 2)
+        .filter(F.col("doc_id") % 10 == 3)
+        .count()
+    )
+    dv = spark.read.parquet(os.path.join(root, "dv4"))
+    assert dv.count() == n_deleted > 0
+    # positions are unique per file — a duplicate would double-delete
+    assert dv.distinct().count() == n_deleted
+
+
+def test_materialize_rewrites_only_dv_bearing_files(spark):
+    ensure_tables(spark, SF_DIR)
+    root = deletion_vector_root(spark, SF_DIR)
+    m2, m5 = _manifest(root, 2), _manifest(root, 5)
+    dv_files = {
+        r["file_path"].removeprefix("file:")
+        for r in spark.read.parquet(os.path.join(root, "dv4"))
+        .select("file_path")
+        .distinct()
+        .collect()
+    }
+    clean = [f for f in m2["files"] if f not in dv_files]
+    assert sorted(m5["carried_over"]) == sorted(clean)
+    # every affected v2 file is gone from v5; its rows live in gen5
+    assert not (set(m5["files"]) & dv_files)
+    assert all(f.startswith(os.path.join(root, "gen5")) or f in clean
+               for f in m5["files"])
+
+
+def test_v4_and_v5_read_identical(spark):
+    ensure_tables(spark, SF_DIR)
+    root = deletion_vector_root(spark, SF_DIR)
+    v4 = read_version(spark, root, 4).orderBy("doc_id").collect()
+    v5 = read_version(spark, root, 5).orderBy("doc_id").collect()
+    assert v4 == v5
+    assert all(r["doc_id"] % 10 != 3 for r in v4)
