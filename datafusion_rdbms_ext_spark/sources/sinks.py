@@ -1229,6 +1229,134 @@ def source_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+def mor_update_root(spark: SparkSession, sf_dir: str) -> str:
+    """Version 6 — merge-on-read UPDATE, the second half of the
+    deletion-vector trade: ``UPDATE SET text = lower(text) WHERE
+    doc_id % 10 = 7`` over the v4 snapshot committed as (a) DV
+    entries tombstoning the OLD row positions and (b) one appended
+    delta file holding the new row images. No existing data file is
+    rewritten; the unchanged :func:`read_version` serves v6 because
+    an update IS delete + insert under merge-on-read — the manifest
+    lists v2's files plus the append, and the widened sidecar hides
+    the stale images. Commit cost = predicate scan + changed-row
+    write, never table size."""
+    import glob as _glob
+    import json
+
+    root = deletion_vector_root(spark, sf_dir)
+    if os.path.exists(os.path.join(root, "v6.json")):
+        return root
+    with open(os.path.join(root, "v4.json")) as fh:
+        m4 = json.load(fh)
+    base = spark.read.parquet(*m4["files"]).withColumns(
+        {
+            "_f": F.col("_metadata.file_path"),
+            "_p": F.col("_metadata.row_index"),
+        }
+    )
+    dv4 = spark.read.parquet(os.path.join(root, "dv4"))
+    live = base.join(
+        dv4,
+        (F.col("_f") == dv4["file_path"])
+        & (F.col("_p") == dv4["row_index"]),
+        "left_anti",
+    )
+    hit = live.filter(F.col("doc_id") % 10 == 7)
+    # (a) tombstone the old positions: widened sidecar = dv4 + hits
+    (
+        dv4.unionByName(
+            hit.select(
+                F.col("_f").alias("file_path"),
+                F.col("_p").alias("row_index"),
+            )
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "dv6"))
+    )
+    # (b) append the new row images as one delta file
+    (
+        hit.select("doc_id", F.lower("text").alias("text"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "gen6"))
+    )
+    gen6 = sorted(_glob.glob(os.path.join(root, "gen6", "*.parquet")))
+    try:
+        _write_manifest(
+            root,
+            6,
+            {
+                "version": 6,
+                "files": sorted(m4["files"]) + gen6,
+                "delete_vectors": "dv6",
+                "appended": gen6,
+                "updated_from": 4,
+            },
+        )
+    except CommitConflict:
+        pass
+    return root
+
+
+@register(
+    "source_mor_update",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v4 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3),
+    v6 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
+      FROM v4
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+           CAST(SUM(CASE WHEN text = lower(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lowered,
+           MIN(md5(text)) AS min_md5
+    FROM v6
+    """,
+    doc="Merge-on-read UPDATE: changed rows committed as DV "
+    "tombstones on their old positions plus ONE appended delta file "
+    "of new images — no data file rewritten (pinned by test); the "
+    "same positional-sidecar read path serves the result because an "
+    "update is delete + insert under merge-on-read.",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def source_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 snapshot summary after the merge-on-read update.
+
+    Scale: same asymmetry as the DV delete — commit work tracks the
+    CHANGED rows (one scan + one small append), not the table; at
+    100 TB an in-place text normalization over 10% of rows commits
+    in seconds and the copy-on-write rewrite is deferred to the next
+    materialization/compaction window."""
+    root = mor_update_root(spark, sf_dir)
+    return read_version(spark, root, 6).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+        F.sum((F.col("text") == F.lower("text")).cast("long"))
+        .cast("long")
+        .alias("n_lowered"),
+        F.min(F.md5("text")).alias("min_md5"),
+    )
+
+
 def vacuum(root: str, keep: int) -> list[str]:
     """Delete every data file not referenced by version ``keep``'s
     manifest (the Delta VACUUM contract: snapshots older than the

@@ -140,6 +140,7 @@ QUERIES = (
     "op_scd2_asof_join",
     # ...and the merge-on-read delete (sidecar write + anti-join read).
     "source_deletion_vectors",
+    "source_mor_update",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -80,3 +80,42 @@ def test_v4_and_v5_read_identical(spark):
     v5 = read_version(spark, root, 5).orderBy("doc_id").collect()
     assert v4 == v5
     assert all(r["doc_id"] % 10 != 3 for r in v4)
+
+
+def test_mor_update_appends_one_file_rewrites_none(spark):
+    from datafusion_rdbms_ext_spark.sources.sinks import mor_update_root
+
+    ensure_tables(spark, SF_DIR)
+    root = mor_update_root(spark, SF_DIR)
+    m4, m6 = _manifest(root, 4), _manifest(root, 6)
+    assert len(m6["appended"]) == 1
+    assert sorted(m6["files"]) == sorted(m4["files"] + m6["appended"])
+    # widened sidecar = old tombstones + one per updated row
+    n_hit = (
+        read_version(spark, root, 4)
+        .filter(F.col("doc_id") % 10 == 7)
+        .count()
+    )
+    dv4 = spark.read.parquet(os.path.join(root, "dv4")).count()
+    dv6 = spark.read.parquet(os.path.join(root, "dv6")).count()
+    assert dv6 == dv4 + n_hit and n_hit > 0
+
+
+def test_mor_update_read_equals_recomputed(spark):
+    from datafusion_rdbms_ext_spark.sources.sinks import mor_update_root
+
+    ensure_tables(spark, SF_DIR)
+    root = mor_update_root(spark, SF_DIR)
+    v6 = read_version(spark, root, 6).orderBy("doc_id").collect()
+    expect = (
+        read_version(spark, root, 4)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 7, F.lower("text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert v6 == expect
