@@ -1357,6 +1357,182 @@ def source_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wap_attempt(
+    spark: SparkSession,
+    root: str,
+    version_from: int,
+    version_to: int,
+    staged: DataFrame,
+    stage_name: str,
+) -> dict:
+    """Write-audit-publish (the Iceberg WAP / Delta CDC-gate
+    pattern): the candidate batch is STAGED as its own file group —
+    invisible to every reader, because visibility is manifest
+    membership — audited against the LIVE snapshot, and published
+    only on a clean audit by committing a manifest that lists the
+    old files plus the staged ones. A failing audit publishes
+    nothing: no manifest, no partial state, nothing to roll back.
+
+    Audit rules (exact counts, engine-side): completeness of
+    ``text`` within the batch, and key-collision of ``doc_id``
+    against the snapshot (a left-semi probe — at scale this prunes
+    through the skipping index rather than scanning the table).
+    Returns the audit report either way."""
+    import glob as _glob
+    import json
+
+    stage_dir = os.path.join(root, f"stage_{stage_name}")
+    # stages are IMMUTABLE once written (a published manifest points
+    # at these exact file paths — an overwrite would orphan it):
+    # write to a temp dir and atomically rename into place, the same
+    # discipline as the result cache (ADVICE r8 #5)
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        tmp = f"{stage_dir}.tmp.{os.getpid()}"
+        staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, stage_dir)
+        except OSError:  # another writer staged the identical batch
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    sdf = spark.read.parquet(stage_dir)
+    table = read_version(spark, root, version_from)
+    v_null = sdf.filter(F.col("text").isNull()).count()
+    v_dup = sdf.join(
+        table.select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    n_staged = sdf.count()
+    published = (v_null + v_dup) == 0
+    if published and not os.path.exists(
+        os.path.join(root, f"v{version_to}.json")
+    ):
+        with open(os.path.join(root, f"v{version_from}.json")) as fh:
+            prev = json.load(fh)
+        stage_files = sorted(
+            _glob.glob(os.path.join(stage_dir, "*.parquet"))
+        )
+        payload = {
+            "version": version_to,
+            "files": sorted(prev["files"]) + stage_files,
+            "appended": stage_files,
+            "published_from_stage": stage_name,
+        }
+        if prev.get("delete_vectors"):
+            payload["delete_vectors"] = prev["delete_vectors"]
+        try:
+            _write_manifest(root, version_to, payload)
+        except CommitConflict:
+            pass  # concurrent identical publish won the link race
+    return {
+        "staged_rows": n_staged,
+        "null_violations": v_null,
+        "key_collisions": v_dup,
+        "published": published,
+    }
+
+
+@register(
+    "sink_wap_publish",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v6 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3),
+    bad AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN NULL ELSE text END AS text
+      FROM documents WHERE doc_id >= 200 AND doc_id < 210
+    ),
+    good AS (
+      SELECT doc_id + 20000 AS doc_id, text FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT 'bad' AS candidate,
+           CAST((SELECT COUNT(*) FROM bad) AS BIGINT) AS staged_rows,
+           CAST((SELECT COUNT(*) FROM bad WHERE text IS NULL) AS BIGINT)
+             AS null_violations,
+           CAST((SELECT COUNT(*) FROM bad b
+                 WHERE EXISTS (SELECT 1 FROM v6 t
+                               WHERE t.doc_id = b.doc_id)) AS BIGINT)
+             AS key_collisions,
+           FALSE AS published,
+           CAST((SELECT COUNT(*) FROM v6) AS BIGINT) AS visible_docs
+    UNION ALL
+    SELECT 'good',
+           CAST((SELECT COUNT(*) FROM good) AS BIGINT),
+           0, 0, TRUE,
+           CAST((SELECT COUNT(*) FROM v6)
+                + (SELECT COUNT(*) FROM good) AS BIGINT)
+    ORDER BY candidate
+    """,
+    doc="Write-audit-publish: a corrupt candidate batch (NULL texts, "
+    "key collisions) is staged, audited against the live snapshot "
+    "and REJECTED — readers never see it, no rollback needed; a "
+    "clean batch stages, audits green and publishes as the next "
+    "manifest version. Exact violation counts and the visible row "
+    "count after each attempt are the hash-checked output.",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAP gate run for one failing and one passing candidate.
+
+    Scale: staging cost is the batch write (never table size);
+    visibility is a manifest commit (metadata); the audit's
+    key-collision probe is a semi-join that the skipping index can
+    serve at scale. This is the ingestion discipline that makes the
+    expectations report (source_expectations) a GATE instead of a
+    dashboard."""
+    root = mor_update_root(spark, sf_dir)
+    docs = spark.table("documents")
+    bad = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    good = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    rows = []
+    for name, cand in (("bad", bad), ("good", good)):
+        rep = wap_attempt(spark, root, 6, 7, cand, name)
+        # a rejected batch reports the snapshot it audited against —
+        # even when a later (or earlier, on re-run) attempt has
+        # already published v7
+        visible = read_version(
+            spark, root, 7 if rep["published"] else 6
+        ).count()
+        rows.append(
+            (
+                name,
+                rep["staged_rows"],
+                rep["null_violations"],
+                rep["key_collisions"],
+                rep["published"],
+                visible,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "candidate string, staged_rows long, null_violations long, "
+        "key_collisions long, published boolean, visible_docs long",
+    ).orderBy("candidate")
+
+
 def vacuum(root: str, keep: int) -> list[str]:
     """Delete every data file not referenced by version ``keep``'s
     manifest (the Delta VACUUM contract: snapshots older than the

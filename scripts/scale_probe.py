@@ -141,6 +141,7 @@ QUERIES = (
     # ...and the merge-on-read delete (sidecar write + anti-join read).
     "source_deletion_vectors",
     "source_mor_update",
+    "sink_wap_publish",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

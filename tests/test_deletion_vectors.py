@@ -119,3 +119,30 @@ def test_mor_update_read_equals_recomputed(spark):
         .collect()
     )
     assert v6 == expect
+
+
+def test_wap_rejected_batch_is_invisible(spark):
+    """The failed candidate's staged files exist on disk but appear
+    in NO manifest — readers can never see them; the published
+    manifest is exactly v6's files plus the good stage."""
+    import glob
+
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    REGISTRY["sink_wap_publish"].fn(spark, SF_DIR).collect()
+    from datafusion_rdbms_ext_spark.sources.sinks import mor_update_root
+
+    root = mor_update_root(spark, SF_DIR)
+    bad_files = set(
+        glob.glob(os.path.join(root, "stage_bad", "*.parquet"))
+    )
+    assert bad_files  # staged, on disk
+    for mf in glob.glob(os.path.join(root, "v*.json")):
+        with open(mf) as fh:
+            assert not (set(json.load(fh)["files"]) & bad_files), mf
+    m6, m7 = _manifest(root, 6), _manifest(root, 7)
+    good_files = sorted(
+        glob.glob(os.path.join(root, "stage_good", "*.parquet"))
+    )
+    assert sorted(m7["files"]) == sorted(m6["files"] + good_files)
+    assert m7.get("delete_vectors") == "dv6"  # sidecar carried forward
