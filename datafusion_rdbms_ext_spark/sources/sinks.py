@@ -835,6 +835,13 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
             & (F.col("_p") == dv["row_index"]),
             "left_anti",
         )
+    eq_dir = manifest.get("equality_deletes")
+    if eq_dir:
+        # the other Iceberg-v2 delete flavor: deletes by KEY VALUE
+        # (no scan needed at commit time — the writer never learned
+        # positions), applied as a key anti-join after the DV pass
+        eq = spark.read.parquet(os.path.join(root, eq_dir))
+        df = df.join(eq, "doc_id", "left_anti")
     return df.select("doc_id", "text")
 
 
@@ -1531,6 +1538,114 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate string, staged_rows long, null_violations long, "
         "key_collisions long, published boolean, visible_docs long",
     ).orderBy("candidate")
+
+
+def equality_delete_root(spark: SparkSession, sf_dir: str) -> str:
+    """Version 8 — EQUALITY deletes, the second Iceberg-v2 delete
+    flavor: ``DELETE WHERE doc_id % 100 = 11`` committed as a sidecar
+    of KEY VALUES (not positions). The writer never scans the table —
+    position deletes (v4) cost a predicate scan to harvest row
+    indexes; equality deletes cost only the key-list write, which is
+    why streaming CDC upserts emit them. The read pays instead: a key
+    anti-join after the positional-DV pass (real formats compact
+    equality deletes into position deletes at maintenance time —
+    that is v5's materialization path here).
+
+    The key list is written from the PREDICATE, not from a table
+    scan: the commit is O(|keys|) even at 100 TB."""
+    import json
+
+    root = mor_update_root(spark, sf_dir)
+    if os.path.exists(os.path.join(root, "v8.json")):
+        return root
+    with open(os.path.join(root, "v6.json")) as fh:
+        m6 = json.load(fh)
+    # keys straight from the predicate domain — no table scan
+    keys = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id")
+    ).filter(F.col("doc_id") % 100 == 11)
+    if not os.path.exists(os.path.join(root, "eq8", "_SUCCESS")):
+        tmp = os.path.join(root, f"eq8.tmp.{os.getpid()}")
+        keys.coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, os.path.join(root, "eq8"))
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _write_manifest(
+            root,
+            8,
+            {
+                "version": 8,
+                "files": sorted(m6["files"]),
+                "delete_vectors": m6["delete_vectors"],
+                "equality_deletes": "eq8",
+                "deleted_from": 6,
+            },
+        )
+    except CommitConflict:
+        pass
+    return root
+
+
+@register(
+    "source_equality_deletes",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v4 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3),
+    v6 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
+      FROM v4
+    ),
+    v8 AS (SELECT doc_id, text FROM v6 WHERE doc_id % 100 <> 11)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+           CAST(MIN(doc_id) AS BIGINT) AS min_key,
+           MIN(md5(text)) AS min_md5
+    FROM v8
+    """,
+    doc="Equality deletes (Iceberg-v2's second delete flavor): a "
+    "key-value sidecar committed WITHOUT any table scan (O(|keys|) "
+    "commit — the streaming-CDC shape), applied at read as a key "
+    "anti-join after the positional-DV pass; composes with the v6 "
+    "positional sidecar on the same manifest, zero files rewritten "
+    "(pinned by test).",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def source_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v8 snapshot summary after the equality delete.
+
+    Scale: commit cost is the key-list write alone — no scan, no
+    positions; the read-side anti-join is the price until the next
+    materialization window compacts keys into positions (v5's
+    rewrite path). Both delete flavors compose on one manifest —
+    exactly the Iceberg v2 read contract."""
+    root = equality_delete_root(spark, sf_dir)
+    return read_version(spark, root, 8).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+        F.min("doc_id").cast("long").alias("min_key"),
+        F.min(F.md5("text")).alias("min_md5"),
+    )
 
 
 def vacuum(root: str, keep: int) -> list[str]:

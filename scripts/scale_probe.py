@@ -142,6 +142,7 @@ QUERIES = (
     "source_deletion_vectors",
     "source_mor_update",
     "sink_wap_publish",
+    "source_equality_deletes",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -146,3 +146,25 @@ def test_wap_rejected_batch_is_invisible(spark):
     )
     assert sorted(m7["files"]) == sorted(m6["files"] + good_files)
     assert m7.get("delete_vectors") == "dv6"  # sidecar carried forward
+
+
+def test_equality_delete_commit_scans_nothing_and_rewrites_nothing(spark):
+    """v8's manifest carries v6's files untouched plus BOTH sidecars;
+    the key list covers the predicate domain (no table scan baked
+    into the committed keys), and the read composes both flavors."""
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        equality_delete_root,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    root = equality_delete_root(spark, SF_DIR)
+    m6, m8 = _manifest(root, 6), _manifest(root, 8)
+    assert sorted(m8["files"]) == sorted(m6["files"])
+    assert m8["delete_vectors"] == m6["delete_vectors"]
+    assert m8["equality_deletes"] == "eq8"
+    keys = spark.read.parquet(os.path.join(root, "eq8"))
+    assert keys.count() == 200  # |{11,111,...,19911}| — predicate-sized
+    v8 = read_version(spark, root, 8)
+    v6 = read_version(spark, root, 6)
+    assert v8.count() == v6.filter(F.col("doc_id") % 100 != 11).count()
+    assert v8.filter(F.col("doc_id") % 100 == 11).count() == 0
