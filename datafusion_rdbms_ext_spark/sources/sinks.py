@@ -1648,6 +1648,127 @@ def source_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tag_version(root: str, name: str, version: int) -> None:
+    """Named snapshot ref (Iceberg tags): ``refs/<name>.json`` maps a
+    human name to a version so time travel reads by MEANING
+    ("pre-gdpr-sweep") instead of by number. Tags are immutable —
+    the same atomic-exclusive hard-link commit as manifests; a
+    re-tag to the SAME version is a no-op, to a different one a
+    CommitConflict (rename the tag instead of moving it — moving
+    would silently change what an auditor's saved query reads)."""
+    import json
+
+    refs = os.path.join(root, "refs")
+    os.makedirs(refs, exist_ok=True)
+    final = os.path.join(refs, f"{name}.json")
+    if os.path.exists(final):
+        with open(final) as fh:
+            if json.load(fh)["version"] == version:
+                return
+        raise CommitConflict(f"tag {name!r} already points elsewhere")
+    tmp = final + ".tmp." + str(os.getpid())
+    try:
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": version}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            with open(final) as fh:
+                if json.load(fh)["version"] == version:
+                    return  # identical concurrent tag
+            raise CommitConflict(
+                f"tag {name!r} already points elsewhere"
+            ) from exc
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Time travel by tag name."""
+    import json
+
+    with open(os.path.join(root, "refs", f"{name}.json")) as fh:
+        return read_version(spark, root, json.load(fh)["version"])
+
+
+@register(
+    "source_snapshot_tags",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v4 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3),
+    v6 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
+      FROM v4
+    )
+    SELECT 'audit-baseline' AS tag, 2 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(md5(text)) AS min_md5
+    FROM v2
+    UNION ALL
+    SELECT 'pre-gdpr-sweep', 4, CAST(COUNT(*) AS BIGINT), MIN(md5(text))
+    FROM v4
+    UNION ALL
+    SELECT 'prod', 6, CAST(COUNT(*) AS BIGINT), MIN(md5(text)) FROM v6
+    ORDER BY tag
+    """,
+    doc="Named snapshot refs (Iceberg tags): immutable name -> "
+    "version pointers committed with the same atomic-exclusive "
+    "protocol as manifests; time travel reads by meaning "
+    "('pre-gdpr-sweep') and each tagged read is content-checked "
+    "against the recomputed snapshot.",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def source_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three tagged snapshots read back by name.
+
+    Scale: a tag is one JSON file — naming a 100 TB snapshot costs
+    nothing and pins it against retention (VACUUM keeps tagged
+    versions' files); the audit/compliance primitive on top of time
+    travel."""
+    root = mor_update_root(spark, sf_dir)
+    for name, v in (
+        ("audit-baseline", 2),
+        ("pre-gdpr-sweep", 4),
+        ("prod", 6),
+    ):
+        tag_version(root, name, v)
+    out = None
+    for name, v in (
+        ("audit-baseline", 2),
+        ("pre-gdpr-sweep", 4),
+        ("prod", 6),
+    ):
+        agg = read_tag(spark, root, name).agg(
+            F.lit(name).alias("tag"),
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.md5("text")).alias("min_md5"),
+        ).select("tag", "version", "n_docs", "min_md5")
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("tag")
+
+
 def vacuum(root: str, keep: int) -> list[str]:
     """Delete every data file not referenced by version ``keep``'s
     manifest (the Delta VACUUM contract: snapshots older than the

@@ -143,6 +143,7 @@ QUERIES = (
     "source_mor_update",
     "sink_wap_publish",
     "source_equality_deletes",
+    "source_snapshot_tags",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

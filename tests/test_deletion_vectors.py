@@ -168,3 +168,25 @@ def test_equality_delete_commit_scans_nothing_and_rewrites_nothing(spark):
     v6 = read_version(spark, root, 6)
     assert v8.count() == v6.filter(F.col("doc_id") % 100 != 11).count()
     assert v8.filter(F.col("doc_id") % 100 == 11).count() == 0
+
+
+def test_tags_are_immutable(spark):
+    import pytest
+
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        CommitConflict,
+        mor_update_root,
+        read_tag,
+        tag_version,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    root = mor_update_root(spark, SF_DIR)
+    tag_version(root, "probe-tag", 4)
+    tag_version(root, "probe-tag", 4)  # same target: no-op
+    with pytest.raises(CommitConflict):
+        tag_version(root, "probe-tag", 6)  # moving a tag is refused
+    assert (
+        read_tag(spark, root, "probe-tag").count()
+        == read_version(spark, root, 4).count()
+    )
