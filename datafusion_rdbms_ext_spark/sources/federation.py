@@ -808,3 +808,52 @@ def fed_postgres_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bal_cents"),
     )
+
+
+@register(
+    "fed_postgres_extended",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer
+    WHERE c_acctbal >= 0.0 AND c_nationkey < 13
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Extended query protocol on live Postgres (Parse/Bind/"
+    "Execute): the predicate constants travel as BOUND PARAMETERS "
+    "(length-prefixed text values — no SQL splicing, no injection "
+    "surface), results return in BINARY format decoded by the same "
+    "per-OID table as the COPY reader (ref binary_reader.rs:24-209) "
+    "— the protocol's second binary surface, exercised end-to-end.",
+    tags=("federation", "postgres", "bench"),
+)
+def fed_postgres_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized remote aggregate over the extended protocol.
+
+    Scale: parameterized statements are how a federation seam ships
+    UNTRUSTED filter constants (user input, dashboard variables) to
+    the remote — Bind separates code from data at the protocol
+    level, where the simple-protocol unparser must rely on correct
+    quoting. The aggregate runs remotely; |segments| rows cross."""
+    from .pgwire import PgWireClient
+
+    con = _pg_connector(spark, sf_dir)
+    cli = PgWireClient(**con._params())
+    try:
+        _cols, _oids, rows = cli.query_extended(
+            "SELECT c_mktsegment,"
+            " CAST(COUNT(*) AS BIGINT) AS n_cust,"
+            " CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)"
+            "   AS bal_cents"
+            " FROM customer"
+            " WHERE c_acctbal >= $1 AND c_nationkey < $2"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment",
+            (0.0, 13),
+        )
+    finally:
+        cli.close()
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_cust long, bal_cents long"
+    ).orderBy("c_mktsegment")

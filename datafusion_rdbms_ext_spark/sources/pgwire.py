@@ -151,6 +151,65 @@ class PgWireClient:
                 return cols, oids, rows
             # 'C' CommandComplete / 'N' Notice / 'I' EmptyQuery: skip
 
+    # -- extended query protocol (Parse/Bind/Execute) ---------------------
+    def query_extended(
+        self, sql: str, params: tuple = ()
+    ) -> tuple[list[str], list[int], list[tuple]]:
+        """One parameterized statement over the extended protocol:
+        Parse ($1..$n placeholders), Bind (parameters travel as
+        length-prefixed TEXT values — never spliced into the SQL, so
+        no quoting/injection surface exists), Execute with BINARY
+        result format, Sync. The binary DataRows are decoded with the
+        SAME per-OID table as the COPY reader
+        (ref binary_reader.rs:24-209) — the extended protocol is the
+        second wire surface that exercises it."""
+        parse = (
+            b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", 0)
+        )  # unnamed stmt, no pre-declared param types (server infers)
+        bind = b"\x00\x00"  # unnamed portal <- unnamed statement
+        bind += struct.pack("!Hh", 1, 0)  # all params in TEXT format
+        bind += struct.pack("!H", len(params))
+        for v in params:
+            if v is None:
+                bind += struct.pack("!i", -1)
+            else:
+                enc = (
+                    repr(v) if isinstance(v, float) else str(v)
+                ).encode()
+                bind += struct.pack("!i", len(enc)) + enc
+        bind += struct.pack("!Hh", 1, 1)  # all results in BINARY
+        describe = b"P\x00"  # describe the unnamed portal -> 'T'
+        execute = b"\x00" + struct.pack("!i", 0)  # no row limit
+        self._send(
+            self._frame(b"P", parse)
+            + self._frame(b"B", bind)
+            + self._frame(b"D", describe)
+            + self._frame(b"E", execute)
+            + b"S" + struct.pack("!I", 4)  # Sync
+        )
+        cols: list[str] = []
+        oids: list[int] = []
+        rows: list[tuple] = []
+        error = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"T":
+                cols, oids = _parse_row_description(payload)
+            elif mtype == b"D":
+                rows.append(_parse_data_row(payload, oids, binary=True))
+            elif mtype == b"E":
+                error = _error_text(payload)
+            elif mtype == b"Z":
+                if error:
+                    raise PgError(error)
+                return cols, oids, rows
+            # '1' ParseComplete / '2' BindComplete / 't' ParamDesc /
+            # 'n' NoData / 'C' CommandComplete: skip
+
+    @staticmethod
+    def _frame(mtype: bytes, payload: bytes) -> bytes:
+        return mtype + struct.pack("!I", len(payload) + 4) + payload
+
     # -- COPY FROM STDIN (the bulk-load write path) -----------------------
     def copy_in_text(
         self, table: str, columns: list[str], rows
@@ -321,17 +380,20 @@ def _decode_text(value: bytes, oid: int):
     return s
 
 
-def _parse_data_row(payload: bytes, oids: list[int]) -> tuple:
+def _parse_data_row(
+    payload: bytes, oids: list[int], binary: bool = False
+) -> tuple:
     (nfields,) = struct.unpack("!H", payload[:2])
     pos = 2
     out = []
+    decode = _decode_binary if binary else _decode_text
     for i in range(nfields):
         (length,) = struct.unpack("!i", payload[pos : pos + 4])
         pos += 4
         if length == -1:
             out.append(None)
             continue
-        out.append(_decode_text(payload[pos : pos + length], oids[i]))
+        out.append(decode(payload[pos : pos + length], oids[i]))
         pos += length
     return tuple(out)
 

@@ -144,6 +144,7 @@ QUERIES = (
     "sink_wap_publish",
     "source_equality_deletes",
     "source_snapshot_tags",
+    "fed_postgres_extended",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -354,3 +354,72 @@ def test_loader_copy_path_restores_dropped_table(spark, pg):
         assert back[0][0] == n_parquet > 0
     finally:
         cli.close()
+
+
+def test_extended_protocol_binary_parity(pg):
+    """Parse/Bind/Execute with text parameters and BINARY results:
+    the binary DataRow decode must agree with the text path and the
+    COPY path for every type in the decode table."""
+    import datetime as dt
+
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
+    try:
+        sql = (
+            "SELECT $1::bigint AS i, $2::double precision AS f,"
+            " $3::text AS s, $4::boolean AS b, $5::timestamp AS t,"
+            " $6::date AS d, CAST(NULL AS bigint) AS n"
+        )
+        args = (
+            -42,
+            -2.5e-300,
+            "tab\there 'quoted'",
+            False,
+            "2024-03-01 12:00:00.123456",
+            "1969-12-31",
+        )
+        _, _, ext = cli.query_extended(sql, args)
+        expect = (
+            -42,
+            -2.5e-300,
+            "tab\there 'quoted'",
+            False,
+            dt.datetime(2024, 3, 1, 12, 0, 0, 123456),
+            dt.date(1969, 12, 31),
+            None,
+        )
+        assert ext == [expect]
+        # text-path agreement on the same values, literals spliced
+        _, _, txt = cli.query(
+            "SELECT -42::bigint, -2.5e-300::double precision,"
+            " 'x', false, timestamp '2024-03-01 12:00:00.123456'"
+        )
+        assert txt[0][0] == ext[0][0] and txt[0][1] == ext[0][1]
+        assert txt[0][4] == ext[0][4]
+    finally:
+        cli.close()
+
+
+def test_extended_protocol_parameters_are_data(pg):
+    """Injection-shaped parameter values stay data — Bind separates
+    code from data at the protocol level."""
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
+    try:
+        evil = "'; DROP TABLE important; --"
+        _, _, rows = cli.query_extended(
+            "SELECT $1::text AS echoed, length($1) AS n", (evil,)
+        )
+        assert rows == [(evil, len(evil))]
+        # error path drains to ReadyForQuery; connection stays usable
+        import pytest as _pytest
+
+        from datafusion_rdbms_ext_spark.sources.pgwire import PgError
+
+        with _pytest.raises(PgError):
+            cli.query_extended("SELECT * FROM no_such_table_q")
+        assert cli.query("SELECT 1")[2] == [(1,)]
+    finally:
+        cli.close()
