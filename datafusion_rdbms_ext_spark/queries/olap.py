@@ -1505,14 +1505,18 @@ def olap_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents"),
         )
     )
-    control = F.broadcast(
-        pv.filter(F.col("variant") == 0).select(
-            F.col("n_users").alias("c_users"),
-            F.col("n_converted").alias("c_converted"),
-        )
+    # control values lifted ACROSS the 2-row aggregate by a window
+    # (variant 0 sorts first) — a self-join against pv.filter(...)
+    # would re-execute the whole customer+orders lineage a second
+    # time, doubling the scan at scale; this window's input is the
+    # 2-row variant rollup, bounded by construction (plan-railed in
+    # _UNPARTITIONED_WINDOW_AUDITED)
+    w = Window.orderBy("variant").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        pv.crossJoin(control)
+        pv.withColumn("c_converted", F.first("n_converted").over(w))
+        .withColumn("c_users", F.first("n_users").over(w))
         .select(
             F.col("variant").cast("long").alias("variant"),
             "n_users",

@@ -122,9 +122,6 @@ def test_broadcast_hints_only_on_fixed_dims():
         "federation.py": {'spark.table("nation"', "nat"},
         "olap.py": {
             "carry", "q",
-            # A/B test: the 1-row control slice of the 2-row
-            # per-variant aggregate.
-            "pv.filter(",
             # ABC/Pareto: <=32-row partition-offset table and the
             # 1-row grand total.
             "offsets", "total",
@@ -707,6 +704,8 @@ _UNPARTITIONED_WINDOW_AUDITED = {
     # the funnel window; milli-quantized norms)
     "olap_funnel_latency": 2,
     "llm_embedding_audit": 2,
+    # control-value lift across the 2-row per-variant aggregate
+    "olap_ab_test": 2,
 }
 
 
