@@ -1648,6 +1648,116 @@ def source_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_equality_deletes(spark: SparkSession, sf_dir: str) -> str:
+    """Version 9 — delete-sidecar maintenance: the v8 EQUALITY
+    deletes are compacted into POSITION deletes (one scan harvests
+    the row positions of equality-deleted keys; the widened
+    positional sidecar replaces both v8 sidecars) — exactly the
+    maintenance pass real formats run so reads stop paying the key
+    anti-join. v9 must read back row-identical to v8: same rows,
+    cheaper read path."""
+    import json
+
+    root = equality_delete_root(spark, sf_dir)
+    if os.path.exists(os.path.join(root, "v9.json")):
+        return root
+    with open(os.path.join(root, "v8.json")) as fh:
+        m8 = json.load(fh)
+    eq = spark.read.parquet(os.path.join(root, m8["equality_deletes"]))
+    base = spark.read.parquet(*m8["files"]).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    # positions of equality-deleted keys (the one scan this pays)
+    eq_pos = base.join(eq, "doc_id", "left_semi").select(
+        "file_path", "row_index"
+    )
+    dv_old = spark.read.parquet(
+        os.path.join(root, m8["delete_vectors"])
+    )
+    if not os.path.exists(os.path.join(root, "dv9", "_SUCCESS")):
+        tmp = os.path.join(root, f"dv9.tmp.{os.getpid()}")
+        dv_old.unionByName(eq_pos).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, os.path.join(root, "dv9"))
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        _write_manifest(
+            root,
+            9,
+            {
+                "version": 9,
+                "files": sorted(m8["files"]),
+                "delete_vectors": "dv9",
+                "compacted_deletes_from": 8,
+            },
+        )
+    except CommitConflict:
+        pass
+    return root
+
+
+@register(
+    "source_eq_compaction",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v4 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3),
+    v6 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
+      FROM v4
+    ),
+    v8 AS (SELECT doc_id, text FROM v6 WHERE doc_id % 100 <> 11)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+           MIN(md5(text)) AS min_md5
+    FROM v8
+    """,
+    doc="Delete-sidecar compaction: v8's equality deletes rewritten "
+    "as position deletes in one harvesting scan (v9 — same files, "
+    "one widened positional sidecar, no key anti-join left on the "
+    "read path); the oracle recomputes v8's content, so the gate "
+    "proves compaction changed the read PLAN and not one row.",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def source_eq_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v9 snapshot summary — row-identical to v8 by contract.
+
+    Scale: the compaction scan is the deferred cost the scan-free
+    equality-delete commit traded away; running it in a maintenance
+    window converts every subsequent read's key anti-join into the
+    cheaper positional filter. Same files, new sidecar, one
+    manifest."""
+    root = compact_equality_deletes(spark, sf_dir)
+    return read_version(spark, root, 9).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+        F.min(F.md5("text")).alias("min_md5"),
+    )
+
+
 def tag_version(root: str, name: str, version: int) -> None:
     """Named snapshot ref (Iceberg tags): ``refs/<name>.json`` maps a
     human name to a version so time travel reads by MEANING

@@ -145,6 +145,7 @@ QUERIES = (
     "source_equality_deletes",
     "source_snapshot_tags",
     "fed_postgres_extended",
+    "source_eq_compaction",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -190,3 +190,21 @@ def test_tags_are_immutable(spark):
         read_tag(spark, root, "probe-tag").count()
         == read_version(spark, root, 4).count()
     )
+
+
+def test_eq_compaction_row_identical_no_eq_sidecar(spark):
+    """v9 carries v8's files, drops the equality sidecar, and reads
+    back row-identical — compaction changes the plan, not the data."""
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        compact_equality_deletes,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    root = compact_equality_deletes(spark, SF_DIR)
+    m8, m9 = _manifest(root, 8), _manifest(root, 9)
+    assert sorted(m9["files"]) == sorted(m8["files"])
+    assert "equality_deletes" not in m9
+    assert m9["delete_vectors"] == "dv9"
+    v8 = read_version(spark, root, 8).orderBy("doc_id").collect()
+    v9 = read_version(spark, root, 9).orderBy("doc_id").collect()
+    assert v8 == v9
