@@ -2116,3 +2116,55 @@ def micro_join_elimination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL PIVOT clause (round 9) — the syntax-level pivot (micro_unpivot
+# covers the inverse; ev_pivot_daily_types covers the DataFrame
+# .pivot API). Catalyst expands PIVOT into the same conditional
+# aggregation the oracle writes by hand — one partial-aggregatable
+# groupBy, zero extra plan surface beyond the Aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "micro_pivot_sql",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS f_cents,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS o_cents,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+             AS f_rows,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+             AS o_rows
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="SQL PIVOT clause: revenue and row counts per returnflag "
+    "pivoted on linestatus — Catalyst expands it to the conditional "
+    "aggregation the oracle spells out; one groupBy, map-side "
+    "combinable.",
+    tags=("micro", "sql", "bench"),
+)
+def micro_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COALESCE(F_cents, 0) AS f_cents,
+               COALESCE(O_cents, 0) AS o_cents,
+               COALESCE(F_rows, 0) AS f_rows,
+               COALESCE(O_rows, 0) AS o_rows
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        )
+        PIVOT (
+          SUM(cents) AS cents, COUNT(*) AS rows
+          FOR l_linestatus IN ('F' AS F, 'O' AS O)
+        )
+        ORDER BY l_returnflag
+        """
+    )
