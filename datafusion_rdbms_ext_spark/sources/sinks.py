@@ -1542,7 +1542,8 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def equality_delete_root(spark: SparkSession, sf_dir: str) -> str:
     """Version 8 — EQUALITY deletes, the second Iceberg-v2 delete
-    flavor: ``DELETE WHERE doc_id % 100 = 11`` committed as a sidecar
+    flavor: ``DELETE WHERE doc_id % 100 = 11 AND doc_id < 20000``
+    (the bound is part of the spec) committed as a sidecar
     of KEY VALUES (not positions). The writer never scans the table —
     position deletes (v4) cost a predicate scan to harvest row
     indexes; equality deletes cost only the key-list write, which is
@@ -1560,7 +1561,11 @@ def equality_delete_root(spark: SparkSession, sf_dir: str) -> str:
         return root
     with open(os.path.join(root, "v6.json")) as fh:
         m6 = json.load(fh)
-    # keys straight from the predicate domain — no table scan
+    # keys straight from the predicate domain — no table scan. The
+    # delete spec is "doc_id % 100 = 11 AND doc_id < 20000": the
+    # domain bound is PART of the predicate (and of the oracle), so
+    # the key expansion is exact at every scale factor rather than
+    # accidentally covering the fixture's key range.
     keys = spark.range(0, 20000).select(
         F.col("id").alias("doc_id")
     ).filter(F.col("doc_id") % 100 == 11)
@@ -1616,7 +1621,8 @@ def equality_delete_root(spark: SparkSession, sf_dir: str) -> str:
              CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
       FROM v4
     ),
-    v8 AS (SELECT doc_id, text FROM v6 WHERE doc_id % 100 <> 11)
+    v8 AS (SELECT doc_id, text FROM v6
+           WHERE NOT (doc_id % 100 = 11 AND doc_id < 20000))
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(text)) AS BIGINT) AS sum_len,
            CAST(MIN(doc_id) AS BIGINT) AS min_key,
@@ -1729,7 +1735,8 @@ def compact_equality_deletes(spark: SparkSession, sf_dir: str) -> str:
              CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
       FROM v4
     ),
-    v8 AS (SELECT doc_id, text FROM v6 WHERE doc_id % 100 <> 11)
+    v8 AS (SELECT doc_id, text FROM v6
+           WHERE NOT (doc_id % 100 = 11 AND doc_id < 20000))
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(text)) AS BIGINT) AS sum_len,
            MIN(md5(text)) AS min_md5
