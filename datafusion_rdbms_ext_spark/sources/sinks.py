@@ -1467,6 +1467,10 @@ def wap_attempt(
     good AS (
       SELECT doc_id + 20000 AS doc_id, text FROM documents
       WHERE doc_id < 50
+    ),
+    gcoll AS (
+      SELECT COUNT(*) AS n FROM good g
+      WHERE EXISTS (SELECT 1 FROM v6 t WHERE t.doc_id = g.doc_id)
     )
     SELECT 'bad' AS candidate,
            CAST((SELECT COUNT(*) FROM bad) AS BIGINT) AS staged_rows,
@@ -1481,12 +1485,16 @@ def wap_attempt(
     UNION ALL
     SELECT 'good',
            CAST((SELECT COUNT(*) FROM good) AS BIGINT),
-           0, 0, TRUE,
+           0,
+           CAST((SELECT n FROM gcoll) AS BIGINT),
+           (SELECT n FROM gcoll) = 0,
            CAST((SELECT COUNT(*) FROM v6)
-                + (SELECT COUNT(*) FROM good) AS BIGINT)
+                + CASE WHEN (SELECT n FROM gcoll) = 0
+                       THEN (SELECT COUNT(*) FROM good) ELSE 0 END
+                AS BIGINT)
     ORDER BY candidate
     """,
-    doc="Write-audit-publish: a corrupt candidate batch (NULL texts, "
+    doc="Write-audit-publish (oracle recomputes the audit VERDICT, not just the counts — exact at any scale factor): a corrupt candidate batch (NULL texts, "
     "key collisions) is staged, audited against the live snapshot "
     "and REJECTED — readers never see it, no rollback needed; a "
     "clean batch stages, audits green and publishes as the next "
