@@ -1896,13 +1896,23 @@ def source_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def vacuum(root: str, keep: int) -> list[str]:
     """Delete every data file not referenced by version ``keep``'s
-    manifest (the Delta VACUUM contract: snapshots older than the
-    retained version stop being readable). Returns deleted paths."""
+    manifest OR by any TAGGED version (the Delta VACUUM contract
+    with Iceberg's ref-retention rule: untagged snapshots older than
+    the retained version stop being readable; a tag pins its
+    snapshot's files forever). Returns deleted paths."""
     import glob as _glob
     import json
 
-    with open(os.path.join(root, f"v{keep}.json")) as fh:
-        referenced = set(json.load(fh)["files"])
+    referenced: set[str] = set()
+    keep_versions = {keep}
+    refs_dir = os.path.join(root, "refs")
+    if os.path.isdir(refs_dir):
+        for rf in _glob.glob(os.path.join(refs_dir, "*.json")):
+            with open(rf) as fh:
+                keep_versions.add(json.load(fh)["version"])
+    for v in keep_versions:
+        with open(os.path.join(root, f"v{v}.json")) as fh:
+            referenced |= set(json.load(fh)["files"])
     deleted = []
     for f in _glob.glob(os.path.join(root, "gen*", "**", "*.parquet"), recursive=True):
         if f not in referenced:

@@ -193,21 +193,24 @@ def test_compaction_preserves_content_and_vacuum_enforces_retention(spark, tmp_p
         versioned_corpus_root,
     )
 
+    from datafusion_rdbms_ext_spark.sources.sinks import tag_version
+
     ensure_tables(spark, SMOKE_SF_DIR)
     # Private copy: vacuum destroys snapshots, and the memoized root
-    # is shared with the registered time-travel queries.
+    # is shared with the registered time-travel queries. The shared
+    # root may carry later-version manifests (v4-v9, refs) from the
+    # DV/WAP chain — rewrite every manifest's paths and start with a
+    # clean refs dir so this test controls what is tagged.
     shared = versioned_corpus_root(spark, SMOKE_SF_DIR)
     root = str(tmp_path / "versioned")
     shutil.copytree(shared, root)
-    for v in (1, 2, 3):
-        mf = os.path.join(root, f"v{v}.json")
-        if os.path.exists(mf):
-            m = json.load(open(mf))
-            m["files"] = [f.replace(shared, root) for f in m["files"]]
-            m["carried_over"] = [
-                f.replace(shared, root) for f in m.get("carried_over", [])
-            ]
-            json.dump(m, open(mf, "w"))
+    shutil.rmtree(os.path.join(root, "refs"), ignore_errors=True)
+    for mf in glob.glob(os.path.join(root, "v*.json")):
+        m = json.load(open(mf))
+        for key in ("files", "carried_over", "appended"):
+            if key in m:
+                m[key] = [f.replace(shared, root) for f in m[key]]
+        json.dump(m, open(mf, "w"))
     if not os.path.exists(os.path.join(root, "v3.json")):
         compact_version(spark, root)
     v2 = {(r["doc_id"], r["text"]) for r in read_version(spark, root, 2).collect()}
@@ -216,9 +219,15 @@ def test_compaction_preserves_content_and_vacuum_enforces_retention(spark, tmp_p
     n2 = len(json.load(open(os.path.join(root, "v2.json")))["files"])
     n3 = len(json.load(open(os.path.join(root, "v3.json")))["files"])
     assert n3 < n2, (n3, n2)
+    # a tag pins its snapshot's files through retention (Iceberg
+    # ref-retention): v2 stays readable, untagged v1 does not
+    tag_version(root, "keep-v2", 2)
     deleted = vacuum(root, keep=3)
     assert deleted, "vacuum reclaimed nothing"
     assert read_version(spark, root, 3).count() == len(v3)
+    assert {
+        (r["doc_id"], r["text"]) for r in read_version(spark, root, 2).collect()
+    } == v2
     with pytest.raises(Exception):
         read_version(spark, root, 1).count()
 
