@@ -146,6 +146,7 @@ QUERIES = (
     "source_snapshot_tags",
     "fed_postgres_extended",
     "source_eq_compaction",
+    "stream_cdf_maintenance",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

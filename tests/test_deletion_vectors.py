@@ -209,3 +209,29 @@ def test_eq_compaction_row_identical_no_eq_sidecar(spark):
     v8 = read_version(spark, root, 8).orderBy("doc_id").collect()
     v9 = read_version(spark, root, 9).orderBy("doc_id").collect()
     assert v8 == v9
+
+
+def test_cdf_consumer_restart_resumes_at_frontier(spark):
+    """Kill-and-restart: deleting the consumer's LAST durable commit
+    (simulating a crash before the commit landed) makes the next run
+    re-apply exactly that one transition and converge to the same
+    state; a further run applies nothing."""
+    from datafusion_rdbms_ext_spark.streaming import cdf_consume
+
+    ensure_tables(spark, SF_DIR)
+    final, _ = cdf_consume(spark, SF_DIR)
+    assert final["frontier"] == 8
+    # crash simulation: the last transition's commit is lost
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        equality_delete_root,
+    )
+
+    root = equality_delete_root(spark, SF_DIR)
+    state_dir = os.path.join(root, "cdf_state")
+    last = sorted(os.listdir(state_dir))[-1]
+    os.remove(os.path.join(state_dir, last))
+    resumed, applied = cdf_consume(spark, SF_DIR)
+    assert applied == 1  # exactly the lost transition
+    assert resumed == final
+    again, applied2 = cdf_consume(spark, SF_DIR)
+    assert applied2 == 0 and again == final
