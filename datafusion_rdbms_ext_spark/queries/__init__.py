@@ -190,6 +190,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_eq_compaction",
     "micro_pivot_sql",
     "stream_cdf_maintenance",
+    "fed_three_engine_join",
+    "ev_engagement_l28",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

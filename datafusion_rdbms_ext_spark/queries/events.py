@@ -2555,3 +2555,55 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_cents",
         F.sum("rev_cents").over(cum).cast("long").alias("cum_rev_cents"),
     ).orderBy("cohort_midx", "months_since_first")
+
+
+# ---------------------------------------------------------------------------
+# L28 engagement histogram (round 9): how many users were active on
+# exactly k of the trailing 28 days — the classic engagement-health
+# curve (its U shape separates a habit product from a drive-by one);
+# the per-user-resolution complement of ev_stickiness_dau_mau's
+# DAU/MAU ratio. Shapes: one distinct on (user, day) within the
+# window, a per-user count, and a <=28-row histogram rollup; the
+# 1-row max-date anchor broadcasts.
+# ---------------------------------------------------------------------------
+@register(
+    "ev_engagement_l28",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events, anchor
+      WHERE CAST(ts AS DATE) >= d1 - 27
+    ),
+    counts AS (
+      SELECT user_id, COUNT(*) AS active_days FROM ud GROUP BY user_id
+    )
+    SELECT CAST(active_days AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM counts GROUP BY active_days ORDER BY active_days
+    """,
+    doc="L28 engagement histogram: users by exact active-day count "
+    "over the trailing 28 days — one (user, day) distinct, a "
+    "per-user count, a <=28-row rollup; the engagement-health curve "
+    "next to stickiness.",
+    tags=("events", "olap", "bench"),
+)
+def ev_engagement_l28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    anchor = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("d1")))
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .crossJoin(anchor)
+        .filter(F.col("day") >= F.date_sub("d1", 27))
+        .select("user_id", "day")
+        .distinct()
+    )
+    counts = ud.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_days")
+    )
+    return (
+        counts.groupBy("active_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("active_days").cast("long").alias("active_days"), "n_users")
+        .orderBy("active_days")
+    )

@@ -962,3 +962,79 @@ def fed_cross_dialect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "fed_three_engine_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ),
+    supp AS (
+      SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+             CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+           c.n_cust, s.n_supp, s.bal_cents
+    FROM nation n
+    JOIN cust c ON c.c_nationkey = n.n_nationkey
+    JOIN supp s ON s.s_nationkey = n.n_nationkey
+    ORDER BY nationkey
+    """,
+    doc="THREE engines, one query: the customer rollup executes on "
+    "DuckDB (transparent pushdown), the supplier rollup on LIVE "
+    "Postgres (own wire client, aggregate runs remotely), the "
+    "nation dimension comes from SQLite — Spark joins three "
+    "nation-cardinality results. The federation seam's whole reason "
+    "to exist, exercised across every dialect it speaks at once.",
+    tags=("federation", "pushdown", "sqlite", "postgres", "bench"),
+)
+def fed_three_engine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation stats joined across DuckDB, Postgres and SQLite.
+
+    Scale: each remote ships only its aggregated rollup (25 rows);
+    the three-way Spark join is dimension-sized. Integer-exact
+    measures keep all three dialects and the oracle bit-identical
+    (the cents rounding runs on Postgres — pinned equivalent to
+    DuckDB's by the fed_postgres_pushdown battery)."""
+    from .federation import _pg_connector
+    from .pgwire import PgWireClient
+
+    cust = transparent_pushdown(
+        _fed_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    nat = _sqlite_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    con = _pg_connector(spark, sf_dir)
+    cli = PgWireClient(**con._params())
+    try:
+        _c, _o, rows = cli.query_extended(
+            "SELECT s_nationkey,"
+            " CAST(COUNT(*) AS BIGINT) AS n_supp,"
+            " CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)"
+            "   AS bal_cents"
+            " FROM supplier GROUP BY s_nationkey"
+        )
+    finally:
+        cli.close()
+    supp = spark.createDataFrame(
+        rows, "s_nationkey long, n_supp long, bal_cents long"
+    )
+    return (
+        nat.join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(supp, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation"),
+            "n_cust",
+            "n_supp",
+            "bal_cents",
+        )
+        .orderBy("nationkey")
+    )

@@ -147,6 +147,11 @@ QUERIES = (
     "fed_postgres_extended",
     "source_eq_compaction",
     "stream_cdf_maintenance",
+    # fed_three_engine_join is NOT probed: the DuckDB arm reads the
+    # fixture parquet as a single file (the synthesized corpus is
+    # Spark directory-parquet), and every remote ships a fixed
+    # nation-cardinality rollup regardless of scale by construction.
+    "ev_engagement_l28",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
