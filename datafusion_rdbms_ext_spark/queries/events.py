@@ -2590,10 +2590,11 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_engagement_l28(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events")
-    anchor = F.broadcast(ev.agg(F.max(F.to_date("ts")).alias("d1")))
+    # 1-row max-date anchor (the audited bounded-broadcast shape)
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d1"))
     ud = (
         ev.select("user_id", F.to_date("ts").alias("day"))
-        .crossJoin(anchor)
+        .crossJoin(F.broadcast(anchor))
         .filter(F.col("day") >= F.date_sub("d1", 27))
         .select("user_id", "day")
         .distinct()
