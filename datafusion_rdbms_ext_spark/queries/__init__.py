@@ -122,78 +122,46 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: backfill by longest-unproven (recomputed from cumulative
 #: CORRECTNESS r1-r8: 6 r2 rows, 12 r3 rows, then r4 rows in
 #: registration order).
+#: ROUND-10 ROTATION QUEUE (the never-proven set, verified
+#: mechanically against cumulative CORRECTNESS r1-r9 — NOTE: the
+#: round-9 comment said all 16 late additions spilled past the
+#: 50-slot cap; in fact 9 of the 16 fit inside the recorded slots
+#: and are d9-proven, so the real queue is these 7, per VERDICT r9
+#: next #1): ev_engagement_l28, fed_postgres_extended,
+#: fed_three_engine_join, micro_pivot_sql, source_eq_compaction,
+#: source_snapshot_tags, stream_cdf_maintenance. All are green in
+#: the local differential gate today.
+#: ROUND-10 ROTATION (VERDICT r9 next #1): the complete 7-query
+#: never-proven queue takes the front slots — after this gate every
+#: registered query has driver hard-signal in some round. The same
+#: 3 sentinels follow, ahead of the round-10 additions block (new
+#: operators get first-time proof in their own round); backfill by
+#: longest-unproven (recomputed from cumulative CORRECTNESS r1-r9:
+#: 6 r2 rows, 12 r3 rows, then r4 rows in registration order —
+#: unchanged from the r9 tail, since none of those re-entered a
+#: recorded slot in round 9).
 _PRIORITY: tuple[str, ...] = (
-    # -- 20 first-timers: the complete round-9 never-proven queue
-    #    (verified mechanically against cumulative CORRECTNESS r1-r8)
-    "micro_grouping_id",
-    "micro_named_window",
-    "op_interval_coverage",
-    "llm_tokenizer_fertility",
-    "llm_kanonymity_audit",
-    "olap_funnel_latency",
-    "olap_rfm_segmentation",
-    "ev_holt_backtest",
-    "llm_minhash_estimate_error",
-    "source_partition_evolution",
-    "olap_pair_lift",
-    "llm_embedding_audit",
-    "source_table_checksum",
-    "ev_top_paths",
-    "llm_embedding_outliers",
-    "ev_growth_accounting",
-    "op_weighted_percentile",
-    "ev_interarrival_profile",
-    "llm_cluster_purity",
-    "win_share_of_total",
+    # -- 7 first-timers: the complete round-10 never-proven queue
+    #    (verified mechanically against cumulative CORRECTNESS r1-r9)
+    "ev_engagement_l28",
+    "fed_postgres_extended",
+    "fed_three_engine_join",
+    "micro_pivot_sql",
+    "source_eq_compaction",
+    "source_snapshot_tags",
+    "stream_cdf_maintenance",
     # -- 3 sentinels (regression canaries from driver-proven
     #    families). Placed BEFORE the additions block so late-round
     #    additions can never push a canary out of the 50 recorded
     #    slots — the additions spill to the local gate instead and
-    #    become the next round's rotation queue (the r8 ordering,
-    #    kept per VERDICT r8 next #1).
+    #    become the next round's rotation queue.
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- round-9 additions (first-time proof in their own round)
+    # -- round-10 additions (first-time proof in their own round)
     # (appended here as they are registered this round)
-    "source_stats_join_decision",
-    "source_skipping_rewrite",
-    "win_pattern_match",
-    "olap_overlap_matrix",
-    "ev_scd2_intervals",
-    "mm_clip_sample",
-    "stream_upsert_sink",
-    "micro_order_by_all",
-    "olap_percent_change_wow",
-    "source_expectations",
-    "olap_serving_stack",
-    "stream_stream_right_outer",
-    "op_calendar_gaps",
-    "fed_postgres_scan",
-    "fed_postgres_binary_copy",
-    "fed_postgres_pushdown",
-    "fed_postgres_sink_roundtrip",
-    "fed_postgres_partitioned",
-    # late round-9 additions — registered past the 50-slot cap, so
-    # they spill to the local gate and head the round-10 queue
-    "micro_join_elimination",
-    "olap_ab_test",
-    "ev_cohort_ltv",
-    "op_rolling_median",
-    "op_scd2_asof_join",
-    "source_deletion_vectors",
-    "source_mor_update",
-    "sink_wap_publish",
-    "source_equality_deletes",
-    "source_snapshot_tags",
-    "fed_postgres_extended",
-    "source_eq_compaction",
-    "micro_pivot_sql",
-    "stream_cdf_maintenance",
-    "fed_three_engine_join",
-    "ev_engagement_l28",
     # -- backfill: longest-unproven first (mechanically recomputed
-    #    from cumulative CORRECTNESS r1-r8: the 6 remaining r2-proven
+    #    from cumulative CORRECTNESS r1-r9: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in
     #    registration order; only the first 50 total are recorded)
     "micro_grouping_sets",
@@ -228,6 +196,21 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_exact",
     "llm_dedup_clusters",
     "llm_dedup_incremental_lsh",
+    # olap_/op_ promoted within their r4 tier so the recorded 50
+    # always cover the olap and temporal-operator subsystems (the
+    # mm_binary_features precedent)
+    "olap_cohort_retention",
+    "op_asof_purchase_click",
+    "llm_dedup_ngram_exact",
+    "llm_sim_tfidf_pairs",
+    "llm_dedup_simhash",
+    "llm_sim_topk_ivfpq",
+    "llm_sim_topk_pq_rerank",
+    "llm_token_topk",
+    "llm_dedup_embedding",
+    "llm_fingerprint_winnow",
+    "llm_decontaminate",
+    "llm_mixture_sample",
 )
 
 
