@@ -13,13 +13,15 @@ predicate can't touch, never rows. Any other shape returns the
 ORIGINAL frame unchanged: semantics-preserving or absent, never
 wrong.
 
-Eligibility is deliberately conservative: the predicate must be a
-pure conjunction (any ``OR``/``NOT`` falls through — a disjunct
-involving the range column would make file pruning by that range
-unsound), and at least one indexed atom (``range_col >= / <= / =``
-literals or ``point_col = literal``) must be present at the top
-level. Residual conjuncts are fine: the whole predicate re-applies
-on the pruned scan.
+Eligibility walks the ANALYZED condition tree (ADVICE r9 #1 — the
+earlier regex over the rendered SQL could mistake a comparison
+nested inside CASE/WHEN for a top-level conjunct and prune by a
+non-binding atom): an indexed atom (``range_col >= / <=`` or
+``point_col =`` integer literal) is accepted only when its
+comparison node is itself a top-level AND conjunct, which makes
+pruning sound by construction — the predicate always implies such
+an atom, whatever the other conjuncts contain. Residual conjuncts
+are fine: the whole predicate re-applies on the pruned scan.
 
 Scale: the zonemap stage is driver-side manifest metadata (KBs at
 any table size); the Bloom stage reads bit-pruned slices of the
@@ -51,31 +53,72 @@ class SkippingIndex:
     point_col: str  #: bloom column (e.g. l_suppkey)
 
 
-def _strip_typed_suffix(n: str) -> int:
-    return int(re.sub(r"(?:BD|[DLSYF])$", "", n))
+def _split_conjuncts(expr) -> list:
+    """Flatten a Catalyst condition tree into its top-level AND
+    conjuncts (a non-And node is its own single conjunct)."""
+    if expr.getClass().getSimpleName() == "And":
+        return _split_conjuncts(expr.left()) + _split_conjuncts(expr.right())
+    return [expr]
 
 
-def _extract_atoms(cond: str, idx: SkippingIndex):
-    """(lo, hi, key) extracted from a pure conjunction, or None if
-    the predicate shape is ineligible. Any atom may be absent."""
-    u = f" {cond.upper()} "
-    if " OR " in u or " NOT " in u or "NOT(" in u.replace(" ", ""):
+def _conjunct_atom(expr, base_table: str):
+    """(class_name, col, int_value) if this conjunct IS an
+    ``attr <op> integer-literal`` comparison on a base-table column
+    (literal possibly under a widening Cast), else None. Walking the
+    analyzed tree — not the rendered SQL — means a comparison nested
+    inside CASE/WHEN/IF/coalesce can never be mistaken for a
+    top-level conjunct (ADVICE r9 #1: the regex form treated
+    ``CASE WHEN l_suppkey = 2 ... END = 1`` as a ``l_suppkey = 2``
+    atom and pruned by a non-binding predicate)."""
+
+    def unwrap(e):
+        while e.getClass().getSimpleName() == "Cast":
+            e = e.child()
+        return e
+
+    nm = expr.getClass().getSimpleName()
+    if nm not in ("GreaterThanOrEqual", "LessThanOrEqual", "EqualTo"):
         return None
-    q = re.escape(f"{idx.base_table}.")
-    # Catalyst renders the literal either bare (`300`, `300L`) or
-    # wrapped in a widening cast (`CAST(300 AS BIGINT)`)
-    num = r"(?:CAST\((\d+) AS [A-Z]+\)|(\d+)(?:BD|[DLSYF])?\b)"
+    left, right = unwrap(expr.left()), unwrap(expr.right())
+    if (
+        left.getClass().getSimpleName() != "AttributeReference"
+        or right.getClass().getSimpleName() != "Literal"
+    ):
+        return None  # literal-on-left / col-vs-col: conservative
+    quals = [q for q in _seq(left.qualifier())]
+    if quals and quals[-1] != base_table:
+        return None  # names another relation's column
+    try:
+        val = int(str(right.value()))
+    except (TypeError, ValueError):
+        return None  # non-integral literal: not an indexed atom
+    return nm, left.name(), val
 
-    def one(col: str, op: str):
-        ms = re.findall(rf"{q}{col} {re.escape(op)} {num}", cond)
-        if len(ms) != 1:
-            return None
-        cast_n, bare_n = ms[0]
-        return int(cast_n or bare_n)
 
-    lo = one(idx.range_col, ">=")
-    hi = one(idx.range_col, "<=")
-    key = one(idx.point_col, "=")
+def _extract_atoms(cond_expr, idx: SkippingIndex):
+    """(lo, hi, key) extracted from the analyzed condition tree, or
+    None if the predicate shape is ineligible. Any atom may be
+    absent. Sound by construction: an atom is accepted only when its
+    comparison node is itself a top-level conjunct, so the whole
+    predicate always implies the atom — other conjuncts may contain
+    OR/NOT/CASE freely, since the full predicate is re-applied on
+    the pruned scan."""
+    found: dict[tuple[str, str], list[int]] = {}
+    for conj in _split_conjuncts(cond_expr):
+        atom = _conjunct_atom(conj, idx.base_table)
+        if atom is not None:
+            nm, col, val = atom
+            found.setdefault((nm, col), []).append(val)
+
+    def one(col: str, nm: str):
+        vals = found.get((nm, col), [])
+        # exactly-one discipline: duplicate same-op atoms on the same
+        # column are ambiguous — fall through rather than pick one
+        return vals[0] if len(vals) == 1 else None
+
+    lo = one(idx.range_col, "GreaterThanOrEqual")
+    hi = one(idx.range_col, "LessThanOrEqual")
+    key = one(idx.point_col, "EqualTo")
     if lo is None and hi is None and key is None:
         return None  # nothing indexed in the predicate
     if (lo is None) != (hi is None):
@@ -95,7 +138,7 @@ def _try_filter_scan(
     if not _base_matches(node.child(), idx.base_table):
         return None
     cond = node.condition().sql()
-    atoms = _extract_atoms(cond, idx)
+    atoms = _extract_atoms(node.condition(), idx)
     if atoms is None:
         return None
     lo, hi, key = atoms

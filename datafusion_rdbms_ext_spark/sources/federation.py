@@ -553,23 +553,24 @@ def fed_postgres_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     con = _pg_connector(spark, sf_dir)
     cat = con.catalog()  # live two-step bootstrap
-    sup_schema = T.StructType(
-        [f for f in cat["supplier"].fields
-         if f.name in ("s_suppkey", "s_nationkey", "s_acctbal")]
-    )
-    nat_schema = T.StructType(
-        [f for f in cat["nation"].fields
-         if f.name in ("n_nationkey", "n_name")]
-    )
+
+    def proj(table: str, cols: tuple[str, ...]) -> T.StructType:
+        # build the Spark schema FROM the SELECT list (name-keyed
+        # catalog lookup), never by filtering catalog order — a
+        # positional zip is only right while DDL order happens to
+        # match the projection (ADVICE r9 #3)
+        by_name = {f.name: f for f in cat[table].fields}
+        return T.StructType([by_name[c] for c in cols])
+
+    sup_cols = ("s_suppkey", "s_nationkey", "s_acctbal")
+    nat_cols = ("n_nationkey", "n_name")
     sup = spark.createDataFrame(
-        con.fetch_pdf(
-            "SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier"
-        ),
-        schema=sup_schema,
+        con.fetch_pdf(f"SELECT {', '.join(sup_cols)} FROM supplier"),
+        schema=proj("supplier", sup_cols),
     )
     nat = spark.createDataFrame(
-        con.fetch_pdf("SELECT n_nationkey, n_name FROM nation"),
-        schema=nat_schema,
+        con.fetch_pdf(f"SELECT {', '.join(nat_cols)} FROM nation"),
+        schema=proj("nation", nat_cols),
     )
     return (
         sup.join(

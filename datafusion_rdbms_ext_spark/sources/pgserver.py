@@ -102,23 +102,62 @@ def ensure_pg_server() -> dict:
     return params
 
 
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the source parquet files (size +
+    mtime_ns per file — no data read). Folded into both the session
+    memo and the server-side marker so a REGENERATED fixture with
+    equal row counts still reloads (ADVICE r9 #2: the count-only
+    check left stale values in the live schema and the differential
+    gate then compared new-fixture Spark against old-fixture
+    Postgres)."""
+    parts = []
+    for name in ("nation", "region", "supplier", "customer", "events"):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    import hashlib
+
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _memo_key(sf_dir: str) -> str:
+    """Session-conf memo key for a loaded fixture — fingerprint-keyed,
+    so a mid-session fixture regen invalidates the memo itself."""
+    return (
+        f"spark.datafusion_rdbms_ext.pg_loaded.{schema_for(sf_dir)}."
+        f"{abs(hash(sf_dir))}.{_fixture_fingerprint(sf_dir)}"
+    )
+
+
 def load_fixture(spark, sf_dir: str) -> dict:
     """Idempotently load nation/region/supplier (full) and a bounded
     events slice into the live server from the parquet fixtures.
-    Row-count-checked per (table, sf_dir): a fixture regen or sf
-    switch reloads. Returns the connection params."""
+    Checked per (table, sf_dir) by row count PLUS a source-file
+    fingerprint persisted in the schema: a fixture regen (even at
+    equal cardinality) or sf switch reloads. Returns the connection
+    params."""
     params = ensure_pg_server()
     schema = schema_for(sf_dir)
-    # memoized per (session, sf_dir): the load check itself costs
-    # five Spark count jobs — paying it on every registered-query
-    # call tripled the fed_postgres bench rows
-    memo = f"spark.datafusion_rdbms_ext.pg_loaded.{schema}.{abs(hash(sf_dir))}"
+    fp = _fixture_fingerprint(sf_dir)
+    # memoized per (session, sf_dir, fingerprint): the load check
+    # itself costs five Spark count jobs — paying it on every
+    # registered-query call tripled the fed_postgres bench rows
+    memo = _memo_key(sf_dir)
     if spark.conf.get(memo, None):
         return dict(params, search_path=schema)
     cli = PgWireClient(**params)
     try:
         cli.query(f"CREATE SCHEMA IF NOT EXISTS {schema}")
         cli.query(f"SET search_path TO {schema}, public")
+        # server-side fingerprint marker: survives across sessions
+        # (the session memo does not), so a reload triggered in one
+        # process invalidates every other's stale view
+        cli.query("CREATE TABLE IF NOT EXISTS _fixture_meta (fp text)")
+        _, _, fprows = cli.query("SELECT fp FROM _fixture_meta")
+        fp_current = bool(fprows) and fprows[0][0] == fp
         specs = {
             "nation": (
                 "n_nationkey bigint, n_name text, n_regionkey bigint",
@@ -174,8 +213,8 @@ def load_fixture(spark, sf_dir: str) -> dict:
             )
             if existing[0][0] == 1:
                 _, _, cnt = cli.query(f"SELECT COUNT(*) FROM {table}")
-                if cnt[0][0] == n_src:
-                    continue  # loaded and current
+                if fp_current and cnt[0][0] == n_src:
+                    continue  # loaded and current (count + fingerprint)
                 cli.query(f"DROP TABLE {table}")
             cli.query(f"CREATE TABLE {table} ({ddl})")
             rows = src.collect()  # bounded: dims + a 5-user slice
@@ -189,6 +228,8 @@ def load_fixture(spark, sf_dir: str) -> dict:
                 raise RuntimeError(
                     f"COPY {table}: sent {n_src}, server loaded {n_copied}"
                 )
+        cli.query("DELETE FROM _fixture_meta")
+        cli.query(f"INSERT INTO _fixture_meta VALUES ('{fp}')")
         spark.conf.set(memo, "1")
         return dict(params, search_path=schema)
     finally:

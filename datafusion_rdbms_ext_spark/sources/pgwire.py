@@ -380,19 +380,33 @@ def _decode_text(value: bytes, oid: int):
     return s
 
 
+def _need(buf: bytes, pos: int, n: int, what: str) -> None:
+    """Bounds guard (ADVICE r9 #4): a truncated or malformed server
+    stream must surface as PgError with context, not a raw
+    struct.error/IndexError from blind slicing."""
+    if pos + n > len(buf):
+        raise PgError(
+            f"truncated {what}: need {n} bytes at offset {pos}, "
+            f"have {len(buf) - pos}"
+        )
+
+
 def _parse_data_row(
     payload: bytes, oids: list[int], binary: bool = False
 ) -> tuple:
+    _need(payload, 0, 2, "DataRow field count")
     (nfields,) = struct.unpack("!H", payload[:2])
     pos = 2
     out = []
     decode = _decode_binary if binary else _decode_text
     for i in range(nfields):
+        _need(payload, pos, 4, "DataRow field length")
         (length,) = struct.unpack("!i", payload[pos : pos + 4])
         pos += 4
         if length == -1:
             out.append(None)
             continue
+        _need(payload, pos, length, "DataRow field value")
         out.append(decode(payload[pos : pos + length], oids[i]))
         pos += length
     return tuple(out)
@@ -438,21 +452,25 @@ def _parse_pgcopy_binary(blob: bytes, oids: list[int]) -> list[tuple]:
     if not blob.startswith(sig):
         raise PgError("bad PGCOPY signature")
     pos = len(sig)
+    _need(blob, pos, 8, "PGCOPY header")
     _flags, extlen = struct.unpack("!II", blob[pos : pos + 8])
     pos += 8 + extlen
     rows: list[tuple] = []
     while True:
+        _need(blob, pos, 2, "PGCOPY tuple field count")
         (nfields,) = struct.unpack("!h", blob[pos : pos + 2])
         pos += 2
         if nfields == -1:
             return rows  # file trailer
         out = []
         for i in range(nfields):
+            _need(blob, pos, 4, "PGCOPY field length")
             (length,) = struct.unpack("!i", blob[pos : pos + 4])
             pos += 4
             if length == -1:
                 out.append(None)
                 continue
+            _need(blob, pos, length, "PGCOPY field value")
             out.append(_decode_binary(blob[pos : pos + length], oids[i]))
             pos += length
         rows.append(tuple(out))

@@ -332,6 +332,7 @@ def test_loader_copy_path_restores_dropped_table(spark, pg):
     the session memo, reload — the COPY FROM STDIN bulk path must
     rebuild it to the exact parquet row count."""
     from datafusion_rdbms_ext_spark.sources.pgserver import (
+        _memo_key,
         load_fixture,
         schema_for,
     )
@@ -341,11 +342,7 @@ def test_loader_copy_path_restores_dropped_table(spark, pg):
     cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
     try:
         cli.query(f"DROP TABLE IF EXISTS {schema}.region")
-        memo = (
-            "spark.datafusion_rdbms_ext.pg_loaded."
-            f"{schema}.{abs(hash(SF_DIR))}"
-        )
-        spark.conf.unset(memo)
+        spark.conf.unset(_memo_key(SF_DIR))
         load_fixture(spark, SF_DIR)
         _, _, back = cli.query(f"SELECT COUNT(*) FROM {schema}.region")
         n_parquet = spark.read.parquet(

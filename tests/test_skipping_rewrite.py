@@ -114,6 +114,52 @@ def test_fall_through_shapes_return_original(spark, idx):
             skipping_rewrite(bad, idx, strict=True)
 
 
+def test_case_nested_comparison_is_not_a_conjunct_atom(spark, idx):
+    """ADVICE r9 #1 regression: a comparison nested inside CASE WHEN
+    (no OR/NOT anywhere, so the old string guard let it through) must
+    NOT be treated as a top-level conjunct — the predicate below is
+    a tautology matching EVERY row, and pruning by the non-binding
+    ``l_suppkey = _REWRITE_KEY`` or range atoms would silently drop
+    rows."""
+    li = spark.table("lineitem")
+    taut = F.expr(
+        f"CASE WHEN l_suppkey = {_REWRITE_KEY} THEN 1 ELSE 1 END = 1"
+    )
+    user = li.filter(taut)
+    assert skipping_rewrite(user, idx) is user  # no atoms -> fall through
+    # range form: CASE-wrapped range comparisons are equally non-binding
+    taut2 = F.expr(
+        f"CASE WHEN l_orderkey >= {_REWRITE_LO} THEN 1 ELSE 1 END = 1"
+        f" AND CASE WHEN l_orderkey <= {_REWRITE_HI} THEN 1 ELSE 1 END = 1"
+    )
+    user2 = li.filter(taut2)
+    assert skipping_rewrite(user2, idx) is user2
+    # and the sound mixed shape: a REAL conjunct range atom alongside a
+    # CASE conjunct still rewrites, full predicate re-applied
+    user3 = li.filter(
+        F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI) & taut
+    )
+    served = skipping_rewrite(user3, idx, strict=True)
+    assert served.count() == user3.count()
+
+
+def test_or_in_residual_conjunct_is_sound_and_served(spark, idx):
+    """Tree-walk upgrade: an OR inside ANOTHER conjunct no longer
+    forces fall-through — the range atom is still a top-level
+    conjunct, so pruning by it is implied; the OR re-applies on the
+    pruned scan."""
+    li = spark.table("lineitem")
+    user = li.filter(
+        F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI)
+        & ((F.col("l_suppkey") == _REWRITE_KEY) | (F.col("l_quantity") > 10))
+    )
+    served = skipping_rewrite(user, idx, strict=True)
+    assert len(served.inputFiles()) < len(idx.manifest)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, user.collect())
+    )
+
+
 def test_fall_through_literal_containing_atom_text(spark, idx):
     """A string literal that happens to contain an indexed atom's
     text must not make the plan eligible by regex accident — the
