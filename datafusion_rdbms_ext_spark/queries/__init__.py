@@ -159,7 +159,8 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
     # -- round-10 additions (first-time proof in their own round)
-    # (appended here as they are registered this round)
+    "fed_postgres_typed_roundtrip",
+    "fed_postgres_decimal",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r9: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

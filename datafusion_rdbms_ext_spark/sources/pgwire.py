@@ -15,10 +15,15 @@ Protocol" — public spec) with
 * ``COPY (…) TO STDOUT (FORMAT BINARY)`` — parsing the PGCOPY
   header and per-tuple binary fields exactly as binary_reader.rs
   does: big-endian int2/int4/int8/float4/float8, bool, utf-8 text,
-  ``numeric`` in base-10000 digit groups (decoded lossily to float,
-  mirroring the reference's numeric→Float64 wire path,
-  datatypes.rs:19-47), DATE as days-since-2000-01-01 and TIMESTAMP
-  as micros-since-2000-01-01, both rebased to the Unix epoch.
+  ``numeric`` in base-10000 digit groups decoded EXACTLY to Decimal
+  (the reference's own binary reader is exact base-10000 → i128 at
+  target scale, binary_reader.rs:439-487 — round 10 retired the
+  lossy numeric→Float64 shortcut of datatypes.rs:19), DATE as
+  days-since-2000-01-01 and TIMESTAMP as micros-since-2000-01-01,
+  both rebased to the Unix epoch, plus the catalog-path tail
+  (round 10, ref datatypes.rs:28-80 + 141-176): 1-D arrays →
+  List<T> via the element-OID table, bytea, uuid, time, and
+  day/time intervals.
 
 The two paths decode the SAME values by construction;
 tests/test_pgwire.py pins text == binary == the parquet fixture.
@@ -33,11 +38,13 @@ per slice — the same shape Spark's JDBC source uses.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _dec
 import socket
 import struct
 
 #: Postgres type OIDs (pg_type.dat — public catalog numbers).
 OID_BOOL = 16
+OID_BYTEA = 17
 OID_INT8 = 20
 OID_INT2 = 21
 OID_INT4 = 23
@@ -47,9 +54,12 @@ OID_FLOAT8 = 701
 OID_VARCHAR = 1043
 OID_BPCHAR = 1042
 OID_DATE = 1082
+OID_TIME = 1083
 OID_TIMESTAMP = 1114
 OID_TIMESTAMPTZ = 1184
+OID_INTERVAL = 1186
 OID_NUMERIC = 1700
+OID_UUID = 2950
 
 #: 2000-01-01 — the Postgres wire epoch (binary_reader.rs rebases
 #: exactly this way to Unix time).
@@ -297,6 +307,10 @@ def _copy_text_field(v) -> str:
         return "t" if v else "f"
     if isinstance(v, float):
         return repr(v)  # shortest round-trip — exact through float8
+    if isinstance(v, (bytes, bytearray)):
+        # bytea hex input: the field is \x<hex>, with the backslash
+        # itself COPY-escaped
+        return "\\\\x" + bytes(v).hex()
     if isinstance(v, (_dt.date, _dt.datetime)):
         return str(v)
     s = v if isinstance(v, str) else str(v)
@@ -306,6 +320,40 @@ def _copy_text_field(v) -> str:
         .replace("\n", "\\n")
         .replace("\r", "\\r")
     )
+
+
+_INTERVAL_RE = __import__("re").compile(
+    r"(?:(-?\d+)\s+years?\s*)?(?:(-?\d+)\s+mons?\s*)?"
+    r"(?:(-?\d+)\s+days?\s*)?"
+    r"(?:([+-]?)(\d+):(\d{2}):(\d{2})(?:\.(\d{1,6}))?)?"
+)
+
+
+def _parse_text_interval(s: str) -> _dt.timedelta:
+    """Default ('postgres') IntervalStyle output, e.g.
+    ``2 days 03:00:00`` / ``-1 days +02:30:00``. Month/year
+    components are calendar-relative — rejected like the binary
+    path."""
+    m = _INTERVAL_RE.fullmatch(s.strip())
+    if not m or not any(m.groups()):
+        raise PgError(f"unsupported interval literal: {s!r}")
+    if int(m.group(1) or 0) or int(m.group(2) or 0):
+        raise PgError(
+            "interval with a month component is calendar-relative; "
+            "cast to days/seconds in the remote SQL"
+        )
+    days = int(m.group(3) or 0)
+    out = _dt.timedelta(days=days)
+    if m.group(5) is not None:
+        sign = -1 if m.group(4) == "-" else 1
+        frac = (m.group(8) or "").ljust(6, "0")
+        out += sign * _dt.timedelta(
+            hours=int(m.group(5)),
+            minutes=int(m.group(6)),
+            seconds=int(m.group(7)),
+            microseconds=int(frac or 0),
+        )
+    return out
 
 
 # -- decoding helpers ----------------------------------------------------
@@ -339,9 +387,12 @@ def _parse_row_description(payload: bytes) -> tuple[list[str], list[int]]:
     return names, oids
 
 
-#: array OID -> element OID (the control-plane arrays the federation
-#: seam actually sends: percentile_disc split points etc.)
+#: array OID -> element OID (ref datatypes.rs:28-80 maps the same
+#: rows to List<T>; extended in round 10 from the control-plane
+#: integer/float arrays to the full catalog set)
 _ARRAY_ELEM = {
+    1000: OID_BOOL,
+    1001: OID_BYTEA,
     1005: OID_INT2,
     1007: OID_INT4,
     1016: OID_INT8,
@@ -349,30 +400,85 @@ _ARRAY_ELEM = {
     1022: OID_FLOAT8,
     1231: OID_NUMERIC,
     1009: OID_TEXT,
+    1014: OID_BPCHAR,
+    1015: OID_VARCHAR,
+    1182: OID_DATE,
+    1183: OID_TIME,
+    1115: OID_TIMESTAMP,
+    1185: OID_TIMESTAMPTZ,
+    2951: OID_UUID,
 }
+
+
+def _parse_text_array(s: str, elem_oid: int) -> list:
+    """Quote-aware 1-D array_out parser: elements are comma-separated
+    inside braces; an element containing comma/quote/brace/space is
+    double-quoted with backslash escapes (the public array text
+    format). The old split-on-comma shortcut silently mis-split
+    quoted text elements."""
+    if not (s.startswith("{") and s.endswith("}")):
+        raise PgError(f"malformed array literal: {s[:40]!r}")
+    inner = s[1:-1]
+    out: list = []
+    pos, n = 0, len(inner)
+    while pos < n:
+        if inner[pos] == "{":
+            raise PgError("multidimensional arrays are not supported")
+        if inner[pos] == '"':
+            buf = []
+            pos += 1
+            while pos < n and inner[pos] != '"':
+                if inner[pos] == "\\":
+                    pos += 1
+                buf.append(inner[pos])
+                pos += 1
+            if pos >= n:
+                raise PgError("unterminated quoted array element")
+            pos += 1  # closing quote
+            out.append(_decode_text("".join(buf).encode(), elem_oid))
+        else:
+            end = inner.find(",", pos)
+            if end == -1:
+                end = n
+            tok = inner[pos:end]
+            pos = end
+            out.append(
+                None if tok == "NULL" else _decode_text(tok.encode(), elem_oid)
+            )
+        if pos < n and inner[pos] == ",":
+            pos += 1
+    return out
 
 
 def _decode_text(value: bytes, oid: int):
     s = value.decode()
     if oid in _ARRAY_ELEM:
-        inner = s.strip("{}")
-        if not inner:
+        if s == "{}":
             return []
-        elem = _ARRAY_ELEM[oid]
-        return [
-            None
-            if tok == "NULL"
-            else _decode_text(tok.strip('"').encode(), elem)
-            for tok in inner.split(",")
-        ]
+        return _parse_text_array(s, _ARRAY_ELEM[oid])
     if oid in (OID_INT2, OID_INT4, OID_INT8):
         return int(s)
-    if oid in (OID_FLOAT4, OID_FLOAT8, OID_NUMERIC):
-        # numeric -> float mirrors the reference's lossy
-        # numeric→Float64 wire path (datatypes.rs:19-47)
+    if oid in (OID_FLOAT4, OID_FLOAT8):
         return float(s)
+    if oid == OID_NUMERIC:
+        # EXACT decode (round 10, VERDICT r9 #3): the reference's own
+        # binary reader is exact base-10000 -> i128 at target scale
+        # (binary_reader.rs:439-487); the lossy numeric→Float64 path
+        # (datatypes.rs:19) is the wire shortcut we no longer mirror.
+        return _dec.Decimal(s)
     if oid == OID_BOOL:
         return s == "t"
+    if oid == OID_BYTEA:
+        # hex output format ("\x..."), the server default since 9.0
+        if not s.startswith("\\x"):
+            raise PgError("bytea escape output format is not supported")
+        return bytes.fromhex(s[2:])
+    if oid == OID_UUID:
+        return s  # canonical hyphenated lowercase — kept as string
+    if oid == OID_TIME:
+        return _dt.time.fromisoformat(s)
+    if oid == OID_INTERVAL:
+        return _parse_text_interval(s)
     if oid == OID_DATE:
         return _dt.date.fromisoformat(s)
     if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ):
@@ -435,16 +541,81 @@ def _decode_binary(value: bytes, oid: int):
         (us,) = struct.unpack("!q", value)
         return _PG_EPOCH_TS + _dt.timedelta(microseconds=us)
     if oid == OID_NUMERIC:
-        # base-10000 digit groups: ndigits, weight, sign, dscale
-        ndigits, weight, sign, _dscale = struct.unpack("!HhHH", value[:8])
+        # base-10000 digit groups: ndigits, weight, sign, dscale.
+        # EXACT decode (round 10, VERDICT r9 #3) — the reference's
+        # binary reader does exact base-10000 -> i128 at target scale
+        # (binary_reader.rs:439-487, sign :482-484); Decimal carries
+        # the same digits without the float64 envelope.
+        _need(value, 0, 8, "numeric header")
+        ndigits, weight, sign, dscale = struct.unpack("!HhHH", value[:8])
+        if sign == 0xC000:
+            return _dec.Decimal("NaN")
+        _need(value, 8, 2 * ndigits, "numeric digits")
         digits = struct.unpack(f"!{ndigits}H", value[8 : 8 + 2 * ndigits])
-        total = 0.0
-        for i, d in enumerate(digits):
-            total += d * (10000.0 ** (weight - i))
-        if sign == 0x4000:
-            total = -total
-        return total  # lossy float, the reference's numeric path
+        ival = 0
+        for d in digits:
+            ival = ival * 10000 + d
+        with _dec.localcontext() as ctx:
+            ctx.prec = 80  # 38 digits + scale never rounds here
+            out = _dec.Decimal(ival).scaleb(4 * (weight + 1 - ndigits))
+            if sign == 0x4000:
+                out = -out
+            # pin the declared scale (trailing zero groups are
+            # trimmed on the wire; dscale restores them)
+            return out.quantize(_dec.Decimal(1).scaleb(-dscale))
+    if oid == OID_BYTEA:
+        return bytes(value)
+    if oid == OID_UUID:
+        h = value.hex()
+        return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+    if oid == OID_TIME:
+        # int64 micros since midnight
+        (us,) = struct.unpack("!q", value)
+        return (_dt.datetime.min + _dt.timedelta(microseconds=us)).time()
+    if oid == OID_INTERVAL:
+        # int64 micros, int32 days, int32 months. Months are
+        # calendar-relative (no fixed microsecond width), so a
+        # month-bearing interval cannot be a timedelta — the remote
+        # query must cast such intervals to days/seconds first.
+        us, days, months = struct.unpack("!qii", value)
+        if months:
+            raise PgError(
+                "interval with a month component is calendar-relative; "
+                "cast to days/seconds in the remote SQL"
+            )
+        return _dt.timedelta(days=days, microseconds=us)
+    if oid in _ARRAY_ELEM:
+        return _decode_binary_array(value)
     return value.decode()
+
+
+def _decode_binary_array(value: bytes) -> list:
+    """Binary array wire format (array_send): int32 ndim, int32
+    has-nulls flag, uint32 element OID, then per-dimension
+    (size, lower bound) and length-prefixed elements — decoded with
+    the same per-OID scalar table (ref datatypes.rs:28-80 maps these
+    to List<T>)."""
+    _need(value, 0, 12, "array header")
+    ndim, _hasnull, elem_oid = struct.unpack("!iiI", value[:12])
+    if ndim == 0:
+        return []
+    if ndim != 1:
+        raise PgError(f"{ndim}-dimensional arrays are not supported")
+    _need(value, 12, 8, "array dimension")
+    dim, _lb = struct.unpack("!ii", value[12:20])
+    pos = 20
+    out: list = []
+    for _ in range(dim):
+        _need(value, pos, 4, "array element length")
+        (length,) = struct.unpack("!i", value[pos : pos + 4])
+        pos += 4
+        if length == -1:
+            out.append(None)
+            continue
+        _need(value, pos, length, "array element value")
+        out.append(_decode_binary(value[pos : pos + length], elem_oid))
+        pos += length
+    return out
 
 
 def _parse_pgcopy_binary(blob: bytes, oids: list[int]) -> list[tuple]:

@@ -157,8 +157,12 @@ def test_null_and_numeric_decode_parity(pg):
     assert trows == brows
     row = trows[0]
     assert row[0] is None and row[3] is False
-    assert abs(row[1] - (-0.0001)) < 1e-12
-    assert row[2] == 123456789.5
+    # numeric decodes EXACTLY to Decimal on both wire paths
+    # (round 10, VERDICT r9 #3 — binary_reader.rs:439-487 parity)
+    from decimal import Decimal
+
+    assert row[1] == Decimal("-0.0001") and str(row[1]) == "-0.0001"
+    assert row[2] == Decimal("123456789.5")
     assert str(row[4]) == "2024-02-29"
 
 
@@ -420,3 +424,123 @@ def test_extended_protocol_parameters_are_data(pg):
         assert cli.query("SELECT 1")[2] == [(1,)]
     finally:
         cli.close()
+
+
+def test_type_tail_text_binary_parity(pg):
+    """Round 10 (VERDICT r9 #2): the catalog-path type tail — 1-D
+    arrays → List<T> (ref datatypes.rs:28-80), bytea, uuid, time,
+    day/time interval — decodes identically over the text protocol
+    and binary COPY, with quoted/NULL/empty array edges pinned."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
+    try:
+        sql = (
+            "SELECT ARRAY[1,2,3]::int8[] AS ia,"
+            " ARRAY['a,b','c\"d','plain',NULL]::text[] AS ta,"
+            " ARRAY[]::int4[] AS ea,"
+            " ARRAY[1.5,NULL]::float8[] AS fa,"
+            " ARRAY[1.0001,-2.5]::numeric(10,4)[] AS na,"
+            " '\\xdeadbeef'::bytea AS by,"
+            " 'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11'::uuid AS u,"
+            " '13:14:15.123456'::time AS t,"
+            " interval '2 days 03:00:00' AS iv"
+        )
+        cols, oids, trows = cli.query(sql)
+        brows = cli.copy_binary(sql, oids)
+        assert trows == brows, (trows, brows)
+        row = dict(zip(cols, trows[0]))
+        assert row["ia"] == [1, 2, 3]
+        # quoted elements with embedded comma/quote survive the
+        # quote-aware text parser; NULL stays None
+        assert row["ta"] == ["a,b", 'c"d', "plain", None]
+        assert row["ea"] == []
+        assert row["fa"] == [1.5, None]
+        assert row["na"] == [Decimal("1.0001"), Decimal("-2.5000")]
+        assert row["by"] == b"\xde\xad\xbe\xef"
+        assert row["u"] == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"
+        assert row["t"] == dt.time(13, 14, 15, 123456)
+        assert row["iv"] == dt.timedelta(days=2, hours=3)
+    finally:
+        cli.close()
+
+
+def test_numeric_exact_beyond_float64(pg):
+    """Round 10 (VERDICT r9 #3): NUMERIC decodes exactly — a value
+    float64 cannot represent survives both wire paths bit-for-bit
+    (the reference's own binary reader is exact base-10000 → i128,
+    binary_reader.rs:439-487)."""
+    from decimal import Decimal
+
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    cli = PgWireClient(**{k: v for k, v in pg.items() if k != "search_path"})
+    try:
+        big = "12345678901234567890.1234"  # 24 significant digits
+        sql = (
+            f"SELECT '{big}'::numeric(38,4) AS a,"
+            f" '-{big}'::numeric(38,4) AS neg,"
+            " '0.0000'::numeric(38,4) AS z,"
+            # trailing zero base-10000 groups are trimmed on the
+            # binary wire; dscale must restore them
+            " '7.0000'::numeric(38,4) AS t7,"
+            " 'NaN'::numeric AS nan"
+        )
+        cols, oids, trows = cli.query(sql)
+        brows = cli.copy_binary(sql, oids)
+        row = dict(zip(cols, trows[0]))
+        brow = dict(zip(cols, brows[0]))
+        assert row["a"] == brow["a"] == Decimal(big)
+        assert str(brow["a"]) == big  # no float64 envelope
+        assert row["neg"] == brow["neg"] == Decimal("-" + big)
+        assert str(brow["z"]) == "0.0000" == str(row["z"])
+        assert str(brow["t7"]) == "7.0000"
+        assert row["nan"].is_nan() and brow["nan"].is_nan()
+    finally:
+        cli.close()
+
+
+def test_live_catalog_types_arrays_bytea_numeric(spark, pg):
+    """The live two-step bootstrap types ARRAY columns as List<T>
+    via udt_name, bytea as binary, and numeric as Decimal(38,4) —
+    the reference's catalog contract (datatypes.rs:28-80, 141-176,
+    160-162) against a real server."""
+    from pyspark.sql import types as T
+
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+    from datafusion_rdbms_ext_spark.sources.connector import (
+        PostgresConnector,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgserver import (
+        PG_PORT,
+        PG_USER,
+        schema_for,
+    )
+
+    schema = schema_for(SF_DIR)
+    cli = PgWireClient(
+        **{k: v for k, v in pg.items() if k != "search_path"},
+        search_path=schema,
+    )
+    try:
+        cli.query("DROP TABLE IF EXISTS typed_probe")
+        cli.query(
+            "CREATE TABLE typed_probe (k bigint, keys int8[], "
+            "names text[], fp bytea, amt numeric(38,4), id uuid)"
+        )
+    finally:
+        cli.close()
+    con = PostgresConnector(
+        f"host=127.0.0.1 port={PG_PORT} user={PG_USER} dbname=postgres",
+        schema=schema,
+    )
+    cat = con.catalog()
+    f = {x.name: x.dataType for x in cat["typed_probe"].fields}
+    assert f["keys"] == T.ArrayType(T.LongType())
+    assert f["names"] == T.ArrayType(T.StringType())
+    assert f["fp"] == T.BinaryType()
+    assert f["amt"] == T.DecimalType(38, 4)
+    assert f["id"] == T.StringType()

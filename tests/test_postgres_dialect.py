@@ -44,10 +44,11 @@ class CannedPostgres(PostgresConnector):
 def _canned_catalog() -> dict[str, pd.DataFrame]:
     cols = pd.DataFrame(
         {
-            "table_name": ["nation"] * 3,
-            "column_name": ["n_nationkey", "n_name", "n_acctbal"],
-            "data_type": ["integer", "text", "numeric"],
-            "is_nullable": ["NO", "YES", "YES"],
+            "table_name": ["nation"] * 4,
+            "column_name": ["n_nationkey", "n_name", "n_acctbal", "n_tags"],
+            "data_type": ["integer", "text", "numeric", "ARRAY"],
+            "udt_name": ["int4", "text", "numeric", "_int8"],
+            "is_nullable": ["NO", "YES", "YES", "YES"],
         }
     )
     probe = PostgresConnector("postgresql://fake/fixture")
@@ -62,6 +63,7 @@ def _canned_catalog() -> dict[str, pd.DataFrame]:
             "table_name": ["nation_view"],
             "column_name": ["n_name"],
             "data_type": ["text"],
+            "udt_name": ["text"],
             "is_nullable": ["YES"],
         }
     )
@@ -83,13 +85,19 @@ def test_catalog_bootstrap_sql_and_type_map():
     assert isinstance(fields["n_nationkey"].dataType, T.IntegerType)
     assert fields["n_nationkey"].nullable is False
     assert isinstance(fields["n_name"].dataType, T.StringType)
-    # the reference's lossy numeric wire path (datatypes.rs:19)
-    assert isinstance(fields["n_acctbal"].dataType, T.DoubleType)
+    # numeric follows the reference's CATALOG-path contract —
+    # Decimal(38,4), datatypes.rs:160-162 — now that the wire decode
+    # is exact (round 10; the lossy datatypes.rs:19 float path is
+    # retired)
+    assert fields["n_acctbal"].dataType == T.DecimalType(38, 4)
+    # ARRAY columns map to List<T> via udt_name (datatypes.rs:28-80)
+    assert fields["n_tags"].dataType == T.ArrayType(T.LongType())
     # the two-step bootstrap text itself is pinned
     tables_sql, columns_sql = conn.catalog_sql()
     assert "information_schema.tables" in tables_sql
     assert "table_schema = 'public'" in tables_sql
     assert "ordinal_position" in columns_sql
+    assert "udt_name" in columns_sql
 
 
 def test_quantile_partition_planning():
