@@ -544,3 +544,64 @@ def test_live_catalog_types_arrays_bytea_numeric(spark, pg):
     assert f["fp"] == T.BinaryType()
     assert f["amt"] == T.DecimalType(38, 4)
     assert f["id"] == T.StringType()
+
+
+def test_parallel_sink_roundtrip_and_abort(spark, pg):
+    """Round 10 (VERDICT r9 #4): the executor-parallel sink stages
+    over N task-owned wire connections and publishes with one
+    atomic rename; a poisoned job must leave the target untouched
+    and drop the stage."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.federation import (
+        pg_parallel_sink,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    params = dict(pg)
+    src = spark.table("supplier").select("s_suppkey", "s_acctbal")
+    ddl = "s_suppkey bigint, s_acctbal double precision"
+    n = pg_parallel_sink(
+        src.repartition(3, "s_suppkey"), params, "psink_probe", ddl
+    )
+    assert n == src.count()
+    cli = PgWireClient(**params)
+    try:
+        total, cents = cli.query(
+            "SELECT COUNT(*), SUM(ROUND(s_acctbal*100)::bigint) "
+            "FROM psink_probe"
+        )[2][0]
+        assert total == n
+        expect = (
+            src.agg(
+                F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+            ).collect()[0][0]
+        )
+        assert cents == expect  # every row crossed the wire intact
+        # ABORT: a failing write job leaves the published table as-is
+        bad = src.withColumn(
+            "s_acctbal",
+            F.when(F.col("s_suppkey") >= 0, F.col("s_acctbal")),
+        ).repartition(2)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            # ddl/frame column mismatch surfaces before any staging
+            pg_parallel_sink(bad, params, "psink_probe", "wrong bigint")
+        # poisoned COPY (text into bigint) fails executor-side
+        poison = src.withColumn(
+            "s_suppkey", F.lit("not-a-number")
+        ).repartition(2)
+        with _pytest.raises(Exception):
+            pg_parallel_sink(poison, params, "psink_probe", ddl)
+        # target untouched, stage dropped
+        assert cli.query("SELECT COUNT(*) FROM psink_probe")[2][0][0] == n
+        with _pytest.raises(PgError):
+            cli.query("SELECT COUNT(*) FROM psink_probe__stage")
+    finally:
+        cli.close()
