@@ -1894,12 +1894,347 @@ def source_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tag")
 
 
+# ---------------------------------------------------------------------------
+# Snapshot BRANCHES (round 10, VERDICT r9 #7) — the mutable half of
+# the ref surface the tags work started (Iceberg branch refs).
+#
+# A tag is an immutable name -> version pointer; a branch is a
+# MUTABLE pointer advanced by compare-and-swap. The CAS reuses the
+# atomic-exclusive hard-link protocol: a branch is a directory of
+# numbered ref files ``branches/<name>/<seq>.json`` and the head is
+# the highest seq; advancing links ``<seq+1>.json`` EXCLUSIVELY, so
+# two racers produce exactly one winner and one CommitConflict —
+# the loser re-reads the head and rebases, the same optimistic
+# protocol as manifest commits. Snapshots stay GLOBAL (numbered
+# manifests); branch manifests record their ``parent``, which makes
+# fast-forward merges a pure ancestry walk + one ref CAS — O(branch
+# length) metadata reads, zero data movement, exactly Iceberg's
+# ``fast_forward`` procedure.
+# ---------------------------------------------------------------------------
+def _branch_dir(root: str, name: str) -> str:
+    return os.path.join(root, "branches", name)
+
+
+def branch_head(root: str, name: str) -> tuple[int, int] | None:
+    """(version, seq) of the branch head, or None if no such branch.
+    The head is the HIGHEST seq — a torn/partial advance is
+    impossible because each seq file is link-committed whole."""
+    import glob as _glob
+    import json
+
+    files = _glob.glob(os.path.join(_branch_dir(root, name), "*.json"))
+    if not files:
+        return None
+    seq = max(int(os.path.basename(f)[:-5]) for f in files)
+    with open(os.path.join(_branch_dir(root, name), f"{seq}.json")) as fh:
+        return json.load(fh)["version"], seq
+
+
+def branch_init(root: str, name: str, version: int) -> None:
+    """Create a branch pointing at ``version``. Idempotent: an
+    existing branch (at ANY head — it may have advanced) is left
+    alone; only the birth is committed, exclusively."""
+    if branch_head(root, name) is not None:
+        return
+    os.makedirs(_branch_dir(root, name), exist_ok=True)
+    try:
+        _write_ref_seq(root, name, 1, version)
+    except CommitConflict:
+        pass  # concurrent identical init won the race
+
+
+def _write_ref_seq(root: str, name: str, seq: int, version: int) -> None:
+    import json
+
+    final = os.path.join(_branch_dir(root, name), f"{seq}.json")
+    tmp = final + ".tmp." + str(os.getpid())
+    try:
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "seq": seq, "version": version}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise CommitConflict(
+                f"branch {name!r} ref seq {seq} was advanced by "
+                "another writer"
+            ) from exc
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def branch_advance(
+    root: str, name: str, expect_version: int, new_version: int
+) -> None:
+    """Compare-and-swap the branch head: succeeds only if the head
+    still points at ``expect_version`` (no-op if it already points
+    at ``new_version`` — idempotent re-publish)."""
+    head = branch_head(root, name)
+    if head is None:
+        raise CommitConflict(f"branch {name!r} does not exist")
+    version, seq = head
+    if version == new_version:
+        return
+    if version != expect_version:
+        raise CommitConflict(
+            f"branch {name!r} moved: head is v{version}, "
+            f"expected v{expect_version}"
+        )
+    _write_ref_seq(root, name, seq + 1, new_version)
+
+
+def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Time travel to a branch head."""
+    head = branch_head(root, name)
+    if head is None:
+        raise FileNotFoundError(f"branch {name!r} does not exist")
+    return read_version(spark, root, head[0])
+
+
+def branch_commit(
+    spark: SparkSession,
+    root: str,
+    branch: str,
+    staged: DataFrame,
+    stage_name: str,
+    version_to: int,
+) -> int:
+    """WAP-append ``staged`` to a BRANCH: stage immutably, audit
+    (NULL completeness + key collision) against the BRANCH head —
+    not main, so an experiment never blocks production ingest —
+    then commit the global manifest v{version_to} (parent = branch
+    head) and CAS the branch ref. Main never sees the rows: its ref
+    is untouched. Returns the new branch head version. Idempotent:
+    a re-run whose manifest exists just re-asserts the ref."""
+    import glob as _glob
+    import json
+
+    head = branch_head(root, branch)
+    if head is None:
+        raise CommitConflict(f"branch {branch!r} does not exist")
+    parent = head[0]
+    if os.path.exists(os.path.join(root, f"v{version_to}.json")):
+        branch_advance(root, branch, parent, version_to)
+        return version_to
+    stage_dir = os.path.join(root, f"stage_{stage_name}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        tmp = f"{stage_dir}.tmp.{os.getpid()}"
+        staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, stage_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    sdf = spark.read.parquet(stage_dir)
+    table = read_version(spark, root, parent)
+    bad = (
+        sdf.filter(F.col("text").isNull()).count()
+        + sdf.join(table.select("doc_id"), "doc_id", "left_semi").count()
+    )
+    if bad:
+        raise RuntimeError(
+            f"branch WAP audit failed for {stage_name!r}: {bad} violations"
+        )
+    with open(os.path.join(root, f"v{parent}.json")) as fh:
+        prev = json.load(fh)
+    stage_files = sorted(_glob.glob(os.path.join(stage_dir, "*.parquet")))
+    payload = {
+        "version": version_to,
+        "files": sorted(prev["files"]) + stage_files,
+        "appended": stage_files,
+        "parent": parent,
+        "branch": branch,
+    }
+    for carry in ("delete_vectors", "equality_deletes"):
+        if prev.get(carry):
+            payload[carry] = prev[carry]
+    try:
+        _write_manifest(root, version_to, payload)
+    except CommitConflict:
+        pass  # concurrent identical publish won the link race
+    branch_advance(root, branch, parent, version_to)
+    return version_to
+
+
+def fast_forward(root: str, into: str, frm: str) -> int:
+    """Fast-forward merge: advance branch ``into`` to ``frm``'s head
+    — allowed only when ``into``'s head is an ANCESTOR of ``frm``'s
+    (walked via the ``parent`` chain in the manifests). A diverged
+    target raises CommitConflict: fast-forward never rewrites
+    history, exactly Iceberg's fast_forward procedure. Pure
+    metadata: one ancestry walk + one ref CAS, no data movement.
+    Returns the merged head version."""
+    import json
+
+    src = branch_head(root, frm)
+    dst = branch_head(root, into)
+    if src is None or dst is None:
+        raise CommitConflict("both branches must exist")
+    target, cur = src[0], dst[0]
+    if target == cur:
+        return cur
+    v = target
+    while v != cur:
+        path = os.path.join(root, f"v{v}.json")
+        if not os.path.exists(path):
+            raise CommitConflict(f"missing manifest v{v} in ancestry walk")
+        with open(path) as fh:
+            parent = json.load(fh).get("parent")
+        if parent is None:
+            raise CommitConflict(
+                f"{into!r} (v{cur}) is not an ancestor of {frm!r} "
+                f"(v{target}): not a fast-forward"
+            )
+        v = parent
+    branch_advance(root, into, cur, target)
+    return target
+
+
+def branched_corpus_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently) the branch scenario on the MOR corpus:
+    main born at the v6 'prod' snapshot; 'dev' WAP-commits a clean
+    batch as v10 and is fast-forwarded into main; 'experiment'
+    WAP-commits v11 and is NEVER merged — its rows must stay
+    invisible on main."""
+    root = mor_update_root(spark, sf_dir)
+    branch_init(root, "main", 6)
+    branch_init(root, "dev", 6)
+    branch_init(root, "experiment", 6)
+    docs = spark.table("documents")
+    dev_batch = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 40000).alias("doc_id"), "text"
+    )
+    exp_batch = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    branch_commit(spark, root, "dev", dev_batch, "branch_dev", 10)
+    branch_commit(spark, root, "experiment", exp_batch, "branch_exp", 11)
+    fast_forward(root, "main", "dev")
+    return root
+
+
+@register(
+    "source_snapshot_branches",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v4 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3),
+    v6 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
+      FROM v4
+    ),
+    dev AS (SELECT * FROM v6 UNION ALL
+            SELECT doc_id + 40000, text FROM documents WHERE doc_id < 40),
+    exp AS (SELECT * FROM v6 UNION ALL
+            SELECT doc_id + 50000, text FROM documents WHERE doc_id < 30)
+    SELECT 'branch-point' AS ref, 6 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id >= 40000 AND doc_id < 50000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dev_rows,
+           CAST(SUM(CASE WHEN doc_id >= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exp_rows,
+           MIN(md5(text)) AS min_md5
+    FROM v6
+    UNION ALL
+    SELECT 'dev', 10, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 40000 AND doc_id < 50000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(md5(text))
+    FROM dev
+    UNION ALL
+    SELECT 'experiment', 11, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 40000 AND doc_id < 50000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(md5(text))
+    FROM exp
+    UNION ALL
+    SELECT 'main-after-ff', 10, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 40000 AND doc_id < 50000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(md5(text))
+    FROM dev
+    ORDER BY ref
+    """,
+    doc="Snapshot BRANCHES (round 10, VERDICT r9 #7 — completes the "
+    "ref surface the r9 tags started): mutable branch refs advanced "
+    "by hard-link CAS over global numbered snapshots; 'dev' "
+    "WAP-publishes a batch to ITS head (v10) and is fast-forwarded "
+    "into main (pure ancestry-walk + ref CAS, no data movement); "
+    "'experiment' publishes v11 and is never merged — the "
+    "main-after-ff row pins n_exp_rows = 0, so an unmerged branch "
+    "write is provably invisible on main.",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def source_snapshot_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four branch states read back by ref.
+
+    Scale: a branch is a directory of tiny JSON refs — branching a
+    100 TB table is free; a branch commit costs the staged batch
+    plus one manifest write; the merge is metadata-only. VACUUM
+    honors branch heads like tags, so an unmerged branch pins its
+    files against retention."""
+    root = branched_corpus_root(spark, sf_dir)
+    probes = (
+        ("branch-point", read_version(spark, root, 6), 6),
+        ("dev", read_branch(spark, root, "dev"), 10),
+        ("experiment", read_branch(spark, root, "experiment"), 11),
+        ("main-after-ff", read_branch(spark, root, "main"), 10),
+    )
+    out = None
+    for ref, df, v in probes:
+        agg = df.agg(
+            F.lit(ref).alias("ref"),
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                ((F.col("doc_id") >= 40000) & (F.col("doc_id") < 50000))
+                .cast("long")
+            ).alias("n_dev_rows"),
+            F.sum((F.col("doc_id") >= 50000).cast("long")).alias(
+                "n_exp_rows"
+            ),
+            F.min(F.md5("text")).alias("min_md5"),
+        ).select(
+            "ref", "version", "n_docs", "n_dev_rows", "n_exp_rows", "min_md5"
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("ref")
+
+
 def vacuum(root: str, keep: int) -> list[str]:
     """Delete every data file not referenced by version ``keep``'s
-    manifest OR by any TAGGED version (the Delta VACUUM contract
-    with Iceberg's ref-retention rule: untagged snapshots older than
-    the retained version stop being readable; a tag pins its
-    snapshot's files forever). Returns deleted paths."""
+    manifest OR by any TAGGED version or BRANCH HEAD (the Delta
+    VACUUM contract with Iceberg's ref-retention rule: untagged,
+    unbranched snapshots older than the retained version stop being
+    readable; a ref pins its snapshot's files). Returns deleted
+    paths."""
     import glob as _glob
     import json
 
@@ -1910,6 +2245,12 @@ def vacuum(root: str, keep: int) -> list[str]:
         for rf in _glob.glob(os.path.join(refs_dir, "*.json")):
             with open(rf) as fh:
                 keep_versions.add(json.load(fh)["version"])
+    branches_dir = os.path.join(root, "branches")
+    if os.path.isdir(branches_dir):
+        for name in os.listdir(branches_dir):
+            head = branch_head(root, name)
+            if head is not None:
+                keep_versions.add(head[0])
     for v in keep_versions:
         with open(os.path.join(root, f"v{v}.json")) as fh:
             referenced |= set(json.load(fh)["files"])
