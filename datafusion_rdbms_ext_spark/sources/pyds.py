@@ -285,6 +285,117 @@ def register_sqlite_source(spark) -> None:
     spark.dataSource.register(SQLiteFederatedSource)
 
 
+class PgWireFederatedSource(DataSource):
+    """``spark.read.format("pgwire_fed")`` — the THIRD dialect in the
+    TableProvider slot (round 10), and the one the reference actually
+    implements (PostgresTableProvider, table_provider.rs:26-238):
+    a LIVE Postgres server mounted as a first-class Spark format over
+    the engine's own wire client. Options: ``host``, ``port``,
+    ``user``, ``database``, ``search_path``, ``table``,
+    ``partitions``. The caller boots/loads the server first
+    (pgserver.load_fixture) — the format itself is pure client."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgwire_fed"
+
+    def _conn(self):
+        from .connector import PostgresConnector
+
+        o = self.options
+        return PostgresConnector(
+            f"host={o.get('host', '127.0.0.1')} port={o.get('port', 5432)} "
+            f"user={o.get('user', 'postgres')} "
+            f"dbname={o.get('database', 'postgres')}",
+            schema=o.get("search_path", "public"),
+        )
+
+    def schema(self):
+        # live two-step information_schema bootstrap (mod.rs:67-125),
+        # arrays typed List<T> via udt_name (datatypes.rs:28-80)
+        return self._conn().catalog()[self.options["table"]]
+
+    def reader(self, schema) -> "PgWireFederatedReader":
+        return PgWireFederatedReader(self.options, schema)
+
+
+class PgWireFederatedReader(DataSourceReader):
+    """Same pushdown/partition shape as the other two dialects with
+    Postgres capabilities: percentile_disc quantile key ranges
+    (planned by ONE remote metadata query on the driver), keyless
+    fallback to a single slice (no ORDER BY ALL), and per-task
+    binary-COPY egress — each Spark task opens its own wire
+    connection and decodes the PGCOPY stream with the per-OID table
+    (binary_reader.rs:24-209), the reference's N concurrent COPY
+    streams as actual DataSource partitions."""
+
+    def __init__(self, options, schema):
+        self._params = {
+            "host": options.get("host", "127.0.0.1"),
+            "port": int(options.get("port", 5432)),
+            "user": options.get("user", "postgres"),
+            "database": options.get("database", "postgres"),
+            "search_path": options.get("search_path") or None,
+        }
+        self._table = options["table"]
+        self._n_parts = int(options.get("partitions", _DEFAULT_PARTITIONS))
+        self._schema = schema
+        self._pushed: list[str] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self._pushed = []  # reset per planning pass (see DuckDB reader)
+        for f in filters:
+            sql = _filter_to_sql(f)  # dialect-neutral conjuncts
+            if sql is None:
+                yield f
+            else:
+                self._pushed.append(sql)
+
+    def _base_sql(self) -> str:
+        cols = ", ".join(field.name for field in self._schema.fields)
+        sql = f"SELECT {cols} FROM {self._table}"
+        if self._pushed:
+            sql += " WHERE " + " AND ".join(f"({p})" for p in self._pushed)
+        return sql
+
+    def partitions(self) -> list[_Slice]:
+        from .connector import PostgresConnector, pick_partition_key
+
+        base = self._base_sql()
+        self._pushed = []  # consume (see DuckDB reader)
+        key = pick_partition_key(self._schema)
+        if key is not None and self._n_parts > 1:
+            o = self._params
+            conn = PostgresConnector(
+                f"host={o['host']} port={o['port']} user={o['user']} "
+                f"dbname={o['database']}",
+                schema=o["search_path"] or "public",
+            )
+            preds = conn.partition_predicates(base, key, self._n_parts)
+            return [_Slice(f"SELECT * FROM ({base}) _t WHERE {p}") for p in preds]
+        return [_Slice(base)]  # keyless: ONE slice (no ORDER BY ALL)
+
+    def read(self, partition: _Slice):
+        from .pgwire import PgWireClient
+
+        cli = PgWireClient(
+            **{k: v for k, v in self._params.items() if v is not None}
+        )
+        try:
+            # binary COPY is the bulk-egress fast path; the LIMIT 0
+            # probe pairs the stream with its catalog types, exactly
+            # the reference's reader/catalog pairing
+            _cols, oids, _ = cli.query(partition.sql + " LIMIT 0")
+            yield from cli.copy_binary(partition.sql, oids)
+        finally:
+            cli.close()
+
+
+def register_pgwire_source(spark) -> None:
+    """Idempotently register the Postgres format with the session."""
+    spark.dataSource.register(PgWireFederatedSource)
+
+
 # ---------------------------------------------------------------------------
 # Registered query through the mounted format.
 # ---------------------------------------------------------------------------
@@ -331,6 +442,69 @@ def fed_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double").alias("total"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "fed_postgres_datasource_scan",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer
+    WHERE c_acctbal > 3000.0 AND c_nationkey < 20
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="LIVE Postgres mounted as a first-class Spark format "
+    "(spark.read.format('pgwire_fed'), round 10): schema from the "
+    "live information_schema bootstrap, both filters consumed by "
+    "pushFilters into the remote WHERE, 4 percentile_disc key-range "
+    "partitions each streaming its own binary-COPY decode inside a "
+    "Spark task — the reference's PostgresTableProvider "
+    "(table_provider.rs:26-238) occupied by its actual backend as a "
+    "DataSource, completing the format trio (duckdb_fed, "
+    "sqlite_fed, pgwire_fed). Distinct-key count pins no slice "
+    "overlap/miss.",
+    tags=("federation", "postgres", "bench"),
+)
+def fed_postgres_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed, partitioned DataSource scan of the live server.
+
+    Scale: the plan is the Spark-JDBC shape — one metadata query
+    plans N disjoint key ranges, each task holds one COPY stream;
+    pushed filters mean only qualifying rows cross the wire, and
+    the per-OID binary decode is column-type-driven exactly like
+    binary_reader.rs."""
+    from .federation import _pg_connector
+    from .pgserver import PG_PORT, PG_USER, schema_for
+
+    _pg_connector(spark, sf_dir)  # boot + load fixture
+    register_pgwire_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    cust = (
+        spark.read.format("pgwire_fed")
+        .option("host", "127.0.0.1")
+        .option("port", PG_PORT)
+        .option("user", PG_USER)
+        .option("database", "postgres")
+        .option("search_path", schema_for(sf_dir))
+        .option("table", "customer")
+        .option("partitions", 4)
+        .load()
+    )
+    return (
+        cust.filter((F.col("c_acctbal") > 3000.0) & (F.col("c_nationkey") < 20))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_custkey").cast("long").alias("n_keys"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 

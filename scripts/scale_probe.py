@@ -32,6 +32,8 @@ Synthesis (re-keyed union, NOT plain duplication):
 
 Run:  python scripts/scale_probe.py          (writes stderr table)
       SCALE_PROBE_RUNS=3 python scripts/scale_probe.py
+      SCALE_PROBE_FACTOR=100 SCALE_PROBE_ONLY=a,b,c \
+          python scripts/scale_probe.py      (round-10 100x probe)
 
 Results are recorded in SCALE.md.
 """
@@ -51,8 +53,13 @@ from datafusion_rdbms_ext_spark.queries.base import ensure_tables  # noqa: E402
 from datafusion_rdbms_ext_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark_graft_sfx10")
-FACTOR = 10
+#: replica count — 10 is the standing per-round probe; 100 is the
+#: round-10 flagship-shape probe (VERDICT r9 next #6). Each factor
+#: synthesizes into its own cached directory.
+FACTOR = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
+DST = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), f"spark_graft_sfx{FACTOR}"
+)
 KEY_OFFSET = 100_000_000
 
 #: The most expensive bench queries (the asymptotically interesting
@@ -213,11 +220,16 @@ def synthesize(spark) -> None:
         r = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET))
         if i:
             d = F.size("embedding")
+            # shift modulo the dimension: at FACTOR > dim a raw shift
+            # of i would slice past the vector end
+            s = F.lit(i) % d
             r = r.withColumn(
                 "embedding",
-                F.concat(
-                    F.slice("embedding", F.lit(i + 1), d - F.lit(i)),
-                    F.slice("embedding", F.lit(1), F.lit(i)),
+                F.when(s == 0, F.col("embedding")).otherwise(
+                    F.concat(
+                        F.slice("embedding", s + F.lit(1), d - s),
+                        F.slice("embedding", F.lit(1), s),
+                    )
                 ),
             )
         out = r if out is None else out.unionByName(r)

@@ -605,3 +605,65 @@ def test_parallel_sink_roundtrip_and_abort(spark, pg):
             cli.query("SELECT COUNT(*) FROM psink_probe__stage")
     finally:
         cli.close()
+
+
+def test_pgwire_datasource_pushdown_and_partitions(spark, pg):
+    """The pgwire_fed reader: supported filters compile into the
+    remote WHERE (consumed), unsupported ones stay in the Spark
+    plan; partitions are disjoint percentile_disc key ranges whose
+    SQL embeds the pushed base; pushFilters RESETS per planning
+    pass (no cross-query WHERE leakage)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNull
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.pgserver import schema_for
+    from datafusion_rdbms_ext_spark.sources.pyds import (
+        PgWireFederatedReader,
+        PgWireFederatedSource,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    opts = {
+        "host": pg["host"],
+        "port": pg["port"],
+        "user": pg["user"],
+        "database": pg["database"],
+        "search_path": schema_for(SF_DIR),
+        "table": "customer",
+        "partitions": 4,
+    }
+    src = PgWireFederatedSource(options={k: str(v) for k, v in opts.items()})
+    schema = src.schema()
+    assert [f.name for f in schema.fields][:2] == ["c_custkey", "c_name"]
+    rdr = PgWireFederatedReader(
+        {k: str(v) for k, v in opts.items()}, schema
+    )
+    kept = list(
+        rdr.pushFilters(
+            [GreaterThan(("c_acctbal",), 3000.0), IsNull(("c_name",))]
+        )
+    )
+    assert len(kept) == 1 and isinstance(kept[0], IsNull)  # declined
+    parts = rdr.partitions()
+    assert len(parts) == 4
+    assert all("(c_acctbal > 3000.0)" in p.sql for p in parts)
+    # disjoint + covering: the slices sum to the pushed-filter count
+    rows = [r for p in parts for r in rdr.read(p)]
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    cli = PgWireClient(**pg)
+    try:
+        expect = cli.query(
+            "SELECT COUNT(*) FROM customer WHERE c_acctbal > 3000.0"
+        )[2][0][0]
+    finally:
+        cli.close()
+    assert len(rows) == expect > 0
+    # a second planning pass with different filters must not leak
+    # the first pass' WHERE
+    list(rdr.pushFilters([EqualTo(("c_nationkey",), 3)]))
+    parts2 = rdr.partitions()
+    # the first pass' WHERE conjunct must not leak (the projected
+    # column list still names c_acctbal — match the conjunct text)
+    assert all("(c_acctbal > 3000.0)" not in p.sql for p in parts2)
+    assert all("(c_nationkey = 3)" in p.sql for p in parts2)
