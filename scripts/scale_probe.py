@@ -274,7 +274,7 @@ def main() -> None:
     synthesize(spark)
     small = time_queries(spark, SRC)
     big = time_queries(spark, DST)
-    print(f"\n| query | sf0.1 (s) | ~sf1 (s) | ratio (10x data) |")
+    print(f"\n| query | sf0.1 (s) | {FACTOR}x (s) | ratio ({FACTOR}x data) |")
     print("|---|---|---|---|")
     for name in small:
         r = big[name] / small[name] if small[name] else float("nan")
