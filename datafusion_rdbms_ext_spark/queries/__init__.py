@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "fed_postgres_parallel_sink",
     "source_snapshot_branches",
     "fed_postgres_datasource_scan",
+    "source_branch_cherry_pick",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r9: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

@@ -2095,6 +2095,69 @@ def fast_forward(root: str, into: str, frm: str) -> int:
     return target
 
 
+def cherry_pick(
+    spark: SparkSession,
+    root: str,
+    into: str,
+    version: int,
+    version_to: int,
+) -> int:
+    """Cherry-pick: re-apply the APPENDED file group of commit
+    ``version`` onto branch ``into``'s head as a NEW commit — the
+    Iceberg ``cherrypick_snapshot`` procedure, and the non-ancestry
+    complement of fast-forward (the merge for a DIVERGED target).
+    Only append-type commits are pickable (a delete/update commit's
+    effect is positional against ITS base files and cannot be
+    replayed by file reference — Iceberg refuses those too). The
+    staged files are reused BY REFERENCE: zero data movement, one
+    audit, one manifest, one ref CAS. Audits key collisions against
+    the target head (the appended keys may already exist there).
+    Idempotent: if ``version_to`` exists, the ref is just
+    re-asserted."""
+    import json
+
+    head = branch_head(root, into)
+    if head is None:
+        raise CommitConflict(f"branch {into!r} does not exist")
+    cur = head[0]
+    if os.path.exists(os.path.join(root, f"v{version_to}.json")):
+        branch_advance(root, into, cur, version_to)
+        return version_to
+    with open(os.path.join(root, f"v{version}.json")) as fh:
+        src = json.load(fh)
+    appended = src.get("appended")
+    if not appended:
+        raise CommitConflict(
+            f"v{version} is not an append commit: cannot cherry-pick"
+        )
+    target = read_version(spark, root, cur)
+    picked = spark.read.parquet(*appended)
+    dup = picked.join(target.select("doc_id"), "doc_id", "left_semi").count()
+    if dup:
+        raise RuntimeError(
+            f"cherry-pick audit failed: {dup} keys of v{version} already "
+            f"exist on {into!r}"
+        )
+    with open(os.path.join(root, f"v{cur}.json")) as fh:
+        prev = json.load(fh)
+    payload = {
+        "version": version_to,
+        "files": sorted(prev["files"]) + sorted(appended),
+        "appended": sorted(appended),
+        "parent": cur,
+        "cherry_picked_from": version,
+    }
+    for carry in ("delete_vectors", "equality_deletes"):
+        if prev.get(carry):
+            payload[carry] = prev[carry]
+    try:
+        _write_manifest(root, version_to, payload)
+    except CommitConflict:
+        pass  # concurrent identical pick won the link race
+    branch_advance(root, into, cur, version_to)
+    return version_to
+
+
 def branched_corpus_root(spark: SparkSession, sf_dir: str) -> str:
     """Build (idempotently) the branch scenario on the MOR corpus:
     main born at the v6 'prod' snapshot; 'dev' WAP-commits a clean
@@ -2224,6 +2287,100 @@ def source_snapshot_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "ref", "version", "n_docs", "n_dev_rows", "n_exp_rows", "min_md5"
         )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("ref")
+
+
+@register(
+    "source_branch_cherry_pick",
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id, upper(text) AS text FROM documents
+      WHERE doc_id >= 10 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+    ),
+    touched AS (
+      SELECT doc_id FROM updates
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id < 10
+    ),
+    v2 AS (
+      SELECT b.doc_id, b.text FROM documents b
+      WHERE NOT EXISTS (SELECT 1 FROM touched u WHERE u.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM updates
+    ),
+    v4 AS (SELECT doc_id, text FROM v2 WHERE doc_id % 10 <> 3),
+    v6 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN lower(text) ELSE text END AS text
+      FROM v4
+    ),
+    dev AS (SELECT * FROM v6 UNION ALL
+            SELECT doc_id + 40000, text FROM documents WHERE doc_id < 40),
+    exp AS (SELECT * FROM v6 UNION ALL
+            SELECT doc_id + 50000, text FROM documents WHERE doc_id < 30),
+    both_b AS (SELECT * FROM dev UNION ALL
+               SELECT doc_id + 50000, text FROM documents WHERE doc_id < 30)
+    SELECT 'experiment' AS ref, 11 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id >= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exp_rows,
+           MIN(md5(text)) AS min_md5
+    FROM exp
+    UNION ALL
+    SELECT 'main', 10, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(md5(text))
+    FROM dev
+    UNION ALL
+    SELECT 'release-after-pick', 12, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 50000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(md5(text))
+    FROM both_b
+    ORDER BY ref
+    """,
+    doc="Branch cherry-pick (round 10 — the Iceberg "
+    "cherrypick_snapshot procedure, the merge for a DIVERGED "
+    "target where fast-forward refuses): the unmerged experiment "
+    "branch's append commit (v11) is re-applied onto a 'release' "
+    "branch born at main's head, as a NEW commit (v12) by FILE "
+    "REFERENCE — zero data movement, one key-collision audit, one "
+    "manifest, one ref CAS; release serves dev + experiment rows "
+    "while main (still v10, read through ITS ref in the same "
+    "output) and the experiment branch (v11) are provably "
+    "untouched.",
+    tags=("sink", "source", "versioned", "bench"),
+)
+def source_branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cherry-pick of the experiment batch onto a release branch.
+
+    Scale: the pick reuses the staged files by reference — commit
+    cost is the audit semi-probe plus one manifest write, never the
+    batch or table size; the ancestry rules (append-only commits)
+    are exactly what makes file-reference replay sound."""
+    root = branched_corpus_root(spark, sf_dir)
+    branch_init(root, "release", 10)
+    cherry_pick(spark, root, "release", 11, 12)
+    probes = (
+        ("experiment", read_branch(spark, root, "experiment"), 11),
+        ("main", read_branch(spark, root, "main"), 10),
+        ("release-after-pick", read_branch(spark, root, "release"), 12),
+    )
+    out = None
+    for ref, df, v in probes:
+        agg = df.agg(
+            F.lit(ref).alias("ref"),
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") >= 50000).cast("long")).alias(
+                "n_exp_rows"
+            ),
+            F.min(F.md5("text")).alias("min_md5"),
+        ).select("ref", "version", "n_docs", "n_exp_rows", "min_md5")
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("ref")
 

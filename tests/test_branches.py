@@ -176,3 +176,47 @@ def test_registered_branch_scenario_is_idempotent(spark):
     assert {n: branch_head(r2, n) for n in h} == h
     assert h["main"] == (10, 2) and h["dev"] == (10, 2)
     assert h["experiment"] == (11, 2)
+
+
+def test_cherry_pick_semantics(spark, tiny_root):
+    """cherry-pick: append commits replay by file reference onto a
+    diverged target; duplicate keys fail the audit; non-append
+    commits are refused; re-picks are idempotent no-ops."""
+    from datafusion_rdbms_ext_spark.sources.sinks import cherry_pick
+
+    root = tiny_root
+    branch_init(root, "main", 1)
+    branch_init(root, "dev", 1)
+    batch = spark.createDataFrame(
+        [(700, "pickme"), (701, "metoo")], "doc_id long, text string"
+    )
+    branch_commit(spark, root, "dev", batch, "t_pick", 2)
+    # main diverges with its own append
+    other = spark.createDataFrame(
+        [(800, "mainline")], "doc_id long, text string"
+    )
+    branch_init(root, "mainline_stage", 1)  # reuse commit machinery
+    branch_commit(spark, root, "mainline_stage", other, "t_main", 3)
+    branch_advance(root, "main", 1, 3)
+    # fast-forward main <- dev refuses (diverged)...
+    with pytest.raises(CommitConflict, match="not a fast-forward"):
+        fast_forward(root, "main", "dev")
+    # ...but cherry-pick applies dev's append onto main's head
+    v = cherry_pick(spark, root, "main", 2, 4)
+    assert v == 4
+    got = read_branch(spark, root, "main")
+    assert got.count() == 4 + 1 + 2  # base + mainline + picked
+    assert got.filter("doc_id >= 700").count() == 3
+    # dev untouched
+    assert branch_head(root, "dev") == (2, 2)
+    # idempotent re-pick: ref re-asserted, no growth
+    assert cherry_pick(spark, root, "main", 2, 4) == 4
+    assert read_branch(spark, root, "main").count() == 7
+    # duplicate keys fail the audit (picking the same rows again
+    # under a NEW version number)
+    with pytest.raises(RuntimeError, match="audit failed"):
+        cherry_pick(spark, root, "main", 2, 5)
+    # a non-append manifest is refused
+    _write_manifest(root, 6, {"version": 6, "files": [], "parent": 4})
+    with pytest.raises(CommitConflict, match="not an append commit"):
+        cherry_pick(spark, root, "main", 6, 7)
