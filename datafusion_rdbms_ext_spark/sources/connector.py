@@ -233,6 +233,10 @@ class PostgresConnector(Connector):
         # the wire client's decode
         "uuid": T.StringType(),
         "time without time zone": T.StringType(),
+        "time with time zone": T.StringType(),
+        # day/time intervals only — the wire decode rejects
+        # month-bearing intervals as calendar-relative
+        "interval": T.DayTimeIntervalType(),
     }
 
     #: udt_name of an ARRAY column -> Spark element type (reference

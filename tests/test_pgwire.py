@@ -529,7 +529,8 @@ def test_live_catalog_types_arrays_bytea_numeric(spark, pg):
         cli.query("DROP TABLE IF EXISTS typed_probe")
         cli.query(
             "CREATE TABLE typed_probe (k bigint, keys int8[], "
-            "names text[], fp bytea, amt numeric(38,4), id uuid)"
+            "names text[], fp bytea, amt numeric(38,4), id uuid, "
+            "dur interval)"
         )
     finally:
         cli.close()
@@ -544,6 +545,7 @@ def test_live_catalog_types_arrays_bytea_numeric(spark, pg):
     assert f["fp"] == T.BinaryType()
     assert f["amt"] == T.DecimalType(38, 4)
     assert f["id"] == T.StringType()
+    assert f["dur"] == T.DayTimeIntervalType()
 
 
 def test_parallel_sink_roundtrip_and_abort(spark, pg):
