@@ -688,6 +688,19 @@ class CommitConflict(RuntimeError):
     commit protocol)."""
 
 
+def _unique_suffix() -> str:
+    """Per-writer-unique temp suffix. PID alone is NOT unique enough:
+    two THREADS of one process (Spark driver threads, foreachBatch)
+    racing the same link-commit would share a tmp path — the winner's
+    cleanup then deletes the loser's tmp mid-flight and the loser
+    dies with FileNotFoundError instead of CommitConflict (found by
+    tests/test_branches.py::test_branch_cas_true_thread_race)."""
+    import threading
+    import uuid
+
+    return f"{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
+
+
 def _write_manifest(root: str, version: int, payload: dict) -> None:
     """Atomic EXCLUSIVE manifest commit: write a temp file, fsync,
     then link it into place. The link is the commit point — a reader
@@ -700,7 +713,7 @@ def _write_manifest(root: str, version: int, payload: dict) -> None:
     import json
 
     final = os.path.join(root, f"v{version}.json")
-    tmp = final + ".tmp." + str(os.getpid())
+    tmp = final + ".tmp." + _unique_suffix()
     try:
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -1791,7 +1804,7 @@ def tag_version(root: str, name: str, version: int) -> None:
             if json.load(fh)["version"] == version:
                 return
         raise CommitConflict(f"tag {name!r} already points elsewhere")
-    tmp = final + ".tmp." + str(os.getpid())
+    tmp = final + ".tmp." + _unique_suffix()
     try:
         with open(tmp, "w") as fh:
             json.dump({"name": name, "version": version}, fh)
@@ -1947,7 +1960,7 @@ def _write_ref_seq(root: str, name: str, seq: int, version: int) -> None:
     import json
 
     final = os.path.join(_branch_dir(root, name), f"{seq}.json")
-    tmp = final + ".tmp." + str(os.getpid())
+    tmp = final + ".tmp." + _unique_suffix()
     try:
         with open(tmp, "w") as fh:
             json.dump({"name": name, "seq": seq, "version": version}, fh)

@@ -159,6 +159,15 @@ QUERIES = (
     # Spark directory-parquet), and every remote ships a fixed
     # nation-cardinality rollup regardless of scale by construction.
     "ev_engagement_l28",
+    # Round-10 additions. The fed_postgres_* rows are fixture-slice
+    # bounded by construction (the loader ships dims + a 5-user
+    # events slice) EXCEPT the parallel sink, whose staged volume is
+    # the full customer table — the one with a real scaling story.
+    # The branch scenario's commit costs are batch-sized; its reads
+    # aggregate three ~document-sized snapshots.
+    "fed_postgres_parallel_sink",
+    "source_snapshot_branches",
+    "source_branch_cherry_pick",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -178,10 +187,35 @@ def _extra_probes():
 RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))
 
 
+def _src_fingerprint() -> str:
+    """size+mtime fingerprint of the source fixtures: the driver
+    REGENERATES them between rounds (round-10 finding — the r8 bench
+    deltas were a fixture-generation change), so a cached synthesis
+    from a prior generation must not serve a new round's probe."""
+    import hashlib
+
+    from datafusion_rdbms_ext_spark.catalog import TABLES
+
+    parts = []
+    for name in TABLES:
+        p = os.path.join(SRC, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def synthesize(spark) -> None:
     done = os.path.join(DST, "_SYNTH_DONE")
-    if os.path.exists(done):
+    fp = _src_fingerprint()
+    if os.path.exists(done) and open(done).read() == fp:
         return
+    if os.path.exists(DST):  # stale generation: rebuild from scratch
+        import shutil
+
+        shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     print(f"# synthesizing {FACTOR}x corpus into {DST}", file=sys.stderr)
 
@@ -243,7 +277,7 @@ def synthesize(spark) -> None:
         src_p = os.path.join(SRC, f"{name}.parquet")
         if not os.path.exists(dst_p) and os.path.exists(src_p):
             os.symlink(src_p, dst_p)
-    open(done, "w").write("ok")
+    open(done, "w").write(fp)
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:

@@ -220,3 +220,29 @@ def test_cherry_pick_semantics(spark, tiny_root):
     _write_manifest(root, 6, {"version": 6, "files": [], "parent": 4})
     with pytest.raises(CommitConflict, match="not an append commit"):
         cherry_pick(spark, root, "main", 6, 7)
+
+
+def test_branch_cas_true_thread_race(tiny_root):
+    """8 real threads race one CAS advance from the same observed
+    head: the hard link admits exactly one winner; every loser gets
+    CommitConflict; the head lands on the winner's version."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = tiny_root
+    branch_init(root, "b", 1)
+    for v in range(2, 10):
+        _write_manifest(root, v, {"version": v, "files": [], "parent": 1})
+
+    def racer(v):
+        try:
+            branch_advance(root, "b", 1, v)
+            return ("win", v)
+        except CommitConflict:
+            return ("lose", v)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(racer, range(2, 10)))
+    wins = [v for tag, v in results if tag == "win"]
+    assert len(wins) == 1, results
+    head = branch_head(root, "b")
+    assert head == (wins[0], 2)
