@@ -84,7 +84,11 @@ class PgWireClient:
         search_path: str | None = None,
     ):
         self.sock = socket.create_connection((host, port), timeout=timeout)
-        self._buf = b""
+        # consumed-offset bytearray: `bytes += chunk` re-copies the
+        # whole buffer per recv, which is O(stream^2) on a bulk COPY
+        # stream — a 15 MB partition slice would memcpy gigabytes
+        self._buf = bytearray()
+        self._pos = 0
         self._startup(user, database)
         if search_path:
             # per-scale-factor schema isolation: concurrent sessions
@@ -98,12 +102,20 @@ class PgWireClient:
         self.sock.sendall(data)
 
     def _recv_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
+        while len(self._buf) - self._pos < n:
             chunk = self.sock.recv(65536)
             if not chunk:
                 raise PgError("server closed connection")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+            if self._pos and self._pos > len(self._buf) // 2:
+                # drop the consumed prefix before growing further
+                del self._buf[: self._pos]
+                self._pos = 0
+            self._buf += chunk  # bytearray append: amortized O(chunk)
+        out = bytes(self._buf[self._pos : self._pos + n])
+        self._pos += n
+        if self._pos == len(self._buf):
+            self._buf.clear()
+            self._pos = 0
         return out
 
     def _read_message(self) -> tuple[bytes, bytes]:
@@ -281,18 +293,18 @@ class PgWireClient:
         sql = f"COPY ({select_sql}) TO STDOUT (FORMAT BINARY)"
         body = sql.encode() + b"\x00"
         self._send(b"Q" + struct.pack("!I", len(body) + 4) + body)
-        blob = b""
+        parts: list[bytes] = []  # join once: `bytes +=` is O(stream^2)
         error = None
         while True:
             mtype, payload = self._read_message()
             if mtype == b"d":
-                blob += payload
+                parts.append(payload)
             elif mtype == b"E":
                 error = _error_text(payload)
             elif mtype == b"Z":
                 if error:
                     raise PgError(error)
-                return _parse_pgcopy_binary(blob, oids)
+                return _parse_pgcopy_binary(b"".join(parts), oids)
             # 'H' CopyOutResponse / 'c' CopyDone / 'C': skip
 
 
