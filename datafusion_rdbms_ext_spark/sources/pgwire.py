@@ -284,6 +284,32 @@ class PgWireClient:
                     raise PgError(error)
                 return n
 
+    # -- CSV COPY (the Arrow-vectorized bulk-egress path) -----------------
+    def copy_csv(self, select_sql: str) -> bytes:
+        """``COPY (select_sql) TO STDOUT (FORMAT csv)`` returned as
+        raw bytes for a VECTORIZED parse (pyarrow.csv) — the bulk
+        fast path: the per-field Python decode of :meth:`copy_binary`
+        tops out ~0.2M rows/s/connection, while Arrow's C++ CSV
+        reader parses the same stream an order of magnitude faster
+        into columnar batches. NULL is the unquoted empty field,
+        empty string is quoted (the COPY csv contract pyarrow's
+        ``quoted_strings_can_be_null=False`` mirrors exactly)."""
+        sql = f"COPY ({select_sql}) TO STDOUT (FORMAT csv)"
+        body = sql.encode() + b"\x00"
+        self._send(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        parts: list[bytes] = []
+        error = None
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"d":
+                parts.append(payload)
+            elif mtype == b"E":
+                error = _error_text(payload)
+            elif mtype == b"Z":
+                if error:
+                    raise PgError(error)
+                return b"".join(parts)
+
     # -- binary COPY (the binary_reader.rs parity path) ------------------
     def copy_binary(self, select_sql: str, oids: list[int]) -> list[tuple]:
         """``COPY (select_sql) TO STDOUT (FORMAT BINARY)`` decoded to

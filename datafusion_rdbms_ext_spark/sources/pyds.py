@@ -375,6 +375,36 @@ class PgWireFederatedReader(DataSourceReader):
             return [_Slice(f"SELECT * FROM ({base}) _t WHERE {p}") for p in preds]
         return [_Slice(base)]  # keyless: ONE slice (no ORDER BY ALL)
 
+    def _arrow_schema(self):
+        """pyarrow schema when every column has a vectorizable CSV
+        parse, else None (fall back to the per-field binary decode).
+        Covered: the whole scan-common set incl. exact decimals."""
+        import pyarrow as pa
+
+        from pyspark.sql import types as T
+
+        simple = {
+            T.LongType(): pa.int64(),
+            T.IntegerType(): pa.int32(),
+            T.ShortType(): pa.int16(),
+            T.DoubleType(): pa.float64(),
+            T.FloatType(): pa.float32(),
+            T.StringType(): pa.string(),
+            T.BooleanType(): pa.bool_(),
+            T.DateType(): pa.date32(),
+            T.TimestampNTZType(): pa.timestamp("us"),
+        }
+        fields = []
+        for f in self._schema.fields:
+            if isinstance(f.dataType, T.DecimalType):
+                at = pa.decimal128(f.dataType.precision, f.dataType.scale)
+            elif f.dataType in simple:
+                at = simple[f.dataType]
+            else:
+                return None  # arrays/bytea/uuid: binary-decode path
+            fields.append(pa.field(f.name, at))
+        return pa.schema(fields)
+
     def read(self, partition: _Slice):
         from .pgwire import PgWireClient
 
@@ -382,9 +412,41 @@ class PgWireFederatedReader(DataSourceReader):
             **{k: v for k, v in self._params.items() if v is not None}
         )
         try:
-            # binary COPY is the bulk-egress fast path; the LIMIT 0
-            # probe pairs the stream with its catalog types, exactly
-            # the reference's reader/catalog pairing
+            arrow_schema = self._arrow_schema()
+            if arrow_schema is not None:
+                # bulk fast path: CSV COPY parsed by Arrow's C++
+                # reader into columnar batches — ~10x the per-field
+                # Python decode; NULL = unquoted empty, empty string
+                # = quoted (the COPY csv contract, mirrored by
+                # quoted_strings_can_be_null=False)
+                import io
+
+                import pyarrow.csv as pacsv
+
+                blob = cli.copy_csv(partition.sql)
+                if not blob:
+                    return
+                table = pacsv.read_csv(
+                    io.BytesIO(blob),
+                    read_options=pacsv.ReadOptions(
+                        column_names=[f.name for f in arrow_schema]
+                    ),
+                    convert_options=pacsv.ConvertOptions(
+                        column_types={
+                            f.name: f.type for f in arrow_schema
+                        },
+                        strings_can_be_null=True,
+                        quoted_strings_can_be_null=False,
+                        true_values=["t"],
+                        false_values=["f"],
+                    ),
+                )
+                yield from table.to_batches()
+                return
+            # type-tail path (arrays/bytea/uuid/...): binary COPY
+            # decoded per-OID; the LIMIT 0 probe pairs the stream
+            # with its catalog types, exactly the reference's
+            # reader/catalog pairing
             _cols, oids, _ = cli.query(partition.sql + " LIMIT 0")
             yield from cli.copy_binary(partition.sql, oids)
         finally:
