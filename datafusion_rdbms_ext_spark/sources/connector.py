@@ -57,6 +57,13 @@ class Connector:
     def fetch_pdf(self, sql: str) -> pd.DataFrame:
         raise NotImplementedError
 
+    def fetch_pdf_typed(self, sql: str, schema: T.StructType) -> pd.DataFrame:
+        """Bulk fetch with the result schema KNOWN up front — a
+        dialect may use it to pick a vectorized egress (the Postgres
+        dialect parses a CSV COPY stream with Arrow). Default: the
+        plain cursor fetch."""
+        return self.fetch_pdf(sql)
+
     def catalog(self) -> dict[str, T.StructType]:
         raise NotImplementedError
 
@@ -65,6 +72,59 @@ class Connector:
 
     def partition_predicates(self, base_sql: str, key: str, partitions: int) -> list[str]:
         raise NotImplementedError
+
+
+def spark_schema_to_arrow(schema: T.StructType):
+    """pyarrow schema for a vectorized CSV parse, or None when any
+    column lacks a CSV-parseable Arrow type (arrays/bytea/uuid stay
+    on the per-OID binary decode). Shared by the Postgres connector
+    and the pgwire_fed DataSource so the two bulk paths cannot
+    drift."""
+    import pyarrow as pa
+
+    simple = {
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.ShortType(): pa.int16(),
+        T.DoubleType(): pa.float64(),
+        T.FloatType(): pa.float32(),
+        T.StringType(): pa.string(),
+        T.BooleanType(): pa.bool_(),
+        T.DateType(): pa.date32(),
+        T.TimestampNTZType(): pa.timestamp("us"),
+    }
+    fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            at = pa.decimal128(f.dataType.precision, f.dataType.scale)
+        elif f.dataType in simple:
+            at = simple[f.dataType]
+        else:
+            return None
+        fields.append(pa.field(f.name, at))
+    return pa.schema(fields)
+
+
+def arrow_csv_to_table(blob: bytes, arrow_schema):
+    """Parse a COPY (FORMAT csv) stream under the COPY contract:
+    NULL = unquoted empty field, empty string = quoted, bool = t/f."""
+    import io
+
+    import pyarrow.csv as pacsv
+
+    return pacsv.read_csv(
+        io.BytesIO(blob),
+        read_options=pacsv.ReadOptions(
+            column_names=[f.name for f in arrow_schema]
+        ),
+        convert_options=pacsv.ConvertOptions(
+            column_types={f.name: f.type for f in arrow_schema},
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=False,
+            true_values=["t"],
+            false_values=["f"],
+        ),
+    )
 
 
 def _bounds_to_preds(key: str, bounds: list) -> list[str]:
@@ -301,6 +361,27 @@ class PostgresConnector(Connector):
         with psycopg2.connect(self.dsn) as con:  # pragma: no cover
             return pd.read_sql_query(sql, con)
 
+    def fetch_pdf_typed(self, sql: str, schema: T.StructType) -> pd.DataFrame:
+        """Bulk fetch via CSV COPY + Arrow's C++ parser when every
+        column is vectorizable (~3x the per-field decode per
+        connection; this is the path the partitioned executor fetch
+        rides), else the plain text-protocol fetch."""
+        arrow_schema = spark_schema_to_arrow(schema)
+        if arrow_schema is None:
+            return self.fetch_pdf(sql)
+        from .pgwire import PgWireClient
+
+        cli = PgWireClient(**self._params())
+        try:
+            blob = cli.copy_csv(sql)
+        finally:
+            cli.close()
+        if not blob:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in schema.fields}
+            )
+        return arrow_csv_to_table(blob, arrow_schema).to_pandas()
+
     # -- dialect configuration (fully testable without a server) --------
     def catalog_sql(self) -> tuple[str, str]:
         """The two-step information_schema bootstrap, SQL text."""
@@ -420,7 +501,10 @@ def fetch_partitioned(
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for sql in pdf["part_sql"]:
-                yield conn.fetch_pdf(sql)
+                # typed fetch: the dialect may pick a vectorized
+                # egress for the known result schema (Postgres:
+                # CSV COPY parsed by Arrow)
+                yield conn.fetch_pdf_typed(sql, schema)
 
     return spec.mapInPandas(fetch, schema)
 

@@ -378,32 +378,11 @@ class PgWireFederatedReader(DataSourceReader):
     def _arrow_schema(self):
         """pyarrow schema when every column has a vectorizable CSV
         parse, else None (fall back to the per-field binary decode).
-        Covered: the whole scan-common set incl. exact decimals."""
-        import pyarrow as pa
+        Shared with the connector's typed fetch so the two bulk
+        paths cannot drift."""
+        from .connector import spark_schema_to_arrow
 
-        from pyspark.sql import types as T
-
-        simple = {
-            T.LongType(): pa.int64(),
-            T.IntegerType(): pa.int32(),
-            T.ShortType(): pa.int16(),
-            T.DoubleType(): pa.float64(),
-            T.FloatType(): pa.float32(),
-            T.StringType(): pa.string(),
-            T.BooleanType(): pa.bool_(),
-            T.DateType(): pa.date32(),
-            T.TimestampNTZType(): pa.timestamp("us"),
-        }
-        fields = []
-        for f in self._schema.fields:
-            if isinstance(f.dataType, T.DecimalType):
-                at = pa.decimal128(f.dataType.precision, f.dataType.scale)
-            elif f.dataType in simple:
-                at = simple[f.dataType]
-            else:
-                return None  # arrays/bytea/uuid: binary-decode path
-            fields.append(pa.field(f.name, at))
-        return pa.schema(fields)
+        return spark_schema_to_arrow(self._schema)
 
     def read(self, partition: _Slice):
         from .pgwire import PgWireClient
@@ -419,29 +398,12 @@ class PgWireFederatedReader(DataSourceReader):
                 # Python decode; NULL = unquoted empty, empty string
                 # = quoted (the COPY csv contract, mirrored by
                 # quoted_strings_can_be_null=False)
-                import io
-
-                import pyarrow.csv as pacsv
+                from .connector import arrow_csv_to_table
 
                 blob = cli.copy_csv(partition.sql)
                 if not blob:
                     return
-                table = pacsv.read_csv(
-                    io.BytesIO(blob),
-                    read_options=pacsv.ReadOptions(
-                        column_names=[f.name for f in arrow_schema]
-                    ),
-                    convert_options=pacsv.ConvertOptions(
-                        column_types={
-                            f.name: f.type for f in arrow_schema
-                        },
-                        strings_can_be_null=True,
-                        quoted_strings_can_be_null=False,
-                        true_values=["t"],
-                        false_values=["f"],
-                    ),
-                )
-                yield from table.to_batches()
+                yield from arrow_csv_to_table(blob, arrow_schema).to_batches()
                 return
             # type-tail path (arrays/bytea/uuid/...): binary COPY
             # decoded per-OID; the LIMIT 0 probe pairs the stream

@@ -40,6 +40,12 @@ class CannedPostgres(PostgresConnector):
             raise AssertionError(f"unexpected wire SQL: {key!r}")
         return self.canned[key]
 
+    def fetch_pdf_typed(self, sql: str, schema) -> pd.DataFrame:
+        # the double's contract: EVERY wire interaction goes through
+        # the canned fetch (the real connector's typed override opens
+        # a live CSV-COPY connection instead)
+        return self.fetch_pdf(sql)
+
 
 def _canned_catalog() -> dict[str, pd.DataFrame]:
     cols = pd.DataFrame(
