@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_snapshot_branches",
     "fed_postgres_datasource_scan",
     "source_branch_cherry_pick",
+    "stream_branch_wap",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r9: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

@@ -1706,3 +1706,134 @@ def stream_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "frontier long, n_docs long, sum_len long, replay_applied long",
     )
+
+
+# ---------------------------------------------------------------------------
+# 19. Streaming WAP to a BRANCH (round 10): micro-batches land on a
+#     staging branch — each one write-audited and committed through
+#     the branch protocol (manifest + ref CAS) — while main serves
+#     unchanged; publication is ONE fast-forward ref flip after the
+#     drain. Composes the streaming exactly-once commit (versioned
+#     manifests, replay -> re-assert) with the round-10 branch ref
+#     surface: the streaming half of write-audit-publish.
+# ---------------------------------------------------------------------------
+def branch_stream_commit(
+    spark: SparkSession, root: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Commit one micro-batch to the 'ingest' branch as version
+    ``batch_id + 2`` (v1 is the base snapshot). Replays re-assert
+    the existing manifest/ref — exactly-once by storage protocol,
+    the versioned_stream_commit contract carried onto a branch."""
+    from ..sources.sinks import branch_commit
+
+    staged = batch_df.select(
+        (F.col("event_id") + 900000).alias("doc_id"),
+        F.col("event_type").alias("text"),
+    )
+    branch_commit(
+        spark, root, "ingest", staged, f"sbw_{int(batch_id)}",
+        int(batch_id) + 2,
+    )
+
+
+@register(
+    "stream_branch_wap",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+    ing AS (
+      SELECT event_id + 900000 AS doc_id, event_type AS text FROM events
+    ),
+    merged AS (SELECT * FROM base UNION ALL SELECT * FROM ing)
+    SELECT 'ingest-head' AS ref,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id >= 900000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_streamed,
+           MIN(md5(text)) AS min_md5
+    FROM merged
+    UNION ALL
+    SELECT 'main-after-publish', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 900000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(md5(text))
+    FROM merged
+    UNION ALL
+    SELECT 'main-before-publish', CAST(COUNT(*) AS BIGINT), 0,
+           MIN(md5(text))
+    FROM base
+    ORDER BY ref
+    """,
+    doc="Streaming WAP to a branch (round 10): every micro-batch is "
+    "write-audited and committed to the 'ingest' branch through the "
+    "manifest + ref-CAS protocol (replays re-assert — exactly-once "
+    "by storage design) while main provably serves the unchanged "
+    "base (read through ITS ref between the drain and the publish); "
+    "publication is ONE fast-forward ref flip, so readers switch "
+    "from zero to all streamed batches atomically — the streaming "
+    "half of write-audit-publish.",
+    tags=("streaming", "versioned", "sink", "bench"),
+)
+def stream_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging-branch streaming ingest with an atomic serving flip.
+
+    Scale: per-batch cost is the batch write + the collision
+    semi-probe against the branch head (index-servable at scale);
+    main's readers never see partial state — the publish is a ref
+    CAS, O(1) regardless of how many batches or bytes landed."""
+    import tempfile
+
+    from ..sources.sinks import (
+        _write_manifest,
+        branch_init,
+        fast_forward,
+        read_branch,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_branch_wap_")
+    base = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    base_dir = os.path.join(root, "gen1")
+    base.coalesce(1).write.mode("overwrite").parquet(base_dir)
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(base_dir, "*.parquet")))
+    _write_manifest(root, 1, {"version": 1, "files": files})
+    branch_init(root, "main", 1)
+    branch_init(root, "ingest", 1)
+
+    _RUN_SEQ[0] += 1
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type")
+        .writeStream.foreachBatch(
+            lambda bdf, bid: branch_stream_commit(spark, root, bdf, bid)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def probe(ref: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(ref).alias("ref"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") >= 900000).cast("long")).alias(
+                "n_streamed"
+            ),
+            F.min(F.md5("text")).alias("min_md5"),
+        ).select("ref", "n_docs", "n_streamed", "min_md5")
+
+    # main BEFORE the publish: still the untouched base — the
+    # in-query isolation proof (fresh root per call, so this read
+    # is deterministic on every run)
+    out = probe("main-before-publish", read_branch(spark, root, "main"))
+    out = out.unionByName(
+        probe("ingest-head", read_branch(spark, root, "ingest"))
+    )
+    fast_forward(root, "main", "ingest")  # the O(1) serving flip
+    out = out.unionByName(
+        probe("main-after-publish", read_branch(spark, root, "main"))
+    )
+    return out.orderBy("ref")
