@@ -1533,3 +1533,111 @@ def op_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@register(
+    "op_sampled_quantile",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000) AS BIGINT) AS vm,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+                       < '0ccd' THEN 1 ELSE 0 END AS s
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, vm, COUNT(*) AS c, SUM(s) AS cs
+      FROM q GROUP BY event_type, vm
+    ),
+    cum AS (
+      SELECT event_type, vm,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY vm
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n,
+             SUM(cs) OVER (PARTITION BY event_type ORDER BY vm
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cums,
+             SUM(cs) OVER (PARTITION BY event_type) AS ns
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_full,
+           CAST(MAX(ns) AS BIGINT) AS n_sample,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN vm END)
+                AS BIGINT) AS p50_full_milli,
+           CAST(MIN(CASE WHEN ns > 0 AND cums >= (ns + 1) // 2
+                         THEN vm END) AS BIGINT) AS p50_sample_milli,
+           CAST(MIN(CASE WHEN ns > 0 AND cums >= (ns + 1) // 2
+                         THEN vm END)
+                - MIN(CASE WHEN cum >= (n + 1) // 2 THEN vm END)
+                AS BIGINT) AS err_milli
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Quantile estimation by DETERMINISTIC uniform sampling with "
+    "measured error: a ~5% md5-threshold sample (hash-stable, so "
+    "both engines draw the IDENTICAL sample — no RNG portability "
+    "surface) feeds the same histogram-selection median as the full "
+    "data, and the signed sample-vs-exact error is part of the "
+    "hash-checked output — the calibration discipline of "
+    "llm_minhash_estimate_error applied to the quantile-sketch "
+    "family.",
+    tags=("operator", "percentile", "sketch", "bench"),
+)
+def op_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled vs exact median per event type, error measured.
+
+    Scale: the sample is decided map-side by a hash threshold — no
+    shuffle to draw it, no coordinator state, refreshable on any
+    subset of data (hash-stability makes the sample consistent
+    across partitions and reruns); both medians ride ONE histogram
+    shuffle of (group, value) pairs. This is the cheap first answer
+    at 100 TB — the exact pass is the audit, and the measured error
+    column is what justifies serving the sampled one."""
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        (
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+            < "0ccd"
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    hist = ev.groupBy("event_type", "vm").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("s").alias("cs")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "vm",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum("cs").over(wcum).alias("cums"),
+        F.sum("cs").over(wall).alias("ns"),
+    )
+    p50_full = F.min(
+        F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("vm"))
+    )
+    p50_samp = F.min(
+        F.when(
+            (F.col("ns") > 0) & (F.col("cums") >= F.expr("(ns + 1) div 2")),
+            F.col("vm"),
+        )
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_full"),
+            F.max("ns").alias("n_sample"),
+            p50_full.alias("p50_full_milli"),
+            p50_samp.alias("p50_sample_milli"),
+            (p50_samp - p50_full).alias("err_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -166,6 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "fed_postgres_datasource_scan",
     "source_branch_cherry_pick",
     "stream_branch_wap",
+    "op_sampled_quantile",
     # -- backfill: longest-unproven first (mechanically recomputed
     #    from cumulative CORRECTNESS r1-r9: the 6 remaining r2-proven
     #    rows, then the 12 r3-proven rows, then r4-proven rows in

@@ -2008,6 +2008,28 @@ def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
     return read_version(spark, root, head[0])
 
 
+def delete_branch(root: str, name: str) -> None:
+    """Drop a branch ref (the ref lifecycle's retirement step): the
+    directory of seq files goes away atomically-enough via rename —
+    a concurrent reader either still resolves the old head or sees
+    no branch, never a partial ref — and the next VACUUM may reclaim
+    files only this head pinned. The snapshots themselves are
+    untouched (they are global; a tag or another branch may still
+    pin them)."""
+    import shutil
+    import uuid
+
+    d = _branch_dir(root, name)
+    if not os.path.isdir(d):
+        return  # idempotent
+    tomb = f"{d}.deleted.{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(d, tomb)
+    except FileNotFoundError:
+        return  # concurrent delete won
+    shutil.rmtree(tomb, ignore_errors=True)
+
+
 def branch_commit(
     spark: SparkSession,
     root: str,

@@ -151,10 +151,12 @@ def test_vacuum_retains_branch_heads(spark, tiny_root):
     deleted = vacuum(root, keep=1)
     assert deleted == []  # the branch head pinned gen2
     assert all(os.path.exists(f) for f in g2)
-    # drop the pin (simulate branch deletion) and gen2 is reclaimable
-    import shutil
+    # drop the pin (branch retirement) and gen2 is reclaimable
+    from datafusion_rdbms_ext_spark.sources.sinks import delete_branch
 
-    shutil.rmtree(os.path.join(root, "branches", "pinner"))
+    delete_branch(root, "pinner")
+    assert branch_head(root, "pinner") is None
+    delete_branch(root, "pinner")  # idempotent
     deleted = vacuum(root, keep=1)
     assert sorted(deleted) == g2
 
