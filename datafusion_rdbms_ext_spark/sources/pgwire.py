@@ -101,22 +101,60 @@ class PgWireClient:
     def _send(self, data: bytes) -> None:
         self.sock.sendall(data)
 
+    def _fill(self) -> None:
+        """Receive one chunk into the buffer (compacting the consumed
+        prefix before growing past it)."""
+        chunk = self.sock.recv(262144)
+        if not chunk:
+            raise PgError("server closed connection")
+        if self._pos and self._pos > len(self._buf) // 2:
+            del self._buf[: self._pos]
+            self._pos = 0
+        self._buf += chunk  # bytearray append: amortized O(chunk)
+
     def _recv_exact(self, n: int) -> bytes:
         while len(self._buf) - self._pos < n:
-            chunk = self.sock.recv(65536)
-            if not chunk:
-                raise PgError("server closed connection")
-            if self._pos and self._pos > len(self._buf) // 2:
-                # drop the consumed prefix before growing further
-                del self._buf[: self._pos]
-                self._pos = 0
-            self._buf += chunk  # bytearray append: amortized O(chunk)
+            self._fill()
         out = bytes(self._buf[self._pos : self._pos + n])
         self._pos += n
         if self._pos == len(self._buf):
             self._buf.clear()
             self._pos = 0
         return out
+
+    def _drain_copy_out(self) -> list[bytes]:
+        """Drain a COPY-out response: collect every CopyData ('d')
+        payload until ReadyForQuery. The hot loop parses frames
+        directly off the internal buffer — COPY sends ONE message
+        PER ROW, and the generic reader's three sliced reads per
+        message made framing (not parsing) the bulk-path bottleneck.
+        Non-data messages ('H'/'c'/'C'/'E'/'Z'/notices) drop to the
+        generic reader."""
+        parts: list[bytes] = []
+        error = None
+        while True:
+            while len(self._buf) - self._pos < 5:
+                self._fill()
+            buf, pos = self._buf, self._pos
+            length = int.from_bytes(buf[pos + 1 : pos + 5], "big")
+            total = 1 + length
+            while len(self._buf) - self._pos < total:
+                self._fill()
+                buf, pos = self._buf, self._pos
+            if buf[pos] == 0x64:  # 'd' CopyData: the hot path
+                parts.append(bytes(buf[pos + 5 : pos + total]))
+                self._pos = pos + total
+                if self._pos == len(self._buf):
+                    self._buf.clear()
+                    self._pos = 0
+                continue
+            mtype, payload = self._read_message()
+            if mtype == b"E":
+                error = _error_text(payload)
+            elif mtype == b"Z":
+                if error:
+                    raise PgError(error)
+                return parts
 
     def _read_message(self) -> tuple[bytes, bytes]:
         mtype = self._recv_exact(1)
@@ -297,18 +335,7 @@ class PgWireClient:
         sql = f"COPY ({select_sql}) TO STDOUT (FORMAT csv)"
         body = sql.encode() + b"\x00"
         self._send(b"Q" + struct.pack("!I", len(body) + 4) + body)
-        parts: list[bytes] = []
-        error = None
-        while True:
-            mtype, payload = self._read_message()
-            if mtype == b"d":
-                parts.append(payload)
-            elif mtype == b"E":
-                error = _error_text(payload)
-            elif mtype == b"Z":
-                if error:
-                    raise PgError(error)
-                return b"".join(parts)
+        return b"".join(self._drain_copy_out())
 
     # -- binary COPY (the binary_reader.rs parity path) ------------------
     def copy_binary(self, select_sql: str, oids: list[int]) -> list[tuple]:
@@ -319,18 +346,7 @@ class PgWireClient:
         sql = f"COPY ({select_sql}) TO STDOUT (FORMAT BINARY)"
         body = sql.encode() + b"\x00"
         self._send(b"Q" + struct.pack("!I", len(body) + 4) + body)
-        parts: list[bytes] = []  # join once: `bytes +=` is O(stream^2)
-        error = None
-        while True:
-            mtype, payload = self._read_message()
-            if mtype == b"d":
-                parts.append(payload)
-            elif mtype == b"E":
-                error = _error_text(payload)
-            elif mtype == b"Z":
-                if error:
-                    raise PgError(error)
-                return _parse_pgcopy_binary(b"".join(parts), oids)
+        return _parse_pgcopy_binary(b"".join(self._drain_copy_out()), oids)
             # 'H' CopyOutResponse / 'c' CopyDone / 'C': skip
 
 
