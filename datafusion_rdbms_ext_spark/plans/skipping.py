@@ -71,8 +71,23 @@ def _conjunct_atom(expr, base_table: str):
     ``CASE WHEN l_suppkey = 2 ... END = 1`` as a ``l_suppkey = 2``
     atom and pruned by a non-binding predicate)."""
 
+    _ORDER_PRESERVING = ("tinyint", "smallint", "int", "bigint")
+
     def unwrap(e):
+        # Only strip casts whose TARGET type orders integers the same
+        # way integers do (numeric widening). A CAST(col AS STRING)
+        # comparison is lexicographic — '31' > '300' — so accepting it
+        # as a numeric range atom would prune files that satisfy the
+        # real predicate (ADVICE r10 #1). decimal/double widening of
+        # an integral child is also order-preserving.
         while e.getClass().getSimpleName() == "Cast":
+            tgt = e.dataType().simpleString()
+            if not (
+                tgt in _ORDER_PRESERVING
+                or tgt.startswith("decimal")
+                or tgt in ("float", "double")
+            ):
+                return e  # non-numeric cast survives → atom rejected below
             e = e.child()
         return e
 

@@ -117,6 +117,10 @@ def arrow_csv_to_table(blob: bytes, arrow_schema):
         read_options=pacsv.ReadOptions(
             column_names=[f.name for f in arrow_schema]
         ),
+        # COPY (FORMAT csv) quotes embedded newlines; without this the
+        # vectorized bulk path fails on values the binary/text paths
+        # handle fine (ADVICE r10 #4).
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
         convert_options=pacsv.ConvertOptions(
             column_types={f.name: f.type for f in arrow_schema},
             strings_can_be_null=True,

@@ -1044,10 +1044,17 @@ def pg_parallel_sink(
     if cols != list(df.columns):
         raise ValueError(f"ddl columns {cols} != frame columns {df.columns}")
     stage = f"{table}__stage"
+    claims = f"{stage}__parts"
     cli = PgWireClient(**params)
     try:
         cli.query(f"DROP TABLE IF EXISTS {stage}")
+        cli.query(f"DROP TABLE IF EXISTS {claims}")
         cli.query(f"CREATE TABLE {stage} ({ddl})")
+        # Exactly-once claim ledger (ADVICE r10 #2): each task commits
+        # its partition's rows and its claim row in ONE transaction,
+        # so a retried/speculative attempt of an already-committed
+        # partition hits the PRIMARY KEY and aborts — never duplicates.
+        cli.query(f"CREATE TABLE {claims} (part_id int PRIMARY KEY)")
     finally:
         cli.close()
 
@@ -1055,11 +1062,20 @@ def pg_parallel_sink(
 
     def _copy_partition(pdfs):
         import pandas as pd  # noqa: F401
+        from pyspark import TaskContext
 
         from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
 
+        part_id = TaskContext.get().partitionId()
         task_cli = PgWireClient(**p)
         try:
+            # One transaction per task attempt: a mid-partition
+            # failure drops the connection, Postgres rolls the whole
+            # attempt back, and the retry starts from zero staged
+            # rows — per-chunk COPYs are no longer independently
+            # committed (ADVICE r10 #2).
+            task_cli.query("BEGIN")
+            task_cli.query(f"INSERT INTO {claims} VALUES ({part_id})")
             n = 0
             for pdf in pdfs:
                 rows = (
@@ -1070,9 +1086,18 @@ def pg_parallel_sink(
                     for row in pdf.itertuples(index=False)
                 )
                 n += task_cli.copy_in_text(stage, cols, rows)
+            task_cli.query("COMMIT")
             yield pd.DataFrame({"staged": [n]})
         finally:
             task_cli.close()
+
+    def _abort():
+        c = PgWireClient(**params)
+        try:
+            c.query(f"DROP TABLE IF EXISTS {stage}")
+            c.query(f"DROP TABLE IF EXISTS {claims}")
+        finally:
+            c.close()
 
     try:
         staged = (
@@ -1085,26 +1110,29 @@ def pg_parallel_sink(
     except Exception:
         # abort path: a failed write job must leave the target
         # untouched and no stage debris behind
-        cli = PgWireClient(**params)
-        try:
-            cli.query(f"DROP TABLE IF EXISTS {stage}")
-        finally:
-            cli.close()
+        _abort()
         raise
-    # phase 2: single-transaction catalog flip (O(1) publish)
+    # phase 2: verify the STAGE before the flip (ADVICE r10 #2 —
+    # checking after DROP+RENAME would publish a corrupted stage and
+    # only then raise), then ONE transaction for the O(1) catalog flip.
     cli = PgWireClient(**params)
     try:
-        cli.query(
-            f"BEGIN; DROP TABLE IF EXISTS {table}; "
-            f"ALTER TABLE {stage} RENAME TO {table}; COMMIT"
-        )
-        _c, _o, cnt = cli.query(f"SELECT COUNT(*) FROM {table}")
-        if cnt[0][0] != staged:
-            raise RuntimeError(
-                f"published {cnt[0][0]} rows, executors staged {staged}"
+        _c, _o, cnt = cli.query(f"SELECT COUNT(*) FROM {stage}")
+        mismatch = cnt[0][0] != staged
+        if not mismatch:
+            cli.query(
+                f"BEGIN; DROP TABLE IF EXISTS {table}; "
+                f"ALTER TABLE {stage} RENAME TO {table}; "
+                f"DROP TABLE {claims}; COMMIT"
             )
     finally:
         cli.close()
+    if mismatch:
+        _abort()
+        raise RuntimeError(
+            f"stage holds {cnt[0][0]} rows, executors reported "
+            f"{staged}; aborting before publish"
+        )
     return int(staged)
 
 

@@ -604,6 +604,12 @@ def _decode_binary(value: bytes, oid: int):
         ndigits, weight, sign, dscale = struct.unpack("!HhHH", value[:8])
         if sign == 0xC000:
             return _dec.Decimal("NaN")
+        if sign == 0xD000:  # +Infinity (valid since PG 14)
+            return _dec.Decimal("Infinity")
+        if sign == 0xF000:  # -Infinity
+            return _dec.Decimal("-Infinity")
+        if sign not in (0x0000, 0x4000):
+            raise PgError(f"unknown numeric sign word 0x{sign:04X}")
         _need(value, 8, 2 * ndigits, "numeric digits")
         digits = struct.unpack(f"!{ndigits}H", value[8 : 8 + 2 * ndigits])
         ival = 0

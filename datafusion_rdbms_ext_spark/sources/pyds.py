@@ -202,8 +202,23 @@ class DuckDBFederatedReader(DataSourceReader):
             con.close()
 
 
+def _enable_pyds_filter_pushdown(spark) -> None:
+    """Make every Python-DataSource entry point self-sufficient.
+
+    Spark 4 hard-fails planning a DataSourceReader that implements
+    ``pushFilters`` when ``spark.sql.python.filterPushdown.enabled``
+    is off ([DATA_SOURCE_PUSHDOWN_DISABLED]). The engine's session
+    factory sets it, but a registered query must also run correctly
+    as the FIRST query of a foreign session (the driver's harness),
+    so each ``register_*_source`` sets it idempotently — it is a
+    runtime-settable conf and a no-op when already on.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
 def register_duckdb_source(spark) -> None:
     """Idempotently register the format with the session."""
+    _enable_pyds_filter_pushdown(spark)
     spark.dataSource.register(DuckDBFederatedSource)
 
 
@@ -282,6 +297,7 @@ class SQLiteFederatedReader(DataSourceReader):
 
 def register_sqlite_source(spark) -> None:
     """Idempotently register the SQLite format with the session."""
+    _enable_pyds_filter_pushdown(spark)
     spark.dataSource.register(SQLiteFederatedSource)
 
 
@@ -417,6 +433,7 @@ class PgWireFederatedReader(DataSourceReader):
 
 def register_pgwire_source(spark) -> None:
     """Idempotently register the Postgres format with the session."""
+    _enable_pyds_filter_pushdown(spark)
     spark.dataSource.register(PgWireFederatedSource)
 
 
@@ -448,9 +465,6 @@ from ..queries.base import register  # noqa: E402
 )
 def fed_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_duckdb_source(spark)
-    # Required for pushFilters; runtime-settable, harmless if already on
-    # (the engine's session factory sets it too).
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     orders = (
         spark.read.format("duckdb_fed")
         .option("sf_dir", sf_dir)
@@ -506,7 +520,6 @@ def fed_postgres_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _pg_connector(spark, sf_dir)  # boot + load fixture
     register_pgwire_source(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     cust = (
         spark.read.format("pgwire_fed")
         .option("host", "127.0.0.1")

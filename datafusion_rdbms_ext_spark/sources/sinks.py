@@ -1407,7 +1407,10 @@ def wap_attempt(
     # write to a temp dir and atomically rename into place, the same
     # discipline as the result cache (ADVICE r8 #5)
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        tmp = f"{stage_dir}.tmp.{os.getpid()}"
+        # _unique_suffix, not PID-only: two driver threads (e.g.
+        # foreachBatch) racing the same stage_name share a PID and
+        # would rmtree each other's in-flight staging write.
+        tmp = f"{stage_dir}.tmp.{_unique_suffix()}"
         staged.coalesce(1).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, stage_dir)
@@ -1591,7 +1594,7 @@ def equality_delete_root(spark: SparkSession, sf_dir: str) -> str:
         F.col("id").alias("doc_id")
     ).filter(F.col("doc_id") % 100 == 11)
     if not os.path.exists(os.path.join(root, "eq8", "_SUCCESS")):
-        tmp = os.path.join(root, f"eq8.tmp.{os.getpid()}")
+        tmp = os.path.join(root, f"eq8.tmp.{_unique_suffix()}")
         keys.coalesce(1).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, os.path.join(root, "eq8"))
@@ -1704,7 +1707,7 @@ def compact_equality_deletes(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(root, m8["delete_vectors"])
     )
     if not os.path.exists(os.path.join(root, "dv9", "_SUCCESS")):
-        tmp = os.path.join(root, f"dv9.tmp.{os.getpid()}")
+        tmp = os.path.join(root, f"dv9.tmp.{_unique_suffix()}")
         dv_old.unionByName(eq_pos).distinct().coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
@@ -2057,7 +2060,10 @@ def branch_commit(
         return version_to
     stage_dir = os.path.join(root, f"stage_{stage_name}")
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        tmp = f"{stage_dir}.tmp.{os.getpid()}"
+        # _unique_suffix, not PID-only: two driver threads (e.g.
+        # foreachBatch) racing the same stage_name share a PID and
+        # would rmtree each other's in-flight staging write.
+        tmp = f"{stage_dir}.tmp.{_unique_suffix()}"
         staged.coalesce(1).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, stage_dir)

@@ -745,3 +745,111 @@ def test_csv_arrow_path_parity_and_fallback(spark, pg):
     )
     s = PgWireFederatedReader(opts, plain)._arrow_schema()
     assert s is not None and s.field("m").type == pa.decimal128(38, 4)
+
+
+def test_parallel_sink_claim_ledger_blocks_duplicate_attempts(spark, pg):
+    """ADVICE r10 #2: each task commits its claim row + its COPY in
+    ONE transaction, so a retried/speculative attempt of an
+    already-committed partition aborts on the claims PRIMARY KEY —
+    no duplicated rows can ever reach the stage."""
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    cli = PgWireClient(**pg)
+    try:
+        cli.query("DROP TABLE IF EXISTS claim_probe")
+        cli.query("DROP TABLE IF EXISTS claim_probe__parts")
+        cli.query("CREATE TABLE claim_probe (v bigint)")
+        cli.query("CREATE TABLE claim_probe__parts (part_id int PRIMARY KEY)")
+        # attempt 1 commits its claim + rows atomically
+        cli.query("BEGIN")
+        cli.query("INSERT INTO claim_probe__parts VALUES (0)")
+        cli.copy_in_text("claim_probe", ["v"], [(1,), (2,)])
+        cli.query("COMMIT")
+    finally:
+        cli.close()
+    # attempt 2 (same partition, e.g. post-success retry): the claim
+    # INSERT hits the PK and the whole transaction rolls back — the
+    # rows it would have re-copied never land.
+    dup = PgWireClient(**pg)
+    try:
+        dup.query("BEGIN")
+        import pytest as _pytest
+
+        with _pytest.raises(PgError):
+            dup.query("INSERT INTO claim_probe__parts VALUES (0)")
+    finally:
+        dup.close()  # connection drop aborts the open transaction
+    chk = PgWireClient(**pg)
+    try:
+        assert chk.query("SELECT COUNT(*) FROM claim_probe")[2][0][0] == 2
+        chk.query("DROP TABLE claim_probe")
+        chk.query("DROP TABLE claim_probe__parts")
+    finally:
+        chk.close()
+
+
+def test_parallel_sink_mismatch_aborts_before_publish(spark, pg, monkeypatch):
+    """ADVICE r10 #2: the staged-vs-reported row-count check must run
+    against the STAGE and abort BEFORE the DROP+RENAME flip — the old
+    order published the corrupted stage first and raised after the
+    target was already gone."""
+    import pytest as _pytest
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources import federation
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    params = dict(pg)
+    src = spark.table("region").select("r_regionkey")
+    ddl = "r_regionkey bigint"
+    # seed the published table with a known good state
+    n0 = federation.pg_parallel_sink(
+        src, params, "psink_verify_probe", ddl
+    )
+    assert n0 == 5
+
+    from datafusion_rdbms_ext_spark.sources import pgwire as _pgwire_mod
+
+    real_client = _pgwire_mod.PgWireClient
+
+    class _Corrupting(real_client):
+        """Injects one duplicate stage row at verification time —
+        simulating a committed-then-retried task the ledger did not
+        exist to stop."""
+
+        def query(self, sql):
+            if sql.startswith("SELECT COUNT(*) FROM psink_verify_probe__stage"):
+                super().query(
+                    "INSERT INTO psink_verify_probe__stage VALUES (0)"
+                )
+            return super().query(sql)
+
+    # pg_parallel_sink resolves PgWireClient from the pgwire module at
+    # call time (function-local import); patching there affects only
+    # the DRIVER process — executor workers import their own copy.
+    monkeypatch.setattr(_pgwire_mod, "PgWireClient", _Corrupting)
+    with _pytest.raises(RuntimeError, match="aborting before publish"):
+        federation.pg_parallel_sink(src, params, "psink_verify_probe", ddl)
+    monkeypatch.undo()
+    chk = PgWireClient(**params)
+    try:
+        # published table is UNTOUCHED (still the good n0 rows) and the
+        # corrupted stage + claims ledger were dropped
+        assert (
+            chk.query("SELECT COUNT(*) FROM psink_verify_probe")[2][0][0]
+            == n0
+        )
+        with _pytest.raises(PgError):
+            chk.query("SELECT COUNT(*) FROM psink_verify_probe__stage")
+        with _pytest.raises(PgError):
+            chk.query("SELECT COUNT(*) FROM psink_verify_probe__stage__parts")
+        chk.query("DROP TABLE psink_verify_probe")
+    finally:
+        chk.close()

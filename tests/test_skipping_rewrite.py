@@ -174,3 +174,41 @@ def test_fall_through_literal_containing_atom_text(spark, idx):
     )
     served = skipping_rewrite(user, idx)
     assert served.count() == user.count()
+
+
+def test_string_cast_comparison_is_not_an_atom(spark, idx):
+    """ADVICE r10 #1: CAST(l_orderkey AS STRING) >= '300' is a
+    LEXICOGRAPHIC comparison ('31' > '300' holds for value 31), so
+    accepting it as a numeric range atom prunes files whose rows
+    satisfy the real predicate. Non-numeric casts must reject the
+    atom -> whole plan falls through unchanged."""
+    li = spark.table("lineitem")
+    user = li.filter(
+        (F.col("l_orderkey").cast("string") >= f"{_REWRITE_LO}")
+        & (F.col("l_orderkey").cast("string") <= f"{_REWRITE_HI}")
+    )
+    assert skipping_rewrite(user, idx) is user  # fall through
+    # and the values the user gets are the lexicographic semantics
+    lex = user.count()
+    num = li.filter(
+        F.col("l_orderkey").between(_REWRITE_LO, _REWRITE_HI)
+    ).count()
+    assert lex != num  # the two semantics genuinely differ on this data
+
+
+def test_numeric_widening_cast_still_accepts_atom(spark, idx):
+    """Order-preserving casts (decimal/double widening of an integral
+    column) still yield atoms — the r10 fix must not regress the
+    Catalyst-inserted-cast path that makes integer comparisons work
+    at all."""
+    li = spark.table("lineitem")
+    user = li.filter(
+        (F.col("l_orderkey").cast("decimal(20,0)") >= _REWRITE_LO)
+        & (F.col("l_orderkey").cast("decimal(20,0)") <= _REWRITE_HI)
+        & (F.col("l_suppkey") == _REWRITE_KEY)
+    )
+    served = skipping_rewrite(user, idx, strict=True)
+    assert len(served.inputFiles()) < len(idx.manifest)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, user.collect())
+    )
