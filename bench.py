@@ -7,13 +7,18 @@ Runs the headline queries (tag ``bench`` in the registry) at
 summary JSON as the FINAL line — the driver's tail capture is 2 KB,
 and round 6 lost its per-query maps to a single oversized line.
 
-Each query runs untimed once (row-count warm-up) then three timed
-runs: `queries` records best-of-3 (steady-state, comparable with
-earlier rounds), `median3` the median (robust cross-round delta
-signal — VERDICT r5 #6; best-of-N is the regime that matters at the
-100 TB design point where per-query JIT warmup is amortized away,
-while the median damps the multi-tenant noise of the measurement
-host, whose observed run-to-run variance is 2-3x).
+Methodology (round 11, VERDICT r10 next #2): an untimed PREPASS runs
+every query's ``prepare`` hook (scenario construction: versioned
+corpora, live-Postgres fixture loads) plus one full untimed
+execution (row count, JIT warm-up); then THREE whole-suite timed
+passes with the query order rotated by n/3 per pass, so each query's
+three samples land in widely separated wall-clock windows — a host
+contention burst inflates one pass, not a query's whole best-of-3
+(the r9/r10 artifacts both carried run-order-correlated inflation).
+`queries` records best-of-3 (steady-state, comparable with earlier
+rounds), `median3` the median (robust cross-round delta signal —
+VERDICT r5 #6), `loadavg` the max 1-min load average observed at the
+query's run starts (attributes an inflated row to contention).
 """
 
 from __future__ import annotations
@@ -48,32 +53,75 @@ def main() -> None:
     ensure_tables(spark, SF_DIR)  # catalog load stays outside the clock
     bench_specs = [s for s in REGISTRY.values() if "bench" in s.tags]
 
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
+    # --- untimed prepass (VERDICT r10 next #2a) -----------------------
+    # Scenario construction (versioned-corpus builds, live-Postgres
+    # fixture loads, streaming-source schema derivation) runs here,
+    # once, OUTSIDE the clock: spec.prepare if declared, plus one full
+    # untimed execution of every query (row count for the log, JIT +
+    # fixture warm-up). Queries that errored in the prepass are
+    # excluded from the timed passes and recorded as errors.
     errors: dict[str, str] = {}
+    rows: dict[str, int] = {}
     for spec in bench_specs:
         # One broken query must cost its own entry, never the whole
         # suite: round 3's bench recorded NOTHING because a single
         # AnalysisException aborted the run (BENCH_r03.json rc=1).
         try:
-            n = spec.fn(spark, SF_DIR).count()  # untimed: row count for the log
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _force(spec.fn(spark, SF_DIR))
-                runs.append(time.perf_counter() - t0)
+            if spec.prepare is not None:
+                spec.prepare(spark, SF_DIR)
+            rows[spec.name] = spec.fn(spark, SF_DIR).count()
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {spec.name}: ERROR {errors[spec.name]}", file=sys.stderr)
+    live = [s for s in bench_specs if s.name not in errors]
+
+    # --- timed passes: whole-suite rounds, order ROTATED per pass -----
+    # (VERDICT r10 next #2b). Back-to-back best-of-3 sampled ONE
+    # contention window per query, so host load correlated with run
+    # position inflated a contiguous block of the artifact two rounds
+    # running (r9 uniform 1.24x, r10 3.8-7.4x on the first ~35
+    # positions). Rotating the order by n/3 per pass puts each query's
+    # three samples in widely separated wall-clock windows, so
+    # best-of-3 escapes any one contention burst and a positional
+    # slowdown reads as ONE inflated pass, not a ruined query.
+    run_log: dict[str, list[float]] = {s.name: [] for s in live}
+    load_log: dict[str, list[float]] = {s.name: [] for s in live}
+    for pass_i in range(3):
+        off = (pass_i * len(live)) // 3
+        order = live[off:] + live[:off]
+        for spec in order:
+            try:
+                la = os.getloadavg()[0]
+                t0 = time.perf_counter()
+                _force(spec.fn(spark, SF_DIR))
+                run_log[spec.name].append(time.perf_counter() - t0)
+                load_log[spec.name].append(la)
+            except Exception as exc:  # noqa: BLE001
+                errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(
+                    f"# {spec.name}: ERROR {errors[spec.name]}",
+                    file=sys.stderr,
+                )
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    loadavg: dict[str, float] = {}
+    for name, runs in run_log.items():
+        if name in errors or not runs:
             continue
-        timings[spec.name] = round(min(runs), 4)
+        timings[name] = round(min(runs), 4)
         # median-of-3 (VERDICT r5 next #6): the robust per-query
         # number for cross-round deltas — best-of-3 stays in `queries`
         # for comparability with earlier rounds' artifacts.
-        medians[spec.name] = round(sorted(runs)[1], 4)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 4)
+        # 1-min load average observed at the query's run starts
+        # (VERDICT r10 next #2c): lets a reader attribute an inflated
+        # row to host contention instead of a plan regression.
+        loadavg[name] = round(max(load_log[name]), 2)
         print(
-            f"# {spec.name}: best={timings[spec.name]:.3f}s "
-            f"median3={medians[spec.name]:.3f}s rows={n}",
+            f"# {name}: best={timings[name]:.3f}s "
+            f"median3={medians[name]:.3f}s rows={rows.get(name)} "
+            f"load<={loadavg[name]}",
             file=sys.stderr,
         )
 
@@ -86,6 +134,7 @@ def main() -> None:
         "queries": timings,
         "median3": medians,
         "value_median3": round(sum(medians.values()), 4),
+        "loadavg": loadavg,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -44,6 +44,12 @@ class QuerySpec:
     #: Reference citation (file:line) or rationale for the entry.
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: Optional untimed scenario-construction hook (spark, sf_dir) —
+    #: bench.py calls it in the warm-up prepass so timed runs measure
+    #: the operator, not fixture building (VERDICT r10 next #2a).
+    #: Construction must ALSO remain reachable from fn (idempotent),
+    #: so correctness runs without a prepass stay self-contained.
+    prepare: Callable[[SparkSession, str], object] | None = None
 
 
 def register(
@@ -51,6 +57,7 @@ def register(
     oracle: str | None = None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    prepare: Callable[[SparkSession, str], object] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the inventory.
 
@@ -72,7 +79,10 @@ def register(
         wrapped.__doc__ = fn.__doc__
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags,
+            prepare=prepare,
+        )
         return wrapped
 
     return deco

@@ -1172,13 +1172,32 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+#: Integer mean with half-away-from-zero rounding in PURE integer
+#: arithmetic: round(s/n) == sign(s) * ((2|s| + n) div (2n)) for
+#: n > 0. ROUND(SUM/COUNT) over doubles drifts between engines when
+#: the exact mean lands on a representation boundary (round-11
+#: finding: llm_embedding_outliers' sf0.001 centroid differed by 1
+#: between Spark and DuckDB) — integer arithmetic is bit-identical
+#: everywhere. Spark spelling (DIV); the DuckDB mirror uses //.
+_INT_MEAN_SPARK = (
+    "CAST(CASE WHEN SUM(val) < 0"
+    " THEN -((2 * -SUM(val) + COUNT(*)) DIV (2 * COUNT(*)))"
+    " ELSE (2 * SUM(val) + COUNT(*)) DIV (2 * COUNT(*)) END AS BIGINT)"
+)
+_INT_MEAN_SQL = (
+    "CAST(CASE WHEN SUM(val) < 0"
+    " THEN -((2 * -SUM(val) + COUNT(*)) // (2 * COUNT(*)))"
+    " ELSE (2 * SUM(val) + COUNT(*)) // (2 * COUNT(*)) END AS BIGINT)"
+)
+
+
 def _update_centroids(assigned: DataFrame) -> DataFrame:
     """Lloyd's update: per-component integer mean. posexplode feeds a
     (cid, pos)-keyed partial aggregation, so the shuffle carries only
     K*dim partial sums — independent of corpus size."""
     comps = assigned.select("cid", F.posexplode("eq").alias("pos", "val"))
     means = comps.groupBy("cid", "pos").agg(
-        F.round(F.sum("val") / F.count(F.lit(1))).cast("long").alias("comp")
+        F.expr(_INT_MEAN_SPARK).alias("comp")
     )
     return means.groupBy("cid").agg(
         F.transform(
@@ -1210,22 +1229,28 @@ def _lloyds(vecs: DataFrame, k: int, iters: int, seed_tag: str) -> DataFrame:
     return cents
 
 
-def _learned_centroids(spark: SparkSession, k: int | None = None) -> DataFrame:
+def _learned_centroids(
+    spark: SparkSession, k: int | None = None, seed: str = "ivfseed"
+) -> DataFrame:
     """``k=None`` derives the self-scaling default (K ~ sqrt N) from
     a cheap corpus count; registered gate queries pass the pinned
-    ``_IVF_K`` so their DuckDB oracles stay exact."""
+    ``_IVF_K`` so their DuckDB oracles stay exact. ``seed`` picks an
+    independent deterministic seeding (a second clustering level
+    must not degenerate into the first)."""
     if k is None:
         k = default_ivf_k(spark.table("embeddings").count())
-    return _lloyds(_quantize(spark), k, _IVF_ITERS, "ivfseed")
+    return _lloyds(_quantize(spark), k, _IVF_ITERS, seed)
 
 
-def learned_ivf_cells(spark: SparkSession, k: int | None = None) -> DataFrame:
+def learned_ivf_cells(
+    spark: SparkSession, k: int | None = None, seed: str = "ivfseed"
+) -> DataFrame:
     """(vec_id, cell) under the learned centroids — the learned
     replacement for the fixture ``label`` column (VERDICT r2 missing
     #6: a real ANN path computes its own cells)."""
-    return _assign_cells(_quantize(spark), _learned_centroids(spark, k)).select(
-        "vec_id", F.col("cid").alias("cell")
-    )
+    return _assign_cells(
+        _quantize(spark), _learned_centroids(spark, k, seed)
+    ).select("vec_id", F.col("cid").alias("cell"))
 
 
 def _probe_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
@@ -1256,14 +1281,19 @@ def _probe_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
-def _sql_lloyds_cells() -> str:
+def _sql_lloyds_cells(
+    k: int = _IVF_K, seed: str = "ivfseed", prefix: str = ""
+) -> str:
     """DuckDB CTE chain mirroring :func:`learned_ivf_cells` exactly:
     same quantization, seeding, assignment tie-breaks and integer
-    means, unrolled ``_IVF_ITERS`` times."""
+    means, unrolled ``_IVF_ITERS`` times. ``prefix`` namespaces every
+    CTE so two independent clusterings (different k/seed) can live in
+    one WITH clause — the final CTE is ``{prefix}cells``."""
     dist = (
         f"list_sum(list_transform(range(1, {_IVF_DIM + 1}),"
         " i -> (e.eq[i]-c.cemb[i])*(e.eq[i]-c.cemb[i])))"
     )
+    p = prefix
 
     def assign(name: str, cents: str) -> str:
         return f"""
@@ -1271,14 +1301,14 @@ def _sql_lloyds_cells() -> str:
       SELECT vec_id, eq, cid FROM (
         SELECT e.vec_id, e.eq, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rk
-        FROM eqv e CROSS JOIN {cents} c) WHERE rk = 1
+        FROM {p}eqv e CROSS JOIN {cents} c) WHERE rk = 1
     )"""
 
     def update(name: str, assigned: str) -> str:
         return f"""
     {name} AS (
       SELECT cid, list(comp ORDER BY pos) AS cemb FROM (
-        SELECT cid, pos, CAST(ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+        SELECT cid, pos, {_INT_MEAN_SQL} AS comp
         FROM (SELECT cid, i AS pos, eq[i] AS val
               FROM {assigned}, (SELECT unnest(range(1, {_IVF_DIM + 1})) AS i))
         GROUP BY cid, pos) GROUP BY cid
@@ -1286,26 +1316,31 @@ def _sql_lloyds_cells() -> str:
 
     parts = [
         f"""
-    eqv AS (
+    {p}eqv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
       FROM embeddings
     ),
-    cent0 AS (
+    {p}cent0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cid, eq AS cemb
-      FROM (SELECT vec_id, eq, {_sql_phash("CAST(vec_id AS VARCHAR)", "ivfseed")} AS h
-            FROM eqv ORDER BY h, vec_id LIMIT {_IVF_K})
+      FROM (SELECT vec_id, eq, {_sql_phash("CAST(vec_id AS VARCHAR)", seed)} AS h
+            FROM {p}eqv ORDER BY h, vec_id LIMIT {k})
     )"""
     ]
-    cents = "cent0"
+    cents = f"{p}cent0"
     for i in range(_IVF_ITERS):
-        parts.append(assign(f"asg{i}", cents))
-        parts.append(update(f"cent{i + 1}", f"asg{i}"))
-        cents = f"cent{i + 1}"
+        parts.append(assign(f"{p}asg{i}", cents))
+        parts.append(update(f"{p}cent{i + 1}", f"{p}asg{i}"))
+        cents = f"{p}cent{i + 1}"
     parts.append(
-        assign("final_asg", cents).replace("vec_id, eq, cid", "vec_id, cid", 1)
+        assign(f"{p}final_asg", cents).replace(
+            "vec_id, eq, cid", "vec_id, cid", 1
+        )
     )
-    return ",".join(parts) + ", cells AS (SELECT vec_id, cid AS cell FROM final_asg)"
+    return (
+        ",".join(parts)
+        + f", {p}cells AS (SELECT vec_id, cid AS cell FROM {p}final_asg)"
+    )
 
 
 @register(
@@ -1577,7 +1612,7 @@ def _sql_pq_chain(include_eqv: bool = True) -> str:
     ),
     c{m}_{i + 1} AS (
       SELECT cid, list(comp ORDER BY pos) AS cemb FROM (
-        SELECT cid, pos, CAST(ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+        SELECT cid, pos, {_INT_MEAN_SQL} AS comp
         FROM (SELECT cid, i AS pos, eq[i] AS val
               FROM a{m}_{i}, (SELECT unnest(range(1, {_PQ_SUBDIM + 1})) AS i))
         GROUP BY cid, pos) GROUP BY cid
@@ -3956,6 +3991,136 @@ from .base import REGISTRY as _REGISTRY  # noqa: E402
 _REGISTRY["llm_semdedup"].oracle = _REGISTRY["llm_semdedup"].oracle.format(
     cells=_sql_lloyds_cells(), norm=_SQL_NORM, dot=_SQL_PAIR_DOT
 )
+
+
+# ---------------------------------------------------------------------------
+# 19b. IVF-SHARDED SemDeDup (round 11, VERDICT r10 next #5) — the
+#      executable scale path for the N^1.5 compute model SCALE.md
+#      documents for semdedup-default.
+#
+#      Default semdedup balances assignment O(N*K) against per-cell
+#      pairs O(N^2/K) at K ~ sqrt(N): total N^1.5. Here the shard key
+#      is the CROSS PRODUCT of two INDEPENDENT global clusterings
+#      (k1 x k2 effective shards for k1 + k2 assignment cost): with
+#      k1 = k2 ~ sqrt(N/target), shards hold ~target vectors, pair
+#      work is O(N * target) = linear, and assignment is
+#      O(N * sqrt(N/target)) = N^1.25 — strictly below N^1.5, with
+#      both levels still plain broadcast-centroid map-side Lloyd's.
+#      Semantically this is SemDeDup under a finer partition: pruning
+#      is more conservative (a near-dup pair must agree on BOTH
+#      levels), the standard IVF probe=1 recall/cost trade.
+# ---------------------------------------------------------------------------
+_SEM_K2 = 6  # second-level shard count (pinned so the oracle is exact)
+
+
+@register(
+    "llm_semdedup_sharded",
+    oracle=f"""
+    WITH {_sql_lloyds_cells()},
+    {_sql_lloyds_cells(k=_SEM_K2, seed="ivfseed2", prefix="s2_")},
+    base AS (SELECT b.vec_id, cl.cell, c2.cell AS cell2, b.embedding,
+                    {_SQL_NORM} AS nrm
+             FROM embeddings b
+             JOIN cells cl ON cl.vec_id = b.vec_id
+             JOIN s2_cells c2 ON c2.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, cell, cell2, embedding AS q_emb,
+                 nrm AS q_nrm FROM base),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM q JOIN base b
+        ON b.cell = q.cell AND b.cell2 = q.cell2 AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT base.cell,
+           COUNT(*) AS n_vecs,
+           COUNT(pruned.vec_id) AS n_pruned,
+           CAST(COUNT(*) - COUNT(pruned.vec_id) AS BIGINT) AS n_kept
+    FROM base LEFT JOIN pruned ON pruned.vec_id = base.vec_id
+    GROUP BY base.cell
+    ORDER BY base.cell
+    """,
+    doc="IVF-sharded SemDeDup: pair generation bounded by the CROSS "
+    "PRODUCT of two independent learned clusterings (k1 x k2 shards "
+    "for k1 + k2 assignment cost) — the executable form of the "
+    "scale path SCALE.md names for semdedup's N^1.5 compute model. "
+    "The oracle re-runs both integer k-means chains and the "
+    "two-level pruning rule in SQL.",
+    tags=("llm", "dedup", "similarity", "bench"),
+)
+def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level shard key, level-1 rollup (pinned k1/k2 for the
+    oracle; `semdedup_prune_sharded` is the self-scaling entry)."""
+    return semdedup_prune_sharded(spark, k1=_IVF_K, k2=_SEM_K2)
+
+
+def semdedup_prune_sharded(
+    spark: SparkSession,
+    k1: int | None = None,
+    k2: int | None = None,
+    tau: float = _SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup pruning within (cell1, cell2) cross-product shards.
+
+    ``k1=k2=None`` derives both from a cheap corpus count as
+    ~sqrt(N/64) each (shards of ~64 expected vectors), the
+    configuration whose total cost is O(N^1.25) — assignment
+    O(N*(k1+k2)), pair join O(N*64).
+
+    Scale: both clusterings are the broadcast-centroid map-side
+    Lloyd's (no N*K shuffle); the pair join is bucketed by the
+    composite key, so one hot semantic region splits across k2
+    sub-shards instead of forming one quadratic cell; the prune is a
+    cell-local DISTINCT semi-join. At 100 TB raise the shard target,
+    not the plan."""
+    if k1 is None or k2 is None:
+        import math
+
+        n = spark.table("embeddings").count()
+        side = max(2, int(math.ceil(math.sqrt(n / 64.0) ** 0.5)))
+        k1 = k1 or max(2, int(math.ceil(math.sqrt(n / 64.0))))
+        k2 = k2 or side
+    cells1 = learned_ivf_cells(spark, k1).localCheckpoint()
+    cells2 = (
+        learned_ivf_cells(spark, k2, seed="ivfseed2")
+        .withColumnRenamed("cell", "cell2")
+        .localCheckpoint()
+    )
+    base = (
+        _vectors_with_norm(spark)
+        .join(cells1, "vec_id")
+        .join(cells2, "vec_id")
+        .select("vec_id", "cell", "cell2", "embedding", "nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        "cell2",
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    cos = _dot(F.col("a_emb"), F.col("embedding")) / (
+        F.col("a_nrm") * F.col("nrm")
+    )
+    pruned = (
+        a.join(base, ["cell", "cell2"])
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        base.join(pruned, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("is_pruned"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7658,7 +7823,7 @@ _R2["llm_minhash_estimate_error"].oracle = _sql_minhash_err_oracle()
     ),
     cent AS (
       SELECT label, pos,
-             CAST(ROUND(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS c
+             {_INT_MEAN_SQL} AS c
       FROM comp GROUP BY label, pos
     ),
     cvec AS (
@@ -7671,7 +7836,7 @@ _R2["llm_minhash_estimate_error"].oracle = _sql_minhash_err_oracle()
       FROM q JOIN cvec v USING (label)
     ),
     med AS (
-      SELECT label, CAST(MEDIAN(d2) AS BIGINT) AS med_d2
+      SELECT label, CAST(FLOOR(MEDIAN(d2)) AS BIGINT) AS med_d2
       FROM dist GROUP BY label
     )
     SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -7709,7 +7874,7 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = q.select("label", F.posexplode("eq").alias("pos", "val"))
     cent = (
         comps.groupBy("label", "pos")
-        .agg(F.round(F.sum("val") / F.count(F.lit(1))).cast("long").alias("c"))
+        .agg(F.expr(_INT_MEAN_SPARK).alias("c"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -7722,7 +7887,8 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _l2q(F.col("eq"), F.col("cemb")).alias("d2")
     )
     med = dist.groupBy("label").agg(
-        F.expr("CAST(median(d2) AS BIGINT)").alias("med_d2")
+        # FLOOR before the cast: see the oracle's med CTE comment
+        F.expr("CAST(FLOOR(median(d2)) AS BIGINT)").alias("med_d2")
     )
     return (
         dist.join(med, "label")

@@ -519,6 +519,16 @@ def _pg_connector(spark: SparkSession, sf_dir: str):
     )
 
 
+def _prepare_pg(spark: SparkSession, sf_dir: str) -> None:
+    """Untimed bench prepass: server boot + fixture load stay off the
+    clock so a Postgres-backed row times wire transfer + query work,
+    never one-time environment construction (VERDICT r10 next #2a)."""
+    from ..queries.base import ensure_tables
+
+    ensure_tables(spark, sf_dir)
+    _pg_connector(spark, sf_dir)
+
+
 @register(
     "fed_postgres_scan",
     oracle="""
@@ -538,6 +548,7 @@ def _pg_connector(spark: SparkSession, sf_dir: str):
     "reference's actual backend dialect, end-to-end "
     "(VERDICT r8 #7).",
     tags=("federation", "postgres", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation supplier rollup fetched from live Postgres.
@@ -609,6 +620,7 @@ def fed_postgres_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine's own decoder — and the per-type rollup with exact "
     "epoch-microsecond bounds hash-matches the parquet oracle.",
     tags=("federation", "postgres", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_binary_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup of the binary-COPY-decoded events slice.
@@ -667,6 +679,7 @@ def fed_postgres_binary_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect's optimizer.rs:14-39 contract, live in the driver "
     "gate.",
     tags=("federation", "postgres", "pushdown", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment rollup computed REMOTELY by Postgres.
@@ -721,6 +734,7 @@ def fed_postgres_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "closes the same seam the DuckDB/SQLite sink roundtrips close "
     "for dialects one and two.",
     tags=("federation", "postgres", "sink", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup written to Postgres and read back.
@@ -781,6 +795,7 @@ def fed_postgres_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "real server. Distinct-key count proves no slice overlap or "
     "miss.",
     tags=("federation", "postgres", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier rollup via the 4-slice executor-side fetch.
@@ -829,6 +844,7 @@ def fed_postgres_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-OID table as the COPY reader (ref binary_reader.rs:24-209) "
     "— the protocol's second binary surface, exercised end-to-end.",
     tags=("federation", "postgres", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized remote aggregate over the extended protocol.
@@ -887,6 +903,7 @@ def fed_postgres_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ArrayType/BinaryType, and the per-region rollup hash-matches "
     "the parquet oracle.",
     tags=("federation", "postgres", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/bytea/uuid columns over the live wire, both formats.
@@ -960,6 +977,7 @@ def fed_postgres_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-matches the oracle — the float envelope the old "
     "numeric→Float64 path (datatypes.rs:19) needed is gone.",
     tags=("federation", "postgres", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-precision decimal roundtrip, no float envelope.
@@ -1157,6 +1175,7 @@ def pg_parallel_sink(
     "asymmetry: dialect three now has the same sink scale story as "
     "the DuckDB two-phase sink (pyds.py).",
     tags=("federation", "postgres", "sink", "bench"),
+    prepare=_prepare_pg,
 )
 def fed_postgres_parallel_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-sized parallel sink roundtrip, row-count-checked.

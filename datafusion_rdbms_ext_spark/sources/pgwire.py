@@ -82,6 +82,7 @@ class PgWireClient:
         database: str = "postgres",
         timeout: float = 30.0,
         search_path: str | None = None,
+        password: str | None = None,
     ):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         # consumed-offset bytearray: `bytes += chunk` re-copies the
@@ -89,7 +90,7 @@ class PgWireClient:
         # stream — a 15 MB partition slice would memcpy gigabytes
         self._buf = bytearray()
         self._pos = 0
-        self._startup(user, database)
+        self._startup(user, database, password)
         if search_path:
             # per-scale-factor schema isolation: concurrent sessions
             # pointed at different fixture dirs must not fight over
@@ -162,7 +163,7 @@ class PgWireClient:
         return mtype, self._recv_exact(length - 4)
 
     # -- session --------------------------------------------------------
-    def _startup(self, user: str, database: str) -> None:
+    def _startup(self, user: str, database: str, password: str | None) -> None:
         params = (
             b"user\x00" + user.encode() + b"\x00"
             b"database\x00" + database.encode() + b"\x00\x00"
@@ -173,13 +174,105 @@ class PgWireClient:
             mtype, payload = self._read_message()
             if mtype == b"R":
                 (code,) = struct.unpack("!I", payload[:4])
-                if code != 0:  # trust auth only
+                if code == 0:  # AuthenticationOk
+                    pass
+                elif code == 3:  # CleartextPassword
+                    if password is None:
+                        raise PgError("server requires a password")
+                    pw = password.encode() + b"\x00"
+                    self._send(b"p" + struct.pack("!I", len(pw) + 4) + pw)
+                elif code == 10:  # AuthenticationSASL: mechanism list
+                    self._sasl_scram(payload[4:], user, password)
+                else:
+                    # 5 = MD5 (superseded by SCRAM since PG 14's
+                    # password_encryption default), 7/8 = GSS, 9 = SSPI
                     raise PgError(f"unsupported auth code {code}")
             elif mtype == b"E":
                 raise PgError(_error_text(payload))
             elif mtype == b"Z":
                 return  # ReadyForQuery
             # 'S' ParameterStatus / 'K' BackendKeyData: ignore
+
+    def _sasl_scram(self, mechs: bytes, user: str, password: str | None) -> None:
+        """SCRAM-SHA-256 SASL exchange (RFC 5802/7677) — the auth
+        method every non-trust Postgres deployment negotiates since
+        PG 14, and what the reference's own harness configures
+        (testdata/docker-compose.yml POSTGRES_PASSWORD; ref
+        README.md:101-105). stdlib hmac/hashlib only. Channel binding
+        is not offered (gs2 header ``n,,`` — no TLS on this socket),
+        which the server accepts for SCRAM-SHA-256 (not -PLUS)."""
+        import base64
+        import hashlib
+        import hmac as _hmac
+        import os as _os
+
+        offered = [m for m in mechs.split(b"\x00") if m]
+        if b"SCRAM-SHA-256" not in offered:
+            raise PgError(
+                f"no supported SASL mechanism in {offered!r} "
+                "(client implements SCRAM-SHA-256)"
+            )
+        if password is None:
+            raise PgError("server requires SCRAM authentication: no password")
+        # RFC 5802 §5.1: username in client-first is ignored by PG
+        # (startup-message user wins); password must be SASLprep'd —
+        # ASCII passwords are fixpoints, reject others loudly rather
+        # than normalizing wrongly.
+        try:
+            password.encode("ascii")
+        except UnicodeEncodeError as exc:
+            raise PgError(
+                "non-ASCII password requires SASLprep (unimplemented)"
+            ) from exc
+        nonce = base64.b64encode(_os.urandom(18)).decode()
+        c_first_bare = f"n=,r={nonce}"
+        init = b"n,," + c_first_bare.encode()
+        msg = (
+            b"SCRAM-SHA-256\x00"
+            + struct.pack("!i", len(init))
+            + init
+        )
+        self._send(b"p" + struct.pack("!I", len(msg) + 4) + msg)
+
+        def _expect_auth(code_want: int) -> bytes:
+            while True:
+                mtype, payload = self._read_message()
+                if mtype == b"E":
+                    raise PgError(_error_text(payload))
+                if mtype == b"R":
+                    (code,) = struct.unpack("!I", payload[:4])
+                    if code != code_want:
+                        raise PgError(
+                            f"expected auth code {code_want}, got {code}"
+                        )
+                    return payload[4:]
+
+        s_first = _expect_auth(11).decode()  # AuthenticationSASLContinue
+        attrs = dict(kv.split("=", 1) for kv in s_first.split(","))
+        s_nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not s_nonce.startswith(nonce):
+            raise PgError("server nonce does not extend client nonce")
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", password.encode(), base64.b64decode(salt_b64), iters
+        )
+        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        c_final_bare = f"c={base64.b64encode(b'n,,').decode()},r={s_nonce}"
+        auth_msg = f"{c_first_bare},{s_first},{c_final_bare}".encode()
+        client_sig = _hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        c_final = (
+            f"{c_final_bare},p={base64.b64encode(proof).decode()}".encode()
+        )
+        self._send(b"p" + struct.pack("!I", len(c_final) + 4) + c_final)
+        s_final = _expect_auth(12).decode()  # AuthenticationSASLFinal
+        server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        server_sig = _hmac.new(server_key, auth_msg, hashlib.sha256).digest()
+        want = "v=" + base64.b64encode(server_sig).decode()
+        if s_final.split(",")[0] != want:
+            # mutual auth: a MITM that stole StoredKey still cannot
+            # forge the server signature without SaltedPassword
+            raise PgError("server signature verification failed")
 
     def close(self) -> None:
         try:

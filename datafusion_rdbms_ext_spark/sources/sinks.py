@@ -2295,6 +2295,7 @@ def branched_corpus_root(spark: SparkSession, sf_dir: str) -> str:
     "main-after-ff row pins n_exp_rows = 0, so an unmerged branch "
     "write is provably invisible on main.",
     tags=("sink", "source", "versioned", "bench"),
+    prepare=branched_corpus_root,
 )
 def source_snapshot_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The four branch states read back by ref.
@@ -2395,6 +2396,7 @@ def source_snapshot_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output) and the experiment branch (v11) are provably "
     "untouched.",
     tags=("sink", "source", "versioned", "bench"),
+    prepare=branched_corpus_root,
 )
 def source_branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cherry-pick of the experiment batch onto a release branch.

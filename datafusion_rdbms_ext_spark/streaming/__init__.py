@@ -47,6 +47,17 @@ from ..queries.base import register
 _RUN_SEQ = [0]
 
 
+def _prepare_stream(spark: SparkSession, sf_dir: str) -> None:
+    """Untimed bench prepass for streaming rows (VERDICT r10 next
+    #2a): table registration + the footer-read schema derivation for
+    the file stream happen off the clock. The per-run scenario
+    (fresh root, micro-batch drain) stays timed — it IS the operator."""
+    from ..queries.base import ensure_tables
+
+    ensure_tables(spark, sf_dir)
+    events_stream(spark, sf_dir)
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture, batch-identical types.
 
@@ -1683,6 +1694,7 @@ def cdf_consume(spark: SparkSession, sf_dir: str) -> tuple[dict, int]:
     "transitions (reported in the hash-checked output), and the "
     "maintained state must equal the head snapshot's direct rollup.",
     tags=("streaming", "versioned", "bench"),
+    prepare=_prepare_stream,
 )
 def stream_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained rollup at the chain head + replay no-op proof.
@@ -1771,6 +1783,7 @@ def branch_stream_commit(
     "from zero to all streamed batches atomically — the streaming "
     "half of write-audit-publish.",
     tags=("streaming", "versioned", "sink", "bench"),
+    prepare=_prepare_stream,
 )
 def stream_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staging-branch streaming ingest with an atomic serving flip.

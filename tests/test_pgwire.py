@@ -853,3 +853,53 @@ def test_parallel_sink_mismatch_aborts_before_publish(spark, pg, monkeypatch):
         chk.query("DROP TABLE psink_verify_probe")
     finally:
         chk.close()
+
+
+def test_scram_sha256_auth_end_to_end(spark, pg):
+    """Round 11 (VERDICT r10 next #4): the wire client's SCRAM-SHA-256
+    SASL exchange (RFC 5802/7677, stdlib hmac/hashlib) against a
+    server role whose pg_hba line REQUIRES scram — trust is not
+    reachable for it. The fixture scan runs over the authenticated
+    session (catalog query + binary COPY), so the whole client
+    surface works post-SASL, matching the reference harness's
+    password-auth deployment (testdata/docker-compose.yml)."""
+    import pytest as _pytest
+
+    from datafusion_rdbms_ext_spark.sources.pgserver import (
+        PG_SCRAM_USER,
+        ensure_scram_role,
+        schema_for,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+
+    ensure_tables(spark, SF_DIR)
+    params = ensure_scram_role()
+    cli = PgWireClient(**params, search_path=schema_for(SF_DIR))
+    try:
+        assert cli.query("SELECT current_user")[2][0][0] == PG_SCRAM_USER
+        # the fed_postgres_scan shape over the SCRAM session: catalog
+        # lookup + remote aggregate + binary COPY all post-SASL
+        sql = (
+            "SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"
+        )
+        _c, oids, rows = cli.query(sql + " LIMIT 0")
+        copied = cli.copy_binary(sql, oids)
+        assert len(copied) == 25
+        assert sum(n for _, n in copied) == spark.table("supplier").count()
+    finally:
+        cli.close()
+    # wrong password: server rejects the proof
+    with _pytest.raises(PgError, match="password authentication failed"):
+        PgWireClient(**{**params, "password": "wrong"})
+    # no password: client refuses the SASL request loudly
+    with _pytest.raises(PgError, match="no password"):
+        PgWireClient(
+            host=params["host"], port=params["port"],
+            user=PG_SCRAM_USER, database=params["database"],
+        )

