@@ -288,3 +288,41 @@ def ensure_scram_role() -> dict:
         "database": params["database"],
         "password": PG_SCRAM_PASSWORD,
     }
+
+
+PG_MD5_USER = "graft_md5"
+PG_MD5_PASSWORD = "graft-md5-pw-5432"
+
+
+def ensure_md5_role() -> dict:
+    """Pre-SCRAM deployments negotiate MD5 (auth code 5); pin that
+    path too — role stored with an md5 verifier and an hba rule that
+    requires md5 on TCP."""
+    params = ensure_pg_server()
+    rule = f"host\tall\t{PG_MD5_USER}\t127.0.0.1/32\tmd5\n"
+    cli = PgWireClient(**params)
+    try:
+        hba = cli.query("SHOW hba_file")[2][0][0]
+        current = open(hba).read()
+        if rule not in current:
+            with open(hba, "w") as fh:
+                fh.write(rule + current)
+        _, _, have = cli.query(
+            f"SELECT COUNT(*) FROM pg_roles WHERE rolname = '{PG_MD5_USER}'"
+        )
+        if have[0][0] == 0:
+            cli.query("SET password_encryption = 'md5'")
+            cli.query(
+                f"CREATE ROLE {PG_MD5_USER} LOGIN SUPERUSER "
+                f"PASSWORD '{PG_MD5_PASSWORD}'"
+            )
+        cli.query("SELECT pg_reload_conf()")
+    finally:
+        cli.close()
+    return {
+        "host": params["host"],
+        "port": params["port"],
+        "user": PG_MD5_USER,
+        "database": params["database"],
+        "password": PG_MD5_PASSWORD,
+    }

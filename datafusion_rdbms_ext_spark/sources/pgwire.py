@@ -181,11 +181,25 @@ class PgWireClient:
                         raise PgError("server requires a password")
                     pw = password.encode() + b"\x00"
                     self._send(b"p" + struct.pack("!I", len(pw) + 4) + pw)
+                elif code == 5:  # MD5Password (pre-SCRAM deployments)
+                    if password is None:
+                        raise PgError("server requires a password")
+                    import hashlib
+
+                    salt = payload[4:8]
+                    inner = hashlib.md5(
+                        password.encode() + user.encode()
+                    ).hexdigest()
+                    digest = (
+                        "md5"
+                        + hashlib.md5(inner.encode() + salt).hexdigest()
+                    )
+                    pw = digest.encode() + b"\x00"
+                    self._send(b"p" + struct.pack("!I", len(pw) + 4) + pw)
                 elif code == 10:  # AuthenticationSASL: mechanism list
                     self._sasl_scram(payload[4:], user, password)
                 else:
-                    # 5 = MD5 (superseded by SCRAM since PG 14's
-                    # password_encryption default), 7/8 = GSS, 9 = SSPI
+                    # 7/8 = GSS, 9 = SSPI
                     raise PgError(f"unsupported auth code {code}")
             elif mtype == b"E":
                 raise PgError(_error_text(payload))

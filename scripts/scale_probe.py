@@ -168,6 +168,11 @@ QUERIES = (
     "fed_postgres_parallel_sink",
     "source_snapshot_branches",
     "source_branch_cherry_pick",
+    # Round-11 additions: streaming WAP to a branch (per-batch commit
+    # + one ref flip), and the IVF-sharded SemDeDup whose whole point
+    # is a 100x ratio materially below semdedup-default's N^1.5.
+    "stream_branch_wap",
+    "llm_semdedup_sharded",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -181,6 +186,9 @@ def _extra_probes():
 
     return {
         "semdedup_default_k": lambda spark, sf: llm.semdedup_prune(spark),
+        "semdedup_sharded_default": lambda spark, sf: (
+            llm.semdedup_prune_sharded(spark)
+        ),
         "srp_default_bits": lambda spark, sf: llm.srp_near_dup_pairs(spark),
     }
 

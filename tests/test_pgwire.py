@@ -903,3 +903,26 @@ def test_scram_sha256_auth_end_to_end(spark, pg):
             host=params["host"], port=params["port"],
             user=PG_SCRAM_USER, database=params["database"],
         )
+
+
+def test_md5_auth_end_to_end(pg):
+    """MD5 auth (code 5): md5(md5(password+user)+salt) against a role
+    whose hba rule requires md5 — covers pre-SCRAM deployments."""
+    import pytest as _pytest
+
+    from datafusion_rdbms_ext_spark.sources.pgserver import (
+        ensure_md5_role,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    params = ensure_md5_role()
+    cli = PgWireClient(**params)
+    try:
+        assert cli.query("SELECT current_user")[2][0][0] == "graft_md5"
+    finally:
+        cli.close()
+    with _pytest.raises(PgError, match="password authentication failed"):
+        PgWireClient(**{**params, "password": "nope"})
