@@ -140,74 +140,42 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: 6 r2 rows, 12 r3 rows, then r4 rows in registration order —
 #: unchanged from the r9 tail, since none of those re-entered a
 #: recorded slot in round 9).
+#: ROUND-11 ROTATION QUEUE (the never-proven set, verified
+#: mechanically against cumulative CORRECTNESS r1-r10):
+#: fed_three_engine_join — the single r10 gate red, an order-dependent
+#: session-conf assumption (register_*_source now sets
+#: spark.sql.python.filterPushdown.enabled itself, so the query is
+#: session-order-independent; tests/test_advice_r10.py pins the
+#: fresh-session-first-query path). Green in the local differential
+#: gate today.
+#: ROUND-11 ROTATION (VERDICT r10 next #1/#6): the 1-query queue takes
+#: slot 1 — a green row makes every registered query driver-proven.
+#: The same 3 sentinels follow, ahead of the round-11 additions block;
+#: then a changed-plan re-proof tier: the IVF centroid mean was
+#: rewritten to pure integer arithmetic this round (ROUND over double
+#: division drifted between engines at sf0.001) and the median cast
+#: gained an explicit FLOOR, so the queries whose VALUES those paths
+#: feed re-enter the gate to be proven under the new arithmetic.
+#: Backfill is mechanically the stalest proofs (VERDICT r10 next #6):
+#: the full d4 cohort (34 rows, none re-proven since round 4 against
+#: thrice-regenerated fixtures), then d5 rows in registration order.
 _PRIORITY: tuple[str, ...] = (
-    # -- 7 first-timers: the complete round-10 never-proven queue
-    #    (verified mechanically against cumulative CORRECTNESS r1-r9)
-    "ev_engagement_l28",
-    "fed_postgres_extended",
+    # -- the complete round-11 never-proven queue (1 query)
     "fed_three_engine_join",
-    "micro_pivot_sql",
-    "source_eq_compaction",
-    "source_snapshot_tags",
-    "stream_cdf_maintenance",
-    # -- 3 sentinels (regression canaries from driver-proven
-    #    families). Placed BEFORE the additions block so late-round
-    #    additions can never push a canary out of the 50 recorded
-    #    slots — the additions spill to the local gate instead and
-    #    become the next round's rotation queue.
+    # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- round-10 additions (first-time proof in their own round)
-    "fed_postgres_typed_roundtrip",
-    "fed_postgres_decimal",
-    "fed_postgres_parallel_sink",
-    "source_snapshot_branches",
-    "fed_postgres_datasource_scan",
-    "source_branch_cherry_pick",
-    "stream_branch_wap",
-    "op_sampled_quantile",
-    # -- backfill: longest-unproven first (mechanically recomputed
-    #    from cumulative CORRECTNESS r1-r9: the 6 remaining r2-proven
-    #    rows, then the 12 r3-proven rows, then r4-proven rows in
-    #    registration order; only the first 50 total are recorded)
-    "micro_grouping_sets",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_sliding_frames",
-    "win_distribution",
-    "win_first_last",
-    "micro_map_access",
-    "ev_session_windows",
-    "ev_json_props",
-    "llm_sim_topk_brute",
-    "llm_sim_topk_ivf",
+    # -- round-11 additions (first-time proof in their own round)
+    "llm_semdedup_sharded",
+    # -- changed-plan re-proofs (integer-mean/median-floor rewrite)
+    "llm_embedding_outliers",
+    "llm_semdedup",
     "llm_sim_topk_ivf_learned",
-    "llm_heavy_hitters",
-    "llm_train_split",
-    "llm_dedup_incremental",
-    "stream_dedup",
-    # mm_binary_features promoted within its r4 tier so the recorded
-    # 50 always cover the multimodal subsystem
-    "mm_binary_features",
-    "fed_limit_pushdown",
-    "fed_sink_roundtrip",
-    "q03_shipping_priority",
-    "q06_forecast_revenue",
-    "q02_top_balance_per_nation",
-    "q09_product_profit",
-    "q15_top_supplier",
-    "q21_suppliers_who_kept_waiting",
-    "ev_tumbling_daily",
-    "ev_variant_props",
-    "llm_dedup_exact",
-    "llm_dedup_clusters",
-    "llm_dedup_incremental_lsh",
-    # olap_/op_ promoted within their r4 tier so the recorded 50
-    # always cover the olap and temporal-operator subsystems (the
-    # mm_binary_features precedent)
-    "olap_cohort_retention",
-    "op_asof_purchase_click",
+    "llm_cluster_purity",
+    # -- backfill: stalest proofs first (the complete d4 cohort in
+    #    registration order, then d5 rows until the 50 recorded
+    #    slots are full)
     "llm_dedup_ngram_exact",
     "llm_sim_tfidf_pairs",
     "llm_dedup_simhash",
@@ -218,6 +186,40 @@ _PRIORITY: tuple[str, ...] = (
     "llm_fingerprint_winnow",
     "llm_decontaminate",
     "llm_mixture_sample",
+    "llm_pipeline_end2end",
+    "llm_seq_pack",
+    "llm_pii_redact",
+    "llm_repetition_filter",
+    "olap_skyline_2d",
+    "stream_tumbling_counts",
+    "stream_append_windows",
+    "stream_stateful_user_counts",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "op_salted_agg",
+    "op_range_join_count",
+    "op_interval_overlap",
+    "op_gap_stats_pandas",
+    "op_time_weighted_avg",
+    "op_counter_delta",
+    "fed_pushdown_scan",
+    "fed_join_local",
+    "fed_agg_pushdown",
+    "fed_join_pushdown",
+    "fed_datasource_scan",
+    "stream_fed_sink",
+    "sink_dynamic_partition_pruning",
+    "fed_sqlite_scan",
+    "micro_three_part_names",
+    "micro_unpivot",
+    "micro_lateral_posexplode",
+    "micro_hof_array",
+    "micro_udtf_tokens",
+    # mm_/ev_ promoted within their d5 tier so the recorded 50 always
+    # cover the multimodal and events subsystems (the
+    # mm_binary_features precedent)
+    "mm_arrow_features",
+    "ev_pivot_daily_types",
 )
 
 

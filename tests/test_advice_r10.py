@@ -119,3 +119,22 @@ def test_no_pid_only_staging_temps_in_sinks():
 
     src = inspect.getsource(sinks)
     assert 'tmp.{os.getpid()}' not in src
+
+
+def test_prepare_hooks_run_and_are_idempotent(spark):
+    """VERDICT r10 next #2a: every declared bench prepare hook must
+    run standalone (bench.py calls it before any query execution)
+    and twice (idempotent — the prepass may race a cached build)."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    from .conftest import SF_DIR
+
+    hooks = [(n, s.prepare) for n, s in REGISTRY.items() if s.prepare]
+    assert hooks, "expected prepare hooks on fixture-heavy bench rows"
+    seen = set()
+    for name, prep in hooks:
+        if prep in seen:
+            continue  # shared hook (e.g. _prepare_pg): once is enough
+        seen.add(prep)
+        prep(spark, SF_DIR)
+        prep(spark, SF_DIR)
