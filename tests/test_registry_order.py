@@ -100,7 +100,7 @@ def test_survey_bench_total_matches_latest_bench_artifact():
     root = Path(__file__).resolve().parents[1]
     text = (root / "SURVEY.md").read_text()
     claims = re.findall(
-        r"(\d+(?:\.\d+)?)s[^\n]{0,80}?over (\d+) tagged queries", text
+        r"(\d+(?:\.\d+)?)s[\s\S]{0,80}?over (\d+) tagged\s+queries", text
     )
     claim_path = root / "BENCH_CLAIM.json"
     if not claims:
