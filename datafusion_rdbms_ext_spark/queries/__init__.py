@@ -168,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     "fed_transparent_agg",
     # -- round-11 additions (first-time proof in their own round)
     "llm_semdedup_sharded",
+    "llm_semdedup_incremental",
     # -- changed-plan re-proofs (integer-mean/median-floor rewrite)
     "llm_embedding_outliers",
     "llm_semdedup",
@@ -214,7 +215,6 @@ _PRIORITY: tuple[str, ...] = (
     "micro_unpivot",
     "micro_lateral_posexplode",
     "micro_hof_array",
-    "micro_udtf_tokens",
     # mm_/ev_ promoted within their d5 tier so the recorded 50 always
     # cover the multimodal and events subsystems (the
     # mm_binary_features precedent)

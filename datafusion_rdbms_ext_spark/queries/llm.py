@@ -1282,13 +1282,20 @@ def _probe_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
 
 
 def _sql_lloyds_cells(
-    k: int = _IVF_K, seed: str = "ivfseed", prefix: str = ""
+    k: int = _IVF_K,
+    seed: str = "ivfseed",
+    prefix: str = "",
+    where: str = "",
 ) -> str:
     """DuckDB CTE chain mirroring :func:`learned_ivf_cells` exactly:
     same quantization, seeding, assignment tie-breaks and integer
     means, unrolled ``_IVF_ITERS`` times. ``prefix`` namespaces every
     CTE so two independent clusterings (different k/seed) can live in
-    one WITH clause — the final CTE is ``{prefix}cells``."""
+    one WITH clause — the final CTE is ``{prefix}cells``, and the
+    trained centroids are exported as ``{prefix}centroids`` so a
+    caller can assign OTHER vectors to the frozen index (the
+    incremental-ingest shape). ``where`` restricts the TRAINING set
+    (e.g. the pre-existing corpus)."""
     dist = (
         f"list_sum(list_transform(range(1, {_IVF_DIM + 1}),"
         " i -> (e.eq[i]-c.cemb[i])*(e.eq[i]-c.cemb[i])))"
@@ -1319,7 +1326,7 @@ def _sql_lloyds_cells(
     {p}eqv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
-      FROM embeddings
+      FROM embeddings {where}
     ),
     {p}cent0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cid, eq AS cemb
@@ -1340,6 +1347,7 @@ def _sql_lloyds_cells(
     return (
         ",".join(parts)
         + f", {p}cells AS (SELECT vec_id, cid AS cell FROM {p}final_asg)"
+        + f", {p}centroids AS (SELECT cid, cemb FROM {cents})"
     )
 
 
@@ -4051,6 +4059,182 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level shard key, level-1 rollup (pinned k1/k2 for the
     oracle; `semdedup_prune_sharded` is the self-scaling entry)."""
     return semdedup_prune_sharded(spark, k1=_IVF_K, k2=_SEM_K2)
+
+
+# ---------------------------------------------------------------------------
+# 19c. INCREMENTAL SemDeDup (round 11) — semantic dedup at INGEST
+#      BATCH granularity, the deployment contract SCALE.md names for
+#      the operator ("corpus-pruning at ingest batch granularity, not
+#      whole-lake reclustering"), now executable: the IVF index is
+#      TRAINED ON THE EXISTING CORPUS ONLY and frozen; the incoming
+#      batch is assigned to the frozen cells and a new vector is
+#      rejected if it has a near-identical neighbor (cosine >= tau)
+#      in the existing corpus or earlier in its own batch — the
+#      lower-id-wins rule of llm_semdedup, applied across the
+#      corpus/batch boundary. Per-batch cost is
+#      O(|batch| * cell_occupancy), never corpus-quadratic, and the
+#      index does not retrain per batch (centroid drift is a periodic
+#      maintenance job, like OPTIMIZE).
+# ---------------------------------------------------------------------------
+_SEM_INC_MOD = 5  # vec_id % 5 == 0 plays the incoming batch (~20%)
+
+_SQL_ASSIGN_DIST = (
+    f"list_sum(list_transform(range(1, {_IVF_DIM + 1}),"
+    " i -> (e.eq[i]-c.cemb[i])*(e.eq[i]-c.cemb[i])))"
+)
+
+
+@register(
+    "llm_semdedup_incremental",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(prefix="fz_", where=f"WHERE vec_id % {_SEM_INC_MOD} <> 0")},
+    eqv_all AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    asg_all AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, c.cid) AS rk
+        FROM eqv_all e CROSS JOIN fz_centroids c) WHERE rk = 1
+    ),
+    base AS (SELECT b.vec_id, a.cell, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN asg_all a USING (vec_id)),
+    corpus AS (SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+               FROM base WHERE vec_id % {_SEM_INC_MOD} <> 0),
+    newb AS (SELECT * FROM base WHERE vec_id % {_SEM_INC_MOD} = 0),
+    newq AS (SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+             FROM newb),
+    drop_c AS (
+      SELECT DISTINCT b.vec_id
+      FROM corpus q JOIN newb b ON b.cell = q.cell
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    drop_b AS (
+      SELECT DISTINCT b.vec_id
+      FROM newq q JOIN newb b ON b.cell = q.cell AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT newb.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(COUNT(dc.vec_id) AS BIGINT) AS n_dup_corpus,
+           CAST(SUM(CASE WHEN db.vec_id IS NOT NULL AND dc.vec_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch_only,
+           CAST(SUM(CASE WHEN dc.vec_id IS NULL AND db.vec_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM newb
+    LEFT JOIN drop_c dc ON dc.vec_id = newb.vec_id
+    LEFT JOIN drop_b db ON db.vec_id = newb.vec_id
+    GROUP BY newb.cell
+    ORDER BY newb.cell
+    """,
+    doc="Incremental SemDeDup at ingest-batch granularity: the IVF "
+    "index trains on the EXISTING corpus only and is frozen; the "
+    "incoming batch (vec_id % 5 = 0) assigns to the frozen cells "
+    "and a new vector is rejected on a cosine>=tau neighbor in the "
+    "corpus or earlier in its own batch. The oracle re-runs the "
+    "corpus-only k-means chain, the frozen assignment and both "
+    "rejection passes in SQL.",
+    tags=("llm", "dedup", "similarity", "streaming", "bench"),
+)
+def llm_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-K gate configuration (oracle-exact);
+    `semdedup_admit_batch` is the self-scaling library entry."""
+    return semdedup_admit_batch(spark, k=_IVF_K)
+
+
+def semdedup_admit_batch(
+    spark: SparkSession,
+    k: int | None = None,
+    tau: float = _SEMDEDUP_TAU,
+    mod: int = _SEM_INC_MOD,
+) -> DataFrame:
+    """Per-cell batch admission report against a frozen corpus index.
+
+    ``k=None`` derives the self-scaling cell count from the CORPUS
+    count (K ~ sqrt N — cell occupancy bounds the per-batch compare
+    cost, the same knob as semdedup_prune).
+
+    Scale: centroids train on the corpus ONCE (not per batch) and
+    broadcast; the batch assigns map-side; both rejection joins are
+    bucketed by cell and carry the batch on one side — per-batch
+    cost is |batch| x cell occupancy, independent of total corpus
+    count beyond the cell-local neighbors actually compared. The
+    same lower-id-wins simplification as llm_semdedup (a rejected
+    batch vector still rejects its own later near-dups — order-free,
+    deterministic, oracle-exact); admitted-only chaining is the
+    sequential variant, deliberately not modeled."""
+    is_new = F.col("vec_id") % mod == 0
+    q = _quantize(spark)
+    if k is None:
+        k = default_ivf_k(
+            spark.table("embeddings")
+            .filter(F.col("vec_id") % mod != 0)
+            .count()
+        )
+    cents = _lloyds(
+        q.filter(~is_new), k, _IVF_ITERS, "ivfseed"
+    ).localCheckpoint()
+    cells_all = _assign_cells(q, cents).select(
+        "vec_id", F.col("cid").alias("cell")
+    ).localCheckpoint()
+    base = (
+        _vectors_with_norm(spark)
+        .join(cells_all, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    newb = base.filter(is_new)
+    side = lambda df: df.select(  # noqa: E731
+        F.col("vec_id").alias("q_id"),
+        "cell",
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    drop_c = (
+        side(base.filter(~is_new))
+        .join(newb, "cell")
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dup_corpus", F.lit(1))
+    )
+    drop_b = (
+        side(newb)
+        .join(newb, "cell")
+        .filter(F.col("q_id") < F.col("vec_id"))
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dup_batch", F.lit(1))
+    )
+    return (
+        newb.join(drop_c, "vec_id", "left")
+        .join(drop_b, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count("dup_corpus").alias("n_dup_corpus"),
+            F.sum(
+                F.when(
+                    F.col("dup_batch").isNotNull()
+                    & F.col("dup_corpus").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dup_batch_only"),
+            F.sum(
+                F.when(
+                    F.col("dup_corpus").isNull()
+                    & F.col("dup_batch").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_admitted"),
+        )
+        .orderBy("cell")
+    )
 
 
 def semdedup_prune_sharded(

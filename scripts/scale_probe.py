@@ -173,6 +173,7 @@ QUERIES = (
     # is a 100x ratio materially below semdedup-default's N^1.5.
     "stream_branch_wap",
     "llm_semdedup_sharded",
+    "llm_semdedup_incremental",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -188,6 +189,9 @@ def _extra_probes():
         "semdedup_default_k": lambda spark, sf: llm.semdedup_prune(spark),
         "semdedup_sharded_default": lambda spark, sf: (
             llm.semdedup_prune_sharded(spark)
+        ),
+        "semdedup_incremental_default": lambda spark, sf: (
+            llm.semdedup_admit_batch(spark)
         ),
         "srp_default_bits": lambda spark, sf: llm.srp_near_dup_pairs(spark),
     }
