@@ -326,3 +326,43 @@ def ensure_md5_role() -> dict:
         "database": params["database"],
         "password": PG_MD5_PASSWORD,
     }
+
+
+def ensure_ssl() -> dict:
+    """Enable TLS on the running cluster (once): self-signed cert
+    generated into the data dir, key owned by the server user with
+    0600 (Postgres refuses group/world-readable keys), `ssl = on`
+    via ALTER SYSTEM + reload (SIGHUP-context in PG 15 — no
+    restart). Returns params dict with sslmode/sslrootcert for the
+    wire client."""
+    import subprocess as _sp
+
+    params = ensure_pg_server()
+    cli = PgWireClient(**params)
+    try:
+        datadir = cli.query("SHOW data_directory")[2][0][0]
+        crt = os.path.join(datadir, "server.crt")
+        key = os.path.join(datadir, "server.key")
+        if not os.path.exists(crt):
+            r = _sp.run(
+                [
+                    "openssl", "req", "-new", "-x509", "-days", "2",
+                    "-nodes", "-subj", "/CN=127.0.0.1",
+                    "-out", crt, "-keyout", key,
+                ],
+                capture_output=True, text=True,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(f"openssl failed: {r.stderr[-300:]}")
+            st = os.stat(datadir)
+            os.chown(crt, st.st_uid, st.st_gid)
+            os.chown(key, st.st_uid, st.st_gid)
+            os.chmod(key, 0o600)
+        if cli.query("SHOW ssl")[2][0][0] != "on":
+            cli.query("ALTER SYSTEM SET ssl = on")
+            cli.query(f"ALTER SYSTEM SET ssl_cert_file = '{crt}'")
+            cli.query(f"ALTER SYSTEM SET ssl_key_file = '{key}'")
+            cli.query("SELECT pg_reload_conf()")
+    finally:
+        cli.close()
+    return dict(params, sslmode="require", sslrootcert=crt)

@@ -83,8 +83,14 @@ class PgWireClient:
         timeout: float = 30.0,
         search_path: str | None = None,
         password: str | None = None,
+        sslmode: str = "disable",
+        sslrootcert: str | None = None,
     ):
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        if sslmode not in ("disable", "require", "verify-ca"):
+            raise PgError(f"unsupported sslmode {sslmode!r}")
+        if sslmode != "disable":
+            self._negotiate_ssl(host, sslmode, sslrootcert)
         # consumed-offset bytearray: `bytes += chunk` re-copies the
         # whole buffer per recv, which is O(stream^2) on a bulk COPY
         # stream — a 15 MB partition slice would memcpy gigabytes
@@ -161,6 +167,36 @@ class PgWireClient:
         mtype = self._recv_exact(1)
         (length,) = struct.unpack("!I", self._recv_exact(4))
         return mtype, self._recv_exact(length - 4)
+
+    def _negotiate_ssl(
+        self, host: str, sslmode: str, sslrootcert: str | None
+    ) -> None:
+        """SSLRequest (protocol 1234.5679) then TLS over the same
+        socket — libpq's sslmode=require / verify-ca semantics.
+        ``require`` encrypts without verifying the chain (libpq's
+        documented behavior for self-signed deployments);
+        ``verify-ca`` additionally verifies against ``sslrootcert``.
+        Must run BEFORE the startup message: the server only accepts
+        the SSLRequest as the very first packet."""
+        import ssl as _ssl
+
+        self._send(struct.pack("!II", 8, 80877103))  # SSLRequest
+        # raw one-byte read: the buffered reader is not yet
+        # initialized, and nothing may be buffered past the answer
+        # byte before the TLS handshake replaces the transport
+        answer = self.sock.recv(1)
+        if answer != b"S":
+            raise PgError(
+                f"server refused SSL (sslmode={sslmode}, got {answer!r})"
+            )
+        if sslmode == "verify-ca":
+            ctx = _ssl.create_default_context(cafile=sslrootcert)
+            ctx.check_hostname = False  # verify-ca, not verify-full
+        else:
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        self.sock = ctx.wrap_socket(self.sock, server_hostname=host)
 
     # -- session --------------------------------------------------------
     def _startup(self, user: str, database: str, password: str | None) -> None:

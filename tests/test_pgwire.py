@@ -926,3 +926,60 @@ def test_md5_auth_end_to_end(pg):
         cli.close()
     with _pytest.raises(PgError, match="password authentication failed"):
         PgWireClient(**{**params, "password": "nope"})
+
+
+def test_tls_sslmode_require_and_verify_ca(pg):
+    """Round 11: SSLRequest negotiation (protocol 1234.5679) + TLS
+    over the same socket — libpq's sslmode=require (encrypt, no
+    chain verification: the self-signed deployment default) and
+    verify-ca (chain verified against sslrootcert). The session is
+    provably encrypted (pg_stat_ssl for this backend) and the bulk
+    COPY path runs over the TLS transport."""
+    import ssl as _ssl
+
+    import pytest as _pytest
+
+    from datafusion_rdbms_ext_spark.sources.pgserver import ensure_ssl
+    from datafusion_rdbms_ext_spark.sources.pgwire import (
+        PgError,
+        PgWireClient,
+    )
+
+    params = ensure_ssl()
+    cli = PgWireClient(**params)
+    try:
+        ssl_on, ver = cli.query(
+            "SELECT ssl, version FROM pg_stat_ssl"
+            " WHERE pid = pg_backend_pid()"
+        )[2][0]
+        assert ssl_on is True and ver.startswith("TLSv1.")
+        sql = "SELECT 1 AS a UNION ALL SELECT 2 ORDER BY a"
+        _c, oids, _ = cli.query(sql + " LIMIT 0")
+        assert cli.copy_binary(sql, oids) == [(1,), (2,)]
+    finally:
+        cli.close()
+    # verify-ca with the server's own CA succeeds...
+    cli2 = PgWireClient(**{**params, "sslmode": "verify-ca"})
+    try:
+        assert cli2.query("SELECT 42")[2] == [(42,)]
+    finally:
+        cli2.close()
+    # ...and with a foreign CA the handshake must fail
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run(
+            ["openssl", "req", "-new", "-x509", "-days", "1", "-nodes",
+             "-subj", "/CN=other", "-out", f"{td}/o.crt",
+             "-keyout", f"{td}/o.key"],
+            capture_output=True,
+        )
+        with _pytest.raises((PgError, _ssl.SSLError)):
+            PgWireClient(
+                **{**params, "sslmode": "verify-ca",
+                   "sslrootcert": f"{td}/o.crt"}
+            )
+    # unknown sslmode rejected loudly
+    with _pytest.raises(PgError, match="sslmode"):
+        PgWireClient(**{**params, "sslmode": "prefer"})
