@@ -337,7 +337,9 @@ class PostgresConnector(Connector):
             k, _, v = part.partition("=")
             if k == "port":
                 out["port"] = int(v)
-            elif k in ("host", "user"):
+            elif k in ("host", "user", "password", "sslmode", "sslrootcert"):
+                # the libpq conninfo spellings; password/TLS flow
+                # straight into the wire client (round 11)
                 out[k] = v
             elif k == "dbname":
                 out["database"] = v

@@ -319,12 +319,16 @@ class PgWireFederatedSource(DataSource):
         from .connector import PostgresConnector
 
         o = self.options
-        return PostgresConnector(
+        dsn = (
             f"host={o.get('host', '127.0.0.1')} port={o.get('port', 5432)} "
             f"user={o.get('user', 'postgres')} "
-            f"dbname={o.get('database', 'postgres')}",
-            schema=o.get("search_path", "public"),
+            f"dbname={o.get('database', 'postgres')}"
         )
+        # libpq-style auth/TLS options flow through the DSN (round 11)
+        for k in ("password", "sslmode", "sslrootcert"):
+            if o.get(k):
+                dsn += f" {k}={o[k]}"
+        return PostgresConnector(dsn, schema=o.get("search_path", "public"))
 
     def schema(self):
         # live two-step information_schema bootstrap (mod.rs:67-125),
@@ -352,6 +356,11 @@ class PgWireFederatedReader(DataSourceReader):
             "user": options.get("user", "postgres"),
             "database": options.get("database", "postgres"),
             "search_path": options.get("search_path") or None,
+            # auth/TLS (round 11): every task connection negotiates
+            # the same way the driver's catalog bootstrap did
+            "password": options.get("password") or None,
+            "sslmode": options.get("sslmode") or None,
+            "sslrootcert": options.get("sslrootcert") or None,
         }
         self._table = options["table"]
         self._n_parts = int(options.get("partitions", _DEFAULT_PARTITIONS))
@@ -382,11 +391,14 @@ class PgWireFederatedReader(DataSourceReader):
         key = pick_partition_key(self._schema)
         if key is not None and self._n_parts > 1:
             o = self._params
-            conn = PostgresConnector(
+            dsn = (
                 f"host={o['host']} port={o['port']} user={o['user']} "
-                f"dbname={o['database']}",
-                schema=o["search_path"] or "public",
+                f"dbname={o['database']}"
             )
+            for k in ("password", "sslmode", "sslrootcert"):
+                if o.get(k):
+                    dsn += f" {k}={o[k]}"
+            conn = PostgresConnector(dsn, schema=o["search_path"] or "public")
             preds = conn.partition_predicates(base, key, self._n_parts)
             return [_Slice(f"SELECT * FROM ({base}) _t WHERE {p}") for p in preds]
         return [_Slice(base)]  # keyless: ONE slice (no ORDER BY ALL)

@@ -983,3 +983,62 @@ def test_tls_sslmode_require_and_verify_ca(pg):
     # unknown sslmode rejected loudly
     with _pytest.raises(PgError, match="sslmode"):
         PgWireClient(**{**params, "sslmode": "prefer"})
+
+
+def test_pgwire_fed_datasource_with_scram_and_tls(spark, pg):
+    """Round 11 plumbing: the pgwire_fed FORMAT accepts libpq-style
+    password/sslmode options — the catalog bootstrap, the quantile
+    partition planning, AND every executor task's COPY connection all
+    negotiate SCRAM over TLS. This is the configuration a real
+    deployment mounts: spark.read.format('pgwire_fed') against a
+    secured server."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.pgserver import (
+        PG_SCRAM_PASSWORD,
+        PG_SCRAM_USER,
+        ensure_scram_role,
+        ensure_ssl,
+        schema_for,
+    )
+    from datafusion_rdbms_ext_spark.sources.pyds import (
+        register_pgwire_source,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    ensure_scram_role()
+    ensure_ssl()
+    register_pgwire_source(spark)
+    cust = (
+        spark.read.format("pgwire_fed")
+        .option("host", "127.0.0.1")
+        .option("port", pg["port"])
+        .option("user", PG_SCRAM_USER)
+        .option("password", PG_SCRAM_PASSWORD)
+        .option("sslmode", "require")
+        .option("database", pg["database"])
+        .option("search_path", schema_for(SF_DIR))
+        .option("table", "customer")
+        .option("partitions", 4)
+        .load()
+    )
+    got = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("c_custkey").alias("k"),
+        )
+        .collect()[0]
+    )
+    want = (
+        spark.table("customer")
+        .filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("c_custkey").alias("k"),
+        )
+        .collect()[0]
+    )
+    assert (got["n"], got["k"]) == (want["n"], want["k"])
+    assert got["n"] > 0
