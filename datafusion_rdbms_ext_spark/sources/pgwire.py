@@ -243,24 +243,67 @@ class PgWireClient:
                 return  # ReadyForQuery
             # 'S' ParameterStatus / 'K' BackendKeyData: ignore
 
+    def _tls_server_end_point(self) -> bytes | None:
+        """RFC 5929 tls-server-end-point channel-binding data: a hash
+        of the server certificate's DER — by the cert's own signature
+        hash, with MD5/SHA-1 upgraded to SHA-256. Returns None off
+        TLS. The signature algorithm is found by scanning the DER for
+        the AlgorithmIdentifier OID (stdlib has no X.509 parser; the
+        OID byte patterns below are the universe PG deployments
+        sign with, and SHA-256 is the default for anything else —
+        a wrong guess fails auth loudly, never silently)."""
+        import hashlib
+        import ssl as _ssl
+
+        if not isinstance(self.sock, _ssl.SSLSocket):
+            return None
+        der = self.sock.getpeercert(binary_form=True)
+        oid_to_hash = {
+            bytes.fromhex("06092a864886f70d01010c"): "sha384",  # RSA-384
+            bytes.fromhex("06092a864886f70d01010d"): "sha512",  # RSA-512
+            bytes.fromhex("06082a8648ce3d040303"): "sha384",  # ECDSA-384
+            bytes.fromhex("06082a8648ce3d040304"): "sha512",  # ECDSA-512
+        }
+        alg = "sha256"
+        for oid, h in oid_to_hash.items():
+            if oid in der:
+                alg = h
+                break
+        return hashlib.new(alg, der).digest()
+
     def _sasl_scram(self, mechs: bytes, user: str, password: str | None) -> None:
-        """SCRAM-SHA-256 SASL exchange (RFC 5802/7677) — the auth
-        method every non-trust Postgres deployment negotiates since
-        PG 14, and what the reference's own harness configures
-        (testdata/docker-compose.yml POSTGRES_PASSWORD; ref
-        README.md:101-105). stdlib hmac/hashlib only. Channel binding
-        is not offered (gs2 header ``n,,`` — no TLS on this socket),
-        which the server accepts for SCRAM-SHA-256 (not -PLUS)."""
+        """SCRAM-SHA-256 / SCRAM-SHA-256-PLUS SASL exchange
+        (RFC 5802/7677/5929) — the auth method every non-trust
+        Postgres deployment negotiates since PG 14, and what the
+        reference's own harness configures (testdata/
+        docker-compose.yml POSTGRES_PASSWORD; ref README.md:101-105).
+        stdlib hmac/hashlib only. On TLS, the -PLUS variant is
+        selected when offered and the gs2 header carries
+        tls-server-end-point channel binding (a MITM terminating TLS
+        presents a different cert, so its relayed exchange fails the
+        server's binding check); off TLS the header is ``n,,``."""
         import base64
         import hashlib
         import hmac as _hmac
         import os as _os
 
         offered = [m for m in mechs.split(b"\x00") if m]
-        if b"SCRAM-SHA-256" not in offered:
+        cb_data = self._tls_server_end_point()
+        if cb_data is not None and b"SCRAM-SHA-256-PLUS" in offered:
+            mech = b"SCRAM-SHA-256-PLUS"
+            gs2 = b"p=tls-server-end-point,,"
+            cbind_input = gs2 + cb_data
+        elif b"SCRAM-SHA-256" in offered:
+            mech = b"SCRAM-SHA-256"
+            # 'y' would assert "client supports binding but thinks the
+            # server doesn't" — on TLS with -PLUS absent that is how a
+            # downgrade is DETECTED by compliant servers; off TLS 'n'.
+            gs2 = b"y,," if cb_data is not None else b"n,,"
+            cbind_input = gs2
+        else:
             raise PgError(
                 f"no supported SASL mechanism in {offered!r} "
-                "(client implements SCRAM-SHA-256)"
+                "(client implements SCRAM-SHA-256[-PLUS])"
             )
         if password is None:
             raise PgError("server requires SCRAM authentication: no password")
@@ -274,11 +317,12 @@ class PgWireClient:
             raise PgError(
                 "non-ASCII password requires SASLprep (unimplemented)"
             ) from exc
+        self._sasl_mech = mech  # introspectable: which variant ran
         nonce = base64.b64encode(_os.urandom(18)).decode()
         c_first_bare = f"n=,r={nonce}"
-        init = b"n,," + c_first_bare.encode()
+        init = gs2 + c_first_bare.encode()
         msg = (
-            b"SCRAM-SHA-256\x00"
+            mech + b"\x00"
             + struct.pack("!i", len(init))
             + init
         )
@@ -307,7 +351,11 @@ class PgWireClient:
         )
         client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
         stored_key = hashlib.sha256(client_key).digest()
-        c_final_bare = f"c={base64.b64encode(b'n,,').decode()},r={s_nonce}"
+        # c= carries base64(gs2-header || cb-data): for -PLUS the
+        # server recomputes the cert hash ITS side and compares
+        c_final_bare = (
+            f"c={base64.b64encode(cbind_input).decode()},r={s_nonce}"
+        )
         auth_msg = f"{c_first_bare},{s_first},{c_final_bare}".encode()
         client_sig = _hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
         proof = bytes(a ^ b for a, b in zip(client_key, client_sig))

@@ -1042,3 +1042,34 @@ def test_pgwire_fed_datasource_with_scram_and_tls(spark, pg):
     )
     assert (got["n"], got["k"]) == (want["n"], want["k"])
     assert got["n"] > 0
+
+
+def test_scram_plus_channel_binding_on_tls(pg):
+    """SCRAM-SHA-256-PLUS (RFC 5929 tls-server-end-point): on a TLS
+    transport the server offers the -PLUS variant and the client must
+    select it, carrying the peer certificate's hash in the gs2
+    binding — a TLS-terminating MITM presents a different cert and
+    its relayed exchange fails the server-side binding check. Off
+    TLS the plain variant still negotiates (gs2 'n,,')."""
+    from datafusion_rdbms_ext_spark.sources.pgserver import (
+        ensure_scram_role,
+        ensure_ssl,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    scram = ensure_scram_role()
+    ensure_ssl()
+    cli = PgWireClient(**{**scram, "sslmode": "require"})
+    try:
+        assert cli._sasl_mech == b"SCRAM-SHA-256-PLUS"
+        assert cli.query(
+            "SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()"
+        )[2] == [(True,)]
+    finally:
+        cli.close()
+    plain = PgWireClient(**scram)
+    try:
+        assert plain._sasl_mech == b"SCRAM-SHA-256"
+        assert plain.query("SELECT 1")[2] == [(1,)]
+    finally:
+        plain.close()
