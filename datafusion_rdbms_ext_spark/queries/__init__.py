@@ -169,6 +169,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- round-11 additions (first-time proof in their own round)
     "llm_semdedup_sharded",
     "llm_semdedup_incremental",
+    "llm_semdedup_shard_eval",
     # -- changed-plan re-proofs (integer-mean/median-floor rewrite)
     "llm_embedding_outliers",
     "llm_semdedup",
@@ -214,7 +215,6 @@ _PRIORITY: tuple[str, ...] = (
     "micro_three_part_names",
     "micro_unpivot",
     "micro_lateral_posexplode",
-    "micro_hof_array",
     # mm_/ev_ promoted within their d5 tier so the recorded 50 always
     # cover the multimodal and events subsystems (the
     # mm_binary_features precedent)

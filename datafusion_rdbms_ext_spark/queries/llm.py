@@ -4061,6 +4061,110 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_prune_sharded(spark, k1=_IVF_K, k2=_SEM_K2)
 
 
+@register(
+    "llm_semdedup_shard_eval",
+    oracle=f"""
+    WITH {_sql_lloyds_cells()},
+    {_sql_lloyds_cells(k=_SEM_K2, seed="ivfseed2", prefix="s2_")},
+    base AS (SELECT b.vec_id, cl.cell, c2.cell AS cell2, b.embedding,
+                    {_SQL_NORM} AS nrm
+             FROM embeddings b
+             JOIN cells cl ON cl.vec_id = b.vec_id
+             JOIN s2_cells c2 ON c2.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, cell, cell2, embedding AS q_emb,
+                 nrm AS q_nrm FROM base),
+    pruned_default AS (
+      SELECT DISTINCT b.vec_id
+      FROM q JOIN base b ON b.cell = q.cell AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    pruned_sharded AS (
+      SELECT DISTINCT b.vec_id
+      FROM q JOIN base b
+        ON b.cell = q.cell AND b.cell2 = q.cell2 AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pruned_default) AS BIGINT)
+             AS n_pruned_default,
+           CAST((SELECT COUNT(*) FROM pruned_sharded) AS BIGINT)
+             AS n_pruned_sharded,
+           CAST((SELECT COUNT(*) FROM pruned_sharded s
+                 JOIN pruned_default d ON d.vec_id = s.vec_id) AS BIGINT)
+             AS n_agree,
+           CAST((SELECT COUNT(*) FROM pruned_sharded s
+                 JOIN pruned_default d ON d.vec_id = s.vec_id) * 1000000
+                 // (SELECT COUNT(*) FROM pruned_default) AS BIGINT)
+             AS recall_ppm
+    """,
+    doc="Sharded-SemDeDup calibration (the llm_dedup_eval discipline "
+    "applied to the semantic family): the cross-product shard key's "
+    "pruning decisions measured against single-level pruning on the "
+    "SAME level-1 cells — integer-ppm recall quantifies the IVF "
+    "probe=1 recall/cost trade the sharded plan makes, in the gate "
+    "where it can never silently regress.",
+    tags=("llm", "dedup", "similarity", "quality"),
+)
+def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall readout: sharded vs single-level pruning.
+
+    Scale: both candidate generations are the cell-bucketed joins of
+    their parent operators (never all-pairs); the eval reduce is two
+    DISTINCT vec_id sets and one semi-join — id-sized, not
+    pair-sized. The conservativeness direction (sharded is a subset)
+    is property-proven in tests/test_round11_props.py; this query
+    puts the MAGNITUDE under the differential gate."""
+    cells1 = learned_ivf_cells(spark, _IVF_K).localCheckpoint()
+    cells2 = (
+        learned_ivf_cells(spark, _SEM_K2, seed="ivfseed2")
+        .withColumnRenamed("cell", "cell2")
+        .localCheckpoint()
+    )
+    base = (
+        _vectors_with_norm(spark)
+        .join(cells1, "vec_id")
+        .join(cells2, "vec_id")
+        .select("vec_id", "cell", "cell2", "embedding", "nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        "cell2",
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    cos = _dot(F.col("a_emb"), F.col("embedding")) / (
+        F.col("a_nrm") * F.col("nrm")
+    )
+
+    def pruned(join_keys: list) -> DataFrame:
+        return (
+            a.join(base, join_keys)
+            .filter(F.col("a_id") < F.col("vec_id"))
+            .filter(cos >= _SEMDEDUP_TAU)
+            .select("vec_id")
+            .distinct()
+        )
+
+    p_def = pruned(["cell"]).localCheckpoint()
+    p_sh = pruned(["cell", "cell2"])
+    agree = p_sh.join(p_def, "vec_id", "left_semi")
+    return (
+        p_def.agg(F.count(F.lit(1)).alias("n_pruned_default"))
+        .crossJoin(
+            F.broadcast(p_sh.agg(F.count(F.lit(1)).alias("n_pruned_sharded")))
+        )
+        .crossJoin(F.broadcast(agree.agg(F.count(F.lit(1)).alias("n_agree"))))
+        .select(
+            "n_pruned_default",
+            "n_pruned_sharded",
+            "n_agree",
+            F.expr("n_agree * 1000000 div n_pruned_default").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 19c. INCREMENTAL SemDeDup (round 11) — semantic dedup at INGEST
 #      BATCH granularity, the deployment contract SCALE.md names for
