@@ -78,14 +78,17 @@ def _conjunct_atom(expr, base_table: str):
         # way integers do (numeric widening). A CAST(col AS STRING)
         # comparison is lexicographic — '31' > '300' — so accepting it
         # as a numeric range atom would prune files that satisfy the
-        # real predicate (ADVICE r10 #1). decimal/double widening of
-        # an integral child is also order-preserving.
+        # real predicate (ADVICE r10 #1). Decimal widening of an
+        # integral child is order-preserving; float/double are NOT
+        # accepted (ADVICE r11 #4): beyond 2^53, cast(col AS DOUBLE)
+        # >= L can hold while col < L after rounding, so a float-cast
+        # atom could prune a file that contains a matching row — and
+        # no known Catalyst rewrite emits that pattern anyway.
         while e.getClass().getSimpleName() == "Cast":
             tgt = e.dataType().simpleString()
             if not (
                 tgt in _ORDER_PRESERVING
                 or tgt.startswith("decimal")
-                or tgt in ("float", "double")
             ):
                 return e  # non-numeric cast survives → atom rejected below
             e = e.child()

@@ -159,67 +159,77 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: Backfill is mechanically the stalest proofs (VERDICT r10 next #6):
 #: the full d4 cohort (34 rows, none re-proven since round 4 against
 #: thrice-regenerated fixtures), then d5 rows in registration order.
+#: ROUND-12 ROTATION QUEUE: EMPTY — every query registered before
+#: round 12 is driver-proven (323/323 cumulative after the r11 gate;
+#: recomputed mechanically, and the doc-sync guard re-verifies it).
+#: ROUND-12 ROTATION (VERDICT r11 next #3): with no never-proven
+#: queue, the 3 sentinels lead, the round-12 additions block follows
+#: (new operators get first-time proof in their own round), then one
+#: changed-plan re-proof (the shard-eval readout gained the
+#: multi-probe recall columns this round, so its r11 proof describes
+#: a superseded plan/schema); backfill is mechanically the stalest
+#: proofs — the complete 42-row cohort last proven in round 5
+#: against twice-regenerated fixtures (in registry order), then the
+#: round-6 cohort head in registration order until the 50 recorded
+#: slots are full.
 _PRIORITY: tuple[str, ...] = (
-    # -- the complete round-11 never-proven queue (1 query)
-    "fed_three_engine_join",
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- round-11 additions (first-time proof in their own round)
-    "llm_semdedup_sharded",
-    "llm_semdedup_incremental",
+    # -- round-12 additions (first-time proof in their own round)
+    "llm_semdedup_sharded_mp",
+    "llm_semdedup_maintain",
+    # -- changed-plan re-proofs (shard_eval grew the mp recall columns)
     "llm_semdedup_shard_eval",
-    # -- changed-plan re-proofs (integer-mean/median-floor rewrite)
-    "llm_embedding_outliers",
-    "llm_semdedup",
-    "llm_sim_topk_ivf_learned",
-    "llm_cluster_purity",
-    # -- backfill: stalest proofs first (the complete d4 cohort in
-    #    registration order, then d5 rows until the 50 recorded
-    #    slots are full)
-    "llm_dedup_ngram_exact",
-    "llm_sim_tfidf_pairs",
-    "llm_dedup_simhash",
-    "llm_sim_topk_ivfpq",
-    "llm_sim_topk_pq_rerank",
-    "llm_token_topk",
-    "llm_dedup_embedding",
-    "llm_fingerprint_winnow",
-    "llm_decontaminate",
-    "llm_mixture_sample",
-    "llm_pipeline_end2end",
-    "llm_seq_pack",
-    "llm_pii_redact",
-    "llm_repetition_filter",
-    "olap_skyline_2d",
-    "stream_tumbling_counts",
-    "stream_append_windows",
-    "stream_stateful_user_counts",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "op_salted_agg",
-    "op_range_join_count",
-    "op_interval_overlap",
-    "op_gap_stats_pandas",
-    "op_time_weighted_avg",
-    "op_counter_delta",
-    "fed_pushdown_scan",
-    "fed_join_local",
-    "fed_agg_pushdown",
-    "fed_join_pushdown",
-    "fed_datasource_scan",
-    "stream_fed_sink",
-    "sink_dynamic_partition_pruning",
-    "fed_sqlite_scan",
-    "micro_three_part_names",
-    "micro_unpivot",
-    "micro_lateral_posexplode",
-    # mm_/ev_ promoted within their d5 tier so the recorded 50 always
-    # cover the multimodal and events subsystems (the
-    # mm_binary_features precedent)
-    "mm_arrow_features",
-    "ev_pivot_daily_types",
+    # -- backfill: stalest proofs first (the complete d5 cohort in
+    #    registry order, then d6 rows in registration order until the
+    #    50 recorded slots are full)
+    "micro_hof_array",
+    "micro_udtf_tokens",
+    "micro_hll_sketch_merge",
+    "micro_recursive_cte",
+    "micro_try_arithmetic",
+    "micro_union_evolved",
+    "micro_lateral_topn",
+    "ev_sliding_6h_3h",
+    "ev_rollup_gapfill",
+    "llm_dedup_fingerprint",
+    "llm_sim_topk_udf",
+    "llm_sim_topk_ivf_multiprobe",
+    "llm_sim_topk_pq",
+    "llm_sim_topk_ivfpq_multiprobe",
+    "llm_text_quality",
+    "llm_text_langid",
+    "llm_token_pagerank",
+    "llm_dedup_fuzzy",
+    "llm_corpus_upsert",
+    "llm_profile_columns",
+    "llm_quality_audit",
+    "llm_rollup_maintenance",
+    "llm_source_drift",
+    "llm_chunk_overlap",
+    "olap_funnel",
+    "stream_session_windows",
+    "stream_static_join",
+    "mm_modality_rollup",
+    "op_bucketed_join",
+    "op_salted_join",
+    "op_grouped_agg_udf",
+    "op_asof_forward",
+    "fed_stream_replay",
+    "fed_transparent_join",
+    "fed_transparent_window",
+    "sink_partitioned_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "sink_clustered_layout",
+    "micro_decimal_money",
+    # d6 head (registration order)
+    "q05_local_supplier_volume",
+    "q10_returned_items",
 )
 
 

@@ -1071,8 +1071,13 @@ def pg_parallel_sink(
         # Exactly-once claim ledger (ADVICE r10 #2): each task commits
         # its partition's rows and its claim row in ONE transaction,
         # so a retried/speculative attempt of an already-committed
-        # partition hits the PRIMARY KEY and aborts — never duplicates.
-        cli.query(f"CREATE TABLE {claims} (part_id int PRIMARY KEY)")
+        # partition can never duplicate rows. The ledger also stores
+        # the committed row count (ADVICE r11 #2): a retry that finds
+        # the claim taken (executor lost AFTER commit, speculative
+        # duplicate) yields the ALREADY-COMMITTED count instead of
+        # failing on the PK — the job recovers idempotently and the
+        # count-before-publish check still sums to the stage total.
+        cli.query(f"CREATE TABLE {claims} (part_id int PRIMARY KEY, n bigint)")
     finally:
         cli.close()
 
@@ -1093,7 +1098,23 @@ def pg_parallel_sink(
             # rows — per-chunk COPYs are no longer independently
             # committed (ADVICE r10 #2).
             task_cli.query("BEGIN")
-            task_cli.query(f"INSERT INTO {claims} VALUES ({part_id})")
+            # ON CONFLICT DO NOTHING + RETURNING (ADVICE r11 #2): if
+            # a concurrent attempt holds an uncommitted claim this
+            # blocks until that transaction resolves; no returned row
+            # means the partition is ALREADY committed — skip the
+            # COPY and yield the ledger's count so retries recover
+            # idempotently instead of aborting the job on the PK.
+            _c, _o, took = task_cli.query(
+                f"INSERT INTO {claims} VALUES ({part_id}, 0) "
+                f"ON CONFLICT DO NOTHING RETURNING part_id"
+            )
+            if not took:
+                task_cli.query("COMMIT")
+                _c, _o, prior = task_cli.query(
+                    f"SELECT n FROM {claims} WHERE part_id = {part_id}"
+                )
+                yield pd.DataFrame({"staged": [int(prior[0][0])]})
+                return
             n = 0
             for pdf in pdfs:
                 rows = (
@@ -1104,6 +1125,9 @@ def pg_parallel_sink(
                     for row in pdf.itertuples(index=False)
                 )
                 n += task_cli.copy_in_text(stage, cols, rows)
+            # claim row carries the committed count atomically with
+            # the rows: any visible ledger row already has its final n
+            task_cli.query(f"UPDATE {claims} SET n = {n} WHERE part_id = {part_id}")
             task_cli.query("COMMIT")
             yield pd.DataFrame({"staged": [n]})
         finally:

@@ -180,12 +180,30 @@ class PgWireClient:
         the SSLRequest as the very first packet."""
         import ssl as _ssl
 
+        # Fail loudly BEFORE touching the wire: libpq errors out when
+        # verify-ca has no root cert to verify against; silently
+        # falling back to the system CA store would let a dropped or
+        # typo'd sslrootcert option WEAKEN verification (ADVICE r11
+        # #3).
+        if sslmode == "verify-ca" and sslrootcert is None:
+            self.sock.close()
+            raise PgError("sslmode=verify-ca requires sslrootcert")
         self._send(struct.pack("!II", 8, 80877103))  # SSLRequest
         # raw one-byte read: the buffered reader is not yet
         # initialized, and nothing may be buffered past the answer
         # byte before the TLS handshake replaces the transport
         answer = self.sock.recv(1)
         if answer != b"S":
+            # close the connected socket before raising (ADVICE r11
+            # #5: the refusal path leaked the fd), and distinguish a
+            # clean server close (empty read) from an explicit 'N'
+            # refusal in the message.
+            self.sock.close()
+            if answer == b"":
+                raise PgError(
+                    f"server closed connection during SSL negotiation "
+                    f"(sslmode={sslmode})"
+                )
             raise PgError(
                 f"server refused SSL (sslmode={sslmode}, got {answer!r})"
             )

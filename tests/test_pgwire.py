@@ -748,40 +748,55 @@ def test_csv_arrow_path_parity_and_fallback(spark, pg):
 
 
 def test_parallel_sink_claim_ledger_blocks_duplicate_attempts(spark, pg):
-    """ADVICE r10 #2: each task commits its claim row + its COPY in
-    ONE transaction, so a retried/speculative attempt of an
-    already-committed partition aborts on the claims PRIMARY KEY —
-    no duplicated rows can ever reach the stage."""
-    from datafusion_rdbms_ext_spark.sources.pgwire import (
-        PgError,
-        PgWireClient,
-    )
+    """ADVICE r10 #2 + ADVICE r11 #2: each task commits its claim row
+    (with its staged count) + its COPY in ONE transaction. A
+    retried/speculative attempt of an already-committed partition
+    takes no claim (ON CONFLICT DO NOTHING returns no row), skips the
+    COPY, and reads the ALREADY-COMMITTED count from the ledger — no
+    duplicated rows can reach the stage AND the retry SUCCEEDS
+    (the r10 form aborted the whole job on the PK, so a post-commit
+    executor loss could never recover)."""
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
 
     cli = PgWireClient(**pg)
     try:
         cli.query("DROP TABLE IF EXISTS claim_probe")
         cli.query("DROP TABLE IF EXISTS claim_probe__parts")
         cli.query("CREATE TABLE claim_probe (v bigint)")
-        cli.query("CREATE TABLE claim_probe__parts (part_id int PRIMARY KEY)")
-        # attempt 1 commits its claim + rows atomically
+        cli.query(
+            "CREATE TABLE claim_probe__parts (part_id int PRIMARY KEY, n bigint)"
+        )
+        # attempt 1: claim taken, rows + final count committed atomically
         cli.query("BEGIN")
-        cli.query("INSERT INTO claim_probe__parts VALUES (0)")
+        _c, _o, took = cli.query(
+            "INSERT INTO claim_probe__parts VALUES (0, 0) "
+            "ON CONFLICT DO NOTHING RETURNING part_id"
+        )
+        assert took, "first attempt must take the claim"
         cli.copy_in_text("claim_probe", ["v"], [(1,), (2,)])
+        cli.query("UPDATE claim_probe__parts SET n = 2 WHERE part_id = 0")
         cli.query("COMMIT")
     finally:
         cli.close()
-    # attempt 2 (same partition, e.g. post-success retry): the claim
-    # INSERT hits the PK and the whole transaction rolls back — the
-    # rows it would have re-copied never land.
+    # attempt 2 (same partition, post-success retry): the claim is
+    # already taken — the attempt must NOT error, must NOT re-copy,
+    # and must report the committed count so the job's staged sum
+    # still equals the stage total.
     dup = PgWireClient(**pg)
     try:
         dup.query("BEGIN")
-        import pytest as _pytest
-
-        with _pytest.raises(PgError):
-            dup.query("INSERT INTO claim_probe__parts VALUES (0)")
+        _c, _o, took = dup.query(
+            "INSERT INTO claim_probe__parts VALUES (0, 0) "
+            "ON CONFLICT DO NOTHING RETURNING part_id"
+        )
+        assert not took, "retry must find the claim taken, not error"
+        dup.query("COMMIT")
+        _c, _o, prior = dup.query(
+            "SELECT n FROM claim_probe__parts WHERE part_id = 0"
+        )
+        assert int(prior[0][0]) == 2
     finally:
-        dup.close()  # connection drop aborts the open transaction
+        dup.close()
     chk = PgWireClient(**pg)
     try:
         assert chk.query("SELECT COUNT(*) FROM claim_probe")[2][0][0] == 2

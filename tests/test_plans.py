@@ -157,9 +157,10 @@ def test_broadcast_hints_only_on_fixed_dims():
             # stratified sampling: per-SOURCE quotas (#sources rows —
             # the training-mix catalog, not data-scaling).
             "quotas",
-            # shard-eval readout: 1-row global counts of the two
-            # pruned sets and their agreement (round 11).
-            "p_sh.agg(", "agree.agg(",
+            # shard-eval readout: 1-row global counts of the pruned
+            # sets (probe=1 and probe=2, round 12) and their
+            # agreement with single-level pruning (round 11).
+            "p_sh.agg(", "agree.agg(", "p_mp.agg(", "agree_mp.agg(",
             # dedup evaluation: the two 1-row pair-set counts.
             "n_l", "n_e",
             # BPE apply: the word -> token-count map is VOCABULARY-

@@ -133,6 +133,22 @@ def test_survey_bench_total_matches_latest_bench_artifact():
         f"BENCH_CLAIM.json records {nq} tagged queries; the registry "
         f"has {n_bench} — re-run bench.py and refresh the snapshot"
     )
+    # Round-12 contract (VERDICT r11 What's-wrong #1): the claim must
+    # carry the PER-QUERY map (and loadavg), and its query set must be
+    # exactly the bench-tagged registry set — cross-round per-query
+    # comparisons read the committed claim, never the driver-mutated
+    # BENCH_LOCAL.json.
+    bench_names = {n for n, s in REGISTRY.items() if "bench" in s.tags}
+    for key in ("queries", "median3", "loadavg"):
+        assert key in rec, (
+            f"BENCH_CLAIM.json lacks the '{key}' map — refresh via "
+            "scripts/refresh_claim.py after bench.py"
+        )
+        assert set(rec[key]) == bench_names, (
+            f"claim '{key}' set drifted from the bench-tagged registry: "
+            f"extra={sorted(set(rec[key]) - bench_names)}, "
+            f"missing={sorted(bench_names - set(rec[key]))}"
+        )
 
 
 def test_documented_rotation_queue_is_exactly_the_never_proven_set():

@@ -196,9 +196,25 @@ def test_string_cast_comparison_is_not_an_atom(spark, idx):
     assert lex != num  # the two semantics genuinely differ on this data
 
 
+def test_float_cast_comparison_is_not_an_atom(spark, idx):
+    """ADVICE r11 #4: cast(col AS DOUBLE) rounds bigints beyond 2^53,
+    so cast(col AS DOUBLE) >= L can hold while col < L — a float-cast
+    atom could prune a file containing a matching row. float/double
+    are no longer accepted widening targets: the plan falls through
+    unchanged."""
+    li = spark.table("lineitem")
+    for tgt in ("double", "float"):
+        user = li.filter(
+            (F.col("l_orderkey").cast(tgt) >= float(_REWRITE_LO))
+            & (F.col("l_orderkey").cast(tgt) <= float(_REWRITE_HI))
+        )
+        assert skipping_rewrite(user, idx) is user  # fall through
+
+
 def test_numeric_widening_cast_still_accepts_atom(spark, idx):
-    """Order-preserving casts (decimal/double widening of an integral
-    column) still yield atoms — the r10 fix must not regress the
+    """Order-preserving casts (decimal widening of an integral
+    column; float/double excluded per ADVICE r11 #4) still yield
+    atoms — the r10 fix must not regress the
     Catalyst-inserted-cast path that makes integer comparisons work
     at all."""
     li = spark.table("lineitem")
