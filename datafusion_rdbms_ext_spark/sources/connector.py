@@ -445,6 +445,175 @@ class PostgresConnector(Connector):
         return _bounds_to_preds(key, sorted({int(p) for p in points}))
 
 
+class MySqlConnector(Connector):
+    """Dialect four: MySQL (VERDICT r11 next #6) — the reference's
+    DatabaseConnector declares a MySql variant it never implements
+    (`todo!()`, /root/reference/src/sqldb/mod.rs:12-16,47-48); this
+    closes the last enum surface. Canned-wire first, the Postgres
+    precedent: the whole dialect above the wire — catalog bootstrap
+    SQL, capability negotiation, partition planning, type map, the
+    unparse rendering pass (pushdown._dialect_mysql) — is
+    configuration proven by tests/test_mysql_dialect.py; live only
+    if the container ever grows a server (no MySQL binary or driver
+    ships here today).
+
+    Capabilities: information_schema catalog (MySQL has the standard
+    surface — same two-step bootstrap as Postgres, with COLUMN_TYPE
+    carrying the signedness data_type drops), NO quantile aggregate
+    (no ordered-set aggregates in MySQL — equi-width min/max ranges,
+    the Spark-JDBC arithmetic, same as SQLite), NO ORDER BY ALL
+    (bare-LIMIT pushdown refused). Identifier quoting is backticks
+    (the unparse pass leaves Spark's quoting untouched — see
+    _dialect_mysql)."""
+
+    db_type = "mysql"
+    supports_order_by_all = False
+    supports_quantile_partitioning = False
+
+    #: information_schema.columns DATA_TYPE -> Spark type. MySQL
+    #: drops signedness from DATA_TYPE (it lives in COLUMN_TYPE), so
+    #: the catalog() override below widens unsigned integers one
+    #: tier: an unsigned bigint's domain exceeds int64 — only
+    #: Decimal(20,0) holds it exactly.
+    _TYPE_MAP = {
+        "tinyint": T.ByteType(),
+        "smallint": T.ShortType(),
+        "mediumint": T.IntegerType(),  # 24-bit fits int32
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "decimal": T.DecimalType(38, 4),
+        "char": T.StringType(),
+        "varchar": T.StringType(),
+        "text": T.StringType(),
+        "mediumtext": T.StringType(),
+        "longtext": T.StringType(),
+        "json": T.StringType(),
+        "enum": T.StringType(),
+        "date": T.DateType(),
+        # DATETIME is MySQL's timezone-less type; TIMESTAMP is
+        # UTC-normalized storage rendered in session tz
+        "datetime": T.TimestampNTZType(),
+        "timestamp": T.TimestampType(),
+        "time": T.StringType(),  # Spark has no TIME type (pg parity)
+        "blob": T.BinaryType(),
+        "varbinary": T.BinaryType(),
+        "binary": T.BinaryType(),
+        "bit": T.BinaryType(),
+    }
+
+    #: unsigned widening: DATA_TYPE -> Spark type when COLUMN_TYPE
+    #: says 'unsigned' (each type's max exceeds its signed Spark
+    #: counterpart's range; bigint unsigned exceeds EVERY integral)
+    _UNSIGNED_MAP = {
+        "tinyint": T.ShortType(),
+        "smallint": T.IntegerType(),
+        "mediumint": T.IntegerType(),  # 24-bit unsigned still fits
+        "int": T.LongType(),
+        "bigint": T.DecimalType(20, 0),
+    }
+
+    def __init__(self, dsn: str, schema: str = "mysql"):
+        self.dsn = dsn
+        self.schema_name = schema
+
+    def _params(self) -> dict:
+        out = {"host": "127.0.0.1", "port": 3306, "user": "root",
+               "database": self.schema_name}
+        for part in self.dsn.split():
+            k, _, v = part.partition("=")
+            if k == "port":
+                out["port"] = int(v)
+            elif k in ("host", "user", "password"):
+                out[k] = v
+            elif k == "dbname":
+                out["database"] = v
+        return out
+
+    def fetch_pdf(self, sql: str) -> pd.DataFrame:
+        """Public-driver fetch, import-guarded: this container ships
+        no MySQL server or driver, so the live path stays dormant
+        behind the same seam the Postgres dialect used before ITS
+        server existed."""
+        try:
+            import pymysql  # type: ignore  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                "no MySQL driver in this container — the dialect is "
+                "exercised via the canned-wire tests "
+                "(tests/test_mysql_dialect.py); install pymysql for a "
+                "live wire"
+            ) from exc
+        import pymysql  # pragma: no cover — container has no driver
+
+        con = pymysql.connect(**self._params())  # pragma: no cover
+        try:  # pragma: no cover
+            return pd.read_sql_query(sql, con)
+        finally:  # pragma: no cover
+            con.close()
+
+    # -- dialect configuration (fully testable without a server) --------
+    def catalog_sql(self) -> tuple[str, str]:
+        """Two-step information_schema bootstrap, MySQL spelling:
+        the schema is the DATABASE (MySQL has no schema-in-database
+        level), and COLUMN_TYPE rides along because DATA_TYPE drops
+        signedness ('bigint' vs 'bigint(20) unsigned')."""
+        tables = (
+            "SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = '{self.schema_name}' "
+            "AND table_type = 'BASE TABLE' ORDER BY table_name"
+        )
+        columns = (
+            "SELECT table_name, column_name, data_type, column_type, "
+            "is_nullable "
+            "FROM information_schema.columns "
+            f"WHERE table_schema = '{self.schema_name}' "
+            "ORDER BY table_name, ordinal_position"
+        )
+        return tables, columns
+
+    def catalog(self) -> dict[str, T.StructType]:
+        tables_sql, columns_sql = self.catalog_sql()
+        base_tables = set(self.fetch_pdf(tables_sql)["table_name"])
+        pdf = self.fetch_pdf(columns_sql)
+        out: dict[str, T.StructType] = {}
+        for row in pdf.itertuples(index=False):
+            if row.table_name not in base_tables:
+                continue  # a view leaking through columns
+            ct = (getattr(row, "column_type", "") or "").lower()
+            if "unsigned" in ct and row.data_type in self._UNSIGNED_MAP:
+                typ: T.DataType = self._UNSIGNED_MAP[row.data_type]
+            else:
+                typ = self._TYPE_MAP.get(row.data_type, T.StringType())
+            out.setdefault(row.table_name, T.StructType()).add(
+                row.column_name, typ, row.is_nullable == "YES"
+            )
+        return out
+
+    def minmax_sql(self, base_sql: str, key: str) -> str:
+        """The equi-width planner's one metadata query (pinned by the
+        canned-wire tests, like Postgres' quantile_sql)."""
+        return (
+            f"SELECT MIN({key}) AS lo, MAX({key}) AS hi "
+            f"FROM ({base_sql}) _t"
+        )
+
+    def partition_predicates(self, base_sql: str, key: str, partitions: int) -> list[str]:
+        """Equi-width min/max ranges — no ordered-set aggregate
+        exists to plan balanced quantile slices (SQLite parity; the
+        capability flag advertises it so connector_scan negotiates
+        honestly)."""
+        row = self.fetch_pdf(self.minmax_sql(base_sql, key))
+        lo, hi = row["lo"][0], row["hi"][0]
+        if lo is None or hi is None or pd.isna(lo) or pd.isna(hi) or lo == hi:
+            return ["TRUE"]
+        lo, hi = int(lo), int(hi)
+        span = (hi - lo + 1) / partitions
+        bounds = sorted({int(lo + i * span) for i in range(1, partitions)})
+        return _bounds_to_preds(key, [b for b in bounds if lo < b <= hi])
+
+
 def pick_partition_key(schema: T.StructType) -> str | None:
     """First integral column — the default partitionColumn, like
     Spark-JDBC's convention of keying on the integer PK."""

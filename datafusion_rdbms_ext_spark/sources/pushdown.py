@@ -404,11 +404,72 @@ def _dialect_postgres(sql: str) -> str:
     return re.sub(r"\bAS DOUBLE\b(?! PRECISION)", "AS DOUBLE PRECISION", sql)
 
 
+#: Spark→MySQL call rewrites and denials (VERDICT r11 next #6:
+#: dialect FOUR of the Connector/unparse seam, canned-wire first —
+#: the reference's DatabaseConnector declares MySql `todo!()`,
+#: mod.rs:12-16,47-48, the one enum surface with no repo equivalent
+#: until now). MySQL's divergences, each encoded rather than hoped
+#: away:
+#: - length(): MySQL LENGTH is BYTES; Spark length() is CHARACTERS —
+#:   multi-byte text flips the value with no error anywhere. Rewrite
+#:   to char_length().
+#: - concat: MySQL CONCAT PROPAGATES NULL, exactly like Spark (unlike
+#:   Postgres/DuckDB, whose concat skips NULLs) — NO rewrite needed,
+#:   and the '||' rewrite would be WRONG here: || is logical OR under
+#:   MySQL's default sql_mode (PIPES_AS_CONCAT off).
+#: - datediff(d1, d2): MySQL has it with Spark's argument order and
+#:   date-part semantics — no rule.
+#: - locate(sub, str): MySQL shares Spark's spelling — no rule.
+#: - regexp_replace: MySQL 8 replaces all occurrences like Spark, but
+#:   the regex flavor is ICU (vs Java) and case sensitivity follows
+#:   the COLLATION (ci by default) — silently divergent matches; deny
+#:   (the unrewritten plan filters Spark-side, still correct).
+#: - substring/substr: MySQL treats start 0 as ''-producing and
+#:   NEGATIVE start as from-the-end — both diverge from Spark; the
+#:   shared non-positive-literal-start denial applies (negative
+#:   LENGTH returns '' in both engines, so the _substr_rule denial
+#:   there is merely conservative).
+_MYSQL_CALL_RULES = {
+    "length": lambda a: f"char_length({', '.join(a)})",
+    "regexp_replace": _deny("regexp_replace"),
+    "concat_ws": _deny("concat_ws"),
+    "substring": _substr_rule("substring"),
+    "substr": _substr_rule("substr"),
+}
+
+
+def _dialect_mysql(sql: str) -> str:
+    """MySQL dialect pass (conservative 8.0 floor). Quoting is the
+    inverse of every other dialect: Spark's backtick-quoted
+    identifiers are ALREADY MySQL's native spelling, and rewriting
+    them to ANSI double quotes would turn them into STRING LITERALS
+    under the default sql_mode (ANSI_QUOTES off) — so backticks pass
+    through untouched. LIKE is denied for the SQLite reason: MySQL's
+    default *_ci collations compare case-insensitively where Spark
+    is case-sensitive — values flip with no error anywhere."""
+    sql = _SUFFIX_RE.sub(r"\1", sql)
+    # MySQL refuses OFFSET without LIMIT; the documented spelling for
+    # "all rows from an offset" is a LIMIT of 2^64-1 (MySQL manual,
+    # SELECT syntax). Quote-aware, like the SQLite pass.
+    sql = _replace_outside_strings(
+        sql, " OFFSET ", " LIMIT 18446744073709551615 OFFSET "
+    )
+    sql = _rewrite_calls(sql, _MYSQL_CALL_RULES)
+    for m in _LIKE_RE.finditer(sql):
+        if sql.count("'", 0, m.start()) % 2 == 0:  # outside literals
+            raise _Unsupported("LIKE: MySQL ci collations ignore case")
+    # MySQL's timezone-less type is DATETIME (its TIMESTAMP is
+    # UTC-converted storage — the wrong semantics for NTZ)
+    sql = re.sub(r"\bAS TIMESTAMP_NTZ\b", "AS DATETIME", sql)
+    sql = re.sub(r"\bTIMESTAMP_NTZ\b", "TIMESTAMP", sql)
+    return sql
+
+
 def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
     """Unparse ``df``'s whole plan and render it for ``dialect``
-    ('duckdb', 'sqlite', 'postgres') regardless of which federated
-    source the plan was built on — the generation half of the
-    transparent path, exposed so a dialect's SQL can be validated
+    ('duckdb', 'sqlite', 'postgres', 'mysql') regardless of which
+    federated source the plan was built on — the generation half of
+    the transparent path, exposed so a dialect's SQL can be validated
     (and pinned in tests) without a live server."""
     u = _Unparser()
     try:
@@ -420,13 +481,17 @@ def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
     # Capability gates mirror try_unparse (ADVICE r7 #5): SQLite has
     # no INTERSECT/EXCEPT ALL, so rendering such a plan must return
     # None, not SQL the engine cannot execute faithfully. DuckDB and
-    # Postgres both support the ALL set operators — no gate.
+    # Postgres both support the ALL set operators — no gate. MySQL's
+    # conservative floor (< 8.0.31) has NO INTERSECT/EXCEPT at all.
     if dialect == "sqlite" and u.setop_all:
+        return None
+    if dialect == "mysql" and u.setop_ie:
         return None
     passes = {
         "duckdb": _dialect,
         "sqlite": _dialect_sqlite,
         "postgres": _dialect_postgres,
+        "mysql": _dialect_mysql,
     }
     try:
         return passes[dialect](sql)
@@ -449,6 +514,7 @@ class _Unparser:
         self.sf_dir: str | None = None
         self.fmt: str | None = None
         self.setop_all = False  # INTERSECT/EXCEPT ALL used anywhere
+        self.setop_ie = False  # any INTERSECT/EXCEPT (MySQL < 8.0.31 lacks both)
         self._n = 0
 
     def _alias(self) -> str:
@@ -563,6 +629,7 @@ class _Unparser:
             return " UNION ALL ".join(parts)
         if nm in ("Intersect", "Except"):
             op = "INTERSECT" if nm == "Intersect" else "EXCEPT"
+            self.setop_ie = True  # MySQL's conservative floor has neither
             if node.isAll():
                 op += " ALL"
                 self.setop_all = True  # not every dialect has ALL

@@ -174,6 +174,12 @@ QUERIES = (
     "stream_branch_wap",
     "llm_semdedup_sharded",
     "llm_semdedup_incremental",
+    # Round-12 additions: the multi-probe sharded pruner (pair cost
+    # should track the probe=1 row at ~2x, far under default's
+    # N^1.5), and the maintenance pass (one retrain + reassign + a
+    # batch admission — the OPTIMIZE-cadence cost).
+    "llm_semdedup_sharded_mp",
+    "llm_semdedup_maintain",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -192,6 +198,15 @@ def _extra_probes():
         ),
         "semdedup_incremental_default": lambda spark, sf: (
             llm.semdedup_admit_batch(spark)
+        ),
+        "semdedup_sharded_mp_default": lambda spark, sf: (
+            llm.semdedup_prune_sharded_mp(spark)
+        ),
+        # maintained-index admission, K re-derived from the grown
+        # corpus (VERDICT r11 #2: prove the maintained path stays
+        # ~linear where the frozen-K row does not)
+        "semdedup_maintained_admission": lambda spark, sf: (
+            llm.semdedup_maintain_report(spark, k_old=None, k_new=None)
         ),
         "srp_default_bits": lambda spark, sf: llm.srp_near_dup_pairs(spark),
     }
