@@ -171,7 +171,8 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: proofs — the complete 42-row cohort last proven in round 5
 #: against twice-regenerated fixtures (in registry order), then the
 #: round-6 cohort head in registration order until the 50 recorded
-#: slots are full.
+#: slots are full (stream_semdedup_admission's addition displaced
+#: the d6 q10 row back to the local gate).
 _PRIORITY: tuple[str, ...] = (
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
@@ -180,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- round-12 additions (first-time proof in their own round)
     "llm_semdedup_sharded_mp",
     "llm_semdedup_maintain",
+    "stream_semdedup_admission",
     # -- changed-plan re-proofs (shard_eval grew the mp recall columns)
     "llm_semdedup_shard_eval",
     # -- backfill: stalest proofs first (the complete d5 cohort in
@@ -229,7 +231,6 @@ _PRIORITY: tuple[str, ...] = (
     "micro_decimal_money",
     # d6 head (registration order)
     "q05_local_supplier_volume",
-    "q10_returned_items",
 )
 
 

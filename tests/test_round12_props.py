@@ -101,3 +101,72 @@ def test_maintain_report_conserves_batch_and_corpus(spark):
             == r["n_new"]
         )
         assert 0 <= r["n_moved"] <= r["n_vecs"]
+
+
+def test_stream_admission_chain_is_exercised(spark):
+    """Sequential semantics must MATTER on the fixture: at least one
+    later batch rejects a vector against an EARLIER batch's admitted
+    set (not just the corpus) — otherwise the chained operator is
+    indistinguishable from three independent frozen-index admissions
+    and the oracle proves nothing about chaining. Computed by
+    re-running batch k's corpus-only rejection and comparing with the
+    streamed report's n_dup_prior."""
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _SEM_INC_MOD,
+        _SEMDEDUP_TAU,
+        _IVF_ITERS,
+        _IVF_K,
+        _assign_cells,
+        _dot,
+        _lloyds,
+        _quantize,
+        _vectors_with_norm,
+    )
+    from datafusion_rdbms_ext_spark.streaming import (
+        _STREAM_SEM_SPLITS,
+        stream_semdedup_admission,
+    )
+
+    rows = {
+        r["batch_seq"]: r
+        for r in stream_semdedup_admission(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == list(range(_STREAM_SEM_SPLITS))
+    # corpus-only rejection per batch (no chaining)
+    is_new = F.col("vec_id") % _SEM_INC_MOD == 0
+    q = _quantize(spark)
+    cents = _lloyds(q.filter(~is_new), _IVF_K, _IVF_ITERS, "ivfseed")
+    cells = _assign_cells(q, cents).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    base = (
+        _vectors_with_norm(spark)
+        .join(cells, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+        .localCheckpoint()
+    )
+    corpus_q = base.filter(~is_new).select(
+        F.col("vec_id").alias("q_id"),
+        "cell",
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    extra = 0
+    for k in range(_STREAM_SEM_SPLITS):
+        bk = base.filter(is_new).filter(
+            F.expr(f"(vec_id div {_SEM_INC_MOD}) % {_STREAM_SEM_SPLITS}") == k
+        )
+        n_dup_corpus_only = (
+            corpus_q.join(bk, "cell")
+            .filter(cos >= _SEMDEDUP_TAU)
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        # chained rejections can only ADD to corpus-only rejections
+        assert rows[k]["n_dup_prior"] >= n_dup_corpus_only, k
+        extra += rows[k]["n_dup_prior"] - n_dup_corpus_only
+    assert extra > 0, "no cross-batch rejection on this fixture"
