@@ -4366,7 +4366,9 @@ def semdedup_admit_batch(
     same lower-id-wins simplification as llm_semdedup (a rejected
     batch vector still rejects its own later near-dups — order-free,
     deterministic, oracle-exact); admitted-only chaining is the
-    sequential variant, deliberately not modeled."""
+    sequential variant, deliberately not modeled HERE — it is the
+    streaming operator's contract (stream_semdedup_admission, round
+    12), where batch sequence is physical."""
     is_new = F.col("vec_id") % mod == 0
     q = _quantize(spark)
     if k is None:

@@ -180,6 +180,10 @@ QUERIES = (
     # batch admission — the OPTIMIZE-cadence cost).
     "llm_semdedup_sharded_mp",
     "llm_semdedup_maintain",
+    # ...and the streaming admission (per-batch cost = batch x cell
+    # occupancy against corpus + admitted-so-far; streaming boot
+    # dominates the sf0.1 floor).
+    "stream_semdedup_admission",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
