@@ -169,10 +169,9 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: multi-probe recall columns this round, so its r11 proof describes
 #: a superseded plan/schema); backfill is mechanically the stalest
 #: proofs — the complete 42-row cohort last proven in round 5
-#: against twice-regenerated fixtures (in registry order), then the
-#: round-6 cohort head in registration order until the 50 recorded
-#: slots are full (stream_semdedup_admission's addition displaced
-#: the d6 q10 row back to the local gate).
+#: against twice-regenerated fixtures (in registry order), filling
+#: the 50 recorded slots exactly (3 sentinels + 4 additions + 1
+#: re-proof + 42 d5 rows; the d6 head rows stay in the local gate).
 _PRIORITY: tuple[str, ...] = (
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
@@ -182,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_semdedup_sharded_mp",
     "llm_semdedup_maintain",
     "stream_semdedup_admission",
+    "llm_semdedup_tree",
     # -- changed-plan re-proofs (shard_eval grew the mp recall columns)
     "llm_semdedup_shard_eval",
     # -- backfill: stalest proofs first (the complete d5 cohort in
@@ -229,8 +229,6 @@ _PRIORITY: tuple[str, ...] = (
     "source_schema_evolution",
     "sink_clustered_layout",
     "micro_decimal_money",
-    # d6 head (registration order)
-    "q05_local_supplier_volume",
 )
 
 

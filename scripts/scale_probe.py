@@ -182,8 +182,10 @@ QUERIES = (
     "llm_semdedup_maintain",
     # ...and the streaming admission (per-batch cost = batch x cell
     # occupancy against corpus + admitted-so-far; streaming boot
-    # dominates the sf0.1 floor).
+    # dominates the sf0.1 floor), and the hierarchical tree variant
+    # (same shard/occupancy math as the cross-product).
     "stream_semdedup_admission",
+    "llm_semdedup_tree",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -170,3 +170,35 @@ def test_stream_admission_chain_is_exercised(spark):
         assert rows[k]["n_dup_prior"] >= n_dup_corpus_only, k
         extra += rows[k]["n_dup_prior"] - n_dup_corpus_only
     assert extra > 0, "no cross-batch rejection on this fixture"
+
+
+def test_tree_shards_are_conservative_per_cell(spark):
+    """The hierarchical (cell, subcell) partition refines the SAME
+    level-1 cells as llm_semdedup, so per level-1 cell: n_vecs
+    identical and n_pruned_tree <= n_pruned_default. (No subset
+    relation vs the cross-product — the two second-level DESIGNS are
+    compared by the eval row's recall columns instead.)"""
+    rows = lambda name: {  # noqa: E731
+        r["cell"]: r for r in REGISTRY[name].fn(spark, SF_DIR).collect()
+    }
+    base = rows("llm_semdedup")
+    tree = rows("llm_semdedup_tree")
+    assert set(base) == set(tree)
+    pruned_any = False
+    for cell, b in base.items():
+        assert tree[cell]["n_vecs"] == b["n_vecs"], cell
+        assert tree[cell]["n_pruned"] <= b["n_pruned"], cell
+        pruned_any = pruned_any or tree[cell]["n_pruned"] > 0
+    assert pruned_any
+
+
+def test_shard_eval_subset_sets_agree_fully(spark):
+    """Every sharded variant prunes a SUBSET of single-level pruning
+    (all refine the same level-1 cells), so each agree count must
+    EQUAL its pruned count — a drifted clustering would show up here
+    as agree < pruned before it could skew a recall number."""
+    row = REGISTRY["llm_semdedup_shard_eval"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_agree"] == row["n_pruned_sharded"]
+    assert row["n_agree_mp"] == row["n_pruned_sharded_mp"]
+    assert row["n_agree_tree"] == row["n_pruned_tree"]
+    assert 0 < row["recall_tree_ppm"] <= 1_000_000
