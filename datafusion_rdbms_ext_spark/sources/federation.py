@@ -1044,6 +1044,46 @@ def fed_postgres_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count = partition count, bounded by the caller the same way a
 # JDBC sink bounds numPartitions.
 # ---------------------------------------------------------------------------
+#: DDL type → binary-COPY encoder name (pgwire._binary_copy_encoder).
+#: A DDL type outside this map sends the whole job down the text
+#: path — correctness never depends on the fast path's coverage.
+_DDL_BIN_TYPES = {
+    "bigint": "int8",
+    "int8": "int8",
+    "integer": "int4",
+    "int": "int4",
+    "int4": "int4",
+    "smallint": "int2",
+    "int2": "int2",
+    "double precision": "float8",
+    "float8": "float8",
+    "real": "float4",
+    "float4": "float4",
+    "text": "text",
+    "varchar": "text",
+    "character varying": "text",
+    "boolean": "bool",
+    "bool": "bool",
+    "bytea": "bytea",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _ddl_binary_types(ddl: str) -> list[str] | None:
+    """Per-column binary-COPY encoder names for a column DDL, or
+    None when any column's type has no binary encoder (numeric etc.
+    → text COPY)."""
+    out = []
+    for coldef in ddl.split(","):
+        words = coldef.split()
+        t = _DDL_BIN_TYPES.get(" ".join(words[1:]).lower())
+        if t is None:
+            return None
+        out.append(t)
+    return out
+
+
 def pg_parallel_sink(
     df: DataFrame,
     params: dict,
@@ -1055,10 +1095,15 @@ def pg_parallel_sink(
     publish. Returns the row count the executors staged. ``params``
     are PgWireClient kwargs (must include search_path for schema
     isolation); ``ddl`` is the column DDL, whose column order must
-    match ``df.columns``."""
+    match ``df.columns``. When every DDL type has a binary-COPY
+    encoder the tasks stream FORMAT binary (round 12 — the
+    write-side twin of the binary reader: no text rendering
+    task-side, no text parsing server-side); any unmapped type
+    (numeric) keeps the whole job on the text path."""
     from .pgwire import PgWireClient
 
     cols = [c.split()[0] for c in ddl.split(",")]
+    bin_types = _ddl_binary_types(ddl)
     if cols != list(df.columns):
         raise ValueError(f"ddl columns {cols} != frame columns {df.columns}")
     stage = f"{table}__stage"
@@ -1124,7 +1169,12 @@ def pg_parallel_sink(
                     )
                     for row in pdf.itertuples(index=False)
                 )
-                n += task_cli.copy_in_text(stage, cols, rows)
+                if bin_types is not None:
+                    n += task_cli.copy_in_binary(
+                        stage, cols, rows, bin_types
+                    )
+                else:
+                    n += task_cli.copy_in_text(stage, cols, rows)
             # claim row carries the committed count atomically with
             # the rows: any visible ledger row already has its final n
             task_cli.query(f"UPDATE {claims} SET n = {n} WHERE part_id = {part_id}")

@@ -480,42 +480,24 @@ class PgWireClient:
         return mtype + struct.pack("!I", len(payload) + 4) + payload
 
     # -- COPY FROM STDIN (the bulk-load write path) -----------------------
-    def copy_in_text(
-        self, table: str, columns: list[str], rows
-    ) -> int:
-        """``COPY table (cols) FROM STDIN`` in text format — the
-        server-side bulk loader (one copy stream instead of N INSERT
-        statements; this is how production data actually enters
-        Postgres, and the write-side sibling of :meth:`copy_binary`).
-        Returns the server-reported row count."""
-        sql = (
-            f"COPY {table} ({', '.join(columns)}) FROM STDIN"
-        )
+    def _copy_in_begin(self, sql: str) -> None:
+        """Issue a COPY ... FROM STDIN and wait for CopyInResponse."""
         body = sql.encode() + b"\x00"
         self._send(b"Q" + struct.pack("!I", len(body) + 4) + body)
         while True:  # wait for CopyInResponse (or fail fast)
             mtype, payload = self._read_message()
             if mtype == b"G":
-                break
+                return
             if mtype == b"E":
                 err = _error_text(payload)
                 # server still sends ReadyForQuery after the error
                 while self._read_message()[0] != b"Z":
                     pass
                 raise PgError(err)
-        chunk: list[str] = []
-        size = 0
-        for row in rows:
-            line = "\t".join(_copy_text_field(v) for v in row) + "\n"
-            chunk.append(line)
-            size += len(line)
-            if size >= 65536:
-                data = "".join(chunk).encode()
-                self._send(b"d" + struct.pack("!I", len(data) + 4) + data)
-                chunk, size = [], 0
-        if chunk:
-            data = "".join(chunk).encode()
-            self._send(b"d" + struct.pack("!I", len(data) + 4) + data)
+
+    def _copy_in_finish(self) -> int:
+        """CopyDone, then drain to ReadyForQuery; returns the
+        server-reported row count from CommandComplete."""
         self._send(b"c" + struct.pack("!I", 4))  # CopyDone
         n = 0
         error = None
@@ -530,6 +512,73 @@ class PgWireClient:
                 if error:
                     raise PgError(error)
                 return n
+
+    def _copy_send(self, data: bytes) -> None:
+        self._send(b"d" + struct.pack("!I", len(data) + 4) + data)
+
+    def copy_in_text(
+        self, table: str, columns: list[str], rows
+    ) -> int:
+        """``COPY table (cols) FROM STDIN`` in text format — the
+        server-side bulk loader (one copy stream instead of N INSERT
+        statements; this is how production data actually enters
+        Postgres, and the write-side sibling of :meth:`copy_binary`).
+        Returns the server-reported row count."""
+        self._copy_in_begin(
+            f"COPY {table} ({', '.join(columns)}) FROM STDIN"
+        )
+        chunk: list[str] = []
+        size = 0
+        for row in rows:
+            line = "\t".join(_copy_text_field(v) for v in row) + "\n"
+            chunk.append(line)
+            size += len(line)
+            if size >= 65536:
+                self._copy_send("".join(chunk).encode())
+                chunk, size = [], 0
+        if chunk:
+            self._copy_send("".join(chunk).encode())
+        return self._copy_in_finish()
+
+    def copy_in_binary(
+        self, table: str, columns: list[str], rows, types: list[str]
+    ) -> int:
+        """``COPY ... FROM STDIN (FORMAT binary)`` — the write-side
+        twin of the binary reader (ref binary_reader.rs:24-209):
+        length-prefixed big-endian fields, no text rendering or
+        server-side parsing. ``types`` names one wire encoder per
+        column (see ``_BINARY_COPY_ENCODERS``); callers that carry a
+        type outside the map fall back to :meth:`copy_in_text`
+        (numeric's base-10000 digit groups stay a read-path-only
+        format here). NULL is the documented -1 field length; the
+        stream is the PGCOPY signature + flags + per-row int16 field
+        counts + the int16 -1 trailer."""
+        encs = [_binary_copy_encoder(t) for t in types]
+        if len(encs) != len(columns):
+            raise PgError("types/columns arity mismatch")
+        self._copy_in_begin(
+            f"COPY {table} ({', '.join(columns)}) FROM STDIN (FORMAT binary)"
+        )
+        nfields = struct.pack("!h", len(columns))
+        parts: list[bytes] = [b"PGCOPY\n\xff\r\n\x00" + struct.pack("!II", 0, 0)]
+        size = len(parts[0])
+        for row in rows:
+            buf = [nfields]
+            for enc, v in zip(encs, row):
+                if v is None:
+                    buf.append(b"\xff\xff\xff\xff")  # int32 -1: NULL
+                else:
+                    payload = enc(v)
+                    buf.append(struct.pack("!I", len(payload)) + payload)
+            rec = b"".join(buf)
+            parts.append(rec)
+            size += len(rec)
+            if size >= 65536:
+                self._copy_send(b"".join(parts))
+                parts, size = [], 0
+        parts.append(struct.pack("!h", -1))  # trailer
+        self._copy_send(b"".join(parts))
+        return self._copy_in_finish()
 
     # -- CSV COPY (the Arrow-vectorized bulk-egress path) -----------------
     def copy_csv(self, select_sql: str) -> bytes:
@@ -560,6 +609,42 @@ class PgWireClient:
 
 
 # -- COPY text-format field encoding --------------------------------------
+def _binary_copy_encoder(typ: str):
+    """Value → big-endian wire bytes for one binary-COPY field (the
+    send-side mirror of the per-OID decode table; the 2000-01-01
+    epoch rebase runs in reverse here)."""
+    if typ == "int8":
+        return lambda v: struct.pack("!q", int(v))
+    if typ == "int4":
+        return lambda v: struct.pack("!i", int(v))
+    if typ == "int2":
+        return lambda v: struct.pack("!h", int(v))
+    if typ == "float8":
+        return lambda v: struct.pack("!d", float(v))
+    if typ == "float4":
+        return lambda v: struct.pack("!f", float(v))
+    if typ == "text":
+        return lambda v: (v if isinstance(v, str) else str(v)).encode("utf-8")
+    if typ == "bool":
+        return lambda v: b"\x01" if v else b"\x00"
+    if typ == "bytea":
+        return lambda v: bytes(v)
+    if typ == "date":
+        return lambda v: struct.pack(
+            "!i", v.toordinal() - _PG_EPOCH_DATE.toordinal()
+        )
+    if typ == "timestamp":
+        return lambda v: struct.pack(
+            "!q",
+            (v.toordinal() - _PG_EPOCH_TS.toordinal()) * 86_400_000_000
+            + v.hour * 3_600_000_000
+            + v.minute * 60_000_000
+            + v.second * 1_000_000
+            + v.microsecond,
+        )
+    raise PgError(f"no binary COPY encoder for type {typ!r}")
+
+
 def _copy_text_field(v) -> str:
     """One value in COPY text format: NULL is ``\\N``; backslash, tab,
     newline and carriage return are backslash-escaped (the only four

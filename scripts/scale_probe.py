@@ -208,6 +208,9 @@ def _extra_probes():
         "semdedup_sharded_mp_default": lambda spark, sf: (
             llm.semdedup_prune_sharded_mp(spark)
         ),
+        "semdedup_tree_default": lambda spark, sf: (
+            llm.semdedup_prune_tree(spark)
+        ),
         # maintained-index admission, K re-derived from the grown
         # corpus (VERDICT r11 #2: prove the maintained path stays
         # ~linear where the frozen-K row does not)
