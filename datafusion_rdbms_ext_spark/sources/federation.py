@@ -1067,17 +1067,30 @@ _DDL_BIN_TYPES = {
     "bytea": "bytea",
     "date": "date",
     "timestamp": "timestamp",
+    # exact base-10000 groups, the write-side mirror of the reader's
+    # decode (round 12; precision/scale suffixes normalized below)
+    "numeric": "numeric",
+    "decimal": "numeric",
 }
+
+
+def _split_ddl(ddl: str) -> list[str]:
+    """Column definitions from a DDL list, splitting only on commas
+    OUTSIDE parentheses — ``m numeric(38,4)`` is one column."""
+    import re
+
+    return [c.strip() for c in re.split(r",(?![^(]*\))", ddl)]
 
 
 def _ddl_binary_types(ddl: str) -> list[str] | None:
     """Per-column binary-COPY encoder names for a column DDL, or
-    None when any column's type has no binary encoder (numeric etc.
-    → text COPY)."""
+    None when any column's type has no binary encoder (→ text COPY).
+    Precision suffixes normalize away: ``numeric(38,4)`` → numeric."""
     out = []
-    for coldef in ddl.split(","):
+    for coldef in _split_ddl(ddl):
         words = coldef.split()
-        t = _DDL_BIN_TYPES.get(" ".join(words[1:]).lower())
+        t = " ".join(words[1:]).lower().split("(")[0].strip()
+        t = _DDL_BIN_TYPES.get(t)
         if t is None:
             return None
         out.append(t)
@@ -1102,7 +1115,7 @@ def pg_parallel_sink(
     (numeric) keeps the whole job on the text path."""
     from .pgwire import PgWireClient
 
-    cols = [c.split()[0] for c in ddl.split(",")]
+    cols = [c.split()[0] for c in _split_ddl(ddl)]
     bin_types = _ddl_binary_types(ddl)
     if cols != list(df.columns):
         raise ValueError(f"ddl columns {cols} != frame columns {df.columns}")

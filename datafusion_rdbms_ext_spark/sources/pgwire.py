@@ -547,10 +547,11 @@ class PgWireClient:
         twin of the binary reader (ref binary_reader.rs:24-209):
         length-prefixed big-endian fields, no text rendering or
         server-side parsing. ``types`` names one wire encoder per
-        column (see ``_BINARY_COPY_ENCODERS``); callers that carry a
-        type outside the map fall back to :meth:`copy_in_text`
-        (numeric's base-10000 digit groups stay a read-path-only
-        format here). NULL is the documented -1 field length; the
+        column (see :func:`_binary_copy_encoder` — including the
+        exact base-10000 numeric encode, the write-side mirror of
+        the reader); callers that carry a type outside the map fall
+        back to :meth:`copy_in_text`. NULL is the documented -1
+        field length; the
         stream is the PGCOPY signature + flags + per-row int16 field
         counts + the int16 -1 trailer."""
         encs = [_binary_copy_encoder(t) for t in types]
@@ -642,7 +643,53 @@ def _binary_copy_encoder(typ: str):
             + v.second * 1_000_000
             + v.microsecond,
         )
+    if typ == "numeric":
+        return _encode_numeric
     raise PgError(f"no binary COPY encoder for type {typ!r}")
+
+
+def _encode_numeric(v) -> bytes:
+    """Decimal → base-10000 wire groups — the EXACT write-side
+    mirror of the numeric decode (ndigits, weight, sign, dscale +
+    uint16 groups, most significant first; zero normalized to the
+    positive sign word, leading/trailing zero groups trimmed with
+    the weight adjusted, dscale carrying the declared scale so the
+    server restores trimmed trailing zeros)."""
+    d = v if isinstance(v, _dec.Decimal) else _dec.Decimal(str(v))
+    if d.is_nan():
+        return struct.pack("!HhHH", 0, 0, 0xC000, 0)
+    if d.is_infinite():
+        return struct.pack("!HhHH", 0, 0, 0xD000 if d > 0 else 0xF000, 0)
+    sign_word = 0x4000 if d < 0 else 0x0000
+    tup = d.as_tuple()
+    exp = tup.exponent
+    dscale = max(0, -exp)
+    n = 0
+    for dig in tup.digits:
+        n = n * 10 + dig
+    if exp > 0:
+        n *= 10**exp
+        exp = 0
+    frac = -exp  # decimal fraction digits carried by n
+    pad = (-frac) % 4  # right-pad to a 10^4 group boundary
+    n *= 10**pad
+    fgroups = (frac + pad) // 4
+    groups: list[int] = []
+    while n:
+        groups.append(n % 10000)
+        n //= 10000
+    groups.reverse()
+    if not groups:  # zero (any scale): positive sign, no digits
+        return struct.pack("!HhHH", 0, 0, 0x0000, dscale)
+    weight = len(groups) - 1 - fgroups
+    while groups and groups[-1] == 0:
+        groups.pop()
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    return struct.pack(
+        "!HhHH", len(groups), weight, sign_word, dscale
+    ) + struct.pack(f"!{len(groups)}H", *groups)
 
 
 def _copy_text_field(v) -> str:

@@ -1156,7 +1156,69 @@ def test_parallel_sink_binary_path_selection():
         "c_custkey bigint, c_name text, c_nationkey bigint, "
         "c_acctbal double precision, c_mktsegment text"
     ) == ["int8", "text", "int8", "float8", "text"]
-    assert _ddl_binary_types("v bigint, m numeric") is None
+    assert _ddl_binary_types("v bigint, iv interval") is None
     assert _ddl_binary_types("ok boolean, t timestamp, d date") == [
         "bool", "timestamp", "date",
     ]
+    # numeric gained its exact base-10000 encoder later in round 12
+    assert _ddl_binary_types("v bigint, m numeric(38,4)") == [
+        "int8", "numeric",
+    ]
+
+
+def test_copy_in_binary_numeric_exact(spark, pg):
+    """Round 12: the base-10000 numeric ENCODER — the write-side
+    mirror of the exact reader. Full-precision decimals (beyond
+    float64), negative sub-unit values, trailing-zero scale
+    restoration, zero at scale, NaN and both infinities roundtrip
+    bit-exactly; and a numeric DDL now rides the BINARY parallel-sink
+    path (the r12 fallback retired)."""
+    from decimal import Decimal
+
+    from datafusion_rdbms_ext_spark.sources.federation import (
+        _ddl_binary_types,
+        _split_ddl,
+    )
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+
+    assert _split_ddl("v bigint, m numeric(38,4)") == [
+        "v bigint", "m numeric(38,4)",
+    ]
+    assert _ddl_binary_types("v bigint, m numeric(38,4)") == [
+        "int8", "numeric",
+    ]
+    vals = [
+        Decimal("1234567890123456789012.3456"),  # 24 sig digits > f64
+        Decimal("-0.0001"),
+        Decimal("123456789.5000"),  # trailing zeros: dscale restores
+        Decimal("0.0000"),
+        Decimal("-99999999.9999"),
+        Decimal("10000"),  # exact group boundary
+        Decimal("NaN"),
+        Decimal("Infinity"),
+        Decimal("-Infinity"),
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    cli = PgWireClient(**pg)
+    try:
+        cli.query("DROP TABLE IF EXISTS numprobe")
+        # unconstrained numeric: ±Infinity is illegal under a
+        # declared precision (numeric field overflow)
+        cli.query("CREATE TABLE numprobe (i bigint, m numeric)")
+        n = cli.copy_in_binary(
+            "numprobe", ["i", "m"], iter(rows), ["int8", "numeric"]
+        )
+        assert n == len(rows)
+        got = dict(cli.query("SELECT i, m FROM numprobe")[2])
+        for i, v in enumerate(vals):
+            if v.is_nan():
+                assert got[i].is_nan(), i
+            else:
+                # exact roundtrip, INCLUDING the encoded dscale
+                # (trailing zeros restored server-side)
+                assert got[i] == v, (i, got[i], v)
+                if v.is_finite():
+                    assert str(got[i]) == str(v), (i, got[i], v)
+        cli.query("DROP TABLE numprobe")
+    finally:
+        cli.close()
