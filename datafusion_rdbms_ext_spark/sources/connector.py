@@ -614,6 +614,156 @@ class MySqlConnector(Connector):
         return _bounds_to_preds(key, [b for b in bounds if lo < b <= hi])
 
 
+class MsSqlConnector(Connector):
+    """Dialect five: SQL Server (VERDICT-lineage: with MySQL this
+    closes the reference's ENTIRE DatabaseConnector enum — MySql and
+    MsSql are both `todo!()`, /root/reference/src/sqldb/mod.rs:12-16,
+    47-48). Canned-wire, the Postgres/MySQL precedent: catalog
+    bootstrap SQL, the T-SQL quantile spelling (PERCENTILE_DISC is a
+    WINDOW function, not an ordered-set aggregate), capability
+    negotiation, type map (tinyint is UNSIGNED 0-255 → ShortType;
+    bit → Boolean; money → Decimal(19,4)), and the unparse pass
+    (pushdown._dialect_mssql) are configuration proven by
+    tests/test_mssql_dialect.py; live behind an import-guarded
+    public driver if a server ever exists here."""
+
+    db_type = "mssql"
+    supports_order_by_all = False
+    supports_quantile_partitioning = True
+
+    _TYPE_MAP = {
+        # T-SQL tinyint is UNSIGNED (0-255): ByteType's 127 ceiling
+        # would corrupt — widen one tier
+        "tinyint": T.ShortType(),
+        "smallint": T.ShortType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "bit": T.BooleanType(),
+        "float": T.DoubleType(),  # T-SQL float(53) is the 8-byte one
+        "real": T.FloatType(),
+        "decimal": T.DecimalType(38, 4),
+        "numeric": T.DecimalType(38, 4),
+        "money": T.DecimalType(19, 4),
+        "smallmoney": T.DecimalType(10, 4),
+        "char": T.StringType(),
+        "nchar": T.StringType(),
+        "varchar": T.StringType(),
+        "nvarchar": T.StringType(),
+        "text": T.StringType(),
+        "ntext": T.StringType(),
+        "uniqueidentifier": T.StringType(),
+        "date": T.DateType(),
+        # datetime2/datetime/smalldatetime carry no zone → NTZ;
+        # datetimeoffset is the instant type
+        "datetime2": T.TimestampNTZType(),
+        "datetime": T.TimestampNTZType(),
+        "smalldatetime": T.TimestampNTZType(),
+        "datetimeoffset": T.TimestampType(),
+        "time": T.StringType(),
+        "binary": T.BinaryType(),
+        "varbinary": T.BinaryType(),
+        "image": T.BinaryType(),
+    }
+
+    def __init__(self, dsn: str, schema: str = "dbo"):
+        self.dsn = dsn
+        self.schema_name = schema
+
+    def _params(self) -> dict:
+        out = {"host": "127.0.0.1", "port": 1433, "user": "sa",
+               "database": "master"}
+        for part in self.dsn.split():
+            k, _, v = part.partition("=")
+            if k == "port":
+                out["port"] = int(v)
+            elif k in ("host", "user", "password"):
+                out[k] = v
+            elif k == "dbname":
+                out["database"] = v
+        return out
+
+    def fetch_pdf(self, sql: str) -> pd.DataFrame:
+        try:
+            import pymssql  # type: ignore  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                "no SQL Server driver in this container — the dialect "
+                "is exercised via the canned-wire tests "
+                "(tests/test_mssql_dialect.py); install pymssql for a "
+                "live wire"
+            ) from exc
+        import pymssql  # pragma: no cover — container has no driver
+
+        p = self._params()  # pragma: no cover
+        con = pymssql.connect(  # pragma: no cover
+            server=p["host"],
+            port=p["port"],
+            user=p["user"],
+            password=p.get("password", ""),
+            database=p["database"],
+        )
+        try:  # pragma: no cover
+            return pd.read_sql_query(sql, con)
+        finally:  # pragma: no cover
+            con.close()
+
+    # -- dialect configuration (fully testable without a server) --------
+    def catalog_sql(self) -> tuple[str, str]:
+        """Two-step information_schema bootstrap — SQL Server ships
+        the standard views; the schema level is a real schema (dbo
+        by default), unlike MySQL's database-as-schema."""
+        tables = (
+            "SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = '{self.schema_name}' "
+            "AND table_type = 'BASE TABLE' ORDER BY table_name"
+        )
+        columns = (
+            "SELECT table_name, column_name, data_type, is_nullable "
+            "FROM information_schema.columns "
+            f"WHERE table_schema = '{self.schema_name}' "
+            "ORDER BY table_name, ordinal_position"
+        )
+        return tables, columns
+
+    def catalog(self) -> dict[str, T.StructType]:
+        tables_sql, columns_sql = self.catalog_sql()
+        base_tables = set(self.fetch_pdf(tables_sql)["table_name"])
+        pdf = self.fetch_pdf(columns_sql)
+        out: dict[str, T.StructType] = {}
+        for row in pdf.itertuples(index=False):
+            if row.table_name not in base_tables:
+                continue  # a view leaking through columns
+            typ = self._TYPE_MAP.get(row.data_type.lower(), T.StringType())
+            out.setdefault(row.table_name, T.StructType()).add(
+                row.column_name, typ, row.is_nullable == "YES"
+            )
+        return out
+
+    def quantile_sql(self, base_sql: str, key: str, partitions: int) -> str:
+        """T-SQL quantile spelling: PERCENTILE_DISC is a WINDOW
+        function (OVER ()), not an ordered-set aggregate — DISTINCT
+        collapses the per-row constants to the one split-point row."""
+        exprs = ", ".join(
+            f"PERCENTILE_DISC({i / partitions}) WITHIN GROUP "
+            f"(ORDER BY {key}) OVER () AS q{i}"
+            for i in range(1, partitions)
+        )
+        return (
+            f"SELECT DISTINCT {exprs} FROM ({base_sql}) _t "
+            f"WHERE {key} IS NOT NULL"
+        )
+
+    def partition_predicates(self, base_sql: str, key: str, partitions: int) -> list[str]:
+        pdf = self.fetch_pdf(self.quantile_sql(base_sql, key, partitions))
+        points = (
+            []
+            if pdf.empty
+            else [pdf[f"q{i}"][0] for i in range(1, partitions)]
+        )
+        points = [int(p) for p in points if p is not None and not pd.isna(p)]
+        return _bounds_to_preds(key, sorted(set(points)))
+
+
 def pick_partition_key(schema: T.StructType) -> str | None:
     """First integral column — the default partitionColumn, like
     Spark-JDBC's convention of keying on the integer PK."""

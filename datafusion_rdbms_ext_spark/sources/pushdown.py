@@ -465,9 +465,85 @@ def _dialect_mysql(sql: str) -> str:
     return sql
 
 
+#: Spark→T-SQL call rewrites and denials (round 12: dialect FIVE —
+#: with MySQL this closes the reference's ENTIRE DatabaseConnector
+#: enum, whose MySql and MsSql variants are both `todo!()`,
+#: mod.rs:12-16,47-48). SQL Server's divergences, each encoded:
+#: - concat: T-SQL CONCAT treats NULL as '' (Spark propagates NULL);
+#:   the `+` operator propagates NULL like Spark — rewrite to (+).
+#: - length: LEN() IGNORES TRAILING SPACES ('a ' → 1 where Spark says
+#:   2) — silent divergence; the classic exact idiom appends a
+#:   sentinel: (LEN(a + 'x') - 1).
+#: - locate(sub, str): T-SQL spells it CHARINDEX(sub, str) — same
+#:   argument order.
+#: - datediff(end, start): T-SQL DATEDIFF takes a UNIT FIRST and the
+#:   arguments in start,end order — rewrite with day + swap.
+#: - substring: the 3rd argument is MANDATORY (2-arg form gets the
+#:   int32-max length); non-positive literal starts diverge (start 0
+#:   returns len-1 chars) — the shared denial applies.
+#: - regexp_replace: no regex engine in T-SQL — deny explicitly
+#:   (clearer than relying on a remote parse failure).
+_MSSQL_CALL_RULES = {
+    "concat": lambda a: "(" + " + ".join(a) + ")" if len(a) >= 2 else None,
+    "concat_ws": _deny("concat_ws"),
+    "length": lambda a: f"(LEN({a[0]} + 'x') - 1)" if len(a) == 1 else None,
+    # CHARINDEX shares locate's argument order INCLUDING the optional
+    # 1-based start position
+    "locate": lambda a: (
+        f"CHARINDEX({', '.join(a)})" if len(a) in (2, 3) else None
+    ),
+    "datediff": lambda a: (
+        f"DATEDIFF(day, CAST({a[1]} AS DATE), CAST({a[0]} AS DATE))"
+        if len(a) == 2
+        else None
+    ),
+    "substring": lambda a: (
+        _substr_rule("substring")(a)
+        or (f"SUBSTRING({a[0]}, {a[1]}, 2147483647)" if len(a) == 2 else None)
+    ),
+    "substr": _substr_rule("substr"),
+    "regexp_replace": _deny("regexp_replace"),
+}
+
+_BOOL_LIT_RE = re.compile(r"\b(true|false)\b", flags=re.IGNORECASE)
+
+
+def _dialect_mssql(sql: str) -> str:
+    """T-SQL (SQL Server) dialect pass. Identifiers keep ANSI double
+    quotes (QUOTED_IDENTIFIER is ON under every modern driver — the
+    `[bracket]` spelling is legacy-equivalent). LIMIT/OFFSET are
+    DENIED rather than rewritten: T-SQL's OFFSET/FETCH requires an
+    ORDER BY and bare TOP under a non-total order is
+    re-execution-nondeterministic — the same honesty rule as the
+    connector's bare-LIMIT refusal. Boolean LITERALS are denied (bit
+    has no true/false literal form), LIKE is denied (default *_CI
+    collations compare case-insensitively where Spark is
+    case-sensitive), and INTERSECT/EXCEPT ALL are gated by the
+    caller (T-SQL has only the DISTINCT set operators)."""
+    sql = _SUFFIX_RE.sub(r"\1", sql)
+    for token in (" LIMIT ", " OFFSET "):
+        probe = _replace_outside_strings(sql, token, "\x00")
+        if "\x00" in probe:
+            raise _Unsupported(
+                f"{token.strip()}: OFFSET/FETCH needs a total order in T-SQL"
+            )
+    sql = _rewrite_calls(sql, _MSSQL_CALL_RULES)
+    for m in _LIKE_RE.finditer(sql):
+        if sql.count("'", 0, m.start()) % 2 == 0:  # outside literals
+            raise _Unsupported("LIKE: SQL Server CI collations ignore case")
+    for m in _BOOL_LIT_RE.finditer(sql):
+        if sql.count("'", 0, m.start()) % 2 == 0:
+            raise _Unsupported("boolean literal: T-SQL bit has no true/false")
+    sql = sql.replace("`", '"')
+    sql = re.sub(r"\bAS TIMESTAMP_NTZ\b", "AS datetime2", sql)
+    sql = re.sub(r"\bTIMESTAMP_NTZ\b", "TIMESTAMP", sql)
+    # Spark's fp64 cast target: T-SQL's 8-byte float is FLOAT
+    return re.sub(r"\bAS DOUBLE\b(?! PRECISION)", "AS FLOAT", sql)
+
+
 def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
     """Unparse ``df``'s whole plan and render it for ``dialect``
-    ('duckdb', 'sqlite', 'postgres', 'mysql') regardless of which
+    ('duckdb', 'sqlite', 'postgres', 'mysql', 'mssql') regardless of which
     federated source the plan was built on — the generation half of
     the transparent path, exposed so a dialect's SQL can be validated
     (and pinned in tests) without a live server."""
@@ -483,8 +559,8 @@ def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
     # None, not SQL the engine cannot execute faithfully. DuckDB and
     # Postgres both support the ALL set operators — no gate. MySQL's
     # conservative floor (< 8.0.31) has NO INTERSECT/EXCEPT at all.
-    if dialect == "sqlite" and u.setop_all:
-        return None
+    if dialect in ("sqlite", "mssql") and u.setop_all:
+        return None  # neither has INTERSECT/EXCEPT ALL
     if dialect == "mysql" and u.setop_ie:
         return None
     passes = {
@@ -492,6 +568,7 @@ def unparse_to_dialect(df: DataFrame, dialect: str) -> str | None:
         "sqlite": _dialect_sqlite,
         "postgres": _dialect_postgres,
         "mysql": _dialect_mysql,
+        "mssql": _dialect_mssql,
     }
     try:
         return passes[dialect](sql)
