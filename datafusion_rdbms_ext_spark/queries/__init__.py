@@ -166,12 +166,14 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: queue, the 3 sentinels lead, the round-12 additions block follows
 #: (new operators get first-time proof in their own round), then one
 #: changed-plan re-proof (the shard-eval readout gained the
-#: multi-probe recall columns this round, so its r11 proof describes
+#: multi-probe recall columns — and, in the round-12 continuation,
+#: the tree-probe=2 columns — this round, so its r11 proof describes
 #: a superseded plan/schema); backfill is mechanically the stalest
-#: proofs — the complete 42-row cohort last proven in round 5
-#: against twice-regenerated fixtures (in registry order), filling
-#: the 50 recorded slots exactly (3 sentinels + 4 additions + 1
-#: re-proof + 42 d5 rows; the d6 head rows stay in the local gate).
+#: proofs — the round-5 cohort last proven against twice-regenerated
+#: fixtures (in registry order), filling the 50 recorded slots
+#: exactly (3 sentinels + 8 additions + 1 re-proof + 38 d5 rows;
+#: the 4 d5 tail rows displaced by the continuation's additions and
+#: the d6 head rows stay in the local gate).
 _PRIORITY: tuple[str, ...] = (
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
@@ -182,6 +184,10 @@ _PRIORITY: tuple[str, ...] = (
     "llm_semdedup_maintain",
     "stream_semdedup_admission",
     "llm_semdedup_tree",
+    "llm_semdedup_tree_mp",
+    "fed_semijoin_reduction",
+    "fed_semijoin_agg_pushdown",
+    "llm_select_mmr",
     # -- changed-plan re-proofs (shard_eval grew the mp recall columns)
     "llm_semdedup_shard_eval",
     # -- backfill: stalest proofs first (the complete d5 cohort in
@@ -225,10 +231,6 @@ _PRIORITY: tuple[str, ...] = (
     "sink_partitioned_roundtrip",
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "sink_clustered_layout",
-    "micro_decimal_money",
 )
 
 

@@ -4128,6 +4128,7 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
     ),
     {{tree_block}},
+    {{tree_probe_block}},
     baset AS (SELECT b.vec_id, tc.cell, tc.subcell, b.embedding,
                      {_SQL_NORM} AS nrm
               FROM embeddings b JOIN tree_cells tc ON tc.vec_id = b.vec_id),
@@ -4136,6 +4137,15 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned_tree AS (
       SELECT DISTINCT b.vec_id
       FROM qt q JOIN baset b
+        ON b.cell = q.cell AND b.subcell = q.subcell AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    qtmp AS (SELECT p.vec_id AS q_id, p.cell, p.subcell,
+                    b.embedding AS q_emb, b.nrm AS q_nrm
+             FROM tree_probes p JOIN baset b ON b.vec_id = p.vec_id),
+    pruned_tree_mp AS (
+      SELECT DISTINCT b.vec_id
+      FROM qtmp q JOIN baset b
         ON b.cell = q.cell AND b.subcell = q.subcell AND q.q_id < b.vec_id
       WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
     )
@@ -4167,7 +4177,16 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM pruned_tree s
                  JOIN pruned_default d ON d.vec_id = s.vec_id) * 1000000
                  // (SELECT COUNT(*) FROM pruned_default) AS BIGINT)
-             AS recall_tree_ppm
+             AS recall_tree_ppm,
+           CAST((SELECT COUNT(*) FROM pruned_tree_mp) AS BIGINT)
+             AS n_pruned_tree_mp,
+           CAST((SELECT COUNT(*) FROM pruned_tree_mp s
+                 JOIN pruned_default d ON d.vec_id = s.vec_id) AS BIGINT)
+             AS n_agree_tree_mp,
+           CAST((SELECT COUNT(*) FROM pruned_tree_mp s
+                 JOIN pruned_default d ON d.vec_id = s.vec_id) * 1000000
+                 // (SELECT COUNT(*) FROM pruned_default) AS BIGINT)
+             AS recall_tree_mp_ppm
     """,
     doc="Sharded-SemDeDup calibration (the llm_dedup_eval discipline "
     "applied to the semantic family): the cross-product shard key's "
@@ -4175,21 +4194,25 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SAME level-1 cells — integer-ppm recall quantifies the IVF "
     "recall/cost trade at BOTH probe=1 and probe=2 (r12, VERDICT r11 "
     "#1: the multi-probe lift is part of the hash-checked row, so "
-    "the recall the mp variant buys can never silently regress).",
+    "the recall the mp variant buys can never silently regress). "
+    "The full 2x2 second-level design matrix {cross-product, tree} "
+    "x {probe=1, probe=2} is measured on one scale (r12 "
+    "continuation adds the tree's probe=2 column).",
     tags=("llm", "dedup", "similarity", "quality"),
 )
 def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-row recall readout: sharded probe=1 AND probe=2 vs
+    """One-row recall readout: the full 2x2 second-level design
+    matrix {cross-product, tree} x {probe=1, probe=2} vs
     single-level pruning.
 
     Scale: all candidate generations are the cell-bucketed joins of
     their parent operators (never all-pairs); the eval reduce is
-    three DISTINCT vec_id sets and two semi-joins — id-sized, not
-    pair-sized. The conservativeness directions (probe=1 pruned set
-    is a subset of probe=2's, which is a subset of single-level's)
-    are property-proven in tests/test_round11_props.py and
-    test_round12_props.py; this query puts the MAGNITUDES under the
-    differential gate."""
+    five DISTINCT vec_id sets and four semi-joins — id-sized, not
+    pair-sized. The conservativeness directions (each probe=1
+    pruned set is a subset of its probe=2 set, which is a subset of
+    single-level's) are property-proven in
+    tests/test_round11_props.py and test_round12_props.py; this
+    query puts the MAGNITUDES under the differential gate."""
     cells1 = learned_ivf_cells(spark, _IVF_K).localCheckpoint()
     cents2 = _learned_centroids(spark, _SEM_K2, "ivfseed2").localCheckpoint()
     q2 = _quantize(spark)
@@ -4243,10 +4266,14 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # hierarchical (tree) second level at the same shard count —
-    # the equal-cost second-level-design comparison (19f)
+    # the equal-cost second-level-design comparison (19f), trained
+    # ONCE for both the probe=1 and probe=2 (19g) query sides
+    asg_t, probes_t = hierarchical_index(
+        spark, _IVF_K, _SEM_K2, nprobe=_SEM_NPROBE
+    )
     baset = (
         _vectors_with_norm(spark)
-        .join(hierarchical_cells(spark, _IVF_K, _SEM_K2), "vec_id")
+        .join(asg_t, "vec_id")
         .select("vec_id", "cell", "subcell", "embedding", "nrm")
         .localCheckpoint()
     )
@@ -4257,10 +4284,21 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
+    atmp = (
+        baset.select("vec_id", "embedding", "nrm")
+        .join(probes_t, "vec_id")
+        .select(
+            F.col("vec_id").alias("a_id"),
+            "cell",
+            "subcell",
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+    )
 
-    def pruned_t() -> DataFrame:
+    def pruned_t(side: DataFrame) -> DataFrame:
         return (
-            at.join(baset, ["cell", "subcell"])
+            side.join(baset, ["cell", "subcell"])
             .filter(F.col("a_id") < F.col("vec_id"))
             .filter(cos >= _SEMDEDUP_TAU)
             .select("vec_id")
@@ -4270,10 +4308,12 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_def = pruned(a, ["cell"]).localCheckpoint()
     p_sh = pruned(a, ["cell", "cell2"])
     p_mp = pruned(amp, ["cell", "cell2"])
-    p_tree = pruned_t()
+    p_tree = pruned_t(at)
+    p_tree_mp = pruned_t(atmp)
     agree = p_sh.join(p_def, "vec_id", "left_semi")
     agree_mp = p_mp.join(p_def, "vec_id", "left_semi")
     agree_tree = p_tree.join(p_def, "vec_id", "left_semi")
+    agree_tree_mp = p_tree_mp.join(p_def, "vec_id", "left_semi")
     return (
         p_def.agg(F.count(F.lit(1)).alias("n_pruned_default"))
         .crossJoin(
@@ -4296,6 +4336,18 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agree_tree.agg(F.count(F.lit(1)).alias("n_agree_tree"))
             )
         )
+        .crossJoin(
+            F.broadcast(
+                p_tree_mp.agg(F.count(F.lit(1)).alias("n_pruned_tree_mp"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                agree_tree_mp.agg(
+                    F.count(F.lit(1)).alias("n_agree_tree_mp")
+                )
+            )
+        )
         .select(
             "n_pruned_default",
             "n_pruned_sharded",
@@ -4313,6 +4365,11 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_agree_tree * 1000000 div n_pruned_default").alias(
                 "recall_tree_ppm"
             ),
+            "n_pruned_tree_mp",
+            "n_agree_tree_mp",
+            F.expr(
+                "n_agree_tree_mp * 1000000 div n_pruned_default"
+            ).alias("recall_tree_mp_ppm"),
         )
     )
 
@@ -5027,6 +5084,182 @@ def _sql_tree_cells(
     return chains + f", tree_cells AS ({union})"
 
 
+def _sql_tree_probes(
+    b1: int = _IVF_K,
+    b2: int = _SEM_K2,
+    nprobe: int = _SEM_NPROBE,
+) -> str:
+    """DuckDB CTE block for the hierarchical quantizer's level-2
+    multi-probe (mirror of :func:`hierarchical_index` with
+    ``nprobe``): within each level-1 cell, every member's ``nprobe``
+    nearest SUB-centroids of that cell's OWN index — same integer
+    distance and (dist, cid) tie-break as :func:`_probe_cells`.
+    Composes after :func:`_sql_tree_cells` (reuses its ``t{i}_eqv``
+    and ``t{i}_centroids`` CTEs). Union target: ``tree_probes
+    (vec_id, cell, subcell)``."""
+    chains = ",".join(
+        f"""
+    t{i}_probes AS (
+      SELECT vec_id, {i} AS cell, cid AS subcell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, c.cid) AS rk
+        FROM t{i}_eqv e CROSS JOIN t{i}_centroids c) WHERE rk <= {nprobe}
+    )"""
+        for i in range(1, b1 + 1)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, cell, subcell FROM t{i}_probes"
+        for i in range(1, b1 + 1)
+    )
+    return chains + f", tree_probes AS ({union})"
+
+
+def _cents_arr_keyed(cents: DataFrame) -> DataFrame:
+    """(cell, cs): each cell's sorted (cid, cemb) struct array — the
+    keyed twin of :func:`_assign_cells`'s one-row broadcast (b1 rows
+    of b2 structs; centroid metadata, never data-sized)."""
+    return cents.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cs")
+    )
+
+
+def _assign_keyed(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-cell nearest-sub-centroid assignment, map-side: vecs
+    (cell, vec_id, eq) join the BROADCAST per-cell centroid arrays on
+    cell and take argmin(dist, cid) within their own cell — the
+    keyed twin of :func:`_assign_cells`, same integer distance and
+    tie-break."""
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _l2q(F.col("eq"), c.getField("cemb")).alias("dist"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+    )
+    cents_arr = _cents_arr_keyed(cents)
+    return vecs.join(F.broadcast(cents_arr), "cell").select(
+        "cell", "vec_id", "eq", best.getField("cid").alias("cid")
+    )
+
+
+def _update_keyed(assigned: DataFrame) -> DataFrame:
+    """Keyed Lloyd's update: per-(cell, cid, pos) integer mean in one
+    partial aggregation — the shuffle carries b1*b2*dim partial sums
+    regardless of corpus size (the keyed twin of
+    :func:`_update_centroids`, same ``_INT_MEAN_SPARK`` formula)."""
+    comps = assigned.select(
+        "cell", "cid", F.posexplode("eq").alias("pos", "val")
+    )
+    means = comps.groupBy("cell", "cid", "pos").agg(
+        F.expr(_INT_MEAN_SPARK).alias("comp")
+    )
+    return means.groupBy("cell", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+            lambda s: s.getField("comp"),
+        ).alias("cemb")
+    )
+
+
+def _seed_keyed(vecs: DataFrame, b2: int, seed_tag: str) -> DataFrame:
+    """Per-cell top-b2 seeding by the portable hash rank — the keyed
+    twin of :func:`_lloyds`' orderBy+limit seeding (the window is
+    PARTITIONED by cell, so no global sort; a cell with fewer than b2
+    members seeds them all, exactly like limit on the slice)."""
+    w = Window.partitionBy("cell").orderBy("h", "vec_id")
+    return (
+        vecs.withColumn(
+            "h", _phash(F.col("vec_id").cast("string"), seed_tag)
+        )
+        .withColumn("cid", F.row_number().over(w).cast("int"))
+        .filter(F.col("cid") <= b2)
+        .select("cell", "cid", F.col("eq").alias("cemb"))
+    )
+
+
+def _probe_keyed(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(vec_id, cell, subcell): each vector's ``nprobe`` nearest
+    sub-centroids WITHIN its own level-1 cell — the keyed twin of
+    :func:`_probe_cells` (same map-side broadcast shape, same
+    (dist, cid) tie-break)."""
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _l2q(F.col("eq"), c.getField("cemb")).alias("dist"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    cents_arr = _cents_arr_keyed(cents)
+    return (
+        vecs.join(F.broadcast(cents_arr), "cell")
+        .select("cell", "vec_id", F.explode(ranked).alias("p"))
+        .select("vec_id", "cell", F.col("p.cid").alias("subcell"))
+    )
+
+
+def hierarchical_index(
+    spark: SparkSession,
+    b1: int,
+    b2: int,
+    seed1: str = "ivfseed",
+    seed2: str = "treeseed",
+    nprobe: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The 2-level hierarchical quantizer, trained ONCE: returns
+    ``(assignment, probes)`` where assignment is (vec_id, cell,
+    subcell) — level 1 the family's learned clustering, level 2
+    trained PER level-1 cell on that cell's members — and, when
+    ``nprobe`` is set, probes carries each member's ``nprobe``
+    nearest SUB-centroids within its own level-1 cell (the tree's
+    search-time recall knob; level 1 stays single-assigned, so
+    probing multiplies pair work by nprobe, never by b1).
+
+    Scale: the b1 sub-trainings are NOT a driver loop — they run as
+    ONE KEYED Lloyd's chain (``_seed_keyed``/``_assign_keyed``/
+    ``_update_keyed``): centroid identity is (cell, cid), seeding is
+    a per-cell window over the same portable hash rank, assignment
+    is map-side against the per-cell broadcast centroid arrays, and
+    the update is a single (cell, cid, pos)-keyed partial
+    aggregation whose shuffle carries b1*b2*dim partial sums — so
+    the hierarchy costs the job count of one flat k-means at b2
+    regardless of b1 (the earlier per-cell thread-pool form paid a
+    per-cell scheduling floor that grew with b1; the keyed chain is
+    both faster at fixture scale and b1-independent at 100 TB, where
+    the self-scaling b1 ~ sqrt(N/target) keeps growing). Values are
+    BIT-IDENTICAL to the per-cell formulation — same seeds, ties
+    and integer means — which is what the unchanged per-cell DuckDB
+    oracle (_sql_tree_cells) verifies."""
+    q = _quantize(spark)
+    cents1 = _lloyds(q, b1, _IVF_ITERS, seed1).localCheckpoint()
+    vecs = (
+        _assign_cells(q, cents1)
+        .select(F.col("cid").alias("cell"), "vec_id", "eq")
+        .localCheckpoint()
+    )
+    cents = _seed_keyed(vecs, b2, seed2)
+    for _ in range(_IVF_ITERS):
+        cents = _update_keyed(_assign_keyed(vecs, cents))
+    # frozen once for both consumers (assignment + probes)
+    cents = cents.localCheckpoint()
+    out = (
+        _assign_keyed(vecs, cents)
+        .select("vec_id", "cell", F.col("cid").alias("subcell"))
+        .localCheckpoint()
+    )
+    probes: DataFrame | None = None
+    if nprobe is not None:
+        probes = _probe_keyed(vecs, cents, nprobe).localCheckpoint()
+    return out, probes
+
+
 def hierarchical_cells(
     spark: SparkSession,
     b1: int,
@@ -5034,37 +5267,10 @@ def hierarchical_cells(
     seed1: str = "ivfseed",
     seed2: str = "treeseed",
 ) -> DataFrame:
-    """(vec_id, cell, subcell) under a 2-level hierarchical
-    quantizer: level 1 is the family's learned clustering; level 2
-    is trained PER level-1 cell on that cell's members.
-
-    Scale: level-1 assignment is the usual broadcast-centroid
-    map-side pass; the b1 sub-trainings each run the same
-    DataFrame-native Lloyd's on a 1/b1 slice (total update-shuffle
-    work equals ONE global k-means at b2 — the hierarchy costs
-    nothing extra per iteration), and every sub-assignment is
-    map-side. The driver loop is b1 iterations of metadata-sized
-    plan construction, not data movement; at 100 TB b1 stays
-    ~sqrt(N/target) and the loop parallelizes across scheduler
-    pools if construction latency ever matters."""
-    q = _quantize(spark)
-    cents1 = _lloyds(q, b1, _IVF_ITERS, seed1).localCheckpoint()
-    asg1 = _assign_cells(q, cents1).localCheckpoint()  # vec_id, eq, cid
-    parts = []
-    for i in range(1, b1 + 1):
-        vi = asg1.filter(F.col("cid") == i).select("vec_id", "eq")
-        ci = _lloyds(vi, b2, _IVF_ITERS, seed2)
-        parts.append(
-            _assign_cells(vi, ci).select(
-                "vec_id",
-                F.lit(i).alias("cell"),
-                F.col("cid").alias("subcell"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.localCheckpoint()
+    """(vec_id, cell, subcell) under the 2-level hierarchical
+    quantizer — the single-assignment view of
+    :func:`hierarchical_index` (see there for the scale notes)."""
+    return hierarchical_index(spark, b1, b2, seed1, seed2)[0]
 
 
 @register(
@@ -5169,12 +5375,143 @@ def semdedup_prune_tree(
     )
 
 
+# ---------------------------------------------------------------------------
+# 19g. MULTI-PROBE tree sharded SemDeDup (round-12 continuation) —
+#      the r12 calibration row measured, honestly, that at equal
+#      shard count the adaptive tree recalls slightly LESS than the
+#      independent cross-product at probe=1, and that multi-probe is
+#      the recall lever. This operator applies that lever to the
+#      tree: the QUERY side probes its nprobe nearest SUB-centroids
+#      WITHIN its own level-1 cell (level 1 stays single-assigned,
+#      so pair work is ~nprobe x occupancy, never b1 x); the base
+#      side stays single-assigned, the pair join stays bucketed on
+#      (cell, subcell). Completes the 2x2 second-level design matrix
+#      {cross-product, tree} x {probe=1, probe=2} that
+#      llm_semdedup_shard_eval now measures on one scale.
+# ---------------------------------------------------------------------------
+@register(
+    "llm_semdedup_tree_mp",
+    oracle=f"""
+    WITH {_sql_lloyds_cells()},
+    {_sql_tree_cells()},
+    {_sql_tree_probes()},
+    base AS (SELECT b.vec_id, tc.cell, tc.subcell, b.embedding,
+                    {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN tree_cells tc ON tc.vec_id = b.vec_id),
+    q AS (SELECT p.vec_id AS q_id, p.cell, p.subcell,
+                 b.embedding AS q_emb, b.nrm AS q_nrm
+          FROM tree_probes p JOIN base b ON b.vec_id = p.vec_id),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM q JOIN base b
+        ON b.cell = q.cell AND b.subcell = q.subcell AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT base.cell,
+           COUNT(*) AS n_vecs,
+           COUNT(pruned.vec_id) AS n_pruned,
+           CAST(COUNT(*) - COUNT(pruned.vec_id) AS BIGINT) AS n_kept
+    FROM base LEFT JOIN pruned ON pruned.vec_id = base.vec_id
+    GROUP BY base.cell
+    ORDER BY base.cell
+    """,
+    doc="Multi-probe hierarchical (tree) sharded SemDeDup: the "
+    "query side probes its 2 nearest SUB-centroids within its own "
+    "level-1 cell (the llm_sim_topk_ivfpq_multiprobe pattern applied "
+    "to the tree quantizer), recovering near-dup pairs a level-2 "
+    "Voronoi boundary splits, at ~nprobe x pair cost. The oracle "
+    "re-runs the level-1 chain, one k-means sub-chain per cell AND "
+    "the per-cell 2-nearest probe assignment in SQL. Completes the "
+    "{cross-product, tree} x {probe=1, probe=2} design matrix the "
+    "shard_eval calibration row measures.",
+    tags=("llm", "dedup", "similarity", "bench"),
+)
+def llm_semdedup_tree_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned b1/b2/nprobe gate configuration;
+    `semdedup_prune_tree_mp` is the self-scaling entry."""
+    return semdedup_prune_tree_mp(spark, b1=_IVF_K, b2=_SEM_K2)
+
+
+def semdedup_prune_tree_mp(
+    spark: SparkSession,
+    b1: int | None = None,
+    b2: int | None = None,
+    nprobe: int = _SEM_NPROBE,
+    tau: float = _SEMDEDUP_TAU,
+) -> DataFrame:
+    """Tree-sharded SemDeDup with level-2 (subcell) multi-probe.
+
+    Same hierarchical shard structure as :func:`semdedup_prune_tree`
+    (``b1=b2=None`` derives both as ~sqrt(N/64)), but each QUERY
+    vector additionally probes its ``nprobe`` nearest subcells of
+    its own level-1 cell, so a pair split by a subcell boundary is
+    still compared. The base side stays single-assigned: pair work
+    is O(N * nprobe * target) — linear with a small constant — and
+    pruning remains deterministic (lower-id-wins over the union of
+    probed shards).
+
+    Scale: the probe expansion is map-side against the per-cell
+    broadcast sub-centroid arrays (one :func:`_probe_cells` pass per
+    level-1 cell — metadata-sized driver loop, no extra shuffle);
+    the pair join stays bucketed on (cell, subcell); the DISTINCT
+    absorbs a pair matching via multiple probes. Recall and cost
+    stay independent knobs, measured per-design by
+    llm_semdedup_shard_eval."""
+    if b1 is None or b2 is None:
+        d1, d2 = sharded_shard_counts(spark.table("embeddings").count())
+        b1 = b1 or d1
+        b2 = b2 or d2
+    asg, probes = hierarchical_index(spark, b1, b2, nprobe=nprobe)
+    base = (
+        _vectors_with_norm(spark)
+        .join(asg, "vec_id")
+        .select("vec_id", "cell", "subcell", "embedding", "nrm")
+        .localCheckpoint()
+    )
+    a = (
+        base.select("vec_id", "embedding", "nrm")
+        .join(probes, "vec_id")
+        .select(
+            F.col("vec_id").alias("a_id"),
+            "cell",
+            "subcell",
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+    )
+    cos = _dot(F.col("a_emb"), F.col("embedding")) / (
+        F.col("a_nrm") * F.col("nrm")
+    )
+    pruned = (
+        a.join(base, ["cell", "subcell"])
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        base.join(pruned, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("is_pruned"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
 # the calibration row (19b) compares the tree against the other
-# second-level designs; its oracle needs the sub-chain block defined
-# just above
+# second-level designs; its oracle needs the sub-chain and probe
+# blocks defined just above
 _REGISTRY["llm_semdedup_shard_eval"].oracle = _REGISTRY[
     "llm_semdedup_shard_eval"
-].oracle.format(tree_block=_sql_tree_cells())
+].oracle.format(
+    tree_block=_sql_tree_cells(), tree_probe_block=_sql_tree_probes()
+)
 
 
 # ---------------------------------------------------------------------------
@@ -9039,4 +9376,192 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o").cast("long").alias("overall_purity_ppm"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22. MMR diverse top-k selection (round-12 continuation) — maximal
+#     marginal relevance (Carbonell & Goldstein 1998): greedy
+#     selection maximizing relevance-to-query MINUS similarity to the
+#     already-selected set (lambda = 1/2, so argmax(rel - max_sim) —
+#     the subtraction form keeps every score an exact integer). The
+#     training-data face of the same need: a diverse sample of
+#     near-relevant documents instead of k near-identical ones.
+#
+#     Cross-engine exactness: a DEDICATED coarse quantization
+#     (_MMR_SCALE=100) keeps sign(dot) * dot^2 * 1e6 inside BIGINT
+#     (dims * (S * max|x|)^2 <= 64 * 1e4 -> dot <= 6.4e5 for unit-
+#     range floats; dot^2 * 1e6 <= 4.1e17 < 2^63), so relevance and
+#     pairwise similarity are signed-cos^2 integer ppm — argmax can
+#     never flip on a floating-point ulp. The DuckDB oracle re-runs
+#     the WHOLE greedy loop as a recursive CTE (list-valued selected
+#     set, correlated argmax per step).
+# ---------------------------------------------------------------------------
+_MMR_SCALE = 100  # see BIGINT headroom note above
+_MMR_Q = 0  # the query vector (vec_id)
+_MMR_C = 20  # candidate pool: distributed top-C by relevance
+_MMR_K = 8  # selected set size
+
+#: signed cos^2 in integer ppm between ``{d}`` (dot), ``{a}``/``{b}``
+#: (squared norms) — SQL text shared by relevance and pair CTEs.
+def _sql_signed_cos2(d: str, a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {d} >= 0 THEN {d} * {d} * 1000000 // ({a} * {b}) "
+        f"ELSE -({d} * {d} * 1000000 // ({a} * {b})) END"
+    )
+
+
+@register(
+    "llm_select_mmr",
+    oracle=f"""
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_MMR_SCALE}) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    qv AS (SELECT e AS qe FROM eq WHERE vec_id = {_MMR_Q}),
+    scored AS (
+      SELECT v.vec_id, v.e,
+             list_sum(list_transform(range(1, {_IVF_DIM + 1}), i -> v.e[i] * qv.qe[i])) AS dot,
+             list_sum(list_transform(range(1, {_IVF_DIM + 1}), i -> v.e[i] * v.e[i])) AS n2,
+             list_sum(list_transform(range(1, {_IVF_DIM + 1}), i -> qv.qe[i] * qv.qe[i])) AS qn2
+      FROM eq v CROSS JOIN qv
+      WHERE v.vec_id <> {_MMR_Q}
+    ),
+    rel AS (
+      SELECT vec_id, e, n2, {_sql_signed_cos2("dot", "n2", "qn2")} AS rel_ppm
+      FROM scored
+    ),
+    cand AS (SELECT * FROM rel ORDER BY rel_ppm DESC, vec_id LIMIT {_MMR_C}),
+    pair AS (
+      SELECT a_id, b_id, {_sql_signed_cos2("dot", "an2", "bn2")} AS sim_ppm
+      FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.n2 AS an2, b.n2 AS bn2,
+               list_sum(list_transform(range(1, {_IVF_DIM + 1}), i -> a.e[i] * b.e[i])) AS dot
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      )
+    ),
+    seed AS (SELECT vec_id FROM cand ORDER BY rel_ppm DESC, vec_id LIMIT 1),
+    sel AS (
+      WITH RECURSIVE s AS (
+        SELECT 1 AS rk, (SELECT vec_id FROM seed) AS picked_id,
+               [(SELECT vec_id FROM seed)] AS picked
+        UNION ALL
+        SELECT rk + 1,
+               (SELECT c.vec_id FROM cand c
+                WHERE NOT list_contains(s.picked, c.vec_id)
+                ORDER BY c.rel_ppm - (SELECT MAX(p.sim_ppm) FROM pair p
+                                      WHERE p.a_id = c.vec_id AND list_contains(s.picked, p.b_id)) DESC,
+                         c.vec_id
+                LIMIT 1),
+               list_append(s.picked, (SELECT c.vec_id FROM cand c
+                WHERE NOT list_contains(s.picked, c.vec_id)
+                ORDER BY c.rel_ppm - (SELECT MAX(p.sim_ppm) FROM pair p
+                                      WHERE p.a_id = c.vec_id AND list_contains(s.picked, p.b_id)) DESC,
+                         c.vec_id
+                LIMIT 1))
+        FROM s WHERE rk < {_MMR_K}
+      )
+      SELECT rk, picked_id FROM s
+    )
+    SELECT CAST(sel.rk AS BIGINT) AS rk,
+           CAST(sel.picked_id AS BIGINT) AS vec_id,
+           CAST(cand.rel_ppm AS BIGINT) AS rel_ppm
+    FROM sel JOIN cand ON cand.vec_id = sel.picked_id
+    ORDER BY rk
+    """,
+    doc="MMR diverse top-k selection (Carbonell-Goldstein 1998, "
+    "lambda=1/2 subtraction form): distributed top-C relevance "
+    "candidates, then greedy argmax(rel - max sim-to-selected) over "
+    "the bounded pool. All scores are signed-cos^2 integer ppm under "
+    "a dedicated BIGINT-safe quantization, so the greedy choice is "
+    "bit-equal across engines; the DuckDB oracle re-runs the ENTIRE "
+    "greedy loop as a recursive CTE over the same integers.",
+    tags=("llm", "selection", "similarity", "bench"),
+)
+def llm_select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (query, C, k) gate configuration; `mmr_select` is the
+    self-scaling entry."""
+    return mmr_select(spark)
+
+
+def mmr_select(
+    spark: SparkSession,
+    query_id: int = _MMR_Q,
+    c: int = _MMR_C,
+    k: int = _MMR_K,
+) -> DataFrame:
+    """(rk, vec_id, rel_ppm): k diverse results for one query vector.
+
+    Scale: candidate generation is the DISTRIBUTED part — one
+    map-side relevance pass against the broadcast query vector and a
+    TakeOrdered top-C (never a global sort); the greedy re-rank runs
+    on the COLLECTED pool, which is bounded by C (production C ~ 1e3:
+    C x dims ints — the same bounded-collect contract as a broadcast
+    build side or the Misra-Gries candidate recount), costing
+    O(C * k) integer dot products on the driver. At 100 TB the
+    corpus-sized work is unchanged; raise C, not the pattern. The
+    greedy is inherently sequential (each pick conditions the next) —
+    parallelizing it changes the ALGORITHM, not the plan."""
+    eq = spark.table("embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _MMR_SCALE).cast("long"),
+        ).alias("e"),
+    )
+    qv = eq.filter(F.col("vec_id") == query_id).select(
+        F.col("e").alias("qe")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        eq.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "e",
+            idot(F.col("e"), F.col("qe")).alias("dot"),
+            idot(F.col("e"), F.col("e")).alias("n2"),
+            idot(F.col("qe"), F.col("qe")).alias("qn2"),
+        )
+    )
+    signed = (
+        "CASE WHEN dot >= 0 THEN (dot * dot * 1000000) div (n2 * qn2) "
+        "ELSE -((dot * dot * 1000000) div (n2 * qn2)) END"
+    )
+    cand = (
+        scored.selectExpr("vec_id", "e", "n2", f"{signed} AS rel_ppm")
+        .orderBy(F.desc("rel_ppm"), "vec_id")
+        .limit(c)
+    )
+    # bounded collect (C rows of dims ints) — the greedy is sequential
+    # by definition; it runs driver-side over exact integers that
+    # mirror the oracle's recursive CTE step for step
+    rows = cand.collect()
+
+    def sim_ppm(a, b) -> int:
+        d = sum(x * y for x, y in zip(a["e"], b["e"]))
+        m = (d * d * 1_000_000) // (a["n2"] * b["n2"])
+        return m if d >= 0 else -m
+
+    picked: list = []
+    while len(picked) < min(k, len(rows)):
+        pool = [r for r in rows if r["vec_id"] not in {p["vec_id"] for p in picked}]
+        if not picked:
+            score = lambda r: r["rel_ppm"]  # noqa: E731
+        else:
+            score = lambda r: r["rel_ppm"] - max(  # noqa: E731
+                sim_ppm(r, p) for p in picked
+            )
+        picked.append(max(pool, key=lambda r: (score(r), -r["vec_id"])))
+    out = [
+        (i + 1, int(r["vec_id"]), int(r["rel_ppm"]))
+        for i, r in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        out, "rk bigint, vec_id bigint, rel_ppm bigint"
     )

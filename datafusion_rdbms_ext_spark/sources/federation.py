@@ -341,6 +341,103 @@ def federated_query(
     )
 
 
+def sql_literal(v) -> str:
+    """Render a Python value as a dialect-neutral SQL literal for the
+    semi-join IN-list (ints/floats verbatim, strings single-quoted
+    with quote doubling, date/timestamp via their ISO str form)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        raise ValueError("boolean semi-join keys are not reducible")
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def semijoin_in_predicate(
+    key: str, vals: list, max_keys: int = 10_000
+) -> str | None:
+    """The semi-join reduction conjunct for a key set: a SORTED
+    ``key IN (...)`` (deterministic SQL → remote plan-cache hits),
+    ``'1 = 0'`` for an empty build side (provably empty result, scan
+    shape preserved), or ``None`` above the cap — the caller then
+    runs the un-reduced scan and lets its local join filter.
+    NULL keys are dropped (an equi-join never matches NULL), but the
+    cap is checked on the RAW list FIRST: the caller collected with
+    LIMIT max_keys+1, so a post-null-drop length under the cap could
+    describe a TRUNCATED key set — reducing on it would silently drop
+    matching rows the local join can never recover."""
+    if len(vals) > max_keys:
+        return None
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return "1 = 0"
+    return f"{key} IN ({', '.join(sql_literal(v) for v in sorted(vals))})"
+
+
+def federated_semijoin_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    keys_df: DataFrame,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
+    partitions: int = 4,
+    partition_key: str | None = None,
+    max_keys: int = 10_000,
+) -> DataFrame:
+    """Semi-join reduction of a federated scan — the classic
+    distributed-query optimization (Bernstein et al., SDD-1): the
+    LOCAL build side's DISTINCT join keys ship INTO the remote query
+    as an ``{key} IN (...)`` conjunct, so the remote scans, filters
+    and RETURNS only matching rows instead of streaming the whole
+    probe side across the wire for a local join to discard.
+
+    ``keys_df`` is the local side AFTER its own filters, projected to
+    the single column ``key`` — broadcast-sized by the same argument
+    that makes it broadcast-able in the local join, and bounded here
+    by ``max_keys`` (the collect is LIMIT max_keys+1, so driver
+    memory is capped no matter what the caller passes). Above the
+    cap the reduction falls back to the plain pushdown scan: the
+    IN-list is a bandwidth optimization, never a correctness
+    dependency — callers keep their local (semi-)join, exactly like
+    Bloom-filter pushdown in shuffle joins. Keys are sorted so the
+    compiled SQL — and therefore the remote's plan cache hit — is
+    deterministic.
+
+    Scale: at 100 TB the remote side of a federated join is the
+    bottleneck link; shipping a few thousand keys (bytes) instead of
+    receiving millions of non-matching rows is the highest-leverage
+    reduction available, and it composes with the key-range
+    partition planning (each partition task ANDs its range predicate
+    onto the reduced scan)."""
+    vals = [
+        r[0]
+        for r in keys_df.select(key).distinct().limit(max_keys + 1).collect()
+    ]
+    preds = list(predicates or [])
+    reduction = semijoin_in_predicate(key, vals, max_keys)
+    if reduction is not None:
+        preds.append(reduction)
+    # else: cap exceeded — plain pushdown scan, caller's join filters
+    return federated_scan(
+        spark,
+        sf_dir,
+        table,
+        columns=columns,
+        predicates=preds,
+        partitions=partitions,
+        partition_key=partition_key,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries.
 # ---------------------------------------------------------------------------
@@ -396,6 +493,140 @@ def fed_join_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_rich"))
         .orderBy("n_name")
+    )
+
+
+@register(
+    "fed_semijoin_reduction",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Semi-join reduction of a federated join (SDD-1's classic "
+    "distributed-query move, round-12 continuation): the local "
+    "side's filtered DISTINCT customer keys ship into the remote "
+    "orders scan as an IN-list, so the remote returns only matching "
+    "orders instead of the whole table; the local broadcast "
+    "semi-join stays in the plan, so the cap fallback is exact too. "
+    "tests/test_federation_pushdown.py pins the compiled SQL "
+    "(IN-list present, sorted, capped) and the fallback equivalence.",
+    tags=("federation", "pushdown", "bench"),
+)
+def fed_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    keys = (
+        spark.table("customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000.0)
+        )
+        .select("c_custkey")
+    )
+    fed = federated_semijoin_scan(
+        spark,
+        sf_dir,
+        "orders",
+        "o_custkey",
+        keys.withColumnRenamed("c_custkey", "o_custkey"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        partitions=4,
+    )
+    # no explicit broadcast hint: the keys side is SF-dependent, so
+    # the right plan is AQE's call (it broadcasts below threshold at
+    # runtime); the wire-level reduction above is the operator's point
+    return (
+        fed.join(
+            keys,
+            fed["o_custkey"] == keys["c_custkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "fed_semijoin_agg_pushdown",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="The COMPLETE SDD-1 composition: semi-join reduction AND "
+    "whole-subtree aggregate pushdown in one remote SQL — the local "
+    "keys ship as the IN-list, the remote runs filter+GROUP BY, and "
+    "only the aggregated rows (5 here) cross the wire; Spark's plan "
+    "holds NO aggregate above the scan (asserted in "
+    "tests/test_federation_pushdown.py). Same oracle as "
+    "fed_semijoin_reduction — identical result, maximally-reduced "
+    "transfer. Above the key cap the whole subtree falls back to "
+    "the local join + local aggregate (exactness never depends on "
+    "the reduction).",
+    tags=("federation", "pushdown"),
+)
+def fed_semijoin_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    keys = (
+        spark.table("customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000.0)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    vals = [
+        r[0] for r in keys.distinct().limit(10_001).collect()
+    ]
+    reduction = semijoin_in_predicate("o_custkey", vals)
+    aggs = {
+        "n_orders": "CAST(COUNT(*) AS BIGINT)",
+        "total_price": "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)",
+    }
+    if reduction is not None:
+        # under the cap the IN-list is COMPLETE, so the remote
+        # aggregate is exact with no local re-join
+        df = federated_query(
+            spark,
+            sf_dir,
+            "orders",
+            predicates=[reduction],
+            group_by=["o_orderpriority"],
+            aggs=aggs,
+        )
+        return df.orderBy("o_orderpriority")
+    # cap exceeded: un-reduced scan + local semi-join + local agg
+    fed = federated_scan(
+        spark,
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        partitions=4,
+    )
+    return (
+        fed.join(keys, "o_custkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

@@ -186,6 +186,14 @@ QUERIES = (
     # (same shard/occupancy math as the cross-product).
     "stream_semdedup_admission",
     "llm_semdedup_tree",
+    # Round-12 continuation: the tree's probe=2 variant (pair cost
+    # should track the tree row at ~nprobe x), and the semi-join
+    # reduction, whose IN-list grows with the build side (~10x keys
+    # here) while the reduced transfer stays proportional to the
+    # MATCHING rows — the probe checks the compile/ship path doesn't
+    # degrade as the key list grows.
+    "llm_semdedup_tree_mp",
+    "fed_semijoin_reduction",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -210,6 +218,9 @@ def _extra_probes():
         ),
         "semdedup_tree_default": lambda spark, sf: (
             llm.semdedup_prune_tree(spark)
+        ),
+        "semdedup_tree_mp_default": lambda spark, sf: (
+            llm.semdedup_prune_tree_mp(spark)
         ),
         # maintained-index admission, K re-derived from the grown
         # corpus (VERDICT r11 #2: prove the maintained path stays

@@ -715,3 +715,141 @@ def test_transparent_offset_unparses(spark):
     out = transparent_pushdown(df)
     assert out is not df, "fell back unexpectedly"
     assert_matches(out.toPandas(), df.toPandas(), "offset")
+
+
+# ---------------------------------------------------------------------------
+# Semi-join reduction (round-12 continuation): local build-side keys
+# shipped into the remote scan as a sorted, capped IN-list.
+# ---------------------------------------------------------------------------
+
+
+def test_sql_literal_rendering():
+    import datetime
+    import decimal
+
+    import pytest
+
+    from datafusion_rdbms_ext_spark.sources.federation import sql_literal
+
+    assert sql_literal(42) == "42"
+    assert sql_literal(decimal.Decimal("4.20")) == "4.20"
+    assert sql_literal("O'Brien") == "'O''Brien'"
+    assert sql_literal(datetime.date(1998, 9, 2)) == "DATE '1998-09-02'"
+    assert sql_literal(
+        datetime.datetime(1998, 9, 2, 3, 4, 5)
+    ) == "TIMESTAMP '1998-09-02 03:04:05'"
+    with pytest.raises(ValueError):
+        sql_literal(True)
+
+
+def test_semijoin_in_predicate_shapes():
+    from datafusion_rdbms_ext_spark.sources.federation import (
+        semijoin_in_predicate,
+    )
+
+    # sorted, deterministic
+    assert (
+        semijoin_in_predicate("k", [7, 3, 5]) == "k IN (3, 5, 7)"
+    )
+    # empty build side: constant-false, never IN ()
+    assert semijoin_in_predicate("k", []) == "1 = 0"
+    assert semijoin_in_predicate("k", [None]) == "1 = 0"
+    # cap exceeded: no reduction (caller's local join filters)
+    assert semijoin_in_predicate("k", [1, 2, 3], max_keys=2) is None
+    # cap checked on the RAW list, BEFORE the null-drop — a truncated
+    # collect must never masquerade as a complete reduced key set
+    assert semijoin_in_predicate("k", [1, 2, None], max_keys=2) is None
+    # under the cap, NULLs drop (equi-joins never match NULL)
+    assert semijoin_in_predicate("k", [2, None, 1], max_keys=5) == "k IN (1, 2)"
+
+
+def test_semijoin_scan_returns_only_matching_rows(spark, oracle):
+    """The reduction happens REMOTELY: the scan itself (before any
+    local join) returns exactly the matching orders, proving the
+    IN-list reached the remote SQL instead of a local filter."""
+    from datafusion_rdbms_ext_spark.sources.federation import (
+        federated_semijoin_scan,
+    )
+
+    keys = spark.createDataFrame(
+        [(7,), (1,), (4,)], "o_custkey bigint"
+    )
+    fed = federated_semijoin_scan(
+        spark,
+        SF_DIR,
+        "orders",
+        "o_custkey",
+        keys,
+        columns=["o_custkey", "o_totalprice"],
+        partitions=2,
+    )
+    expected = oracle.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_custkey IN (1, 4, 7)"
+    ).fetchone()[0]
+    assert fed.count() == expected > 0
+
+
+def test_semijoin_cap_fallback_is_exact(spark):
+    """Above the key cap the scan is un-reduced; with the caller's
+    local semi-join in place the RESULT is identical either way."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.federation import (
+        federated_semijoin_scan,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    keys = (
+        spark.table("customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000.0)
+        )
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+
+    def grouped(max_keys: int):
+        fed = federated_semijoin_scan(
+            spark, SF_DIR, "orders", "o_custkey", keys,
+            columns=["o_custkey", "o_orderpriority"],
+            partitions=2, max_keys=max_keys,
+        )
+        out = (
+            fed.join(keys, "o_custkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .count()
+            .orderBy("o_orderpriority")
+        )
+        return [tuple(r) for r in out.collect()]
+
+    reduced = grouped(10_000)
+    fallback = grouped(0)  # cap of 0: reduction always declined
+    assert reduced == fallback and reduced
+
+
+def test_semijoin_empty_build_side_yields_empty(spark):
+    from datafusion_rdbms_ext_spark.sources.federation import (
+        federated_semijoin_scan,
+    )
+
+    keys = spark.createDataFrame([], "o_custkey bigint")
+    fed = federated_semijoin_scan(
+        spark, SF_DIR, "orders", "o_custkey", keys,
+        columns=["o_custkey"], partitions=2,
+    )
+    assert fed.count() == 0
+    assert [f.name for f in fed.schema.fields] == ["o_custkey"]
+
+
+def test_semijoin_agg_pushdown_no_spark_aggregate(spark):
+    """The composed SDD-1 form: reduction IN-list AND the GROUP BY
+    both execute remotely — Spark's plan holds no aggregate above
+    the scan, and the result matches the local-join sibling."""
+    df = REGISTRY["fed_semijoin_agg_pushdown"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(r"HashAggregate|SortAggregate|ObjectHashAggregate", p), p
+    sibling = REGISTRY["fed_semijoin_reduction"].fn(spark, SF_DIR)
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in sibling.collect()
+    ]

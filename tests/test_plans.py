@@ -158,11 +158,12 @@ def test_broadcast_hints_only_on_fixed_dims():
             # the training-mix catalog, not data-scaling).
             "quotas",
             # shard-eval readout: 1-row global counts of the pruned
-            # sets (probe=1, probe=2 and the hierarchical tree,
-            # round 12) and their agreement with single-level
-            # pruning (round 11).
+            # sets (probe=1, probe=2, the hierarchical tree and its
+            # probe=2 variant, round 12) and their agreement with
+            # single-level pruning (round 11).
             "p_sh.agg(", "agree.agg(", "p_mp.agg(", "agree_mp.agg(",
             "p_tree.agg(", "agree_tree.agg(",
+            "p_tree_mp.agg(", "agree_tree_mp.agg(",
             # dedup evaluation: the two 1-row pair-set counts.
             "n_l", "n_e",
             # BPE apply: the word -> token-count map is VOCABULARY-

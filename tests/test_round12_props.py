@@ -201,4 +201,59 @@ def test_shard_eval_subset_sets_agree_fully(spark):
     assert row["n_agree"] == row["n_pruned_sharded"]
     assert row["n_agree_mp"] == row["n_pruned_sharded_mp"]
     assert row["n_agree_tree"] == row["n_pruned_tree"]
+    assert row["n_agree_tree_mp"] == row["n_pruned_tree_mp"]
     assert 0 < row["recall_tree_ppm"] <= 1_000_000
+    assert 0 < row["recall_tree_mp_ppm"] <= 1_000_000
+
+
+def test_tree_multiprobe_recall_sits_between_probe1_and_default(spark):
+    """Per level-1 cell: n_vecs identical across the tree variants
+    and llm_semdedup, and pruned counts monotone — tree(probe=1) <=
+    tree_mp(probe=2) <= single-level. Probe 1 IS the subcell
+    assignment (subset by construction); tree_mp pairs still share
+    the level-1 cell (subset of single-level)."""
+    rows = lambda name: {  # noqa: E731
+        r["cell"]: r for r in REGISTRY[name].fn(spark, SF_DIR).collect()
+    }
+    base = rows("llm_semdedup")
+    tree = rows("llm_semdedup_tree")
+    tmp = rows("llm_semdedup_tree_mp")
+    assert set(base) == set(tree) == set(tmp)
+    lifted = False
+    for cell, b in base.items():
+        assert tmp[cell]["n_vecs"] == b["n_vecs"] == tree[cell]["n_vecs"]
+        assert tree[cell]["n_pruned"] <= tmp[cell]["n_pruned"], cell
+        assert tmp[cell]["n_pruned"] <= b["n_pruned"], cell
+        lifted = lifted or tmp[cell]["n_pruned"] > tree[cell]["n_pruned"]
+    # the probes must actually BUY something on the fixture, or the
+    # recall claim is vacuous
+    assert lifted
+
+
+def test_design_matrix_probing_is_the_lever(spark):
+    """The round-12 measured finding, pinned as an executable fact:
+    on this fixture BOTH probe=2 designs out-recall BOTH probe=1
+    designs — boundary placement (tree vs cross-product) moves
+    recall far less than probing does."""
+    row = REGISTRY["llm_semdedup_shard_eval"].fn(spark, SF_DIR).collect()[0]
+    probe1 = max(row["recall_ppm"], row["recall_tree_ppm"])
+    probe2 = min(row["recall_mp_ppm"], row["recall_tree_mp_ppm"])
+    assert probe2 > probe1
+
+
+def test_mmr_diversifies_beyond_pure_relevance(spark):
+    """MMR's selected set must (a) open with the argmax-relevance
+    candidate, (b) differ from the pure top-k relevance prefix on
+    this fixture (else the diversity term is vacuous), and (c) stay
+    inside the candidate pool."""
+    from datafusion_rdbms_ext_spark.queries.llm import _MMR_K
+
+    rows = REGISTRY["llm_select_mmr"].fn(spark, SF_DIR).collect()
+    assert [r["rk"] for r in rows] == list(range(1, _MMR_K + 1))
+    by_rel = sorted(rows, key=lambda r: (-r["rel_ppm"], r["vec_id"]))
+    # (a) the seed pick is the most relevant candidate overall
+    assert rows[0]["vec_id"] == by_rel[0]["vec_id"]
+    # (b) selection order deviates from relevance order: some later
+    # pick out-relevants an earlier one (the diversity term acted)
+    rel_seq = [r["rel_ppm"] for r in rows]
+    assert rel_seq != sorted(rel_seq, reverse=True)
