@@ -177,3 +177,17 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # Deterministic shutdown: a leftover non-daemon thread (e.g. a
+    # streaming listener that outlives its stopped query) can keep
+    # the interpreter alive AFTER both JSON lines are printed — the
+    # harness would read that as a hung bench. Results are already
+    # flushed to stdout and BENCH_LOCAL.json, so stop the session and
+    # force the exit.
+    from pyspark.sql import SparkSession as _S
+
+    _active = _S.getActiveSession()
+    if _active is not None:
+        _active.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -171,8 +171,8 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: a superseded plan/schema); backfill is mechanically the stalest
 #: proofs — the round-5 cohort last proven against twice-regenerated
 #: fixtures (in registry order), filling the 50 recorded slots
-#: exactly (3 sentinels + 8 additions + 1 re-proof + 38 d5 rows;
-#: the 4 d5 tail rows displaced by the continuation's additions and
+#: exactly (3 sentinels + 9 additions + 1 re-proof + 37 d5 rows;
+#: the 5 d5 tail rows displaced by the continuation's additions and
 #: the d6 head rows stay in the local gate).
 _PRIORITY: tuple[str, ...] = (
     # -- 3 sentinels (regression canaries from driver-proven families)
@@ -187,6 +187,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_semdedup_tree_mp",
     "fed_semijoin_reduction",
     "fed_semijoin_agg_pushdown",
+    "fed_semijoin_spill",
     "llm_select_mmr",
     # -- changed-plan re-proofs (shard_eval grew the mp recall columns)
     "llm_semdedup_shard_eval",
@@ -230,7 +231,6 @@ _PRIORITY: tuple[str, ...] = (
     "fed_transparent_window",
     "sink_partitioned_roundtrip",
     "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
 )
 
 

@@ -83,10 +83,17 @@ def _connect(sf_dir: str):
     con = duckdb.connect()
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # Spark directory-parquet (the scale-probe's synthesized
+            # corpus writes this layout): glob the part files so the
+            # federation arm can be probed at synthesized scales too
+            # (previously only single-file fixture parquet worked).
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
 
 
@@ -392,6 +399,7 @@ def federated_semijoin_scan(
     partitions: int = 4,
     partition_key: str | None = None,
     max_keys: int = 10_000,
+    spill: bool = True,
 ) -> DataFrame:
     """Semi-join reduction of a federated scan — the classic
     distributed-query optimization (Bernstein et al., SDD-1): the
@@ -405,12 +413,14 @@ def federated_semijoin_scan(
     that makes it broadcast-able in the local join, and bounded here
     by ``max_keys`` (the collect is LIMIT max_keys+1, so driver
     memory is capped no matter what the caller passes). Above the
-    cap the reduction falls back to the plain pushdown scan: the
-    IN-list is a bandwidth optimization, never a correctness
-    dependency — callers keep their local (semi-)join, exactly like
-    Bloom-filter pushdown in shuffle joins. Keys are sorted so the
-    compiled SQL — and therefore the remote's plan cache hit — is
-    deterministic.
+    INLINE cap the key set SPILLS as a staged parquet side table the
+    remote reads (``spill=True``, the default — see the in-body
+    note); with ``spill=False`` the reduction falls back to the
+    plain pushdown scan. Either way the reduction is a bandwidth
+    optimization, never a correctness dependency — callers keep
+    their local (semi-)join, exactly like Bloom-filter pushdown in
+    shuffle joins. Inline keys are sorted so the compiled SQL — and
+    therefore the remote's plan cache hit — is deterministic.
 
     Scale: at 100 TB the remote side of a federated join is the
     bottleneck link; shipping a few thousand keys (bytes) instead of
@@ -426,7 +436,25 @@ def federated_semijoin_scan(
     reduction = semijoin_in_predicate(key, vals, max_keys)
     if reduction is not None:
         preds.append(reduction)
-    # else: cap exceeded — plain pushdown scan, caller's join filters
+    elif spill:
+        # Inline cap exceeded: stage the COMPLETE distinct key set as
+        # a side table — distributed write, no driver collect — and
+        # reference it from the remote predicate. The true SDD-1 bulk
+        # key shipment: exact at ANY build-side size, O(1) driver
+        # memory. The DuckDB 'remote' shares a filesystem so the
+        # stage IS the transfer; a networked engine receives the same
+        # side table via its bulk path (COPY into a temp table — the
+        # staging protocol pg_parallel_sink implements).
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="semijoin_keys_")
+        keys_df.select(key).distinct().write.mode("overwrite").parquet(
+            stage
+        )
+        glob = os.path.join(stage, "*.parquet")
+        preds.append(f"{key} IN (SELECT {key} FROM read_parquet('{glob}'))")
+    # else: cap exceeded with spill disabled — plain pushdown scan,
+    # the caller's local join filters
     return federated_scan(
         spark,
         sf_dir,
@@ -539,6 +567,64 @@ def fed_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no explicit broadcast hint: the keys side is SF-dependent, so
     # the right plan is AQE's call (it broadcasts below threshold at
     # runtime); the wire-level reduction above is the operator's point
+    return (
+        fed.join(
+            keys,
+            fed["o_custkey"] == keys["c_custkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "fed_semijoin_spill",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Bulk key shipment (the spill form of the SDD-1 semi-join "
+    "reduction): max_keys=0 forces the above-inline-cap path at any "
+    "scale — the DISTINCT build keys are written DISTRIBUTED to a "
+    "job-scoped parquet stage (no driver collect) and the remote "
+    "predicate reads the side table, so the reduction stays exact "
+    "at ANY build-side size with O(1) driver memory. Same oracle as "
+    "fed_semijoin_reduction: the inline and spill plans must be "
+    "row-identical.",
+    tags=("federation", "pushdown"),
+)
+def fed_semijoin_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    keys = (
+        spark.table("customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000.0)
+        )
+        .select("c_custkey")
+    )
+    fed = federated_semijoin_scan(
+        spark,
+        sf_dir,
+        "orders",
+        "o_custkey",
+        keys.withColumnRenamed("c_custkey", "o_custkey"),
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        partitions=4,
+        max_keys=0,  # force the spill path regardless of build size
+    )
     return (
         fed.join(
             keys,

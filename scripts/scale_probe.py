@@ -194,6 +194,10 @@ QUERIES = (
     # degrade as the key list grows.
     "llm_semdedup_tree_mp",
     "fed_semijoin_reduction",
+    # MMR: the distributed part is the top-C relevance pass (one
+    # map-side scan + TakeOrdered); the greedy is O(C*k) driver work
+    # on the bounded pool — the probe checks the scan path scales.
+    "llm_select_mmr",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -790,8 +790,11 @@ def test_semijoin_scan_returns_only_matching_rows(spark, oracle):
 
 
 def test_semijoin_cap_fallback_is_exact(spark):
-    """Above the key cap the scan is un-reduced; with the caller's
-    local semi-join in place the RESULT is identical either way."""
+    """Above the inline key cap both continuations are exact: the
+    SPILL path (staged side table, the default) and the plain
+    un-reduced scan (spill=False) must produce the identical result
+    as the inline IN-list, with the caller's local semi-join in
+    place."""
     from pyspark.sql import functions as F
 
     from datafusion_rdbms_ext_spark.queries.base import ensure_tables
@@ -809,11 +812,11 @@ def test_semijoin_cap_fallback_is_exact(spark):
         .select(F.col("c_custkey").alias("o_custkey"))
     )
 
-    def grouped(max_keys: int):
+    def grouped(max_keys: int, spill: bool = True):
         fed = federated_semijoin_scan(
             spark, SF_DIR, "orders", "o_custkey", keys,
             columns=["o_custkey", "o_orderpriority"],
-            partitions=2, max_keys=max_keys,
+            partitions=2, max_keys=max_keys, spill=spill,
         )
         out = (
             fed.join(keys, "o_custkey", "left_semi")
@@ -823,9 +826,29 @@ def test_semijoin_cap_fallback_is_exact(spark):
         )
         return [tuple(r) for r in out.collect()]
 
-    reduced = grouped(10_000)
-    fallback = grouped(0)  # cap of 0: reduction always declined
-    assert reduced == fallback and reduced
+    inline = grouped(10_000)
+    spilled = grouped(0)  # cap of 0: forces the staged side table
+    plain = grouped(0, spill=False)  # un-reduced scan, local filter
+    assert inline == spilled == plain and inline
+
+
+def test_semijoin_spill_reduces_remotely(spark, oracle):
+    """The spill path must reduce AT THE REMOTE like the inline
+    form: the scan itself returns exactly the matching rows even
+    though no IN-list was inlined."""
+    from datafusion_rdbms_ext_spark.sources.federation import (
+        federated_semijoin_scan,
+    )
+
+    keys = spark.createDataFrame([(7,), (1,), (4,)], "o_custkey bigint")
+    fed = federated_semijoin_scan(
+        spark, SF_DIR, "orders", "o_custkey", keys,
+        columns=["o_custkey"], partitions=2, max_keys=0,
+    )
+    expected = oracle.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_custkey IN (1, 4, 7)"
+    ).fetchone()[0]
+    assert fed.count() == expected > 0
 
 
 def test_semijoin_empty_build_side_yields_empty(spark):
