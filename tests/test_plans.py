@@ -182,6 +182,9 @@ def test_broadcast_hints_only_on_fixed_dims():
             "cent",
             # cluster purity: the 1-row overall-purity aggregate.
             "overall",
+            # MMR: the 1-row quantized query vector every candidate
+            # scores against (bounded by construction — one query).
+            "qv",
         },
     }
     root = Path(__file__).resolve().parent.parent / "datafusion_rdbms_ext_spark"
