@@ -183,11 +183,11 @@ if __name__ == "__main__":
     # harness would read that as a hung bench. Results are already
     # flushed to stdout and BENCH_LOCAL.json, so stop the session and
     # force the exit.
-    from pyspark.sql import SparkSession as _S
-
-    _active = _S.getActiveSession()
-    if _active is not None:
-        _active.stop()
+    # No graceful SparkSession.stop(): with streaming foreachBatch
+    # queries having run, stop() itself can block on the py4j
+    # callback server — measured in-session, the exact hang this
+    # block exists to prevent. os._exit closes the gateway socket,
+    # which takes the child JVM down with it.
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)
