@@ -9430,7 +9430,7 @@ def _sql_signed_cos2(d: str, a: str, b: str) -> str:
     ),
     rel AS (
       SELECT vec_id, e, n2, {_sql_signed_cos2("dot", "n2", "qn2")} AS rel_ppm
-      FROM scored
+      FROM scored WHERE n2 > 0
     ),
     cand AS (SELECT * FROM rel ORDER BY rel_ppm DESC, vec_id LIMIT {_MMR_C}),
     pair AS (
@@ -9533,8 +9533,13 @@ def mmr_select(
         "CASE WHEN dot >= 0 THEN (dot * dot * 1000000) div (n2 * qn2) "
         "ELSE -((dot * dot * 1000000) div (n2 * qn2)) END"
     )
+    # ADVICE r12 #5: a vector quantizing to all zeros (every |x| <
+    # 0.5/_MMR_SCALE) has n2 = 0 — Spark's div yields NULL where the
+    # oracle's // raises, so both sides drop zero-norm candidates
+    # explicitly (cosine to the zero vector is undefined anyway).
     cand = (
-        scored.selectExpr("vec_id", "e", "n2", f"{signed} AS rel_ppm")
+        scored.filter(F.col("n2") > 0)
+        .selectExpr("vec_id", "e", "n2", f"{signed} AS rel_ppm")
         .orderBy(F.desc("rel_ppm"), "vec_id")
         .limit(c)
     )
@@ -9542,6 +9547,13 @@ def mmr_select(
     # by definition; it runs driver-side over exact integers that
     # mirror the oracle's recursive CTE step for step
     rows = cand.collect()
+    if rows:
+        # a zero-norm QUERY vector would make every rel_ppm NULL —
+        # fail loudly instead of returning an arbitrary order
+        assert rows[0]["rel_ppm"] is not None, (
+            f"query vector {query_id} quantizes to zero norm under "
+            f"scale {_MMR_SCALE}; MMR relevance is undefined"
+        )
 
     def sim_ppm(a, b) -> int:
         d = sum(x * y for x, y in zip(a["e"], b["e"]))

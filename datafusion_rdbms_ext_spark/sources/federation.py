@@ -367,8 +367,35 @@ def sql_literal(v) -> str:
     return f"'{s}'"
 
 
+_SEMIJOIN_STAGE_ROOT: list[str] = []  # lazily-created, exit-cleaned
+
+
+def _semijoin_stage_dir() -> str:
+    """A fresh stage directory under one process-scoped root that is
+    removed at interpreter exit (ADVICE r12 #3: eager deletion would
+    break lazy re-execution of the returned DataFrame — the remote
+    predicate re-reads the stage — so the stage's lifetime is the
+    session's, and the root keeps /tmp bounded across runs)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SEMIJOIN_STAGE_ROOT:
+        root = tempfile.mkdtemp(prefix="semijoin_stage_")
+        _SEMIJOIN_STAGE_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix="keys_", dir=_SEMIJOIN_STAGE_ROOT[0])
+
+
+#: Inline semi-join reduction cap — the ONE constant every caller
+#: derives its collect limit from (ADVICE r12 #2: a hardcoded 10_001
+#: beside a defaulted max_keys silently truncates if the default is
+#: ever raised; collect limit and cap must move together).
+SEMIJOIN_MAX_KEYS = 10_000
+
+
 def semijoin_in_predicate(
-    key: str, vals: list, max_keys: int = 10_000
+    key: str, vals: list, max_keys: int = SEMIJOIN_MAX_KEYS
 ) -> str | None:
     """The semi-join reduction conjunct for a key set: a SORTED
     ``key IN (...)`` (deterministic SQL → remote plan-cache hits),
@@ -398,7 +425,7 @@ def federated_semijoin_scan(
     predicates: list[str] | None = None,
     partitions: int = 4,
     partition_key: str | None = None,
-    max_keys: int = 10_000,
+    max_keys: int = SEMIJOIN_MAX_KEYS,
     spill: bool = True,
 ) -> DataFrame:
     """Semi-join reduction of a federated scan — the classic
@@ -444,10 +471,12 @@ def federated_semijoin_scan(
         # memory. The DuckDB 'remote' shares a filesystem so the
         # stage IS the transfer; a networked engine receives the same
         # side table via its bulk path (COPY into a temp table — the
-        # staging protocol pg_parallel_sink implements).
-        import tempfile
-
-        stage = tempfile.mkdtemp(prefix="semijoin_keys_")
+        # staging protocol pg_parallel_sink implements). The stage
+        # must OUTLIVE the returned DataFrame (lazy re-execution
+        # re-reads the remote predicate), so cleanup is registered
+        # for interpreter exit, not done eagerly (ADVICE r12 #3: the
+        # unregistered stage leaked a full key copy per execution).
+        stage = _semijoin_stage_dir()
         keys_df.select(key).distinct().write.mode("overwrite").parquet(
             stage
         )
@@ -675,10 +704,16 @@ def fed_semijoin_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("o_custkey"))
     )
+    # collect limit and cap derive from ONE constant (ADVICE r12 #2):
+    # the raw-length completeness check in semijoin_in_predicate only
+    # works if the collect could have exceeded the same cap it tests
     vals = [
-        r[0] for r in keys.distinct().limit(10_001).collect()
+        r[0]
+        for r in keys.distinct().limit(SEMIJOIN_MAX_KEYS + 1).collect()
     ]
-    reduction = semijoin_in_predicate("o_custkey", vals)
+    reduction = semijoin_in_predicate(
+        "o_custkey", vals, max_keys=SEMIJOIN_MAX_KEYS
+    )
     aggs = {
         "n_orders": "CAST(COUNT(*) AS BIGINT)",
         "total_price": "CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)",
