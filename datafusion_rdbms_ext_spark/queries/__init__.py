@@ -174,63 +174,83 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: exactly (3 sentinels + 9 additions + 1 re-proof + 37 d5 rows;
 #: the 5 d5 tail rows displaced by the continuation's additions and
 #: the d6 head rows stay in the local gate).
+#: ROUND-13 ROTATION QUEUE: EMPTY — every query registered before
+#: round 13 is driver-proven (332/332 cumulative after the r12 gate,
+#: VERDICT r12 recomputed it as exact set equality; the doc-sync
+#: guard re-verifies mechanically).
+#: ROUND-13 ROTATION (VERDICT r12 next #1): 3 sentinels, the two
+#: round-13 additions (first-time proof in their own round), three
+#: changed-plan re-proofs (shard_eval grew the both-levels-probed
+#: recall columns; llm_select_mmr gained the zero-norm guard filter
+#: on both engine and oracle sides; llm_semdedup_sharded_mp's index
+#: construction was restructured to expose the level-1 centroids —
+#: value-identical, but the executed plan is new), then the
+#: mechanical stalest-first backfill: the complete d5 remainder
+#: (5 rows, last proven seven fixture regenerations ago), then the
+#: d6 cohort in registry order — with TWO in-cohort promotions
+#: (mm_resize_pool, op_percentile_exact swapped in for the #35/#37
+#: mechanical rows olap_mv_rewrite/stream_ewma_daily) so the
+#: standing every-subsystem-in-50 invariant
+#: (tests/test_registry_order.py) holds; olap and stream stay
+#: covered by olap_trajectory_topk and stream_cms_event_types. The
+#: 10 d6 tail rows stay in the local gate and lead the r14 backfill.
 _PRIORITY: tuple[str, ...] = (
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- round-12 additions (first-time proof in their own round)
-    "llm_semdedup_sharded_mp",
-    "llm_semdedup_maintain",
-    "stream_semdedup_admission",
-    "llm_semdedup_tree",
-    "llm_semdedup_tree_mp",
-    "fed_semijoin_reduction",
-    "fed_semijoin_agg_pushdown",
-    "fed_semijoin_spill",
-    "llm_select_mmr",
-    # -- changed-plan re-proofs (shard_eval grew the mp recall columns)
+    # -- round-13 additions (first-time proof in their own round)
+    "fed_transparent_semijoin",
+    "llm_semdedup_tree_deep",
+    # -- changed-plan re-proofs (see the rotation note above)
     "llm_semdedup_shard_eval",
-    # -- backfill: stalest proofs first (the complete d5 cohort in
-    #    registry order, then d6 rows in registration order until the
-    #    50 recorded slots are full)
-    "micro_hof_array",
-    "micro_udtf_tokens",
-    "micro_hll_sketch_merge",
-    "micro_recursive_cte",
-    "micro_try_arithmetic",
-    "micro_union_evolved",
-    "micro_lateral_topn",
-    "ev_sliding_6h_3h",
-    "ev_rollup_gapfill",
-    "llm_dedup_fingerprint",
-    "llm_sim_topk_udf",
-    "llm_sim_topk_ivf_multiprobe",
-    "llm_sim_topk_pq",
-    "llm_sim_topk_ivfpq_multiprobe",
-    "llm_text_quality",
-    "llm_text_langid",
-    "llm_token_pagerank",
-    "llm_dedup_fuzzy",
-    "llm_corpus_upsert",
-    "llm_profile_columns",
-    "llm_quality_audit",
-    "llm_rollup_maintenance",
-    "llm_source_drift",
-    "llm_chunk_overlap",
-    "olap_funnel",
-    "stream_session_windows",
-    "stream_static_join",
-    "mm_modality_rollup",
-    "op_bucketed_join",
-    "op_salted_join",
-    "op_grouped_agg_udf",
-    "op_asof_forward",
-    "fed_stream_replay",
-    "fed_transparent_join",
-    "fed_transparent_window",
-    "sink_partitioned_roundtrip",
-    "source_jsonl_roundtrip",
+    "llm_select_mmr",
+    "llm_semdedup_sharded_mp",
+    # -- backfill: stalest proofs first — the d5 remainder, then the
+    #    d6 cohort in registry order (two subsystem promotions,
+    #    noted above)
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "sink_clustered_layout",
+    "micro_decimal_money",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q20_potential_promotion",
+    "micro_join_hints",
+    "win_topn_per_group",
+    "ev_json_corrupt_records",
+    "ev_trending_decay",
+    "ev_markov_transitions",
+    "ev_anomaly_mad",
+    "ev_ewma_smoothing",
+    "llm_text_stats",
+    "llm_dedup_substring",
+    "llm_quality_unigram_ppm",
+    "llm_cms_counts",
+    "llm_dedup_bloom_incremental",
+    "llm_neardup_triangles",
+    "llm_corpus_diversity",
+    "llm_bigram_lm",
+    "llm_dedup_srp",
+    "llm_sentiment_lexicon",
+    "llm_bm25_search",
+    "llm_curriculum_batches",
+    "llm_stratified_sample",
+    "llm_index_lookup",
+    "llm_dedup_onion",
+    "olap_trajectory_topk",
+    "mm_resize_pool",
+    "stream_cms_event_types",
+    "op_percentile_exact",
 )
 
 

@@ -1360,14 +1360,19 @@ _SQL_ASSIGN_DIST = (
 )
 
 
-def _sql_probe_cells(nprobe: int, prefix: str = "s2_", name: str = "probe2") -> str:
+def _sql_probe_cells(
+    nprobe: int,
+    prefix: str = "s2_",
+    name: str = "probe2",
+    col: str = "cell2",
+) -> str:
     """DuckDB CTE mirroring :func:`_probe_cells`: each vector's
     ``nprobe`` nearest cells of the ``{prefix}centroids`` index
     (same integer distance and (dist, cid) tie-break as the Spark
     side). Composes after a :func:`_sql_lloyds_cells` chain."""
     return f"""
     {name} AS (
-      SELECT vec_id, cid AS cell2 FROM (
+      SELECT vec_id, cid AS {col} FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, c.cid) AS rk
         FROM {prefix}eqv e CROSS JOIN {prefix}centroids c) WHERE rk <= {nprobe}
@@ -4127,6 +4132,18 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON b.cell = q.cell AND b.cell2 = q.cell2 AND q.q_id < b.vec_id
       WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
     ),
+    {_sql_probe_cells(_SEM_NPROBE, prefix="", name="probe1", col="cell")},
+    qmpb AS (SELECT b.vec_id AS q_id, p1.cell, p2.cell2,
+                    b.embedding AS q_emb, b.nrm AS q_nrm
+             FROM base b
+             JOIN probe1 p1 ON p1.vec_id = b.vec_id
+             JOIN probe2 p2 ON p2.vec_id = b.vec_id),
+    pruned_sharded_mpb AS (
+      SELECT DISTINCT b.vec_id
+      FROM qmpb q JOIN base b
+        ON b.cell = q.cell AND b.cell2 = q.cell2 AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
     {{tree_block}},
     {{tree_probe_block}},
     baset AS (SELECT b.vec_id, tc.cell, tc.subcell, b.embedding,
@@ -4169,6 +4186,15 @@ def llm_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
                  JOIN pruned_default d ON d.vec_id = s.vec_id) * 1000000
                  // (SELECT COUNT(*) FROM pruned_default) AS BIGINT)
              AS recall_mp_ppm,
+           CAST((SELECT COUNT(*) FROM pruned_sharded_mpb) AS BIGINT)
+             AS n_pruned_sharded_mpb,
+           CAST((SELECT COUNT(*) FROM pruned_sharded_mpb s
+                 JOIN pruned_default d ON d.vec_id = s.vec_id) AS BIGINT)
+             AS n_agree_mpb,
+           CAST((SELECT COUNT(*) FROM pruned_sharded_mpb s
+                 JOIN pruned_default d ON d.vec_id = s.vec_id) * 1000000
+                 // (SELECT COUNT(*) FROM pruned_default) AS BIGINT)
+             AS recall_mpb_ppm,
            CAST((SELECT COUNT(*) FROM pruned_tree) AS BIGINT)
              AS n_pruned_tree,
            CAST((SELECT COUNT(*) FROM pruned_tree s
@@ -4213,9 +4239,18 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-level's) are property-proven in
     tests/test_round11_props.py and test_round12_props.py; this
     query puts the MAGNITUDES under the differential gate."""
-    cells1 = learned_ivf_cells(spark, _IVF_K).localCheckpoint()
-    cents2 = _learned_centroids(spark, _SEM_K2, "ivfseed2").localCheckpoint()
     q2 = _quantize(spark)
+    # level-1 index trained once and kept as centroids (not just the
+    # assignment) so the round-13 level-1 probe expansion shares the
+    # exact frozen index with the assignment below
+    cents1 = _learned_centroids(spark, _IVF_K).localCheckpoint()
+    cells1 = (
+        _assign_cells(q2, cents1)
+        .select("vec_id", F.col("cid").alias("cell"))
+        .localCheckpoint()
+    )
+    probes1 = _probe_cells(q2, cents1, _SEM_NPROBE)
+    cents2 = _learned_centroids(spark, _SEM_K2, "ivfseed2").localCheckpoint()
     cells2 = (
         _assign_cells(q2, cents2)
         .select("vec_id", F.col("cid").alias("cell2"))
@@ -4243,6 +4278,22 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs are a subset by construction)
     amp = (
         base.select("vec_id", "cell", "embedding", "nrm")
+        .join(probes2, "vec_id")
+        .select(
+            F.col("vec_id").alias("a_id"),
+            "cell",
+            "cell2",
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+    )
+    # BOTH levels probed (round 13, VERDICT r12 next #6): the query
+    # side expands into its nprobe nearest level-1 cells AND nprobe
+    # nearest level-2 cells (nprobe^2 probe pairs, pair work x4 over
+    # probe=1 — still linear); the base side stays single-assigned
+    ampb = (
+        base.select("vec_id", "embedding", "nrm")
+        .join(probes1, "vec_id")
         .join(probes2, "vec_id")
         .select(
             F.col("vec_id").alias("a_id"),
@@ -4308,10 +4359,12 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_def = pruned(a, ["cell"]).localCheckpoint()
     p_sh = pruned(a, ["cell", "cell2"])
     p_mp = pruned(amp, ["cell", "cell2"])
+    p_mpb = pruned(ampb, ["cell", "cell2"])
     p_tree = pruned_t(at)
     p_tree_mp = pruned_t(atmp)
     agree = p_sh.join(p_def, "vec_id", "left_semi")
     agree_mp = p_mp.join(p_def, "vec_id", "left_semi")
+    agree_mpb = p_mpb.join(p_def, "vec_id", "left_semi")
     agree_tree = p_tree.join(p_def, "vec_id", "left_semi")
     agree_tree_mp = p_tree_mp.join(p_def, "vec_id", "left_semi")
     return (
@@ -4327,6 +4380,14 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(
             F.broadcast(agree_mp.agg(F.count(F.lit(1)).alias("n_agree_mp")))
+        )
+        .crossJoin(
+            F.broadcast(
+                p_mpb.agg(F.count(F.lit(1)).alias("n_pruned_sharded_mpb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(agree_mpb.agg(F.count(F.lit(1)).alias("n_agree_mpb")))
         )
         .crossJoin(
             F.broadcast(p_tree.agg(F.count(F.lit(1)).alias("n_pruned_tree")))
@@ -4359,6 +4420,11 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_agree_mp",
             F.expr("n_agree_mp * 1000000 div n_pruned_default").alias(
                 "recall_mp_ppm"
+            ),
+            "n_pruned_sharded_mpb",
+            "n_agree_mpb",
+            F.expr("n_agree_mpb * 1000000 div n_pruned_default").alias(
+                "recall_mpb_ppm"
             ),
             "n_pruned_tree",
             "n_agree_tree",
@@ -4707,6 +4773,7 @@ def semdedup_prune_sharded_mp(
     k1: int | None = None,
     k2: int | None = None,
     nprobe: int = _SEM_NPROBE,
+    nprobe1: int = 1,
     tau: float = _SEMDEDUP_TAU,
 ) -> DataFrame:
     """Cross-product-sharded SemDeDup with level-2 multi-probe.
@@ -4719,23 +4786,37 @@ def semdedup_prune_sharded_mp(
     with a small constant — and pruning remains deterministic
     (lower-id-wins over the union of probed shards).
 
+    ``nprobe1`` (round 13, VERDICT r12 next #6) additionally probes
+    the query side's ``nprobe1`` nearest LEVEL-1 cells — the 2x2
+    design matrix proved level-2 probing is the recall lever, and
+    level-1 boundaries are the remaining loss; probing both levels
+    costs nprobe1*nprobe probe pairs per query vector (x4 at 2/2 —
+    still linear pair work), measured as shard_eval's
+    ``recall_mpb_ppm`` column.
+
     Scale: the probe expansion happens MAP-SIDE against the broadcast
-    level-2 centroid array (``_probe_cells``) — no extra shuffle; the
-    pair join stays bucketed on (cell, cell2); the DISTINCT absorbs
-    a pair matching via multiple probes. At 100 TB raise the shard
-    target or nprobe independently — recall and cost are separate
-    knobs, measured per-configuration by llm_semdedup_shard_eval."""
+    level-1/level-2 centroid arrays (``_probe_cells``) — no extra
+    shuffle; the pair join stays bucketed on (cell, cell2); the
+    DISTINCT absorbs a pair matching via multiple probes. At 100 TB
+    raise the shard target or either nprobe independently — recall
+    and cost are separate knobs, measured per-configuration by
+    llm_semdedup_shard_eval."""
     if k1 is None or k2 is None:
         d1, d2 = sharded_shard_counts(spark.table("embeddings").count())
         k1 = k1 or d1
         k2 = k2 or d2
-    cells1 = learned_ivf_cells(spark, k1).localCheckpoint()
-    # level-2 index: train ONCE, then both the single assignment
-    # (base side) and the nprobe expansion (query side) reuse the
+    q2 = _quantize(spark)
+    # each level's index: train ONCE, then both the single assignment
+    # (base side) and the probe expansion (query side) reuse the
     # same frozen centroids — without the checkpoint the Lloyd's
     # subtree would plan and execute twice.
+    cents1 = _learned_centroids(spark, k1).localCheckpoint()
+    cells1 = (
+        _assign_cells(q2, cents1)
+        .select("vec_id", F.col("cid").alias("cell"))
+        .localCheckpoint()
+    )
     cents2 = _learned_centroids(spark, k2, "ivfseed2").localCheckpoint()
-    q2 = _quantize(spark)
     cells2 = (
         _assign_cells(q2, cents2)
         .select("vec_id", F.col("cid").alias("cell2"))
@@ -4751,16 +4832,20 @@ def semdedup_prune_sharded_mp(
         .select("vec_id", "cell", "cell2", "embedding", "nrm")
         .localCheckpoint()
     )
-    a = (
-        base.select("vec_id", "cell", "embedding", "nrm")
-        .join(probes2, "vec_id")
-        .select(
-            F.col("vec_id").alias("a_id"),
-            "cell",
-            "cell2",
-            F.col("embedding").alias("a_emb"),
-            F.col("nrm").alias("a_nrm"),
+    if nprobe1 > 1:
+        probes1 = _probe_cells(q2, cents1, nprobe1)
+        aq = (
+            base.select("vec_id", "embedding", "nrm")
+            .join(probes1, "vec_id")
         )
+    else:
+        aq = base.select("vec_id", "cell", "embedding", "nrm")
+    a = aq.join(probes2, "vec_id").select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        "cell2",
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     cos = _dot(F.col("a_emb"), F.col("embedding")) / (
         F.col("a_nrm") * F.col("nrm")
@@ -5493,6 +5578,261 @@ def semdedup_prune_tree_mp(
     return (
         base.join(pruned, "vec_id", "left")
         .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("is_pruned"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19h. DEPTH-b B-ARY TREE QUANTIZER (round 13, VERDICT r12 next #3) —
+#      the named O(N log N) generalization of the 2-level tree,
+#      executable at arbitrary depth. Each level below the root is
+#      ONE keyed Lloyd's chain (the r12 rewrite) over the PACKED
+#      prefix key (cell_1, ..., cell_{l-1}) -> one integer — so a
+#      level's training is a single grouped k-means whose job count
+#      is independent of how many prefixes exist, and total
+#      assignment cost is O(N * sum(b_l)) ~ O(N * b * log_b(N/target))
+#      map-side flops. Occupancy at depth L is N / prod(b_l): where
+#      the 2-level sqrt-split's per-shard occupancy grows with N at
+#      fixed fan-out, a log-depth tree holds fan-out constant and
+#      adds LEVELS — the occupancy cap the 100x probe row measures
+#      (SCALE.md round-13).
+# ---------------------------------------------------------------------------
+_TREE_PACK = 1000  # prefix packing base; every per-level fan-out must stay below it
+_TREE_D3_B = (4, 3, 3)  # pinned depth-3 branching for the gate row (36 leaves)
+
+
+def _level_seed(lvl: int) -> str:
+    """Deterministic per-level seed tag. Level 2 keeps the 2-level
+    tree's historical tag so depth-2 runs are bit-identical to
+    :func:`hierarchical_cells` (property-pinned)."""
+    return "treeseed" if lvl == 2 else f"treeseed{lvl}"
+
+
+def tree_cells_deep(
+    spark: SparkSession,
+    branching: tuple[int, ...] | list[int],
+    seed1: str = "ivfseed",
+) -> DataFrame:
+    """(vec_id, cell): leaf assignment under a depth-``len(branching)``
+    b-ary tree quantizer; ``cell`` is the packed root-to-leaf path
+    (base ``_TREE_PACK`` per level), so ``cell div _TREE_PACK**(L-1)``
+    recovers the level-1 cell.
+
+    Scale: level 1 is the flat broadcast-centroid Lloyd's; every
+    deeper level is ONE keyed chain over the packed prefix —
+    per-prefix window seeding, map-side assignment against the
+    per-prefix broadcast centroid arrays, one (prefix, cid,
+    pos)-keyed integer-mean update whose shuffle carries
+    (#prefixes * b_l * dim) partial sums. Job count per level is
+    CONSTANT (the r12 keyed-chain property), so depth costs
+    O(depth) jobs, never O(#prefixes)."""
+    for b in branching:
+        if b >= _TREE_PACK:
+            raise ValueError(f"fan-out {b} >= packing base {_TREE_PACK}")
+    q = _quantize(spark)
+    cents1 = _lloyds(q, branching[0], _IVF_ITERS, seed1).localCheckpoint()
+    vecs = (
+        _assign_cells(q, cents1)
+        .select(F.col("cid").alias("cell"), "vec_id", "eq")
+        .localCheckpoint()
+    )
+    for lvl, b in enumerate(branching[1:], start=2):
+        cents = _seed_keyed(vecs, b, _level_seed(lvl))
+        for _ in range(_IVF_ITERS):
+            cents = _update_keyed(_assign_keyed(vecs, cents))
+        cents = cents.localCheckpoint()
+        vecs = (
+            _assign_keyed(vecs, cents)
+            .select(
+                (F.col("cell") * _TREE_PACK + F.col("cid")).alias("cell"),
+                "vec_id",
+                "eq",
+            )
+            .localCheckpoint()
+        )
+    return vecs.select("vec_id", "cell")
+
+
+def _sql_keyed_level(lvl: int, b: int, src: str, out: str) -> str:
+    """DuckDB CTE block for ONE keyed Lloyd's level: trains ``b``
+    sub-centroids per distinct ``key`` of ``{src} (vec_id, key, eq)``
+    and emits ``{out} (vec_id, key, eq)`` with the packed child key —
+    the SQL mirror of the keyed chain (:func:`_seed_keyed` /
+    :func:`_assign_keyed` / :func:`_update_keyed`), written as ONE
+    partitioned chain instead of one chain per prefix (the oracle's
+    independent formulation of the same integers)."""
+    p = f"d{lvl}_"
+    seed = _level_seed(lvl)
+    dist = _SQL_ASSIGN_DIST
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, key, eq, cid FROM (
+        SELECT e.vec_id, e.key, e.eq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rk
+        FROM {src} e JOIN {cents} c ON c.key = e.key) WHERE rk = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT key, cid, list(comp ORDER BY pos) AS cemb FROM (
+        SELECT key, cid, pos, {_INT_MEAN_SQL} AS comp
+        FROM (SELECT key, cid, i AS pos, eq[i] AS val
+              FROM {assigned}, (SELECT unnest(range(1, {_IVF_DIM + 1})) AS i))
+        GROUP BY key, cid, pos) GROUP BY key, cid
+    )"""
+
+    parts = [
+        f"""
+    {p}cent0 AS (
+      SELECT key, cid, cemb FROM (
+        SELECT key,
+               ROW_NUMBER() OVER (PARTITION BY key ORDER BY h, vec_id) AS cid,
+               eq AS cemb, vec_id
+        FROM (SELECT key, vec_id, eq,
+                     {_sql_phash("CAST(vec_id AS VARCHAR)", seed)} AS h
+              FROM {src}))
+      WHERE cid <= {b}
+    )"""
+    ]
+    cents = f"{p}cent0"
+    for i in range(_IVF_ITERS):
+        parts.append(assign(f"{p}asg{i}", cents))
+        parts.append(update(f"{p}cent{i + 1}", f"{p}asg{i}"))
+        cents = f"{p}cent{i + 1}"
+    parts.append(assign(f"{p}final", cents))
+    parts.append(
+        f"""
+    {out} AS (
+      SELECT vec_id, key * {_TREE_PACK} + cid AS key, eq FROM {p}final
+    )"""
+    )
+    return ",".join(parts)
+
+
+def _sql_tree_deep_cells(branching: tuple[int, ...]) -> str:
+    """DuckDB CTE composition for :func:`tree_cells_deep`: level 1 is
+    the caller's ``cells`` CTE (from ``_sql_lloyds_cells(k=b_1)``);
+    each deeper level is one :func:`_sql_keyed_level` block. Final
+    CTE: ``deep_cells (vec_id, key)`` — the packed leaf path."""
+    parts = [
+        """
+    d1_out AS (
+      SELECT e.vec_id, c.cell AS key, e.eq
+      FROM eqv e JOIN cells c ON c.vec_id = e.vec_id
+    )"""
+    ]
+    src = "d1_out"
+    for lvl, b in enumerate(branching[1:], start=2):
+        out = f"d{lvl}_out"
+        parts.append(_sql_keyed_level(lvl, b, src, out))
+        src = out
+    parts.append(f", deep_cells AS (SELECT vec_id, key FROM {src})")
+    return ",".join(parts[:-1]) + parts[-1]
+
+
+@register(
+    "llm_semdedup_tree_deep",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(k=_TREE_D3_B[0])},
+    {_sql_tree_deep_cells(_TREE_D3_B)},
+    base AS (SELECT b.vec_id, dc.key, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN deep_cells dc ON dc.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, key, embedding AS q_emb, nrm AS q_nrm
+          FROM base),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM q JOIN base b ON b.key = q.key AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT base.key // {_TREE_PACK ** (len(_TREE_D3_B) - 1)} AS cell,
+           COUNT(*) AS n_vecs,
+           COUNT(pruned.vec_id) AS n_pruned,
+           CAST(COUNT(*) - COUNT(pruned.vec_id) AS BIGINT) AS n_kept
+    FROM base LEFT JOIN pruned ON pruned.vec_id = base.vec_id
+    GROUP BY cell
+    ORDER BY cell
+    """,
+    doc="Depth-3 b-ary tree SemDeDup (VERDICT r12 next #3: the named "
+    "O(N log N) generalization, executable): leaf shards under a "
+    f"{_TREE_D3_B} tree — every level below the root ONE keyed "
+    "Lloyd's chain over the packed prefix key, so depth costs jobs, "
+    "never per-prefix scheduling. The oracle re-runs level 1 plus "
+    "one PARTITIONED keyed chain per level in SQL (an independent "
+    "formulation — per-prefix windows, not per-prefix chains) and "
+    "the leaf pruning rule. Depth-2 bit-identity to "
+    "hierarchical_cells is property-pinned in "
+    "tests/test_round13_props.py.",
+    tags=("llm", "dedup", "similarity", "bench"),
+)
+def llm_semdedup_tree_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned depth-3 gate configuration; `semdedup_prune_tree_deep`
+    is the self-scaling entry (derive depth from N at a fixed
+    fan-out: depth = ceil(log_b(N/target)))."""
+    return semdedup_prune_tree_deep(spark, branching=_TREE_D3_B)
+
+
+def semdedup_prune_tree_deep(
+    spark: SparkSession,
+    branching: tuple[int, ...] | list[int] | None = None,
+    target: int = 64,
+    fanout: int = 8,
+    tau: float = _SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup within depth-b tree leaf shards, rolled up to the
+    level-1 cell.
+
+    ``branching=None`` derives a log-depth tree: ``depth =
+    ceil(log_fanout(N/target))`` levels of constant ``fanout`` — the
+    shape whose leaf occupancy stays ~target as N grows (the 2-level
+    sqrt-split instead grows per-shard occupancy at fixed fan-out;
+    SCALE.md round-13 measures the difference at 100x).
+
+    Scale: pair join bucketed on the packed leaf key (linear in
+    N*target); training O(depth) keyed-chain jobs; assignment
+    O(N * fanout * depth) map-side flops."""
+    if branching is None:
+        import math
+
+        n = spark.table("embeddings").count()
+        depth = max(2, math.ceil(math.log(max(n / target, 2), fanout)))
+        branching = (fanout,) * depth
+    leaf = tree_cells_deep(spark, branching)
+    pack = _TREE_PACK ** (len(branching) - 1)
+    base = (
+        _vectors_with_norm(spark)
+        .join(leaf, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("a_id"),
+        "cell",
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    cos = _dot(F.col("a_emb"), F.col("embedding")) / (
+        F.col("a_nrm") * F.col("nrm")
+    )
+    pruned = (
+        a.join(base, ["cell"])
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        base.join(pruned, "vec_id", "left")
+        .groupBy(F.expr(f"cell div {pack}").alias("cell"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.count("is_pruned").alias("n_pruned"),
@@ -9502,7 +9842,18 @@ def mmr_select(
     O(C * k) integer dot products on the driver. At 100 TB the
     corpus-sized work is unchanged; raise C, not the pattern. The
     greedy is inherently sequential (each pick conditions the next) —
-    parallelizing it changes the ALGORITHM, not the plan."""
+    parallelizing it changes the ALGORITHM, not the plan.
+
+    C semantics (round 13): the result is DEFINED relative to the
+    top-C relevance pool — the standard MMR deployment contract — and
+    at lambda=1/2 a larger pool can admit a more-diverse
+    lower-relevance candidate, so small-C orders differ. What
+    production relies on is convergence: once C covers every
+    greedy-viable candidate the order is C-invariant
+    (tests/test_round13_props.py pins two converged C values against
+    the full-corpus pool; SCALE.md round-13 prices C=1000 at 10x/100x
+    corpus — the driver re-rank stays O(C*k) milliseconds while the
+    distributed top-C scan carries the data growth)."""
     eq = spark.table("embeddings").select(
         "vec_id",
         F.transform(

@@ -766,6 +766,14 @@ def transparent_pushdown(
     spark = df.sparkSession
     hit = try_unparse(df)
     if hit is None:
+        # Whole-plan unparse failed — usually a fed/local mixed plan.
+        # The SDD-1 semi-join reduction is the next rewrite in the
+        # try-rewrite-else-fall-through chain (VERDICT r12 next #2):
+        # a local (semi-)join between a fed subtree and a local frame
+        # gets the local side's keys injected into the remote SQL.
+        sj = transparent_semijoin(df, partitions, partition_key)
+        if sj is not None:
+            return sj[0]
         return df
     sql, sf_dir, fmt = hit
     if fmt == "sqlite_fed":
@@ -800,6 +808,155 @@ def transparent_pushdown(
     return _fetch_partitioned(
         spark, sf_dir, sql, schema, partitions, partition_key, limited=False
     )
+
+
+def _of_rows(spark: SparkSession, node) -> DataFrame:
+    """A DataFrame over an analyzed Catalyst subtree (py4j handle) —
+    how the rewriter re-executes the LOCAL side of a mixed plan
+    without re-deriving it from user code."""
+    ds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, node
+    )
+    return DataFrame(ds, spark)
+
+
+def _side_kind(node) -> str:
+    """'fed' if every leaf relation of the subtree is a federated
+    source, 'local' if none is, 'mixed' otherwise."""
+    leaves = _seq(node.collectLeaves())
+    feds = [
+        leaf.getClass().getSimpleName() == "DataSourceV2Relation"
+        and leaf.name() in _FED_FORMATS
+        for leaf in leaves
+    ]
+    if feds and all(feds):
+        return "fed"
+    if not any(feds):
+        return "local"
+    return "mixed"
+
+
+def transparent_semijoin(
+    df: DataFrame,
+    partitions: int = 1,
+    partition_key: str | None = None,
+    max_keys: int | None = None,
+) -> tuple[DataFrame, str] | None:
+    """TRANSPARENT SDD-1 semi-join reduction (VERDICT r12 next #2):
+    when ``df``'s analyzed plan is a local equi-(semi-)join between a
+    fed-source subtree and a purely-local frame, ship the local
+    side's DISTINCT join keys into the remote SQL as an IN-list and
+    rebuild the SAME local join above the reduced scan — the
+    reference's try-rewrite-else-fall-through contract
+    (optimizer.rs:14-39) applied to its classic missing optimization;
+    the explicit-API twin is :func:`..federation.federated_semijoin_scan`.
+
+    Returns ``(rewritten_df, reduced_remote_sql)`` so tests can pin
+    the wire shape, or ``None`` (caller falls through to the
+    unrewritten plan) when the plan isn't the supported shape, the
+    key set exceeds the inline cap, or the remote rejects the SQL.
+    The local join is RETAINED above the reduced scan, so the
+    rewrite is a bandwidth optimization, never a correctness
+    dependency — exactly like Bloom-filter pushdown in shuffle
+    joins.
+
+    Scale: at 100 TB the remote link is the bottleneck of a
+    federated join; a few thousand key bytes outbound replace
+    millions of non-matching rows inbound, and the rewrite composes
+    with key-range partition planning (each fetch task ANDs its
+    range onto the reduced scan). Above the cap the honest move is
+    the explicit API's bulk key shipment (side-table spill) — the
+    transparent path never silently ships an incomplete list."""
+    from .federation import (
+        SEMIJOIN_MAX_KEYS,
+        _fetch_partitioned,
+        describe_schema,
+        semijoin_in_predicate,
+    )
+
+    if max_keys is None:
+        max_keys = SEMIJOIN_MAX_KEYS
+    spark = df.sparkSession
+    node = df._jdf.queryExecution().analyzed()
+    while node.getClass().getSimpleName() == "SubqueryAlias":
+        node = node.child()
+    if node.getClass().getSimpleName() != "Join":
+        return None
+    jt = node.joinType().sql()
+    if jt not in ("INNER", "LEFT SEMI"):
+        return None  # outer joins need unmatched rows the reduction drops
+    if not node.condition().isDefined():
+        return None
+    cond = node.condition().get()
+    if cond.getClass().getSimpleName() != "EqualTo":
+        return None
+    l_expr, r_expr = cond.left(), cond.right()
+    if any(
+        e.getClass().getSimpleName() != "AttributeReference"
+        for e in (l_expr, r_expr)
+    ):
+        return None
+    kinds = {"left": _side_kind(node.left()), "right": _side_kind(node.right())}
+    if sorted(kinds.values()) != ["fed", "local"]:
+        return None
+    fed_on_left = kinds["left"] == "fed"
+    fed_node = node.left() if fed_on_left else node.right()
+    local_node = node.right() if fed_on_left else node.left()
+
+    def _out_ids(n) -> dict[int, str]:
+        return {a.exprId().id(): a.name() for a in _seq(n.output())}
+
+    fed_ids, local_ids = _out_ids(fed_node), _out_ids(local_node)
+    lid, rid = l_expr.exprId().id(), r_expr.exprId().id()
+    if lid in fed_ids and rid in local_ids:
+        fed_key, local_key = fed_ids[lid], local_ids[rid]
+    elif rid in fed_ids and lid in local_ids:
+        fed_key, local_key = fed_ids[rid], local_ids[lid]
+    else:
+        return None  # condition doesn't straddle the two sides
+
+    u = _Unparser()
+    try:
+        fed_sql = _dialect(u.unparse(fed_node))
+    except _Unsupported:
+        return None
+    if u.sf_dir is None or u.fmt != "duckdb_fed":
+        # scope: the DuckDB-dialect remote (the gate's live engine);
+        # other dialects keep the explicit federated_semijoin_scan API
+        return None
+
+    local_df = _of_rows(spark, local_node)
+    vals = [
+        r[0]
+        for r in local_df.select(local_key)
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    ]
+    reduction = semijoin_in_predicate(fed_key, vals, max_keys)
+    if reduction is None:
+        return None  # above the inline cap: fall through, stay exact
+    reduced_sql = f"SELECT * FROM ({fed_sql}) _sjr WHERE {reduction}"
+    try:
+        schema = describe_schema(u.sf_dir, reduced_sql)
+    except Exception:
+        return None  # remote rejected the composed SQL — fall through
+    reduced = _fetch_partitioned(
+        spark, u.sf_dir, reduced_sql, schema, partitions, partition_key,
+        limited=False,
+    )
+    how = "inner" if jt == "INNER" else "left_semi"
+    if fed_on_left:
+        out = reduced.join(
+            local_df, reduced[fed_key] == local_df[local_key], how
+        )
+    else:
+        out = local_df.join(
+            reduced, local_df[local_key] == reduced[fed_key], how
+        )
+    if out.schema != df.schema:
+        return None  # never substitute a drifted shape
+    return out, reduced_sql
 
 
 # ---------------------------------------------------------------------------
@@ -968,6 +1125,58 @@ def fed_transparent_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_nationkey")
     )
     return transparent_pushdown(rich.intersect(indebted)).orderBy("c_nationkey")
+
+
+@register(
+    "fed_transparent_semijoin",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 8000.0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TRANSPARENT SDD-1 semi-join reduction (VERDICT r12 next #2): "
+    "the user writes a plain DataFrame semi-join between the fed "
+    "orders source and a LOCAL filtered customer frame; the rewriter "
+    "detects the fed/local mixed join that whole-plan unparse cannot "
+    "take, ships the local side's distinct keys into the remote SQL "
+    "as a sorted capped IN-list, and rebuilds the same local "
+    "semi-join above the reduced scan — the reference's "
+    "try-rewrite-else-fall-through contract (optimizer.rs:14-39) "
+    "applied to its classic missing optimization. The explicit-API "
+    "twin is federated_semijoin_scan; value-identity to the "
+    "unrewritten plan and the above-cap fall-through are pinned in "
+    "tests/test_federation_pushdown.py.",
+    tags=("federation", "pushdown", "bench"),
+)
+def fed_transparent_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fed = _fed_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    keys = (
+        spark.table("customer")
+        .filter(
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            & (F.col("c_acctbal") > 8000.0)
+        )
+        .select("c_custkey")
+    )
+    j = fed.join(keys, fed["o_custkey"] == keys["c_custkey"], "left_semi")
+    j = transparent_pushdown(j)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @register(

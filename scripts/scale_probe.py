@@ -198,6 +198,13 @@ QUERIES = (
     # map-side scan + TakeOrdered); the greedy is O(C*k) driver work
     # on the bounded pool — the probe checks the scan path scales.
     "llm_select_mmr",
+    # Round-13 additions: the depth-3 tree's PINNED (4,3,3) gate
+    # config (occupancy grows with N by design — the oracle
+    # configuration; the deploy path is the self-scaling probe
+    # below), and the transparent semi-join whose key collect +
+    # IN-list compile must not degrade as the build side grows.
+    "llm_semdedup_tree_deep",
+    "fed_transparent_semijoin",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -226,6 +233,18 @@ def _extra_probes():
         "semdedup_tree_mp_default": lambda spark, sf: (
             llm.semdedup_prune_tree_mp(spark)
         ),
+        # round 13: log-depth tree (depth derives from N at constant
+        # fan-out — the occupancy-capped deploy shape), both-levels
+        # probing (the recall ceiling of the cross-product design),
+        # and MMR at production C=1000 (driver re-rank must stay
+        # milliseconds while the top-C scan carries the growth)
+        "semdedup_tree_deep_default": lambda spark, sf: (
+            llm.semdedup_prune_tree_deep(spark)
+        ),
+        "semdedup_sharded_mpb_default": lambda spark, sf: (
+            llm.semdedup_prune_sharded_mp(spark, nprobe1=2)
+        ),
+        "mmr_c1000": lambda spark, sf: llm.mmr_select(spark, c=1000),
         # maintained-index admission, K re-derived from the grown
         # corpus (VERDICT r11 #2: prove the maintained path stays
         # ~linear where the frozen-K row does not)
