@@ -5619,6 +5619,7 @@ def tree_cells_deep(
     spark: SparkSession,
     branching: tuple[int, ...] | list[int],
     seed1: str = "ivfseed",
+    pack: int | None = None,
 ) -> DataFrame:
     """(vec_id, cell): leaf assignment under a depth-``len(branching)``
     b-ary tree quantizer; ``cell`` is the packed root-to-leaf path
@@ -5632,15 +5633,28 @@ def tree_cells_deep(
     pos)-keyed integer-mean update whose shuffle carries
     (#prefixes * b_l * dim) partial sums. Job count per level is
     CONSTANT (the r12 keyed-chain property), so depth costs
-    O(depth) jobs, never O(#prefixes)."""
+    O(depth) jobs, never O(#prefixes).
+
+    ``pack=None`` uses ``_TREE_PACK`` (the pinned gate/oracle base);
+    deep self-scaling trees pass a TIGHT base (fanout+1) so the
+    packed key stays in BIGINT at log-depth — base 1000 overflows
+    64 bits past depth ~6, and the level key arithmetic is forced
+    to LongType either way (the round-13 100x probe caught the
+    32-bit int product overflowing at the derived depth 4)."""
+    pack = pack or _TREE_PACK
     for b in branching:
-        if b >= _TREE_PACK:
-            raise ValueError(f"fan-out {b} >= packing base {_TREE_PACK}")
+        if b >= pack:
+            raise ValueError(f"fan-out {b} >= packing base {pack}")
+    if branching[0] * pack ** (len(branching) - 1) >= 2**62:
+        raise ValueError(
+            f"packed key overflows BIGINT: base {pack} at depth "
+            f"{len(branching)} — pass a tighter pack (fanout+1)"
+        )
     q = _quantize(spark)
     cents1 = _lloyds(q, branching[0], _IVF_ITERS, seed1).localCheckpoint()
     vecs = (
         _assign_cells(q, cents1)
-        .select(F.col("cid").alias("cell"), "vec_id", "eq")
+        .select(F.col("cid").cast("long").alias("cell"), "vec_id", "eq")
         .localCheckpoint()
     )
     for lvl, b in enumerate(branching[1:], start=2):
@@ -5651,7 +5665,10 @@ def tree_cells_deep(
         vecs = (
             _assign_keyed(vecs, cents)
             .select(
-                (F.col("cell") * _TREE_PACK + F.col("cid")).alias("cell"),
+                (
+                    F.col("cell") * F.lit(pack).cast("long")
+                    + F.col("cid").cast("long")
+                ).alias("cell"),
                 "vec_id",
                 "eq",
             )
@@ -5800,14 +5817,20 @@ def semdedup_prune_tree_deep(
     Scale: pair join bucketed on the packed leaf key (linear in
     N*target); training O(depth) keyed-chain jobs; assignment
     O(N * fanout * depth) map-side flops."""
+    pack_base = _TREE_PACK
     if branching is None:
         import math
 
         n = spark.table("embeddings").count()
         depth = max(2, math.ceil(math.log(max(n / target, 2), fanout)))
         branching = (fanout,) * depth
-    leaf = tree_cells_deep(spark, branching)
-    pack = _TREE_PACK ** (len(branching) - 1)
+        # tight packing on the derived path: base 1000 would overflow
+        # BIGINT past depth ~6 (and 32-bit int at depth 4 — the
+        # round-13 100x probe's finding); fanout+1 holds any
+        # realistic log-depth
+        pack_base = fanout + 1
+    leaf = tree_cells_deep(spark, branching, pack=pack_base)
+    pack = pack_base ** (len(branching) - 1)
     base = (
         _vectors_with_norm(spark)
         .join(leaf, "vec_id")
