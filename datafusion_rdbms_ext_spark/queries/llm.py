@@ -9934,16 +9934,25 @@ def mmr_select(
         m = (d * d * 1_000_000) // (a["n2"] * b["n2"])
         return m if d >= 0 else -m
 
+    # incremental greedy (round 13): max-sim-to-selected is a RUNNING
+    # max updated once per pick — O(C) sims per step instead of
+    # O(C*k), bit-identical scores (max over picked == running max)
     picked: list = []
-    while len(picked) < min(k, len(rows)):
-        pool = [r for r in rows if r["vec_id"] not in {p["vec_id"] for p in picked}]
-        if not picked:
-            score = lambda r: r["rel_ppm"]  # noqa: E731
+    pool = list(rows)
+    best_sim: dict[int, int] = {}
+    while picked.__len__() < min(k, len(rows)):
+        if picked:
+            score = lambda r: r["rel_ppm"] - best_sim[r["vec_id"]]  # noqa: E731
         else:
-            score = lambda r: r["rel_ppm"] - max(  # noqa: E731
-                sim_ppm(r, p) for p in picked
-            )
-        picked.append(max(pool, key=lambda r: (score(r), -r["vec_id"])))
+            score = lambda r: r["rel_ppm"]  # noqa: E731
+        choice = max(pool, key=lambda r: (score(r), -r["vec_id"]))
+        picked.append(choice)
+        pool = [r for r in pool if r["vec_id"] != choice["vec_id"]]
+        for r in pool:
+            s = sim_ppm(r, choice)
+            prev = best_sim.get(r["vec_id"])
+            if prev is None or s > prev:
+                best_sim[r["vec_id"]] = s
     out = [
         (i + 1, int(r["vec_id"]), int(r["rel_ppm"]))
         for i, r in enumerate(picked)

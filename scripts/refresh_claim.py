@@ -9,21 +9,27 @@ loadavg, so future forensics never needs `git show` on a
 driver-mutated file.
 
 Round-13 cool-host discipline (VERDICT r12 next #4 / ADVICE r12
-medium): the r12 claim was refreshed from a self-loaded session —
-126 of 144 pre-existing rows got SLOWER values (+17% on the shared
-sum), so the committed headline mostly recorded host warmth, and any
-future diff against it reads warmth recovery as a win. Two guards:
+medium): the r12 claim was refreshed from a warm session — 126 of
+144 pre-existing rows got SLOWER values (+17% on the shared sum), so
+the committed headline mostly recorded host warmth. The originally
+planned loadavg-band guard turned out to be the WRONG signal: the
+committed claims' own history shows the cool 118.0s close recorded a
+HIGHER median loadavg (4.35) than the warm 144.8s one (3.63) — the
+bench saturates the box either way, and session warmth (page cache,
+thermal, background state) doesn't show up in loadavg. What does
+separate the classes is the per-row comparison against the prior
+claim itself, so the guard is:
 
-* A run whose median per-query loadavg exceeds ``WARM_LOADAVG``
-  is REFUSED outright — re-run on an idle host, or pass
-  ``--merge-min`` to fold only the rows the warm run genuinely
-  improved (or added) into the existing cooler claim.
+* If the new run's SHARED-ROW sum exceeds the prior claim's by more
+  than ``WARM_RATIO`` (uniform slowdown = the warmth signature), the
+  refresh is REFUSED — re-run on an idle host, or pass
+  ``--merge-min``.
 * ``--merge-min`` takes the elementwise best-of-3 MIN across the new
-  run and the prior claim for rows present in both (both are
-  zero-error runs of the same fixture, so min is the honest
-  steady-state), keeps new rows from the new run, drops rows no
-  longer in the run (registry change), and re-sums the totals.
-  median3/loadavg follow whichever run supplied the chosen min.
+  run and the prior claim for rows present in both (only valid for
+  runs of the SAME fixture generation — i.e. within a round), keeps
+  new rows from the new run, drops rows no longer in the run, and
+  re-sums the totals. median3/loadavg follow whichever run supplied
+  the chosen min, so per-row attribution stays consistent.
 
 Run after ``python bench.py`` at round close, commit BENCH_CLAIM.json
 together with the SURVEY claim sentence (tests/test_registry_order.py
@@ -41,19 +47,22 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Median per-query 1-min loadavg above which a run is "warm": the
-#: bench itself generates ~1-2 of load on this 32-thread host while
-#: idle-started; a median beyond that means the session (or a
-#: neighbor) was already hot — the r12 continuation claim recorded
-#: 3.3-6.4 per row and ran 1.15-1.2x the cool close on shared rows.
-WARM_LOADAVG = 2.0
+#: Shared-row sum ratio (new run / prior claim) above which the new
+#: run is called warm and refused. The r12 warm close measured 1.17x
+#: over the cool one; run-to-run noise on a healthy host measures
+#: ~1.0-1.08x (BENCH history r10-r13).
+WARM_RATIO = 1.10
 
 
-def median_loadavg(local: dict) -> float:
-    vals = sorted(local["loadavg"].values())
-    if not vals:
-        return 0.0
-    return float(vals[len(vals) // 2])
+def shared_row_ratio(local: dict, prior: dict) -> tuple[float, int]:
+    """(sum(new)/sum(prior) over shared rows, #shared). A tiny shared
+    set (registry churn) yields (1.0, n) — no basis to refuse."""
+    shared = set(local["queries"]) & set(prior.get("queries", {}))
+    if len(shared) < 10:
+        return 1.0, len(shared)
+    snew = sum(local["queries"][q] for q in shared)
+    sold = sum(prior["queries"][q] for q in shared)
+    return (snew / sold if sold else 1.0), len(shared)
 
 
 def build_claim(local: dict, note: str) -> dict:
@@ -74,7 +83,8 @@ def merge_min(local: dict, prior: dict, note: str) -> dict:
     claim: rows in both keep the cooler (smaller best-of-3) sample —
     with its own median3/loadavg so the claim's attribution stays
     consistent per row — new rows come from the new run, rows gone
-    from the new run are dropped (the registry defines the set)."""
+    from the new run are dropped (the registry defines the set).
+    Only valid within a fixture generation (one round)."""
     queries: dict[str, float] = {}
     median3: dict[str, float] = {}
     loadavg: dict[str, float] = {}
@@ -115,29 +125,34 @@ def main(argv: list[str]) -> None:
         raise SystemExit(
             f"refusing to claim an incomplete run: {local['errors']}"
         )
-    med_la = median_loadavg(local)
     claim_path = os.path.join(ROOT, "BENCH_CLAIM.json")
-    if do_merge and os.path.exists(claim_path):
+    prior = None
+    if os.path.exists(claim_path):
         with open(claim_path) as fh:
             prior = json.load(fh)
+    if do_merge and prior is not None:
         claim = merge_min(local, prior, note)
-    elif med_la > WARM_LOADAVG:
-        raise SystemExit(
-            f"refusing to claim a WARM run (median per-query loadavg "
-            f"{med_la:.2f} > {WARM_LOADAVG}): the committed headline "
-            "must be the coolest available run (VERDICT r12 next #4). "
-            "Re-run bench.py on an idle host, or pass --merge-min to "
-            "fold only genuinely-improved/new rows into the prior "
-            "cooler claim."
-        )
     else:
+        ratio, n_shared = (
+            shared_row_ratio(local, prior) if prior else (1.0, 0)
+        )
+        if ratio > WARM_RATIO:
+            raise SystemExit(
+                f"refusing to claim a WARM run: shared-row sum is "
+                f"{ratio:.3f}x the prior claim over {n_shared} rows "
+                f"(> {WARM_RATIO}) — the committed headline must be "
+                "the coolest available run (VERDICT r12 next #4). "
+                "Re-run bench.py on an idle host, or pass --merge-min "
+                "to fold only genuinely-improved/new rows into the "
+                "prior claim (same fixture generation only)."
+            )
         claim = build_claim(local, note)
     with open(claim_path, "w") as fh:
         json.dump(claim, fh, indent=1)
     print(
         f"BENCH_CLAIM.json: {claim['value']}s best-of-3 "
         f"({claim['value_median3']}s median3) over {claim['n_queries']} "
-        f"queries (run median loadavg {med_la:.2f})"
+        "queries"
     )
 
 

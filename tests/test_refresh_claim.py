@@ -1,14 +1,16 @@
 """Cool-host claim discipline (VERDICT r12 next #4 / ADVICE r12
 medium): the committed BENCH_CLAIM.json must be the coolest available
-run — refresh_claim refuses a warm run outright, and --merge-min
-folds only genuinely-improved or new rows into the prior claim."""
+run. The guard signal is the shared-row sum ratio against the prior
+claim (loadavg does NOT separate warm from cool — the committed
+history shows the cool r12 close at median loadavg 4.35 vs the warm
+one's 3.63); --merge-min folds only genuinely-improved or new rows
+into the prior claim."""
 
 from __future__ import annotations
 
 import importlib.util
 import json
 import os
-import sys
 
 import pytest
 
@@ -34,28 +36,49 @@ def _run(queries, median3=None, loadavg=None, errors=None):
     return d
 
 
-def test_median_loadavg():
-    local = _run({"a": 1.0, "b": 2.0, "c": 3.0}, loadavg={"a": 0.5, "b": 3.0, "c": 6.0})
-    assert rc.median_loadavg(local) == 3.0
+def _many(scale: float, n: int = 12) -> dict:
+    return {f"q{i}": round(scale * (1 + i / 10), 4) for i in range(n)}
+
+
+def test_shared_row_ratio():
+    prior = rc.build_claim(_run(_many(1.0)), "prior")
+    ratio, n = rc.shared_row_ratio(_run(_many(1.2)), prior)
+    assert n == 12 and abs(ratio - 1.2) < 1e-6
+    # tiny shared set -> no basis to refuse
+    ratio, n = rc.shared_row_ratio(_run({"a": 9.0}), prior)
+    assert (ratio, n) == (1.0, 0)
 
 
 def test_warm_run_refused(tmp_path, monkeypatch):
     monkeypatch.setattr(rc, "ROOT", str(tmp_path))
-    local = _run({"a": 1.0}, loadavg={"a": 5.0})
-    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    prior = rc.build_claim(_run(_many(1.0)), "prior cool close")
+    (tmp_path / "BENCH_CLAIM.json").write_text(json.dumps(prior))
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(_run(_many(1.2))))
     with pytest.raises(SystemExit, match="WARM"):
         rc.main(["note"])
-    assert not (tmp_path / "BENCH_CLAIM.json").exists()
+    # the prior (cool) claim survives untouched
+    assert json.loads((tmp_path / "BENCH_CLAIM.json").read_text()) == prior
 
 
 def test_cool_run_claimed(tmp_path, monkeypatch):
     monkeypatch.setattr(rc, "ROOT", str(tmp_path))
-    local = _run({"a": 1.0, "b": 2.0}, loadavg={"a": 0.5, "b": 1.5})
+    prior = rc.build_claim(_run(_many(1.0)), "prior")
+    (tmp_path / "BENCH_CLAIM.json").write_text(json.dumps(prior))
+    local = _run(_many(1.05))  # within the noise band
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    rc.main(["note"])
+    claim = json.loads((tmp_path / "BENCH_CLAIM.json").read_text())
+    assert claim["value"] == local["value"]
+    assert claim["n_queries"] == 12
+
+
+def test_first_claim_has_no_prior_to_compare(tmp_path, monkeypatch):
+    monkeypatch.setattr(rc, "ROOT", str(tmp_path))
+    local = _run({"a": 1.0, "b": 2.0})
     (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
     rc.main(["note"])
     claim = json.loads((tmp_path / "BENCH_CLAIM.json").read_text())
     assert claim["value"] == 3.0
-    assert claim["n_queries"] == 2
 
 
 def test_incomplete_run_refused(tmp_path, monkeypatch):
@@ -98,7 +121,7 @@ def test_merge_min_keeps_cooler_rows_adds_new_drops_stale(tmp_path, monkeypatch)
 
 def test_merge_min_without_prior_claims_fresh(tmp_path, monkeypatch):
     monkeypatch.setattr(rc, "ROOT", str(tmp_path))
-    local = _run({"a": 1.0}, loadavg={"a": 0.5})
+    local = _run({"a": 1.0})
     (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
     rc.main(["--merge-min", "note"])
     claim = json.loads((tmp_path / "BENCH_CLAIM.json").read_text())
