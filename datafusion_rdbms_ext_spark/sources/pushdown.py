@@ -841,6 +841,7 @@ def transparent_semijoin(
     partitions: int = 1,
     partition_key: str | None = None,
     max_keys: int | None = None,
+    spill: bool = True,
 ) -> tuple[DataFrame, str] | None:
     """TRANSPARENT SDD-1 semi-join reduction (VERDICT r12 next #2):
     when ``df``'s analyzed plan is a local equi-(semi-)join between a
@@ -853,20 +854,25 @@ def transparent_semijoin(
 
     Returns ``(rewritten_df, reduced_remote_sql)`` so tests can pin
     the wire shape, or ``None`` (caller falls through to the
-    unrewritten plan) when the plan isn't the supported shape, the
-    key set exceeds the inline cap, or the remote rejects the SQL.
-    The local join is RETAINED above the reduced scan, so the
-    rewrite is a bandwidth optimization, never a correctness
-    dependency — exactly like Bloom-filter pushdown in shuffle
-    joins.
+    unrewritten plan) when the plan isn't the supported shape or the
+    remote rejects the SQL. The local join is RETAINED above the
+    reduced scan, so the rewrite is a bandwidth optimization, never
+    a correctness dependency — exactly like Bloom-filter pushdown
+    in shuffle joins.
+
+    Above the inline cap the COMPLETE key set spills as a staged
+    parquet side table the remote reads (``spill=True``, the same
+    bulk key shipment as federated_semijoin_scan — exact at ANY
+    build size, O(1) driver memory); ``spill=False`` falls through
+    instead. Either way the transparent path never ships a
+    truncated IN-list.
 
     Scale: at 100 TB the remote link is the bottleneck of a
-    federated join; a few thousand key bytes outbound replace
-    millions of non-matching rows inbound, and the rewrite composes
-    with key-range partition planning (each fetch task ANDs its
-    range onto the reduced scan). Above the cap the honest move is
-    the explicit API's bulk key shipment (side-table spill) — the
-    transparent path never silently ships an incomplete list."""
+    federated join; a few thousand key bytes outbound (or a staged
+    side table above the cap) replace millions of non-matching rows
+    inbound, and the rewrite composes with key-range partition
+    planning (each fetch task ANDs its range onto the reduced
+    scan)."""
     from .federation import (
         SEMIJOIN_MAX_KEYS,
         _fetch_partitioned,
@@ -935,7 +941,23 @@ def transparent_semijoin(
     ]
     reduction = semijoin_in_predicate(fed_key, vals, max_keys)
     if reduction is None:
-        return None  # above the inline cap: fall through, stay exact
+        if not spill:
+            return None  # above the inline cap: fall through, exact
+        # bulk key shipment (the explicit API's spill form): the
+        # COMPLETE distinct key set stages as a distributed-written
+        # parquet side table the remote reads — no driver collect
+        import os as _os
+
+        from .federation import _semijoin_stage_dir
+
+        stage = _semijoin_stage_dir()
+        local_df.select(
+            F.col(local_key).alias(fed_key)
+        ).distinct().write.mode("overwrite").parquet(stage)
+        glob = _os.path.join(stage, "*.parquet")
+        reduction = (
+            f"{fed_key} IN (SELECT {fed_key} FROM read_parquet('{glob}'))"
+        )
     reduced_sql = f"SELECT * FROM ({fed_sql}) _sjr WHERE {reduction}"
     try:
         schema = describe_schema(u.sf_dir, reduced_sql)
@@ -1147,9 +1169,12 @@ def fed_transparent_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a sorted capped IN-list, and rebuilds the same local "
     "semi-join above the reduced scan — the reference's "
     "try-rewrite-else-fall-through contract (optimizer.rs:14-39) "
-    "applied to its classic missing optimization. The explicit-API "
-    "twin is federated_semijoin_scan; value-identity to the "
-    "unrewritten plan and the above-cap fall-through are pinned in "
+    "applied to its classic missing optimization. Above the inline "
+    "cap the COMPLETE key set spills as a staged parquet side table "
+    "(the explicit API's bulk shipment — never a truncated "
+    "IN-list). The explicit-API twin is federated_semijoin_scan; "
+    "value-identity to the unrewritten plan, the spill wire shape, "
+    "and the spill=False fall-through are pinned in "
     "tests/test_federation_pushdown.py.",
     tags=("federation", "pushdown", "bench"),
 )

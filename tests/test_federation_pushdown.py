@@ -346,15 +346,24 @@ def test_transparent_semijoin_inner_fed_right_value_identity(spark):
     )
 
 
-def test_transparent_semijoin_falls_through_above_cap(spark):
-    """Above the inline key cap the transparent path must fall
-    through (never ship a truncated IN-list); transparent_pushdown
-    then hands back the original DataFrame."""
+def test_transparent_semijoin_spills_above_cap_and_stays_exact(spark):
+    """Above the inline key cap the transparent path ships the
+    COMPLETE key set as a staged parquet side table (the explicit
+    API's spill form) — never a truncated IN-list — and the result
+    stays row-identical; with spill disabled it falls through."""
     from datafusion_rdbms_ext_spark.sources.pushdown import (
         transparent_semijoin,
     )
 
-    assert transparent_semijoin(_semijoin_case(spark), max_keys=0) is None
+    df = _semijoin_case(spark)
+    assert transparent_semijoin(df, max_keys=0, spill=False) is None
+    hit = transparent_semijoin(df, max_keys=0)
+    assert hit is not None
+    out, sql = hit
+    assert "read_parquet(" in sql and " IN (SELECT " in sql
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
 
 
 def test_transparent_semijoin_no_spark_side_fed_full_scan(spark):
