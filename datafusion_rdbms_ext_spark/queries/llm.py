@@ -5615,16 +5615,22 @@ def _level_seed(lvl: int) -> str:
     return "treeseed" if lvl == 2 else f"treeseed{lvl}"
 
 
-def tree_cells_deep(
+def tree_index_deep(
     spark: SparkSession,
     branching: tuple[int, ...] | list[int],
     seed1: str = "ivfseed",
     pack: int | None = None,
-) -> DataFrame:
-    """(vec_id, cell): leaf assignment under a depth-``len(branching)``
-    b-ary tree quantizer; ``cell`` is the packed root-to-leaf path
-    (base ``_TREE_PACK`` per level), so ``cell div _TREE_PACK**(L-1)``
-    recovers the level-1 cell.
+    nprobe: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``(assignment, probes)`` under a depth-``len(branching)``
+    b-ary tree quantizer: assignment is (vec_id, cell) where ``cell``
+    is the packed root-to-leaf path (base ``pack`` per level, so
+    ``cell div pack**(L-1)`` recovers the level-1 cell); when
+    ``nprobe`` is set, probes carries each member's ``nprobe``
+    nearest LEAF subcells within its depth-(L-1) prefix as packed
+    keys (the tree_mp recall knob generalized to depth — upper
+    levels stay single-assigned, so probing multiplies pair work by
+    nprobe, never by fan-out).
 
     Scale: level 1 is the flat broadcast-centroid Lloyd's; every
     deeper level is ONE keyed chain over the packed prefix —
@@ -5657,11 +5663,24 @@ def tree_cells_deep(
         .select(F.col("cid").cast("long").alias("cell"), "vec_id", "eq")
         .localCheckpoint()
     )
+    probes: DataFrame | None = None
     for lvl, b in enumerate(branching[1:], start=2):
         cents = _seed_keyed(vecs, b, _level_seed(lvl))
         for _ in range(_IVF_ITERS):
             cents = _update_keyed(_assign_keyed(vecs, cents))
         cents = cents.localCheckpoint()
+        if nprobe is not None and lvl == len(branching):
+            probes = (
+                _probe_keyed(vecs, cents, nprobe)
+                .select(
+                    "vec_id",
+                    (
+                        F.col("cell") * F.lit(pack).cast("long")
+                        + F.col("subcell").cast("long")
+                    ).alias("cell"),
+                )
+                .localCheckpoint()
+            )
         vecs = (
             _assign_keyed(vecs, cents)
             .select(
@@ -5674,7 +5693,18 @@ def tree_cells_deep(
             )
             .localCheckpoint()
         )
-    return vecs.select("vec_id", "cell")
+    return vecs.select("vec_id", "cell"), probes
+
+
+def tree_cells_deep(
+    spark: SparkSession,
+    branching: tuple[int, ...] | list[int],
+    seed1: str = "ivfseed",
+    pack: int | None = None,
+) -> DataFrame:
+    """(vec_id, cell): the single-assignment view of
+    :func:`tree_index_deep` (see there for the scale notes)."""
+    return tree_index_deep(spark, branching, seed1, pack)[0]
 
 
 def _sql_keyed_level(lvl: int, b: int, src: str, out: str) -> str:
@@ -5841,6 +5871,137 @@ def semdedup_prune_tree_deep(
         "cell",
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
+    )
+    cos = _dot(F.col("a_emb"), F.col("embedding")) / (
+        F.col("a_nrm") * F.col("nrm")
+    )
+    pruned = (
+        a.join(base, ["cell"])
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        base.join(pruned, "vec_id", "left")
+        .groupBy(F.expr(f"cell div {pack}").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_pruned").alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count("is_pruned"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _sql_tree_deep_probes(branching: tuple[int, ...], nprobe: int) -> str:
+    """DuckDB CTE for the deep tree's LEAF-level multi-probe (mirror
+    of :func:`tree_index_deep` with ``nprobe``): each vector's
+    ``nprobe`` nearest leaf subcells of its own depth-(L-1) prefix's
+    trained sub-index, as packed keys — same integer distance and
+    (dist, cid) tie-break. Composes AFTER :func:`_sql_tree_deep_cells`
+    (reuses its final level's source and trained-centroid CTEs).
+    Target: ``deep_probes (vec_id, key)``."""
+    lvl = len(branching)
+    src = f"d{lvl - 1}_out" if lvl > 2 else "d1_out"
+    cents = f"d{lvl}_cent{_IVF_ITERS}"
+    return f"""
+    deep_probes AS (
+      SELECT vec_id, key * {_TREE_PACK} + cid AS key FROM (
+        SELECT e.vec_id, e.key, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, c.cid) AS rk
+        FROM {src} e JOIN {cents} c ON c.key = e.key) WHERE rk <= {nprobe}
+    )"""
+
+
+@register(
+    "llm_semdedup_tree_deep_mp",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(k=_TREE_D3_B[0])},
+    {_sql_tree_deep_cells(_TREE_D3_B)},
+    {_sql_tree_deep_probes(_TREE_D3_B, _SEM_NPROBE)},
+    base AS (SELECT b.vec_id, dc.key, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN deep_cells dc ON dc.vec_id = b.vec_id),
+    q AS (SELECT p.vec_id AS q_id, p.key, b.embedding AS q_emb,
+                 b.nrm AS q_nrm
+          FROM deep_probes p JOIN base b ON b.vec_id = p.vec_id),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM q JOIN base b ON b.key = q.key AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )
+    SELECT base.key // {_TREE_PACK ** (len(_TREE_D3_B) - 1)} AS cell,
+           COUNT(*) AS n_vecs,
+           COUNT(pruned.vec_id) AS n_pruned,
+           CAST(COUNT(*) - COUNT(pruned.vec_id) AS BIGINT) AS n_kept
+    FROM base LEFT JOIN pruned ON pruned.vec_id = base.vec_id
+    GROUP BY cell
+    ORDER BY cell
+    """,
+    doc="Multi-probe depth-3 tree SemDeDup (round 13, beyond the "
+    "asked items): the recall knob of the recommended log-depth "
+    "deploy shape — the query side probes its 2 nearest LEAF "
+    "subcells within its depth-2 prefix (upper levels stay "
+    "single-assigned, so pair work multiplies by nprobe, never by "
+    "fan-out), recovering near-dup pairs a leaf Voronoi boundary "
+    "splits. The oracle re-runs the partitioned keyed chains AND "
+    "the leaf probe rank in SQL.",
+    tags=("llm", "dedup", "similarity", "bench"),
+)
+def llm_semdedup_tree_deep_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned depth-3/nprobe gate configuration;
+    `semdedup_prune_tree_deep_mp` is the self-scaling entry."""
+    return semdedup_prune_tree_deep_mp(spark, branching=_TREE_D3_B)
+
+
+def semdedup_prune_tree_deep_mp(
+    spark: SparkSession,
+    branching: tuple[int, ...] | list[int] | None = None,
+    target: int = 64,
+    fanout: int = 8,
+    nprobe: int = _SEM_NPROBE,
+    tau: float = _SEMDEDUP_TAU,
+) -> DataFrame:
+    """Depth-b tree SemDeDup with leaf-level multi-probe — the
+    recall knob on the occupancy-capped log-depth shape
+    (``branching=None`` derives depth as in
+    :func:`semdedup_prune_tree_deep`, packing at fanout+1).
+
+    Scale: probing the LAST level only keeps pair work at
+    O(N * nprobe * target) — the expansion is map-side against the
+    per-prefix broadcast leaf-centroid arrays; the pair join stays
+    bucketed on the packed leaf key; DISTINCT absorbs multi-probe
+    duplication."""
+    pack_base = _TREE_PACK
+    if branching is None:
+        import math
+
+        n = spark.table("embeddings").count()
+        depth = max(2, math.ceil(math.log(max(n / target, 2), fanout)))
+        branching = (fanout,) * depth
+        pack_base = fanout + 1
+    asg, probes = tree_index_deep(
+        spark, branching, pack=pack_base, nprobe=nprobe
+    )
+    pack = pack_base ** (len(branching) - 1)
+    base = (
+        _vectors_with_norm(spark)
+        .join(asg, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+        .localCheckpoint()
+    )
+    a = (
+        base.select("vec_id", "embedding", "nrm")
+        .join(probes, "vec_id")
+        .select(
+            F.col("vec_id").alias("a_id"),
+            "cell",
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
     )
     cos = _dot(F.col("a_emb"), F.col("embedding")) / (
         F.col("a_nrm") * F.col("nrm")

@@ -893,14 +893,29 @@ def transparent_semijoin(
         return None  # outer joins need unmatched rows the reduction drops
     if not node.condition().isDefined():
         return None
-    cond = node.condition().get()
-    if cond.getClass().getSimpleName() != "EqualTo":
+
+    # flatten the condition into equality conjuncts (EqualTo, or an
+    # And-tree of EqualTo between plain attributes — the round-13
+    # widening); anything else falls through
+    def _equalities(c) -> list | None:
+        nm2 = c.getClass().getSimpleName()
+        if nm2 == "And":
+            left = _equalities(c.left())
+            right = _equalities(c.right())
+            if left is None or right is None:
+                return None
+            return left + right
+        if nm2 == "EqualTo":
+            if any(
+                e.getClass().getSimpleName() != "AttributeReference"
+                for e in (c.left(), c.right())
+            ):
+                return None
+            return [(c.left(), c.right())]
         return None
-    l_expr, r_expr = cond.left(), cond.right()
-    if any(
-        e.getClass().getSimpleName() != "AttributeReference"
-        for e in (l_expr, r_expr)
-    ):
+
+    eqs = _equalities(node.condition().get())
+    if not eqs:
         return None
     kinds = {"left": _side_kind(node.left()), "right": _side_kind(node.right())}
     if sorted(kinds.values()) != ["fed", "local"]:
@@ -913,13 +928,19 @@ def transparent_semijoin(
         return {a.exprId().id(): a.name() for a in _seq(n.output())}
 
     fed_ids, local_ids = _out_ids(fed_node), _out_ids(local_node)
-    lid, rid = l_expr.exprId().id(), r_expr.exprId().id()
-    if lid in fed_ids and rid in local_ids:
-        fed_key, local_key = fed_ids[lid], local_ids[rid]
-    elif rid in fed_ids and lid in local_ids:
-        fed_key, local_key = fed_ids[rid], local_ids[lid]
-    else:
-        return None  # condition doesn't straddle the two sides
+    pairs: list[tuple[str, str]] = []  # (fed_key, local_key) per conjunct
+    for l_expr, r_expr in eqs:
+        lid, rid = l_expr.exprId().id(), r_expr.exprId().id()
+        if lid in fed_ids and rid in local_ids:
+            pairs.append((fed_ids[lid], local_ids[rid]))
+        elif rid in fed_ids and lid in local_ids:
+            pairs.append((fed_ids[rid], local_ids[lid]))
+        else:
+            return None  # a conjunct doesn't straddle the two sides
+    # the reduction ships the FIRST key pair (exact either way — the
+    # retained local join re-applies the full conjunction; extra keys
+    # would tighten the remote filter, not fix correctness)
+    fed_key, local_key = pairs[0]
 
     u = _Unparser()
     try:
@@ -968,14 +989,18 @@ def transparent_semijoin(
         limited=False,
     )
     how = "inner" if jt == "INNER" else "left_semi"
+    cond = None
+    for fk, lk in pairs:
+        c = (
+            reduced[fk] == local_df[lk]
+            if fed_on_left
+            else local_df[lk] == reduced[fk]
+        )
+        cond = c if cond is None else (cond & c)
     if fed_on_left:
-        out = reduced.join(
-            local_df, reduced[fed_key] == local_df[local_key], how
-        )
+        out = reduced.join(local_df, cond, how)
     else:
-        out = local_df.join(
-            reduced, local_df[local_key] == reduced[fed_key], how
-        )
+        out = local_df.join(reduced, cond, how)
     if out.schema != df.schema:
         return None  # never substitute a drifted shape
     return out, reduced_sql

@@ -204,6 +204,7 @@ QUERIES = (
     # below), and the transparent semi-join whose key collect +
     # IN-list compile must not degrade as the build side grows.
     "llm_semdedup_tree_deep",
+    "llm_semdedup_tree_deep_mp",
     "fed_transparent_semijoin",
 )
 
@@ -240,6 +241,9 @@ def _extra_probes():
         # milliseconds while the top-C scan carries the growth)
         "semdedup_tree_deep_default": lambda spark, sf: (
             llm.semdedup_prune_tree_deep(spark)
+        ),
+        "semdedup_tree_deep_mp_default": lambda spark, sf: (
+            llm.semdedup_prune_tree_deep_mp(spark)
         ),
         "semdedup_sharded_mpb_default": lambda spark, sf: (
             llm.semdedup_prune_sharded_mp(spark, nprobe1=2)

@@ -346,6 +346,37 @@ def test_transparent_semijoin_inner_fed_right_value_identity(spark):
     )
 
 
+def test_transparent_semijoin_multi_key_conjunction(spark):
+    """Round-13 widening: an AND of plain-attribute equalities is
+    accepted — the reduction ships the FIRST key pair (exact either
+    way: the retained local join re-applies the full conjunction)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_semijoin,
+    )
+
+    fed = _fed_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    local = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select(
+        F.col("s_suppkey").alias("k"), F.col("s_nationkey").alias("n")
+    )
+    j = fed.join(
+        local,
+        (fed["c_custkey"] == local["k"]) & (fed["c_nationkey"] == local["n"]),
+        "inner",
+    )
+    hit = transparent_semijoin(j)
+    assert hit is not None
+    out, sql = hit
+    assert "c_custkey IN (" in sql
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, j.collect())
+    )
+
+
 def test_transparent_semijoin_spills_above_cap_and_stays_exact(spark):
     """Above the inline key cap the transparent path ships the
     COMPLETE key set as a staged parquet side table (the explicit

@@ -164,6 +164,8 @@ def test_broadcast_hints_only_on_fixed_dims():
             "p_sh.agg(", "agree.agg(", "p_mp.agg(", "agree_mp.agg(",
             "p_tree.agg(", "agree_tree.agg(",
             "p_tree_mp.agg(", "agree_tree_mp.agg(",
+            # r13 both-levels-probed design: same 1-row readouts
+            "p_mpb.agg(", "agree_mpb.agg(",
             # dedup evaluation: the two 1-row pair-set counts.
             "n_l", "n_e",
             # BPE apply: the word -> token-count map is VOCABULARY-

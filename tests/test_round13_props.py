@@ -91,6 +91,25 @@ def test_tree_deep_leaf_occupancy_within_pack_bounds(spark):
         assert 1 <= c3 <= branching[2]
 
 
+def test_tree_deep_mp_dominates_probe1(spark):
+    """Leaf probe 1 IS the assignment, so the deep tree's probe=1
+    pruned counts are dominated per-cell by the probe=2 form."""
+    _tables(spark)
+    p1 = {
+        r["cell"]: r["n_pruned"]
+        for r in REGISTRY["llm_semdedup_tree_deep"].fn(spark, SF_DIR).collect()
+    }
+    p2 = {
+        r["cell"]: r["n_pruned"]
+        for r in REGISTRY["llm_semdedup_tree_deep_mp"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(p1) == set(p2)
+    assert all(p2[c] >= p1[c] for c in p1)
+    assert sum(p2.values()) > sum(p1.values())  # non-vacuous on the fixture
+
+
 def test_shard_eval_mpb_dominates_mp(spark):
     """Level-1 probing only ADDS probe pairs over the level-2-only
     multi-probe (probe 1 of level 1 IS the assignment), so the
