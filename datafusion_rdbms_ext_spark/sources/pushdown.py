@@ -884,9 +884,36 @@ def transparent_semijoin(
         max_keys = SEMIJOIN_MAX_KEYS
     spark = df.sparkSession
     node = df._jdf.queryExecution().analyzed()
-    while node.getClass().getSimpleName() == "SubqueryAlias":
-        node = node.child()
-    if node.getClass().getSimpleName() != "Join":
+    # Peel a replayable prefix above the join (round 13): real plans
+    # rarely end AT the join — users project/filter above it. A
+    # Project of plain attributes (pure subset/reorder) replays as
+    # select-by-name; a Filter replays via its rendered SQL. Each
+    # replayed op is the ORIGINAL operator re-applied in its
+    # original position on a value-identical join, and any replay
+    # failure (ambiguous name, unparseable expression) falls through
+    # to the unrewritten plan.
+    replay: list[tuple[str, object]] = []
+    while True:
+        nm = node.getClass().getSimpleName()
+        if nm == "SubqueryAlias":
+            node = node.child()
+            continue
+        if nm == "Project":
+            exprs = _seq(node.projectList())
+            if not all(
+                e.getClass().getSimpleName() == "AttributeReference"
+                for e in exprs
+            ):
+                return None  # computed projections: not replayable
+            replay.append(("select", [e.name() for e in exprs]))
+            node = node.child()
+            continue
+        if nm == "Filter":
+            replay.append(("filter", node.condition().sql()))
+            node = node.child()
+            continue
+        break
+    if nm != "Join":
         return None
     jt = node.joinType().sql()
     if jt not in ("INNER", "LEFT SEMI"):
@@ -1001,6 +1028,14 @@ def transparent_semijoin(
         out = reduced.join(local_df, cond, how)
     else:
         out = local_df.join(reduced, cond, how)
+    try:
+        for op, arg in reversed(replay):
+            if op == "select":
+                out = out.select(*arg)
+            else:
+                out = out.filter(F.expr(arg))
+    except Exception:
+        return None  # unreplayable prefix — fall through
     if out.schema != df.schema:
         return None  # never substitute a drifted shape
     return out, reduced_sql

@@ -346,6 +346,46 @@ def test_transparent_semijoin_inner_fed_right_value_identity(spark):
     )
 
 
+def test_transparent_semijoin_replays_project_filter_prefix(spark):
+    """Round-13 widening: a Project (plain attributes) / Filter
+    prefix ABOVE the join is peeled, the join is reduced, and the
+    prefix replays in its original order — value-identical."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        transparent_semijoin,
+    )
+
+    j = _semijoin_case(spark, how="inner")
+    df = j.filter(F.col("o_totalprice") > 50_000.0).select(
+        "o_orderpriority", "o_totalprice"
+    )
+    hit = transparent_semijoin(df)
+    assert hit is not None
+    out, sql = hit
+    assert "o_custkey IN (" in sql
+    assert out.columns == ["o_orderpriority", "o_totalprice"]
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_transparent_semijoin_computed_projection_falls_through(spark):
+    """A computed projection above the join is NOT replayable — the
+    rewriter must fall through rather than guess at expression
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        transparent_semijoin,
+    )
+
+    df = _semijoin_case(spark, how="inner").select(
+        (F.col("o_totalprice") * 2).alias("double_price")
+    )
+    assert transparent_semijoin(df) is None
+
+
 def test_transparent_semijoin_multi_key_conjunction(spark):
     """Round-13 widening: an AND of plain-attribute equalities is
     accepted — the reduction ships the FIRST key pair (exact either
