@@ -178,7 +178,7 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: round 13 is driver-proven (332/332 cumulative after the r12 gate,
 #: VERDICT r12 recomputed it as exact set equality; the doc-sync
 #: guard re-verifies mechanically).
-#: ROUND-13 ROTATION (VERDICT r12 next #1): 3 sentinels, the three
+#: ROUND-13 ROTATION (VERDICT r12 next #1): 3 sentinels, the four
 #: round-13 additions (first-time proof in their own round), three
 #: changed-plan re-proofs (shard_eval grew the both-levels-probed
 #: recall columns; llm_select_mmr gained the zero-norm guard filter
@@ -193,9 +193,10 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: standing every-subsystem-in-50 invariant
 #: (tests/test_registry_order.py) holds; olap and stream stay
 #: covered by olap_trajectory_topk and stream_cms_event_types. The
-#: 11 d6 tail rows (llm_dedup_onion was displaced by the third
-#: addition, llm_semdedup_tree_deep_mp) stay in the local gate and
-#: lead the r14 backfill.
+#: 12 d6 tail rows (llm_dedup_onion and llm_index_lookup were
+#: displaced by the third and fourth additions,
+#: llm_semdedup_tree_deep_mp and llm_select_kcenter) stay in the
+#: local gate and lead the r14 backfill.
 _PRIORITY: tuple[str, ...] = (
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
@@ -205,6 +206,7 @@ _PRIORITY: tuple[str, ...] = (
     "fed_transparent_semijoin",
     "llm_semdedup_tree_deep",
     "llm_semdedup_tree_deep_mp",
+    "llm_select_kcenter",
     # -- changed-plan re-proofs (see the rotation note above)
     "llm_semdedup_shard_eval",
     "llm_select_mmr",
@@ -248,7 +250,6 @@ _PRIORITY: tuple[str, ...] = (
     "llm_bm25_search",
     "llm_curriculum_batches",
     "llm_stratified_sample",
-    "llm_index_lookup",
     "olap_trajectory_topk",
     "mm_resize_pool",
     "stream_cms_event_types",

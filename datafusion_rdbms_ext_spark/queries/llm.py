@@ -10121,3 +10121,119 @@ def mmr_select(
     return spark.createDataFrame(
         out, "rk bigint, vec_id bigint, rel_ppm bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# 23. K-CENTER GREEDY (farthest-point sampling) — round 13. The
+#     coreset-selection face of diversity: where MMR picks k results
+#     NEAR a query but mutually diverse, k-center picks k points
+#     that COVER the corpus (Gonzalez 1985: each pick is the point
+#     farthest from the selected set; the resulting max-min radius
+#     is a 2-approximation of the optimal k-center cover) — the
+#     classic seed-selection / coreset / eval-set-construction
+#     primitive for training-data pipelines.
+#
+#     Cross-engine exactness: distances are exact integer squared-L2
+#     over the _IVF_SCALE quantization (the k-means discipline), so
+#     every argmax — and therefore the whole greedy order — is
+#     bit-equal across engines; ties break on the smaller vec_id.
+# ---------------------------------------------------------------------------
+_KC_K = 8  # selected set size (pinned for the oracle)
+
+_SQL_KC_D2 = (
+    f"list_sum(list_transform(range(1, {_IVF_DIM + 1}),"
+    " i -> (e.eq[i]-p.eq[i])*(e.eq[i]-p.eq[i])))"
+)
+
+
+@register(
+    "llm_select_kcenter",
+    oracle=f"""
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    seed AS (SELECT MIN(vec_id) AS vec_id FROM eq),
+    sel AS (
+      WITH RECURSIVE s AS (
+        SELECT 1 AS rk, (SELECT vec_id FROM seed) AS picked_id,
+               CAST(0 AS BIGINT) AS d2,
+               [(SELECT vec_id FROM seed)] AS picked
+        UNION ALL
+        SELECT s.rk + 1, pick.vec_id, pick.d2,
+               list_append(s.picked, pick.vec_id)
+        FROM s, LATERAL (
+          SELECT t.vec_id, t.d2 FROM (
+            SELECT e.vec_id AS vec_id, MIN({_SQL_KC_D2}) AS d2
+            FROM eq e JOIN eq p ON list_contains(s.picked, p.vec_id)
+            WHERE NOT list_contains(s.picked, e.vec_id)
+            GROUP BY e.vec_id) t
+          ORDER BY t.d2 DESC, t.vec_id LIMIT 1
+        ) pick
+        WHERE s.rk < {_KC_K}
+      )
+      SELECT rk, picked_id, d2 FROM s
+    )
+    SELECT CAST(rk AS BIGINT) AS rk,
+           CAST(picked_id AS BIGINT) AS vec_id,
+           CAST(d2 AS BIGINT) AS d2
+    FROM sel ORDER BY rk
+    """,
+    doc="K-center greedy / farthest-point sampling (Gonzalez 1985, "
+    "2-approximation of the optimal k-center cover): each pick is "
+    "the corpus point FARTHEST from the selected set — the coreset/"
+    "seed-selection primitive beside MMR's query-anchored "
+    "diversity. Exact integer squared-L2 over the k-means "
+    "quantization, ties on vec_id; the DuckDB oracle re-runs the "
+    "whole greedy as a recursive CTE over the same integers.",
+    tags=("llm", "selection", "similarity", "bench"),
+)
+def llm_select_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned k gate configuration; `kcenter_select` is the
+    self-scaling entry."""
+    return kcenter_select(spark)
+
+
+def kcenter_select(spark: SparkSession, k: int = _KC_K) -> DataFrame:
+    """(rk, vec_id, d2): k cover points; d2 is the pick's exact
+    squared quantized distance to the previously-selected set (0 for
+    the seed) — the non-increasing coverage-radius trace.
+
+    Scale: each of the k-1 steps is ONE map-side pass — every vector
+    computes min-d2 against the BROADCAST selected set (<= k vectors
+    of dims ints) and a TakeOrdered(1) picks the argmax; no shuffle
+    grows with N, no pair materialization, driver state is k rows.
+    k passes over the corpus is the textbook distributed
+    farthest-point sampling; at 100 TB pick k per partition-sample
+    first if k itself grows (composable, not needed at gate k)."""
+    eq = spark.table("embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _IVF_SCALE).cast("long"),
+        ).alias("eq"),
+    ).localCheckpoint()
+    seed = eq.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(1, int(seed["vec_id"]), 0)]
+    sel_vecs = [seed["eq"]]
+    while len(picked) < k:
+        sel_arr = F.array(*[
+            F.array(*[F.lit(int(v)).cast("long") for v in s])
+            for s in sel_vecs
+        ])
+        md = F.array_min(
+            F.transform(sel_arr, lambda s: _l2q(F.col("eq"), s))
+        )
+        cand = (
+            eq.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+            .select("vec_id", "eq", md.alias("d2"))
+            .orderBy(F.desc("d2"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((len(picked) + 1, int(cand["vec_id"]), int(cand["d2"])))
+        sel_vecs.append(cand["eq"])
+    return spark.createDataFrame(
+        picked, "rk bigint, vec_id bigint, d2 bigint"
+    )

@@ -206,6 +206,9 @@ QUERIES = (
     "llm_semdedup_tree_deep",
     "llm_semdedup_tree_deep_mp",
     "fed_transparent_semijoin",
+    # k-center greedy: k map-side passes against the broadcast
+    # selected set — the probe checks per-pass linearity.
+    "llm_select_kcenter",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate

@@ -147,6 +147,25 @@ def test_mmr_first_pick_is_top_relevance(spark):
     assert rels[0] == max(rels)
 
 
+def test_kcenter_radius_trace_non_increasing_and_covers(spark):
+    """Farthest-point sampling invariants: the selection's d2 trace
+    (squared distance to the previously-selected set) is
+    non-increasing after the seed, picks are distinct, and the seed
+    is the smallest vec_id (the pinned deterministic start)."""
+    from datafusion_rdbms_ext_spark.queries.llm import kcenter_select
+
+    _tables(spark)
+    rows = kcenter_select(spark, k=6).collect()
+    assert rows[0]["rk"] == 1 and rows[0]["d2"] == 0
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    d2s = [r["d2"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d2s, d2s[1:]))
+    # k+1's radius can never exceed k's (prefix property of greedy)
+    rows7 = kcenter_select(spark, k=7).collect()
+    assert [tuple(r) for r in rows7[:6]] == [tuple(r) for r in rows]
+
+
 def test_transparent_semijoin_composes_under_aggregate(spark):
     """The registered gate query (reduction + local agg) must equal
     the fully-local plan with no reduction at all."""
