@@ -66,9 +66,15 @@ def sqlite_db_path(sf_dir: str) -> str:
     ``sf_dir``. The build is atomic: load into a temp file, then
     ``os.replace`` — concurrent planners see either nothing or the
     finished database, never a half-loaded one."""
-    out = os.path.join(
-        tempfile.gettempdir(), f"fed_sqlite_{abs(hash(sf_dir))}.db"
-    )
+    # Deterministic digest, NOT hash(): str hashing is randomized per
+    # Python process, so driver and executors would resolve DIFFERENT
+    # paths — each executor silently rebuilt its own copy of the
+    # remote (round-14 finding: a key table the driver bulk-loaded
+    # for the semi-join spill was invisible to the fetch tasks).
+    import hashlib
+
+    digest = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"fed_sqlite_{digest}.db")
     if os.path.exists(out):
         return out
     tmp = out + f".build{os.getpid()}"

@@ -1057,3 +1057,197 @@ def test_semijoin_agg_pushdown_no_spark_aggregate(spark):
     assert [tuple(r) for r in df.collect()] == [
         tuple(r) for r in sibling.collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the transparent SDD-1 reduction through the dialect seam
+# (SQLite remote), the multi-column spill, and the ADVICE r13
+# fall-through / consistency guarantees.
+# ---------------------------------------------------------------------------
+def _sqlite_semijoin_case(spark, segment_filter=True):
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import _sqlite_table
+
+    fed = _sqlite_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    keys = (
+        spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .filter(F.col("n_regionkey").isin(1, 2))
+        .select("n_nationkey")
+    )
+    return fed.join(
+        keys, fed["c_nationkey"] == keys["n_nationkey"], "left_semi"
+    )
+
+
+def test_sqlite_transparent_semijoin_fires_with_sorted_inlist(spark):
+    """VERDICT r13 next #2: a SQLite-fed mixed plan takes the SAME
+    IN-list reduction as the DuckDB row — the rewrite fires, the
+    remote SQL carries the sorted key list, and the result is
+    value-identical to the unrewritten plan."""
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        transparent_semijoin,
+    )
+
+    df = _sqlite_semijoin_case(spark)
+    hit = transparent_semijoin(df)
+    assert hit is not None
+    out, sql = hit
+    m = re.search(r"c_nationkey IN \(([^)]*)\)", sql)
+    assert m, sql
+    shipped = [int(v) for v in m.group(1).split(",")]
+    assert shipped == sorted(shipped)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_sqlite_transparent_semijoin_spill_bulk_loads_remote_table(spark):
+    """Above the inline cap on the SQLite dialect, the COMPLETE key
+    set bulk-loads INTO a ``_sjk_*`` table of the remote database —
+    the networked engine's COPY-into-temp staging protocol — and the
+    reduced SQL selects from it; spill=False falls through."""
+    import sqlite3
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        transparent_semijoin,
+    )
+    from datafusion_rdbms_ext_spark.sources.sqlite_fed import (
+        sqlite_db_path,
+    )
+
+    df = _sqlite_semijoin_case(spark)
+    assert transparent_semijoin(df, max_keys=0, spill=False) is None
+    hit = transparent_semijoin(df, max_keys=0)
+    assert hit is not None
+    out, sql = hit
+    m = re.search(r"IN \(SELECT c_nationkey FROM (_sjk_\w+)\)", sql)
+    assert m, sql
+    con = sqlite3.connect(sqlite_db_path(SF_DIR))
+    try:
+        staged = {
+            r[0]
+            for r in con.execute(
+                f"SELECT c_nationkey FROM {m.group(1)}"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    expected_keys = {
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .filter("n_regionkey IN (1, 2)")
+        .select("n_nationkey")
+        .collect()
+    }
+    assert staged == expected_keys
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_transparent_semijoin_multikey_spill_ships_all_columns(spark):
+    """VERDICT r13 next #4: the spill side table carries EVERY
+    conjunct key column and the remote ANDs them via a correlated
+    EXISTS — a tighter remote filter than the single-key form, same
+    exactness (value-identity pinned against the unrewritten plan
+    AND against the single-key inline form)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_semijoin,
+    )
+
+    fed = _fed_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    local = spark.read.parquet(f"{SF_DIR}/supplier.parquet").select(
+        F.col("s_suppkey").alias("k"), F.col("s_nationkey").alias("n")
+    )
+    j = fed.join(
+        local,
+        (fed["c_custkey"] == local["k"]) & (fed["c_nationkey"] == local["n"]),
+        "inner",
+    )
+    hit = transparent_semijoin(j, max_keys=0)
+    assert hit is not None
+    out, sql = hit
+    assert "EXISTS (SELECT 1 FROM read_parquet(" in sql, sql
+    assert "_sjk.c_custkey = _sjr.c_custkey" in sql
+    assert "_sjk.c_nationkey = _sjr.c_nationkey" in sql
+    expected = sorted(map(tuple, j.collect()))
+    assert sorted(map(tuple, out.collect())) == expected
+    inline = transparent_semijoin(j)  # single-key inline sibling
+    assert inline is not None
+    assert sorted(map(tuple, inline[0].collect())) == expected
+
+
+def test_transparent_semijoin_ambiguous_local_side_falls_through(spark):
+    """ADVICE r13 #1: a valid-but-odd local side (duplicate column
+    names making select-by-name ambiguous) must FALL THROUGH (None),
+    never raise out of the rewriter — the contract for every edge."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_semijoin,
+    )
+
+    fed = _fed_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    la = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v1")
+    )
+    lb = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v2")
+    )
+    local = la.join(lb, la["v1"] == lb["v2"] * 0 + la["v1"])
+    j = fed.join(local, fed["c_custkey"] == la["k"], "inner")
+    assert transparent_semijoin(j) is None  # ambiguous 'k': fall through
+
+
+def test_transparent_semijoin_local_side_reads_once(spark, tmp_path):
+    """ADVICE r13 #2: the local side is materialized ONCE — the key
+    set and the rebuilt join see the SAME snapshot. Mutating the
+    local source AFTER the rewrite must not change the result (an
+    un-checkpointed plan would re-read the changed files in the
+    rebuilt join and silently drop rows whose keys were never
+    shipped)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        _fed_table,
+        transparent_semijoin,
+    )
+
+    src = str(tmp_path / "mutable_keys")
+    pd.DataFrame({"k": [1, 2, 3]}).to_parquet(src + ".parquet")
+    fed = _fed_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    local = spark.read.parquet(src + ".parquet")
+    j = fed.join(local, fed["c_custkey"] == local["k"], "inner")
+    expected = sorted(map(tuple, j.collect()))
+    hit = transparent_semijoin(j)
+    assert hit is not None
+    out, _ = hit
+    # mutate the source AFTER the rewrite, BEFORE the collect
+    pd.DataFrame({"k": [4, 5, 6]}).to_parquet(src + ".parquet")
+    assert sorted(map(tuple, out.collect())) == expected
+
+
+def test_sqlite_transparent_semijoin_gate_row_matches_unreduced(spark, oracle):
+    """The new gate row end-to-end vs its oracle (the unreduced
+    join), plus the plan rail: no Spark-side full fed scan of the
+    remote customer table survives the rewrite."""
+    df = REGISTRY["fed_sqlite_transparent_semijoin"].fn(spark, SF_DIR)
+    got = [(r["c_mktsegment"], r["n_cust"], r["key_sum"]) for r in df.collect()]
+    exp = oracle.execute(
+        REGISTRY["fed_sqlite_transparent_semijoin"].oracle
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
