@@ -10195,18 +10195,32 @@ def llm_select_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(spark)
 
 
-def kcenter_select(spark: SparkSession, k: int = _KC_K) -> DataFrame:
+def kcenter_select(
+    spark: SparkSession, k: int = _KC_K, checkpoint_every: int = 8
+) -> DataFrame:
     """(rk, vec_id, d2): k cover points; d2 is the pick's exact
     squared quantized distance to the previously-selected set (0 for
     the seed) — the non-increasing coverage-radius trace.
 
-    Scale: each of the k-1 steps is ONE map-side pass — every vector
-    computes min-d2 against the BROADCAST selected set (<= k vectors
-    of dims ints) and a TakeOrdered(1) picks the argmax; no shuffle
-    grows with N, no pair materialization, driver state is k rows.
-    k passes over the corpus is the textbook distributed
-    farthest-point sampling; at 100 TB pick k per partition-sample
-    first if k itself grows (composable, not needed at gate k)."""
+    Round 14 (VERDICT r13 next #5 / nit #2): the running min-d2 is a
+    COLUMN updated once per pick against the NEWEST pick only —
+    ``min(d2_old, d2(x, newest))`` — so each pass embeds ONE
+    dim-vector of literals (constant plan size) instead of the whole
+    selected set (the r13 form grew O(k*dim) literals per pick), and
+    per-vector work per pass is O(dim), not O(k*dim). Bit-identical
+    picks: the running min over picks equals the min over the full
+    selected set. Lineage is truncated every ``checkpoint_every``
+    picks so the analyzed plan never grows with k. The loop breaks
+    when the candidate set exhausts (k >= N), matching the oracle
+    recursion's early termination (ADVICE r13 #4).
+
+    Scale: each of the k-1 steps is ONE map-side pass + a
+    TakeOrdered(1); no shuffle grows with N, no pair
+    materialization, driver state is k rows. For large k compose
+    with :func:`kcenter_select_prepick` (partition-sample pre-pick):
+    one distributed pass picks k cover points per bucket, then the
+    exact greedy runs driver-side over the pooled candidates in
+    milliseconds per pick."""
     eq = spark.table("embeddings").select(
         "vec_id",
         F.transform(
@@ -10214,26 +10228,206 @@ def kcenter_select(spark: SparkSession, k: int = _KC_K) -> DataFrame:
             lambda x: F.round(x.cast("double") * _IVF_SCALE).cast("long"),
         ).alias("eq"),
     ).localCheckpoint()
-    seed = eq.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = eq.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame([], "rk bigint, vec_id bigint, d2 bigint")
+    seed = seed_rows[0]
     picked = [(1, int(seed["vec_id"]), 0)]
-    sel_vecs = [seed["eq"]]
+    newest = seed["eq"]
+    state = eq.withColumn("picked", F.col("vec_id") == int(seed["vec_id"]))
+    first = True
     while len(picked) < k:
-        sel_arr = F.array(*[
-            F.array(*[F.lit(int(v)).cast("long") for v in s])
-            for s in sel_vecs
-        ])
-        md = F.array_min(
-            F.transform(sel_arr, lambda s: _l2q(F.col("eq"), s))
+        nd = _l2q(
+            F.col("eq"),
+            F.array(*[F.lit(int(v)).cast("long") for v in newest]),
         )
+        state = state.withColumn(
+            "d2min", nd if first else F.least(F.col("d2min"), nd)
+        )
+        first = False
+        if len(picked) % checkpoint_every == 0:
+            state = state.localCheckpoint()
         cand = (
-            eq.filter(~F.col("vec_id").isin([p[1] for p in picked]))
-            .select("vec_id", "eq", md.alias("d2"))
-            .orderBy(F.desc("d2"), "vec_id")
+            state.filter(~F.col("picked"))
+            .orderBy(F.desc("d2min"), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
-        picked.append((len(picked) + 1, int(cand["vec_id"]), int(cand["d2"])))
-        sel_vecs.append(cand["eq"])
+        if not cand:
+            break  # candidate set exhausted (k >= N): oracle parity
+        cand = cand[0]
+        picked.append(
+            (len(picked) + 1, int(cand["vec_id"]), int(cand["d2min"]))
+        )
+        newest = cand["eq"]
+        state = state.withColumn(
+            "picked", F.col("picked") | (F.col("vec_id") == int(cand["vec_id"]))
+        )
+    return spark.createDataFrame(
+        picked, "rk bigint, vec_id bigint, d2 bigint"
+    )
+
+
+_KC_PP_K = 6  # pre-pick gate: selected set size
+_KC_PP_B = 3  # pre-pick gate: deterministic bucket count
+
+
+def _sql_kcenter_prepick(k: int, nbuckets: int) -> str:
+    """DuckDB oracle for :func:`kcenter_select_prepick`: stage 1 is
+    ONE recursive CTE whose state carries one row PER BUCKET per
+    greedy step (the per-bucket FPS, all buckets advancing in
+    lockstep — an independent formulation of the applyInPandas
+    stage); stage 2 re-runs the plain greedy recursion over the
+    pooled candidates, exactly the driver-side loop."""
+    return f"""
+    WITH RECURSIVE eq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    bs AS (
+      SELECT bucket, 1 AS rk, seed_id AS picked_id, [seed_id] AS picked
+      FROM (SELECT vec_id % {nbuckets} AS bucket, MIN(vec_id) AS seed_id
+            FROM eq GROUP BY bucket)
+      UNION ALL
+      SELECT bs.bucket, bs.rk + 1, pick.vec_id,
+             list_append(bs.picked, pick.vec_id)
+      FROM bs, LATERAL (
+        SELECT t.vec_id, t.d2 FROM (
+          SELECT e.vec_id AS vec_id, MIN({_SQL_KC_D2}) AS d2
+          FROM eq e JOIN eq p ON list_contains(bs.picked, p.vec_id)
+          WHERE e.vec_id % {nbuckets} = bs.bucket
+            AND NOT list_contains(bs.picked, e.vec_id)
+          GROUP BY e.vec_id) t
+        ORDER BY t.d2 DESC, t.vec_id LIMIT 1
+      ) pick
+      WHERE bs.rk < {k}
+    ),
+    pool AS (SELECT DISTINCT picked_id AS vec_id FROM bs),
+    peq AS (SELECT e.vec_id, e.eq FROM eq e JOIN pool USING (vec_id)),
+    sel AS (
+      WITH RECURSIVE s AS (
+        SELECT 1 AS rk, (SELECT MIN(vec_id) FROM peq) AS picked_id,
+               CAST(0 AS BIGINT) AS d2,
+               [(SELECT MIN(vec_id) FROM peq)] AS picked
+        UNION ALL
+        SELECT s.rk + 1, pick.vec_id, pick.d2,
+               list_append(s.picked, pick.vec_id)
+        FROM s, LATERAL (
+          SELECT t.vec_id, t.d2 FROM (
+            SELECT e.vec_id AS vec_id, MIN({_SQL_KC_D2}) AS d2
+            FROM peq e JOIN peq p ON list_contains(s.picked, p.vec_id)
+            WHERE NOT list_contains(s.picked, e.vec_id)
+            GROUP BY e.vec_id) t
+          ORDER BY t.d2 DESC, t.vec_id LIMIT 1
+        ) pick
+        WHERE s.rk < {k}
+      )
+      SELECT rk, picked_id, d2 FROM s
+    )
+    SELECT CAST(rk AS BIGINT) AS rk,
+           CAST(picked_id AS BIGINT) AS vec_id,
+           CAST(d2 AS BIGINT) AS d2
+    FROM sel ORDER BY rk
+    """
+
+
+@register(
+    "llm_select_kcenter_prepick",
+    oracle=_sql_kcenter_prepick(_KC_PP_K, _KC_PP_B),
+    doc="Production-k k-center (VERDICT r13 next #5): the "
+    "partition-sample PRE-PICK composition — one distributed "
+    "applyInPandas pass runs greedy FPS per deterministic bucket "
+    "(vec_id % B), the exact greedy then runs driver-side over the "
+    "pooled k*B candidates (milliseconds per pick, no per-pick "
+    "Spark job). The oracle advances every bucket's recursion in "
+    "lockstep inside ONE recursive CTE, then re-runs the pooled "
+    "greedy — the whole two-stage order is hash-checked. "
+    "nbuckets=1 bit-identity to the exact form and the greedy "
+    "prefix property are pinned in tests/test_round14_props.py.",
+    tags=("llm", "selection", "similarity", "bench"),
+)
+def llm_select_kcenter_prepick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (k, nbuckets) gate configuration;
+    `kcenter_select_prepick` is the self-scaling entry."""
+    return kcenter_select_prepick(spark, k=_KC_PP_K, nbuckets=_KC_PP_B)
+
+
+def _fps_greedy_rows(rows: list, k: int) -> list[tuple[int, int, int]]:
+    """Exact greedy FPS over an in-memory candidate pool — the
+    driver-side stage of the pre-pick composition. Same rules as the
+    distributed form: seed = min vec_id, argmax by (d2 DESC, vec_id),
+    running min-d2, pure-int arithmetic (exact, no float drift).
+    O(|pool| * k * dim) driver work — milliseconds at pool sizes the
+    pre-pick produces (k * nbuckets rows)."""
+    by_id = {int(r["vec_id"]): [int(v) for v in r["eq"]] for r in rows}
+    if not by_id:
+        return []
+    seed = min(by_id)
+    picked = [(1, seed, 0)]
+    d2min: dict[int, int] = {}
+    newest = by_id[seed]
+    remaining = set(by_id) - {seed}
+    while len(picked) < k and remaining:
+        for vid in remaining:
+            e = by_id[vid]
+            d = sum((a - b) * (a - b) for a, b in zip(e, newest))
+            if vid not in d2min or d < d2min[vid]:
+                d2min[vid] = d
+        best = max(remaining, key=lambda vid: (d2min[vid], -vid))
+        picked.append((len(picked) + 1, best, d2min[best]))
+        newest = by_id[best]
+        remaining.discard(best)
+    return picked
+
+
+def kcenter_select_prepick(
+    spark: SparkSession, k: int = _KC_K, nbuckets: int = 4
+) -> DataFrame:
+    """Production-k k-center (the composition named in
+    :func:`kcenter_select`'s scale note, VERDICT r13 next #5 /
+    missing #4): ONE distributed pass runs greedy FPS independently
+    inside ``nbuckets`` deterministic buckets (``vec_id % nbuckets``
+    — stable across engines, unlike physical partitioning), picking
+    up to k cover points each; the exact greedy then runs
+    DRIVER-SIDE over the pooled k*nbuckets candidates — milliseconds
+    per pick, no per-pick Spark job, no plan growth with k.
+
+    The composable-coreset argument (Gonzalez greedy is a
+    2-approximation; greedy over a union of per-part greedy picks
+    keeps a constant-factor cover guarantee). With ``nbuckets=1``
+    the result is BIT-IDENTICAL to :func:`kcenter_select` — greedy
+    over the greedy-prefix pool reproduces the global greedy order
+    (property-pinned in tests/test_round14_props.py)."""
+    import pandas as pd
+
+    eq = spark.table("embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _IVF_SCALE).cast("long"),
+        ).alias("eq"),
+        (F.col("vec_id") % nbuckets).alias("bucket"),
+    )
+
+    def fps_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            {"vec_id": vid, "eq": list(e)}
+            for vid, e in zip(pdf["vec_id"], pdf["eq"])
+        ]
+        picks = _fps_greedy_rows(rows, k)
+        return pd.DataFrame({"vec_id": [p[1] for p in picks]})
+
+    pool_ids = eq.groupBy("bucket").applyInPandas(
+        fps_bucket, "vec_id bigint"
+    )
+    pool = [
+        r
+        for r in eq.select("vec_id", "eq")
+        .join(pool_ids, "vec_id")
+        .collect()
+    ]
+    picked = _fps_greedy_rows(pool, k)
     return spark.createDataFrame(
         picked, "rk bigint, vec_id bigint, d2 bigint"
     )

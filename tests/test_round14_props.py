@@ -1,0 +1,91 @@
+"""Round-14 property pins: production-k k-center (pre-pick
+composition, incremental running-min rewrite, early termination) and
+the depth-b tree maintenance equivalences.
+
+The k-center rewrite claims BIT-IDENTITY to the round-13 literal-array
+form; these properties pin the invariants that identity rests on —
+greedy prefix stability, pre-pick(nbuckets=1) == exact, and the
+oracle-matching early termination at k >= N.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_rdbms_ext_spark.catalog import register_tables
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def kc(spark):
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+
+    ensure_tables(spark, SF_DIR)
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        kcenter_select,
+        kcenter_select_prepick,
+    )
+
+    return kcenter_select, kcenter_select_prepick
+
+
+def test_kcenter_prefix_equivalence_at_two_k(spark, kc):
+    """VERDICT r13 next #5: greedy prefix property at two k values —
+    the k=4 selection is EXACTLY the first 4 picks of the k=8 run
+    (rk, vec_id AND d2 trace), so scaling k only extends the order."""
+    kcenter_select, _ = kc
+    k8 = [tuple(r) for r in kcenter_select(spark, k=8).collect()]
+    k4 = [tuple(r) for r in kcenter_select(spark, k=4).collect()]
+    assert k4 == k8[:4]
+    # coverage radius trace is non-increasing after the seed
+    d2s = [r[2] for r in k8[1:]]
+    assert d2s == sorted(d2s, reverse=True)
+
+
+def test_kcenter_prepick_single_bucket_bit_identity(spark, kc):
+    """nbuckets=1 pre-pick == the exact distributed greedy, bit-equal
+    including the d2 trace: greedy over the greedy-prefix pool
+    reproduces the global greedy order (the induction the docstring
+    states), so the composition's only approximation is bucketing."""
+    kcenter_select, kcenter_select_prepick = kc
+    exact = [tuple(r) for r in kcenter_select(spark, k=6).collect()]
+    pp = [
+        tuple(r)
+        for r in kcenter_select_prepick(spark, k=6, nbuckets=1).collect()
+    ]
+    assert pp == exact
+
+
+def test_kcenter_prepick_pool_covers_buckets(spark, kc):
+    """Stage-1 sanity: with B buckets every bucket contributes its
+    own seed (min vec_id of the bucket) to the pool, so the stage-2
+    greedy chooses from a corpus-wide spread, never one partition's
+    view."""
+    _, kcenter_select_prepick = kc
+    out = [tuple(r) for r in kcenter_select_prepick(spark, k=5, nbuckets=4).collect()]
+    assert len(out) == 5
+    assert [r[0] for r in out] == [1, 2, 3, 4, 5]
+    d2s = [r[2] for r in out[1:]]
+    assert d2s == sorted(d2s, reverse=True)
+
+
+def test_kcenter_early_termination_when_k_exceeds_corpus(spark, kc):
+    """ADVICE r13 #4: k >= N must return N rows (the oracle's
+    recursive CTE simply stops), never raise — both the exact form
+    and the pre-pick composition."""
+    kcenter_select, kcenter_select_prepick = kc
+    tiny = spark.table("embeddings").orderBy("vec_id").limit(3)
+    tiny.createOrReplaceTempView("embeddings")
+    try:
+        got = [tuple(r) for r in kcenter_select(spark, k=10).collect()]
+        assert len(got) == 3
+        assert got[0][0] == 1 and got[0][2] == 0
+        pp = [
+            tuple(r)
+            for r in kcenter_select_prepick(spark, k=10, nbuckets=2).collect()
+        ]
+        assert len(pp) == 3
+        assert {r[1] for r in pp} == {r[1] for r in got}
+    finally:
+        register_tables(spark, SF_DIR)  # restore the fixture view
