@@ -5707,15 +5707,27 @@ def tree_cells_deep(
     return tree_index_deep(spark, branching, seed1, pack)[0]
 
 
-def _sql_keyed_level(lvl: int, b: int, src: str, out: str) -> str:
+def _sql_keyed_level(
+    lvl: int,
+    b: int,
+    src: str,
+    out: str,
+    prefix: str = "",
+    export_cents: bool = False,
+) -> str:
     """DuckDB CTE block for ONE keyed Lloyd's level: trains ``b``
     sub-centroids per distinct ``key`` of ``{src} (vec_id, key, eq)``
     and emits ``{out} (vec_id, key, eq)`` with the packed child key —
     the SQL mirror of the keyed chain (:func:`_seed_keyed` /
     :func:`_assign_keyed` / :func:`_update_keyed`), written as ONE
     partitioned chain instead of one chain per prefix (the oracle's
-    independent formulation of the same integers)."""
-    p = f"d{lvl}_"
+    independent formulation of the same integers). ``prefix``
+    namespaces the internal CTEs so two trees can live in one WITH
+    clause; ``export_cents`` additionally emits
+    ``{prefix}d{lvl}_cents (key, cid, cemb)`` — the frozen trained
+    centroids a maintenance oracle assigns OTHER vectors against
+    (round 14). Defaults produce byte-identical SQL to round 13."""
+    p = f"{prefix}d{lvl}_"
     seed = _level_seed(lvl)
     dist = _SQL_ASSIGN_DIST
 
@@ -5763,27 +5775,43 @@ def _sql_keyed_level(lvl: int, b: int, src: str, out: str) -> str:
       SELECT vec_id, key * {_TREE_PACK} + cid AS key, eq FROM {p}final
     )"""
     )
+    if export_cents:
+        parts.append(
+            f"""
+    {prefix}d{lvl}_cents AS (SELECT key, cid, cemb FROM {cents})"""
+        )
     return ",".join(parts)
 
 
-def _sql_tree_deep_cells(branching: tuple[int, ...]) -> str:
+def _sql_tree_deep_cells(
+    branching: tuple[int, ...],
+    prefix: str = "",
+    export_cents: bool = False,
+) -> str:
     """DuckDB CTE composition for :func:`tree_cells_deep`: level 1 is
-    the caller's ``cells`` CTE (from ``_sql_lloyds_cells(k=b_1)``);
-    each deeper level is one :func:`_sql_keyed_level` block. Final
-    CTE: ``deep_cells (vec_id, key)`` — the packed leaf path."""
+    the caller's ``{prefix}cells`` CTE (from
+    ``_sql_lloyds_cells(k=b_1, prefix=...)``); each deeper level is
+    one :func:`_sql_keyed_level` block. Final CTE:
+    ``{prefix}deep_cells (vec_id, key)`` — the packed leaf path.
+    ``export_cents`` exports each level's trained centroids for
+    frozen assignment (the round-14 maintenance oracle)."""
     parts = [
-        """
-    d1_out AS (
+        f"""
+    {prefix}d1_out AS (
       SELECT e.vec_id, c.cell AS key, e.eq
-      FROM eqv e JOIN cells c ON c.vec_id = e.vec_id
+      FROM {prefix}eqv e JOIN {prefix}cells c ON c.vec_id = e.vec_id
     )"""
     ]
-    src = "d1_out"
+    src = f"{prefix}d1_out"
     for lvl, b in enumerate(branching[1:], start=2):
-        out = f"d{lvl}_out"
-        parts.append(_sql_keyed_level(lvl, b, src, out))
+        out = f"{prefix}d{lvl}_out"
+        parts.append(
+            _sql_keyed_level(
+                lvl, b, src, out, prefix=prefix, export_cents=export_cents
+            )
+        )
         src = out
-    parts.append(f", deep_cells AS (SELECT vec_id, key FROM {src})")
+    parts.append(f", {prefix}deep_cells AS (SELECT vec_id, key FROM {src})")
     return ",".join(parts[:-1]) + parts[-1]
 
 
@@ -6036,6 +6064,396 @@ _REGISTRY["llm_semdedup_shard_eval"].oracle = _REGISTRY[
 ].oracle.format(
     tree_block=_sql_tree_cells(), tree_probe_block=_sql_tree_probes()
 )
+
+
+# ---------------------------------------------------------------------------
+# 19h. TREE-INDEX MAINTENANCE + ADMISSION (round 14 — VERDICT r13
+#      next #3): the deploy recommendation is the log-depth tree, so
+#      the maintenance/admission forms ride it too. Train and frozen-
+#      assign are split: tree_train_deep returns every level's
+#      centroids, tree_assign_frozen routes ARBITRARY vectors down
+#      the frozen tree (nearest level-1 centroid, then nearest
+#      sub-centroid within the prefix at each level — O(depth *
+#      fanout * dim) map-side flops per vector, zero shuffle). The
+#      maintenance pass retrains the tree on the grown corpus
+#      (deterministic seeding → identical to a fresh index, which is
+#      exactly what the differential oracle checks) and admits the
+#      next batch against the maintained leaves; per-level-1-cell
+#      n_moved compares the packed LEAF path under the aged vs the
+#      maintained tree — the drift readout a scheduler alerts on.
+# ---------------------------------------------------------------------------
+#: Pinned gate branching: depth 2 keeps the TWO trainings + the
+#: differential oracle affordable (the depth-3 keyed-chain identity
+#: is already driver-proven by llm_semdedup_tree_deep; depth composes
+#: — the self-scaling entry derives real log-depth).
+_TREE_MNT_B = (4, 3)
+
+
+def tree_train_deep(
+    q_train: DataFrame,
+    branching: tuple[int, ...] | list[int],
+    seed1: str = "ivfseed",
+    pack: int | None = None,
+) -> tuple[DataFrame, list[DataFrame], DataFrame]:
+    """Train a depth-``len(branching)`` tree on ``q_train``
+    (vec_id, eq) and return ``(level1_centroids, [keyed_centroids
+    per deeper level], training_assignment)`` — the frozen-index
+    export of :func:`tree_index_deep`'s training chain (same
+    seeding, same keyed chains, same integer means). The training
+    assignment (vec_id, cell) comes for free from the chain and
+    EQUALS frozen assignment of the same rows (every level assigns
+    against its FINAL centroids), so maintenance never recomputes
+    paths it just produced. O(depth) keyed-chain jobs; the shuffle
+    per level carries (#prefixes * b_l * dim) partial sums, never
+    vectors."""
+    pack = pack or _TREE_PACK
+    for b in branching:
+        if b >= pack:
+            raise ValueError(f"fan-out {b} >= packing base {pack}")
+    cents1 = _lloyds(q_train, branching[0], _IVF_ITERS, seed1).localCheckpoint()
+    vecs = (
+        _assign_cells(q_train, cents1)
+        .select(F.col("cid").cast("long").alias("cell"), "vec_id", "eq")
+        .localCheckpoint()
+    )
+    keyed: list[DataFrame] = []
+    for lvl, b in enumerate(branching[1:], start=2):
+        cents = _seed_keyed(vecs, b, _level_seed(lvl))
+        for _ in range(_IVF_ITERS):
+            cents = _update_keyed(_assign_keyed(vecs, cents))
+        cents = cents.localCheckpoint()
+        keyed.append(cents)
+        vecs = (
+            _assign_keyed(vecs, cents)
+            .select(
+                (
+                    F.col("cell") * F.lit(pack).cast("long")
+                    + F.col("cid").cast("long")
+                ).alias("cell"),
+                "vec_id",
+                "eq",
+            )
+            .localCheckpoint()
+        )
+    return cents1, keyed, vecs.select("vec_id", "cell")
+
+
+def tree_assign_frozen(
+    q: DataFrame,
+    cents1: DataFrame,
+    keyed_cents: list[DataFrame],
+    pack: int | None = None,
+) -> DataFrame:
+    """(vec_id, cell): assign ARBITRARY quantized vectors down a
+    FROZEN tree — nearest level-1 centroid, then nearest
+    sub-centroid within the inherited prefix per level, packed
+    root-to-leaf. Entirely map-side (broadcast centroid arrays per
+    level). A vector whose prefix produced no training centroids at
+    some level drops out (inner join) — deterministic, mirrored
+    exactly by the SQL oracle's keyed join."""
+    pack = pack or _TREE_PACK
+    vecs = _assign_cells(q, cents1).select(
+        F.col("cid").cast("long").alias("cell"), "vec_id", "eq"
+    )
+    for cents in keyed_cents:
+        vecs = _assign_keyed(vecs, cents).select(
+            (
+                F.col("cell") * F.lit(pack).cast("long")
+                + F.col("cid").cast("long")
+            ).alias("cell"),
+            "vec_id",
+            "eq",
+        )
+    return vecs.select("vec_id", "cell")
+
+
+def _sql_tree_frozen_assign(
+    branching: tuple[int, ...],
+    tree_prefix: str,
+    out: str,
+    src: str = "eqv_all",
+) -> str:
+    """DuckDB CTE chain mirroring :func:`tree_assign_frozen` against
+    the exported centroids of a ``{tree_prefix}``-namespaced tree:
+    level 1 assigns against ``{tree_prefix}centroids``, each deeper
+    level against ``{tree_prefix}d{lvl}_cents`` joined on the
+    inherited prefix key. Emits ``{out} (vec_id, key)``."""
+    parts = [
+        f"""
+    {out}_l1 AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS key, eq FROM (
+        SELECT e.vec_id, e.eq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, c.cid) AS rk
+        FROM {src} e CROSS JOIN {tree_prefix}centroids c) WHERE rk = 1
+    )"""
+    ]
+    prev = f"{out}_l1"
+    for lvl in range(2, len(branching) + 1):
+        parts.append(
+            f"""
+    {out}_l{lvl} AS (
+      SELECT vec_id, key * {_TREE_PACK} + cid AS key, eq FROM (
+        SELECT e.vec_id, e.key, e.eq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, c.cid) AS rk
+        FROM {prev} e JOIN {tree_prefix}d{lvl}_cents c ON c.key = e.key) WHERE rk = 1
+    )"""
+        )
+        prev = f"{out}_l{lvl}"
+    parts.append(f"""
+    {out} AS (SELECT vec_id, key FROM {prev})""")
+    return ",".join(parts)
+
+
+_TREE_MNT_ROLL = _TREE_PACK ** (len(_TREE_MNT_B) - 1)  # leaf -> level-1
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Force every top-level CTE in ``sql`` to MATERIALIZED. The
+    maintenance oracle composes TWO tree-training chains plus two
+    frozen-assignment chains; DuckDB's default CTE inlining
+    re-evaluates each referenced chain per reference, which goes
+    EXPONENTIAL in tree depth (round-14 measurement: 231s -> 0.6s at
+    sf0.001, bit-identical result). Applied per-oracle so the other
+    tree oracles stay byte-identical to their driver-proven forms."""
+    import re as _re
+
+    return _re.sub(r"(\b[a-z_0-9]+) AS \(\n", r"\1 AS MATERIALIZED (\n", sql)
+
+
+@register(
+    "llm_semdedup_tree_maintain",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(k=_TREE_MNT_B[0], prefix="ag_", where=f"WHERE vec_id % {_SEM_MNT_MOD} <> 0 AND vec_id % {_SEM_INC_MOD} <> 0")},
+    {_sql_tree_deep_cells(_TREE_MNT_B, prefix="ag_", export_cents=True)},
+    {_sql_lloyds_cells(k=_TREE_MNT_B[0], prefix="mt_", where=f"WHERE vec_id % {_SEM_MNT_MOD} <> 0")},
+    {_sql_tree_deep_cells(_TREE_MNT_B, prefix="mt_", export_cents=True)},
+    eqv_all AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    {_sql_tree_frozen_assign(_TREE_MNT_B, "ag_", "old_asg")},
+    {_sql_tree_frozen_assign(_TREE_MNT_B, "mt_", "new_asg")},
+    base AS (SELECT b.vec_id, na.key AS cell, oa.key AS old_cell, b.embedding,
+                    {_SQL_NORM} AS nrm
+             FROM embeddings b
+             JOIN new_asg na ON na.vec_id = b.vec_id
+             JOIN old_asg oa ON oa.vec_id = b.vec_id),
+    grown AS (SELECT * FROM base WHERE vec_id % {_SEM_MNT_MOD} <> 0),
+    corpus AS (SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+               FROM grown),
+    newb AS (SELECT * FROM base WHERE vec_id % {_SEM_MNT_MOD} = 0),
+    newq AS (SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+             FROM newb),
+    drop_c AS (
+      SELECT DISTINCT b.vec_id
+      FROM corpus q JOIN newb b ON b.cell = q.cell
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    drop_b AS (
+      SELECT DISTINCT b.vec_id
+      FROM newq q JOIN newb b ON b.cell = q.cell AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    grown_stats AS (
+      SELECT cell // {_TREE_MNT_ROLL} AS cell1,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CASE WHEN old_cell <> cell THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+      FROM grown GROUP BY cell1
+    ),
+    adm AS (
+      SELECT newb.cell // {_TREE_MNT_ROLL} AS cell1,
+             CAST(COUNT(*) AS BIGINT) AS n_new,
+             CAST(COUNT(dc.vec_id) AS BIGINT) AS n_dup_corpus,
+             CAST(SUM(CASE WHEN db.vec_id IS NOT NULL AND dc.vec_id IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch_only,
+             CAST(SUM(CASE WHEN dc.vec_id IS NULL AND db.vec_id IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+      FROM newb
+      LEFT JOIN drop_c dc ON dc.vec_id = newb.vec_id
+      LEFT JOIN drop_b db ON db.vec_id = newb.vec_id
+      GROUP BY cell1
+    )
+    SELECT s.cid AS cell,
+           COALESCE(g.n_vecs, 0) AS n_vecs,
+           COALESCE(g.n_moved, 0) AS n_moved,
+           COALESCE(a.n_new, 0) AS n_new,
+           COALESCE(a.n_dup_corpus, 0) AS n_dup_corpus,
+           COALESCE(a.n_dup_batch_only, 0) AS n_dup_batch_only,
+           COALESCE(a.n_admitted, 0) AS n_admitted
+    FROM (SELECT cid FROM mt_centroids) s
+    LEFT JOIN grown_stats g ON g.cell1 = s.cid
+    LEFT JOIN adm a ON a.cell1 = s.cid
+    ORDER BY cell
+    """,
+    doc="Tree-index maintenance (VERDICT r13 next #3): the semantic "
+    "OPTIMIZE ported onto the depth-b tree — retrain the tree on "
+    "the grown corpus (O(depth) keyed-chain jobs, deterministic "
+    "seeding => identical to a fresh index), frozen-assign "
+    "everything down both the aged and the maintained tree, admit "
+    "the next ingest batch (vec_id % 11 = 0) within maintained "
+    "LEAVES. The oracle trains a FRESH tree on the same grown "
+    "corpus and admits against it, so hash_match IS the "
+    "post-maintenance == fresh-index equivalence on the log-depth "
+    "shape; per-level-1-cell n_moved compares packed LEAF paths "
+    "under the aged vs maintained tree.",
+    tags=("llm", "dedup", "similarity", "bench"),
+)
+def llm_semdedup_tree_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned gate configuration (branching=_TREE_MNT_B);
+    `semdedup_tree_maintain_report` is the self-scaling entry."""
+    return semdedup_tree_maintain_report(spark, branching=_TREE_MNT_B)
+
+
+# composed AFTER registration so the registered string carries the
+# materialization (see _materialize_ctes: inlining goes exponential)
+_REGISTRY["llm_semdedup_tree_maintain"].oracle = _materialize_ctes(
+    _REGISTRY["llm_semdedup_tree_maintain"].oracle
+)
+
+
+def semdedup_tree_maintain_report(
+    spark: SparkSession,
+    branching: tuple[int, ...] | list[int] | None = None,
+    target: int = 64,
+    fanout: int = 8,
+    tau: float = _SEMDEDUP_TAU,
+    stale_mod: int = _SEM_INC_MOD,
+    batch_mod: int = _SEM_MNT_MOD,
+) -> DataFrame:
+    """Maintenance pass + batch admission on the depth-b tree index.
+
+    Timeline mirrors :func:`semdedup_maintain_report`: the aged tree
+    trained when the corpus was ``vec_id % stale_mod != 0`` of
+    today's grown corpus; maintenance retrains the tree on the GROWN
+    corpus (``branching=None`` re-derives depth from the grown count
+    at fixed fan-out — the tree's own self-scaling knob, exactly the
+    K re-derivation of the flat form), frozen-assigns everything,
+    and admits the next batch (``vec_id % batch_mod == 0``) within
+    maintained leaves, lower-id-wins.
+
+    Scale: maintenance is O(depth) keyed-chain training jobs over
+    the corpus plus one map-side frozen reassignment (broadcast
+    centroid arrays per level) — OPTIMIZE cadence, not per batch;
+    ingest between maintenance passes stays ~linear (the SCALE.md
+    round-14 row measures it). Both trees here share ``branching``
+    so packed leaf paths are comparable for the n_moved drift
+    readout; re-deriving a DEEPER maintained tree as the corpus
+    grows composes (frozen assignment never needs the shapes to
+    agree), at the price of a level-1-only drift column."""
+    pack = _TREE_PACK
+    q = _quantize(spark)
+    is_batch = F.col("vec_id") % batch_mod == 0
+    grown_q = q.filter(~is_batch).localCheckpoint()
+    if branching is None:
+        import math
+
+        n = grown_q.count()
+        depth = max(2, math.ceil(math.log(max(n / target, 2), fanout)))
+        branching = (fanout,) * depth
+        pack = fanout + 1
+    roll = pack ** (len(branching) - 1)
+    is_stale = F.col("vec_id") % stale_mod == 0
+    ag_c1, ag_k, ag_asg = tree_train_deep(
+        grown_q.filter(~is_stale), branching, pack=pack
+    )
+    mt_c1, mt_k, mt_asg = tree_train_deep(grown_q, branching, pack=pack)
+    # training assignments are frozen assignments of the same rows
+    # (each level assigns against its final centroids), so only rows
+    # OUTSIDE each training set walk the frozen tree: the stale+batch
+    # cohort for the aged index, the batch alone for the maintained —
+    # maintenance never recomputes the paths training just produced.
+    old_asg = ag_asg.union(
+        tree_assign_frozen(
+            q.filter(is_batch | is_stale), ag_c1, ag_k, pack=pack
+        )
+    ).select("vec_id", F.col("cell").alias("old_cell"))
+    new_asg = mt_asg.union(
+        tree_assign_frozen(q.filter(is_batch), mt_c1, mt_k, pack=pack)
+    ).select("vec_id", "cell")
+    base = (
+        _vectors_with_norm(spark)
+        .join(new_asg, "vec_id")
+        .join(old_asg, "vec_id")
+        .select("vec_id", "cell", "old_cell", "embedding", "nrm")
+        .localCheckpoint()
+    )
+    grown = base.filter(~is_batch)
+    newb = base.filter(is_batch)
+    side = lambda df: df.select(  # noqa: E731
+        F.col("vec_id").alias("q_id"),
+        "cell",
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    drop_c = (
+        side(grown)
+        .join(newb, "cell")
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dup_corpus", F.lit(1))
+    )
+    drop_b = (
+        side(newb)
+        .join(newb, "cell")
+        .filter(F.col("q_id") < F.col("vec_id"))
+        .filter(cos >= tau)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dup_batch", F.lit(1))
+    )
+    grown_stats = grown.groupBy(
+        F.expr(f"cell div {roll}").alias("cell1")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.when(F.col("old_cell") != F.col("cell"), 1).otherwise(0)
+        ).alias("n_moved"),
+    )
+    adm = (
+        newb.join(drop_c, "vec_id", "left")
+        .join(drop_b, "vec_id", "left")
+        .groupBy(F.expr(f"cell div {roll}").alias("cell1"))
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count("dup_corpus").alias("n_dup_corpus"),
+            F.sum(
+                F.when(
+                    F.col("dup_batch").isNotNull()
+                    & F.col("dup_corpus").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dup_batch_only"),
+            F.sum(
+                F.when(
+                    F.col("dup_corpus").isNull()
+                    & F.col("dup_batch").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_admitted"),
+        )
+    )
+    spine = mt_c1.select(F.col("cid").cast("long").alias("cell1"))
+    zero = F.lit(0).cast("long")
+    return (
+        spine.join(grown_stats, "cell1", "left")
+        .join(adm, "cell1", "left")
+        .select(
+            F.col("cell1").alias("cell"),
+            F.coalesce("n_vecs", zero).alias("n_vecs"),
+            F.coalesce("n_moved", zero).alias("n_moved"),
+            F.coalesce("n_new", zero).alias("n_new"),
+            F.coalesce("n_dup_corpus", zero).alias("n_dup_corpus"),
+            F.coalesce("n_dup_batch_only", zero).alias("n_dup_batch_only"),
+            F.coalesce("n_admitted", zero).alias("n_admitted"),
+        )
+        .orderBy("cell")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -209,6 +209,13 @@ QUERIES = (
     # k-center greedy: k map-side passes against the broadcast
     # selected set — the probe checks per-pass linearity.
     "llm_select_kcenter",
+    # Round-14 additions: tree-index maintenance (two keyed-chain
+    # trainings + frozen reassignment — the OPTIMIZE-cadence job),
+    # the pre-pick k-center composition, and the SQLite-dialect
+    # transparent semi-join (bulk-load staging path).
+    "llm_semdedup_tree_maintain",
+    "llm_select_kcenter_prepick",
+    "fed_sqlite_transparent_semijoin",
 )
 
 #: Default-config operator probes (VERDICT r6 next #4): the gate
@@ -259,6 +266,18 @@ def _extra_probes():
             llm.semdedup_maintain_report(spark, k_old=None, k_new=None)
         ),
         "srp_default_bits": lambda spark, sf: llm.srp_near_dup_pairs(spark),
+        # round 14: maintenance ported onto the log-depth tree (depth
+        # re-derives from the GROWN corpus — the tree's own K
+        # re-derivation; ingest between maintenance passes must stay
+        # ~linear) and production-k k-center (k=100 through the
+        # pre-pick composition: one distributed pass + a driver-side
+        # greedy that must stay milliseconds-per-pick).
+        "semdedup_tree_maintained_default": lambda spark, sf: (
+            llm.semdedup_tree_maintain_report(spark)
+        ),
+        "kcenter_prepick_k100": lambda spark, sf: (
+            llm.kcenter_select_prepick(spark, k=100, nbuckets=32)
+        ),
     }
 
 RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))

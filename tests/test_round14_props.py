@@ -89,3 +89,43 @@ def test_kcenter_early_termination_when_k_exceeds_corpus(spark, kc):
         assert {r[1] for r in pp} == {r[1] for r in got}
     finally:
         register_tables(spark, SF_DIR)  # restore the fixture view
+
+
+def test_tree_training_assignment_equals_frozen_assignment(spark):
+    """The reuse claim the round-14 maintenance optimization rests
+    on: the training chain's own assignment (every level assigns
+    against its FINAL centroids) is BIT-IDENTICAL to walking the
+    frozen tree with the exported centroids — so maintenance may
+    skip re-assigning the rows it just trained on."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _quantize,
+        tree_assign_frozen,
+        tree_train_deep,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    q = _quantize(spark).localCheckpoint()
+    cents1, keyed, train_asg = tree_train_deep(q, (4, 3))
+    frozen = tree_assign_frozen(q, cents1, keyed)
+    a = sorted(map(tuple, train_asg.collect()))
+    b = sorted(map(tuple, frozen.collect()))
+    assert a == b and len(a) == q.count()
+
+
+def test_tree_maintain_gate_row_matches_oracle(spark, oracle):
+    """End-to-end differential for the new gate row (the maintained
+    tree == fresh tree equivalence IS the oracle), plus shape pins:
+    one row per level-1 cell of the maintained tree, admission
+    columns partition n_new."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    spec = REGISTRY["llm_semdedup_tree_maintain"]
+    got = [tuple(r) for r in spec.fn(spark, SF_DIR).collect()]
+    exp = [tuple(r) for r in oracle.execute(spec.oracle).fetchall()]
+    assert got == exp
+    for _, n_vecs, n_moved, n_new, dc, dbo, adm in got:
+        assert n_moved <= n_vecs
+        assert dc + dbo + adm == n_new
