@@ -35,6 +35,25 @@ from datafusion_rdbms_ext_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _fixtures_fingerprint() -> str:
+    """size+mtime digest of the fixture parquet (same construction as
+    scripts/scale_probe.py): identifies the fixture GENERATION a bench
+    run measured, so claim folds can refuse cross-generation merges."""
+    import hashlib
+
+    from datafusion_rdbms_ext_spark.catalog import TABLES
+
+    parts = []
+    for name in TABLES:
+        p = os.path.join(SF_DIR, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{name}:absent")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _force(df) -> None:
     """Fully materialize every column of the result.
 
@@ -136,6 +155,11 @@ def main() -> None:
         "value_median3": round(sum(medians.values()), 4),
         "loadavg": loadavg,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # fixture-generation fingerprint (ADVICE r13 #3): the driver
+        # REGENERATES fixtures between rounds; refresh_claim's
+        # --merge-min may only fold runs of the SAME generation, and
+        # this records which generation the run measured.
+        "fixtures_fp": _fixtures_fingerprint(),
     }
     if errors:
         # An errored query is EXCLUDED from `value`, which would make

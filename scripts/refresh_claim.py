@@ -66,7 +66,7 @@ def shared_row_ratio(local: dict, prior: dict) -> tuple[float, int]:
 
 
 def build_claim(local: dict, note: str) -> dict:
-    return {
+    claim = {
         "value": local["value"],
         "value_median3": local["value_median3"],
         "n_queries": len(local["queries"]),
@@ -76,6 +76,9 @@ def build_claim(local: dict, note: str) -> dict:
         "loadavg": local["loadavg"],
         "note": note,
     }
+    if "fixtures_fp" in local:
+        claim["fixtures_fp"] = local["fixtures_fp"]
+    return claim
 
 
 def merge_min(local: dict, prior: dict, note: str) -> dict:
@@ -84,21 +87,37 @@ def merge_min(local: dict, prior: dict, note: str) -> dict:
     with its own median3/loadavg so the claim's attribution stays
     consistent per row — new rows come from the new run, rows gone
     from the new run are dropped (the registry defines the set).
-    Only valid within a fixture generation (one round)."""
+    Only valid within a fixture generation: when BOTH sides carry a
+    ``fixtures_fp`` (bench.py records it — ADVICE r13 #3) they must
+    agree, else the fold is REFUSED — mins folded across regenerated
+    fixtures would commit a claim no single run ever produced. A
+    missing fingerprint on either side (pre-round-14 artifacts) is
+    tolerated for back-compat and noted."""
+    fp_new, fp_old = local.get("fixtures_fp"), prior.get("fixtures_fp")
+    if fp_new and fp_old and fp_new != fp_old:
+        raise SystemExit(
+            f"refusing --merge-min across fixture generations: the new "
+            f"run measured generation {fp_new}, the prior claim "
+            f"{fp_old} — per-row mins from different fixture data "
+            "describe no real run. Claim the new run plain instead."
+        )
     queries: dict[str, float] = {}
     median3: dict[str, float] = {}
     loadavg: dict[str, float] = {}
     for name, t_new in local["queries"].items():
         t_old = prior.get("queries", {}).get(name)
         if t_old is not None and t_old <= t_new:
+            # .get fallbacks (ADVICE r13 #3): a pre-round-12 claim
+            # carried totals only — a missing per-row map must not
+            # KeyError the fold, it falls back to the chosen value.
             queries[name] = t_old
-            median3[name] = prior["median3"][name]
-            loadavg[name] = prior["loadavg"][name]
+            median3[name] = prior.get("median3", {}).get(name, t_old)
+            loadavg[name] = prior.get("loadavg", {}).get(name, 0.0)
         else:
             queries[name] = t_new
             median3[name] = local["median3"][name]
             loadavg[name] = local["loadavg"][name]
-    return {
+    claim = {
         "value": round(sum(queries.values()), 4),
         "value_median3": round(sum(median3.values()), 4),
         "n_queries": len(queries),
@@ -108,6 +127,9 @@ def merge_min(local: dict, prior: dict, note: str) -> dict:
         "loadavg": loadavg,
         "note": note + " [merge-min of new run into prior claim]",
     }
+    if fp_new:
+        claim["fixtures_fp"] = fp_new
+    return claim
 
 
 def main(argv: list[str]) -> None:

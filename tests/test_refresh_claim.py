@@ -126,3 +126,47 @@ def test_merge_min_without_prior_claims_fresh(tmp_path, monkeypatch):
     rc.main(["--merge-min", "note"])
     claim = json.loads((tmp_path / "BENCH_CLAIM.json").read_text())
     assert claim["queries"] == {"a": 1.0}
+
+
+def test_merge_min_legacy_prior_without_row_maps(tmp_path, monkeypatch):
+    """ADVICE r13 low: a prior claim from before the per-row maps
+    existed (totals + queries only) must fold without KeyError —
+    median3 falls back to the chosen best-of value, loadavg to 0."""
+    monkeypatch.setattr(rc, "ROOT", str(tmp_path))
+    prior = {
+        "value": 3.0,
+        "n_queries": 2,
+        "sf": 0.1,
+        "queries": {"a": 1.0, "b": 2.0},
+        "note": "legacy",
+    }
+    (tmp_path / "BENCH_CLAIM.json").write_text(json.dumps(prior))
+    local = _run({"a": 1.5, "b": 1.8})
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    rc.main(["--merge-min", "fold into legacy"])
+    claim = json.loads((tmp_path / "BENCH_CLAIM.json").read_text())
+    assert claim["queries"] == {"a": 1.0, "b": 1.8}
+    assert claim["median3"]["a"] == 1.0  # fallback to the kept value
+    assert claim["loadavg"]["a"] == 0.0
+
+
+def test_merge_min_refuses_cross_generation_fold(tmp_path, monkeypatch):
+    """ADVICE r13 low: per-row mins across fixture generations would
+    commit a claim no single run produced — both sides carrying a
+    fingerprint that disagrees must refuse."""
+    monkeypatch.setattr(rc, "ROOT", str(tmp_path))
+    prior = rc.build_claim(
+        _run({"a": 1.0, "b": 2.0}) | {"fixtures_fp": "gen_one"}, "prior"
+    )
+    (tmp_path / "BENCH_CLAIM.json").write_text(json.dumps(prior))
+    local = _run({"a": 1.5, "b": 1.8}) | {"fixtures_fp": "gen_two"}
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    with pytest.raises(SystemExit, match="fixture generations"):
+        rc.main(["--merge-min", "note"])
+    # same generation folds fine, and the claim carries the fp
+    local["fixtures_fp"] = "gen_one"
+    (tmp_path / "BENCH_LOCAL.json").write_text(json.dumps(local))
+    rc.main(["--merge-min", "note"])
+    claim = json.loads((tmp_path / "BENCH_CLAIM.json").read_text())
+    assert claim["fixtures_fp"] == "gen_one"
+    assert claim["queries"] == {"a": 1.0, "b": 1.8}
