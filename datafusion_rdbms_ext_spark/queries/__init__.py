@@ -197,63 +197,87 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: displaced by the third and fourth additions,
 #: llm_semdedup_tree_deep_mp and llm_select_kcenter) stay in the
 #: local gate and lead the r14 backfill.
+#: ROUND-14 ROTATION QUEUE: EMPTY — every query registered before
+#: round 14 is driver-proven (336/336 cumulative after the r13 gate,
+#: VERDICT r13 recomputed it as exact set equality; the doc-sync
+#: guard re-verifies mechanically).
+#: ROUND-14 ROTATION (VERDICT r13 next #1): 3 sentinels, the three
+#: round-14 additions (first-time proof in their own round: the
+#: SQLite-dialect transparent semi-join, tree-index maintenance,
+#: pre-pick k-center), two changed-plan re-proofs
+#: (fed_transparent_semijoin gained the localCheckpointed local
+#: side, dialect routing, cast unwrapping and the multi-column
+#: spill; llm_select_kcenter was rewritten to the incremental
+#: running-min form — picks bit-identical, plan new), then the
+#: mechanical stalest-first backfill: the COMPLETE d6 cohort
+#: (12 rows — the true count VERDICT r13 nit #1 corrected), then
+#: the d7 cohort front in registry order — with TWO in-cohort
+#: promotions (op_resample_linear, mm_frame_features swapped in for
+#: the mechanical #29/#30 d7 rows ev_session_dynamic_gap,
+#: ev_seasonality_profile) so the every-subsystem-in-50 invariant
+#: holds; ev_ stays covered by ev_rolling_distinct_users. The
+#: stalest-drain completeness is now guarded MECHANICALLY
+#: (tests/test_registry_order.py::
+#: test_backfill_drains_stalest_cohorts_completely — VERDICT r13
+#: next #8): every cohort strictly staler than the backfill's
+#: newest cohort must be fully drained.
 _PRIORITY: tuple[str, ...] = (
     # -- 3 sentinels (regression canaries from driver-proven families)
     "q01_pricing_summary",
     "llm_dedup_minhash_lsh",
     "fed_transparent_agg",
-    # -- round-13 additions (first-time proof in their own round)
-    "fed_transparent_semijoin",
-    "llm_semdedup_tree_deep",
-    "llm_semdedup_tree_deep_mp",
-    "llm_select_kcenter",
+    # -- round-14 additions (first-time proof in their own round)
+    "fed_sqlite_transparent_semijoin",
+    "llm_semdedup_tree_maintain",
+    "llm_select_kcenter_prepick",
     # -- changed-plan re-proofs (see the rotation note above)
-    "llm_semdedup_shard_eval",
-    "llm_select_mmr",
-    "llm_semdedup_sharded_mp",
-    # -- backfill: stalest proofs first — the d5 remainder, then the
-    #    d6 cohort in registry order (two subsystem promotions,
-    #    noted above)
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "sink_clustered_layout",
-    "micro_decimal_money",
-    "q05_local_supplier_volume",
-    "q10_returned_items",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q20_potential_promotion",
-    "micro_join_hints",
-    "win_topn_per_group",
-    "ev_json_corrupt_records",
-    "ev_trending_decay",
-    "ev_markov_transitions",
-    "ev_anomaly_mad",
-    "ev_ewma_smoothing",
-    "llm_text_stats",
-    "llm_dedup_substring",
-    "llm_quality_unigram_ppm",
-    "llm_cms_counts",
-    "llm_dedup_bloom_incremental",
-    "llm_neardup_triangles",
-    "llm_corpus_diversity",
-    "llm_bigram_lm",
-    "llm_dedup_srp",
-    "llm_sentiment_lexicon",
-    "llm_bm25_search",
-    "llm_curriculum_batches",
-    "llm_stratified_sample",
-    "olap_trajectory_topk",
-    "mm_resize_pool",
-    "stream_cms_event_types",
-    "op_percentile_exact",
+    "fed_transparent_semijoin",
+    "llm_select_kcenter",
+    # -- backfill: stalest proofs first — the complete d6 cohort,
+    #    then the d7 front in registry order (two subsystem
+    #    promotions, noted above)
+    "llm_index_lookup",
+    "llm_dedup_onion",
+    "olap_mv_rewrite",
+    "stream_ewma_daily",
+    "fed_transparent_setop",
+    "fed_sqlite_transparent_agg",
+    "fed_sqlite_transparent_window",
+    "sink_zorder_layout",
+    "source_time_travel",
+    "source_snapshot_diff",
+    "source_cdc_apply",
+    "source_compaction",
+    "q14_promo_effect",
+    "q16_part_supplier_relationship",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "micro_math_scalars",
+    "micro_string_scalars",
+    "micro_regex_hash",
+    "micro_datetime",
+    "micro_interval_range",
+    "micro_conditional_null",
+    "micro_bitwise",
+    "micro_agg_stats",
+    "micro_agg_extras",
+    "micro_agg_approx",
+    "micro_set_ops",
+    "micro_join_right",
+    "micro_join_full_outer",
+    "micro_join_cross",
+    "micro_limit_offset",
+    "micro_rollup",
+    "micro_cube",
+    "micro_values_inline",
+    "micro_group_by_all",
+    "micro_select_except",
+    "micro_arrow_udf",
+    "micro_posexplode_outer",
+    "micro_ilike",
+    "ev_rolling_distinct_users",
+    "op_resample_linear",
+    "mm_frame_features",
 )
 
 

@@ -42,3 +42,13 @@ def oracle():
             )
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fullgate: differential-gate rows past the 50 recorded driver "
+        "slots — excluded by the fast tier "
+        '(pytest -m "not fullgate"); the full default run is the '
+        "pre-close gate",
+    )

@@ -3,6 +3,13 @@
 This is a local replica of the driver's t2 gate (sf0.01, exact
 order-insensitive match). Queries without an oracle get a rows-run
 smoke check, mirroring the driver's weaker rows-only path.
+
+Two tiers (VERDICT r13 next #6 — the full sweep is the suite's long
+pole and grows every round): the 50 recorded gate slots (_PRIORITY)
+always run; every row past slot 50 carries the ``fullgate`` marker.
+Fast tier:  pytest tests/ -m "not fullgate"   (props + units + the
+50 gate rows, minutes). Pre-close gate: plain ``pytest tests/``
+(unchanged full sweep).
 """
 
 from __future__ import annotations
@@ -14,8 +21,16 @@ from datafusion_rdbms_ext_spark.queries import REGISTRY
 from .conftest import SF_DIR
 from .oracle_util import assert_matches
 
+_GATE_SLOTS = set(list(REGISTRY)[:50])
+_PARAMS = [
+    name
+    if name in _GATE_SLOTS
+    else pytest.param(name, marks=pytest.mark.fullgate)
+    for name in REGISTRY
+]
 
-@pytest.mark.parametrize("name", list(REGISTRY))
+
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle(name, spark, oracle):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_DIR)

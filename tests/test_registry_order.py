@@ -211,3 +211,64 @@ def test_documented_rotation_queue_is_exactly_the_never_proven_set():
         f"{sorted(documented - never_proven)}, "
         f"unproven-but-undocumented={sorted(never_proven - documented)}"
     )
+
+
+def test_backfill_drains_stalest_cohorts_completely():
+    """Mechanical stalest-drain guard (VERDICT r13 next #8: the r13
+    SURVEY hand-counted the d6 tail as 10; the truth was 12). The
+    backfill section of _PRIORITY must drain strictly-staler proof
+    cohorts COMPLETELY before touching a newer one: let R be the
+    newest last-proof round appearing in the backfill — then every
+    registered query whose last proof (over CORRECTNESS rounds < N,
+    N = the documented rotation round) is OLDER than R must itself
+    be in the backfill. In-cohort promotions/displacements (the
+    every-subsystem invariant) live inside cohort R and cannot
+    violate this."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    src = (
+        root / "datafusion_rdbms_ext_spark" / "queries" / "__init__.py"
+    ).read_text()
+    n_round = max(
+        int(m) for m in re.findall(r"ROUND-(\d+) ROTATION\b", src)
+    )
+    pri_src = src[src.index("_PRIORITY: tuple") :]
+    m = re.search(r"# -- backfill(.*?)\n\)", pri_src, re.S)
+    assert m, "no backfill section in _PRIORITY"
+    backfill = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    assert backfill, "empty backfill"
+
+    last: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", f.name).group(1))
+        if rnd >= n_round:
+            continue
+        for name, res in json.loads(f.read_text()).items():
+            ok = (
+                isinstance(res, dict)
+                and res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match") is not False
+                and not res.get("err")
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+
+    proven_backfill = [n for n in backfill if n in last]
+    assert proven_backfill, "backfill holds no previously-proven rows"
+    newest = max(last[n] for n in proven_backfill)
+    staler_than_newest = {
+        n for n, r in last.items() if r < newest and n in REGISTRY
+    }
+    missing = sorted(staler_than_newest - set(backfill))
+    assert not missing, (
+        f"backfill reaches cohort d{newest} but leaves these STALER "
+        f"rows undrained: {missing}"
+    )
+    # and the backfill holds nothing newer than its newest cohort
+    # (sentinels/additions/re-proofs live OUTSIDE the backfill section)
+    too_new = sorted(n for n in proven_backfill if last[n] > newest)
+    assert not too_new
