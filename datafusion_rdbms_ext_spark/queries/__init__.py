@@ -197,10 +197,13 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: displaced by the third and fourth additions,
 #: llm_semdedup_tree_deep_mp and llm_select_kcenter) stay in the
 #: local gate and lead the r14 backfill.
-#: ROUND-14 ROTATION QUEUE: EMPTY — every query registered before
-#: round 14 is driver-proven (336/336 cumulative after the r13 gate,
-#: VERDICT r13 recomputed it as exact set equality; the doc-sync
-#: guard re-verifies mechanically).
+#: ROUND-14 ROTATION QUEUE: every query registered before round 14
+#: is driver-proven (336/336 cumulative after the r13 gate, VERDICT
+#: r13 recomputed it as exact set equality; the doc-sync guard
+#: re-verifies mechanically). One round-14 operator landed AFTER the
+#: 50-slot curation and leads the r15 rotation:
+#: stream_semdedup_tree_admission (green in the local differential
+#: gate today).
 #: ROUND-14 ROTATION (VERDICT r13 next #1): 3 sentinels, the three
 #: round-14 additions (first-time proof in their own round: the
 #: SQLite-dialect transparent semi-join, tree-index maintenance,

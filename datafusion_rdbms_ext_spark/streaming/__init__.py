@@ -2183,3 +2183,309 @@ def stream_semdedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..queries.base import REGISTRY as _REG  # noqa: E402
 
 _REG["stream_semdedup_admission"].oracle = _stream_sem_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming admission on the TREE index (round 14 — the last leg of
+# VERDICT r13 next #3: maintenance landed as llm_semdedup_tree_maintain,
+# this ports the CONTINUOUS ingest form). Identical sequential-chaining
+# semantics to stream_semdedup_admission, but the frozen index is the
+# depth-b tree: each batch walks the frozen tree map-side (broadcast
+# per-level centroid arrays) and duplicate rejection buckets on the
+# packed LEAF key — the occupancy-capped comparison set the log-depth
+# shape exists to provide. Kept as its own function rather than
+# parametrizing the driver-proven flat operator: the flat plan stays
+# byte-stable.
+# ---------------------------------------------------------------------------
+_STREAM_TREE_B = (4, 3)  # pinned for the oracle (depth composes)
+
+
+def _stream_sem_tree_oracle() -> str:
+    from ..queries.llm import (
+        _SEM_INC_MOD,
+        _SEMDEDUP_TAU,
+        _SQL_NORM,
+        _SQL_PAIR_DOT,
+        _IVF_SCALE,
+        _materialize_ctes,
+        _sql_lloyds_cells,
+        _sql_tree_deep_cells,
+        _sql_tree_frozen_assign,
+    )
+
+    b = _STREAM_TREE_B
+    parts = [
+        f"""
+    WITH {_sql_lloyds_cells(k=b[0], prefix="fz_", where=f"WHERE vec_id % {_SEM_INC_MOD} <> 0")},
+    {_sql_tree_deep_cells(b, prefix="fz_", export_cents=True)},
+    eqv_all AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_IVF_SCALE}) AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    {_sql_tree_frozen_assign(b, "fz_", "asg_all")},
+    base AS (SELECT b.vec_id, a.key AS cell, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN asg_all a ON a.vec_id = b.vec_id),
+    prior0 AS (SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+               FROM base WHERE vec_id % {_SEM_INC_MOD} <> 0)"""
+    ]
+    for k in range(_STREAM_SEM_SPLITS):
+        parts.append(f"""
+    b{k} AS (SELECT * FROM base WHERE vec_id % {_SEM_INC_MOD} = 0
+             AND (vec_id // {_SEM_INC_MOD}) % {_STREAM_SEM_SPLITS} = {k}),
+    b{k}q AS (SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+              FROM b{k}),
+    dp{k} AS (
+      SELECT DISTINCT b.vec_id
+      FROM prior{k} q JOIN b{k} b ON b.cell = q.cell
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    db{k} AS (
+      SELECT DISTINCT b.vec_id
+      FROM b{k}q q JOIN b{k} b ON b.cell = q.cell AND q.q_id < b.vec_id
+      WHERE {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    ),
+    adm{k} AS (
+      SELECT b.* FROM b{k} b
+      LEFT JOIN dp{k} dp ON dp.vec_id = b.vec_id
+      LEFT JOIN db{k} db ON db.vec_id = b.vec_id
+      WHERE dp.vec_id IS NULL AND db.vec_id IS NULL
+    ),
+    prior{k + 1} AS (
+      SELECT * FROM prior{k}
+      UNION ALL
+      SELECT vec_id AS q_id, cell, embedding AS q_emb, nrm AS q_nrm
+      FROM adm{k}
+    )""")
+    reports = " UNION ALL ".join(
+        f"""
+    SELECT {k} AS batch_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(COUNT(dp.vec_id) AS BIGINT) AS n_dup_prior,
+           CAST(SUM(CASE WHEN db.vec_id IS NOT NULL AND dp.vec_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch_only,
+           CAST(SUM(CASE WHEN dp.vec_id IS NULL AND db.vec_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM b{k}
+    LEFT JOIN dp{k} dp ON dp.vec_id = b{k}.vec_id
+    LEFT JOIN db{k} db ON db.vec_id = b{k}.vec_id"""
+        for k in range(_STREAM_SEM_SPLITS)
+    )
+    return _materialize_ctes(
+        ",".join(parts) + f" SELECT * FROM ({reports}) ORDER BY batch_seq"
+    )
+
+
+@register(
+    "stream_semdedup_tree_admission",
+    oracle=None,  # installed below (needs queries.llm fragments)
+    doc="Streaming SemDeDup admission on the FROZEN depth-b tree "
+    "index (round 14; the continuous-ingest leg of VERDICT r13 next "
+    "#3): three ordered micro-batches drain through foreachBatch; "
+    "each batch walks the frozen tree map-side (nearest level-1 "
+    "centroid, then nearest sub-centroid within the inherited "
+    "prefix) and a vector is rejected on a cosine>=tau neighbor in "
+    "the corpus, in any earlier batch's admitted set, or earlier in "
+    "its own batch — all bucketed on the packed LEAF key. Durable "
+    "admitted-state accrues per batch under an idempotent per-batch "
+    "path; the oracle re-runs the tree training, the frozen walk, "
+    "and all three chained admission passes in SQL (MATERIALIZED "
+    "CTEs — inlined keyed chains go exponential). Centroid "
+    "staleness is the separately registered tree maintenance job "
+    "(llm_semdedup_tree_maintain).",
+    tags=("llm", "dedup", "similarity", "streaming"),
+)
+def stream_semdedup_tree_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-batch admission report after draining the ingest stream
+    against the frozen tree index.
+
+    Scale: the tree is trained ONCE before the stream (O(depth) keyed
+    chains); per-batch cost is |batch| x LEAF occupancy — the
+    log-depth shape holds leaf occupancy ~constant as the corpus
+    grows (add levels, not fan-out), so per-batch admission cost
+    tracks |batch|, not corpus size. The admitted store is
+    leaf-partitioned; a batch touches only its leaves' partitions."""
+    import glob as _glob
+    import tempfile
+    import time as _time
+
+    from ..queries.base import ensure_tables
+    from ..queries.llm import (
+        _SEM_INC_MOD,
+        _SEMDEDUP_TAU,
+        _dot,
+        _quantize,
+        _vectors_with_norm,
+        tree_assign_frozen,
+        tree_train_deep,
+    )
+
+    ensure_tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_semdedup_tree_")
+    is_new = F.col("vec_id") % _SEM_INC_MOD == 0
+
+    # frozen tree: trained on the corpus ONCE, before the stream; the
+    # training chain's own assignment IS the corpus assignment
+    # (property-pinned by test_round14_props), so no re-walk
+    q = _quantize(spark)
+    c1, kd, train_asg = tree_train_deep(q.filter(~is_new), _STREAM_TREE_B)
+    corpus = (
+        _vectors_with_norm(spark)
+        .join(train_asg, "vec_id")
+        .select("vec_id", "cell", "embedding", "nrm")
+    )
+    store = os.path.join(root, "store")
+    corpus.write.mode("overwrite").parquet(os.path.join(store, "seed=corpus"))
+
+    indir = os.path.join(root, "in")
+    os.makedirs(indir)
+    src = spark.table("embeddings").filter(is_new)
+    for k in range(_STREAM_SEM_SPLITS):
+        part_dir = os.path.join(root, f"b{k}.tmp")
+        src.filter(
+            F.expr(f"(vec_id div {_SEM_INC_MOD}) % {_STREAM_SEM_SPLITS}") == k
+        ).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        (pf,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(indir, f"batch_{k}.parquet")
+        os.rename(pf, dst)
+        shutil.rmtree(part_dir)
+        t = _time.time() - 600 + k * 120  # strictly increasing mtimes
+        os.utime(dst, (t, t))
+
+    schema = spark.read.parquet(os.path.join(indir, "batch_0.parquet")).schema
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = os.path.join(root, f"v{int(batch_id)}.done")
+        if os.path.exists(done):
+            return  # replayed batch: already durable
+        sess = batch_df.sparkSession
+        bq = batch_df.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            ).alias("eq"),
+        )
+        newb = (
+            batch_df.select(
+                "vec_id",
+                "embedding",
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias(
+                    "nrm"
+                ),
+            )
+            .join(tree_assign_frozen(bq, c1, kd), "vec_id")
+            .select("vec_id", "cell", "embedding", "nrm")
+            .localCheckpoint()
+        )
+        splits = (
+            newb.select(
+                F.expr(
+                    f"(vec_id div {_SEM_INC_MOD}) % {_STREAM_SEM_SPLITS}"
+                ).alias("s")
+            )
+            .distinct()
+            .collect()
+        )
+        processed = len(_glob.glob(os.path.join(root, "v*.done")))
+        assert [r["s"] for r in splits] == [processed], (
+            f"file source delivered split {splits} as batch #{processed}"
+        )
+        prior = sess.read.parquet(store).select(
+            F.col("vec_id").alias("q_id"),
+            "cell",
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        bqside = newb.select(
+            F.col("vec_id").alias("q_id"),
+            "cell",
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+            F.col("q_nrm") * F.col("nrm")
+        )
+        dp = (
+            prior.join(newb, "cell")
+            .filter(cos >= _SEMDEDUP_TAU)
+            .select("vec_id")
+            .distinct()
+            .withColumn("dup_prior", F.lit(1))
+        )
+        db = (
+            bqside.join(newb, "cell")
+            .filter(F.col("q_id") < F.col("vec_id"))
+            .filter(cos >= _SEMDEDUP_TAU)
+            .select("vec_id")
+            .distinct()
+            .withColumn("dup_batch", F.lit(1))
+        )
+        marked = (
+            newb.join(dp, "vec_id", "left")
+            .join(db, "vec_id", "left")
+            .localCheckpoint()
+        )
+        admitted = marked.filter(
+            F.col("dup_prior").isNull() & F.col("dup_batch").isNull()
+        ).select("vec_id", "cell", "embedding", "nrm")
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(store, f"seed=b{processed}")
+        )
+        rep = marked.agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count("dup_prior").alias("n_dup_prior"),
+            F.sum(
+                F.when(
+                    F.col("dup_batch").isNotNull()
+                    & F.col("dup_prior").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_dup_batch_only"),
+            F.sum(
+                F.when(
+                    F.col("dup_prior").isNull() & F.col("dup_batch").isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_admitted"),
+        ).collect()[0]
+        with open(os.path.join(root, f"report_{processed}.json"), "w") as fh:
+            json.dump(
+                {
+                    "batch_seq": processed,
+                    "n_new": rep["n_new"],
+                    "n_dup_prior": rep["n_dup_prior"],
+                    "n_dup_batch_only": rep["n_dup_batch_only"],
+                    "n_admitted": rep["n_admitted"],
+                },
+                fh,
+            )
+        open(done, "w").close()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(os.path.join(indir, "batch_*.parquet"))
+    )
+    q2 = (
+        stream.writeStream.foreachBatch(admit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    rows = []
+    for p in sorted(_glob.glob(os.path.join(root, "report_*.json"))):
+        with open(p) as fh:
+            rows.append(json.load(fh))
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        "batch_seq long, n_new long, n_dup_prior long, "
+        "n_dup_batch_only long, n_admitted long",
+    ).orderBy("batch_seq")
+
+
+_REG["stream_semdedup_tree_admission"].oracle = _stream_sem_tree_oracle()
