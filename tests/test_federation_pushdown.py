@@ -1308,3 +1308,94 @@ def test_multikey_spill_reduction_tightens_inbound_rows(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, j.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14, dialect three: the transparent path against the LIVE
+# Postgres DSv2 mount (pgwire_fed).
+# ---------------------------------------------------------------------------
+def _pg_semijoin_case(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.sources.pushdown import _pgwire_table
+
+    fed = _pgwire_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    keys = (
+        spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .filter(F.col("n_regionkey").isin(0, 3))
+        .select("n_nationkey")
+    )
+    return fed.join(
+        keys, fed["c_nationkey"] == keys["n_nationkey"], "left_semi"
+    )
+
+
+def test_pg_transparent_semijoin_fires_with_sorted_inlist(spark):
+    """The live-Postgres mixed plan takes the SAME reduction as the
+    other two dialects — rewrite fires, sorted IN-list on the wire,
+    value-identical to the unrewritten plan."""
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        transparent_semijoin,
+    )
+
+    df = _pg_semijoin_case(spark)
+    hit = transparent_semijoin(df)
+    assert hit is not None
+    out, sql = hit
+    m = re.search(r"c_nationkey IN \(([^)]*)\)", sql)
+    assert m, sql
+    shipped = [int(v) for v in m.group(1).split(",")]
+    assert shipped == sorted(shipped)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_pg_transparent_semijoin_spill_copies_into_live_table(spark):
+    """Above the inline cap on the live server the COMPLETE key set
+    bulk-loads over COPY FROM STDIN into a _sjk_* table — the genuine
+    networked staging protocol — and the reduced SQL selects from it;
+    spill=False falls through."""
+    from datafusion_rdbms_ext_spark.sources.federation import _pg_connector
+    from datafusion_rdbms_ext_spark.sources.pgwire import PgWireClient
+    from datafusion_rdbms_ext_spark.sources.pushdown import (
+        transparent_semijoin,
+    )
+
+    df = _pg_semijoin_case(spark)
+    assert transparent_semijoin(df, max_keys=0, spill=False) is None
+    hit = transparent_semijoin(df, max_keys=0)
+    assert hit is not None
+    out, sql = hit
+    m = re.search(r"IN \(SELECT c_nationkey FROM (_sjk_\w+)\)", sql)
+    assert m, sql
+    con = _pg_connector(spark, SF_DIR)
+    cli = PgWireClient(**con._params())
+    try:
+        _c, _o, rows = cli.query(f"SELECT c_nationkey FROM {m.group(1)}")
+    finally:
+        cli.close()
+    expected_keys = {
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .filter("n_regionkey IN (0, 3)")
+        .select("n_nationkey")
+        .collect()
+    }
+    assert {r[0] for r in rows} == expected_keys
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_pg_transparent_whole_plan_no_spark_aggregate(spark):
+    """The whole-plan arm against the live DSv2 mount: the executed
+    plan holds NO Spark-side aggregate — the GROUP BY ran on the
+    server (a silent fall-through would leave a HashAggregate)."""
+    df = REGISTRY["fed_postgres_transparent_datasource"].fn(spark, SF_DIR)
+    p = plan_string(df)
+    assert not re.search(
+        r"HashAggregate|SortAggregate|ObjectHashAggregate", p
+    ), p
