@@ -6056,6 +6056,125 @@ def semdedup_prune_tree_deep_mp(
     )
 
 
+# ---------------------------------------------------------------------------
+# 19g. TREE-PROBED ANN SEARCH (round 14): the ANN family's search
+#      path unified with the log-depth index the dedup family
+#      deploys. The corpus stores ONE packed leaf per vector; a query
+#      walks the frozen tree single-path to its depth-(L-1) prefix
+#      and probes its nprobe nearest LEAF subcells — candidates are
+#      the probed leaves' members, exact cosine re-rank on top. The
+#      flat IVF search costs nprobe/K of the corpus per query; here
+#      the probed set is nprobe leaves of ~target occupancy, held
+#      ~CONSTANT as N grows by adding levels — the search-side
+#      payoff of the occupancy cap.
+# ---------------------------------------------------------------------------
+_TREE_SEARCH_B = (4, 3)  # pinned for the oracle (depth composes)
+
+
+@register(
+    "llm_sim_topk_tree",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(k=_TREE_SEARCH_B[0])},
+    {_sql_tree_deep_cells(_TREE_SEARCH_B)},
+    {_sql_tree_deep_probes(_TREE_SEARCH_B, _SEM_NPROBE)},
+    base AS (SELECT b.vec_id, dc.key AS cell, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN deep_cells dc ON dc.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id < 30),
+    pairs AS (
+      SELECT p.vec_id AS q_id, b.vec_id,
+             {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+      FROM deep_probes p
+      JOIN q ON q.q_id = p.vec_id
+      JOIN base b ON b.cell = p.key AND b.vec_id <> p.vec_id
+      WHERE p.vec_id < 30
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc="Tree-probed ANN search (round 14): top-3 neighbors across "
+    "each query's 2 nearest LEAF subcells of the depth-b tree — the "
+    "ANN search path on the SAME log-depth index the semantic-dedup "
+    "family deploys (one index serves both). Upper levels stay "
+    "single-assigned; the probed candidate set is nprobe leaves of "
+    "~target occupancy, held ~constant as N grows by adding levels "
+    "— where flat IVF's nprobe/K fraction grows with the corpus. "
+    "The oracle re-runs the keyed chains, the leaf probe rank, and "
+    "the exact cosine re-rank.",
+    tags=("llm", "similarity", "bench"),
+)
+def llm_sim_topk_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (4,3)/nprobe-2 gate configuration; `sim_topk_tree` is
+    the self-scaling entry."""
+    return sim_topk_tree(spark, branching=_TREE_SEARCH_B)
+
+
+def sim_topk_tree(
+    spark: SparkSession,
+    branching: tuple[int, ...] | list[int] | None = None,
+    target: int = 64,
+    fanout: int = 8,
+    nprobe: int = _SEM_NPROBE,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k cosine neighbors via leaf-probing the depth-b tree.
+
+    ``branching=None`` derives the log-depth shape from the corpus
+    count (as :func:`semdedup_prune_tree_deep`). Scale: probe
+    selection is map-side (per-prefix broadcast leaf centroids); the
+    candidate join shuffles on the packed leaf key only — work per
+    query is nprobe * leaf occupancy, which the log-depth shape
+    holds ~constant; the re-rank window partitions by query."""
+    pack_base = _TREE_PACK
+    if branching is None:
+        import math
+
+        n = spark.table("embeddings").count()
+        depth = max(2, math.ceil(math.log(max(n / target, 2), fanout)))
+        branching = (fanout,) * depth
+        pack_base = fanout + 1
+    asg, probes = tree_index_deep(
+        spark, branching, pack=pack_base, nprobe=nprobe
+    )
+    base = _vectors_with_norm(spark).drop("label").join(asg, "vec_id")
+    qp = probes.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("p_cell")
+    )
+    q = base.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = qp.join(q, "q_id").join(
+        base,
+        (F.col("cell") == F.col("p_cell"))
+        & (F.col("vec_id") != F.col("q_id")),
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cos")
+    scored = pairs.select("q_id", "vec_id", cos)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
 # the calibration row (19b) compares the tree against the other
 # second-level designs; its oracle needs the sub-chain and probe
 # blocks defined just above
