@@ -6069,6 +6069,8 @@ def semdedup_prune_tree_deep_mp(
 #      payoff of the occupancy cap.
 # ---------------------------------------------------------------------------
 _TREE_SEARCH_B = (4, 3)  # pinned for the oracle (depth composes)
+_RECALL_Q = 30  # query panel (section 51 re-pins the same value)
+_RECALL_K = 3
 
 
 @register(
@@ -6172,6 +6174,138 @@ def sim_topk_tree(
             "rk",
         )
         .orderBy("q_id", "rk")
+    )
+
+
+@register(
+    "llm_ann_recall_tree",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(k=_TREE_SEARCH_B[0])},
+    {_sql_tree_deep_cells(_TREE_SEARCH_B)},
+    {_sql_tree_deep_probes(_TREE_SEARCH_B, _SEM_NPROBE)},
+    base AS (SELECT b.vec_id, dc.key AS cell, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN deep_cells dc ON dc.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id < {_RECALL_Q}),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) DESC, b.vec_id
+               ) AS rk
+        FROM q, base b WHERE b.vec_id <> q.q_id
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) DESC, b.vec_id
+               ) AS rk
+        FROM deep_probes p
+        JOIN q ON q.q_id = p.vec_id
+        JOIN base b ON b.cell = p.key AND b.vec_id <> p.vec_id
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT t.q_id, COUNT(a.vec_id) AS h, COUNT(*) AS t_n
+      FROM truth t LEFT JOIN approx a
+        ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+      GROUP BY t.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(t_n) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST(SUM(h) AS BIGINT) AS n_hits,
+           CAST(SUM(h) * 1000000 // SUM(t_n) AS BIGINT) AS recall_ppm,
+           CAST(MIN(h * 1000000 // t_n) AS BIGINT) AS worst_query_recall_ppm
+    FROM hits
+    """,
+    doc=f"Recall@{_RECALL_K} of the TREE-PROBED search vs exact brute "
+    "force over the same query panel — the family discipline "
+    "(llm_ann_recall_eval) applied to the round-14 tree search, so "
+    "the one-index-serves-both recommendation ships with a measured "
+    "quality number, not an assumption. Micro + worst-query recall "
+    "in exact integer ppm; the oracle re-runs the keyed chains, the "
+    "leaf probe rank, both searched sets and the hit rollup.",
+    tags=("llm", "similarity", "quality"),
+)
+def llm_ann_recall_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall@k report: tree-probed search vs brute force.
+
+    Scale: the truth side is brute force over the QUERY PANEL only
+    (fixed small, broadcast); the approx side is the production
+    tree-probed plan (leaf-keyed candidate join). Both reduce to
+    (q_id, neighbor) pairs before the metadata-sized eval join."""
+    asg, probes = tree_index_deep(
+        spark, _TREE_SEARCH_B, nprobe=_SEM_NPROBE
+    )
+    base = _vectors_with_norm(spark).drop("label").join(asg, "vec_id")
+    q = base.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qp = probes.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("p_cell")
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cos")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select("q_id", "vec_id", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _RECALL_K)
+            .select("q_id", "vec_id")
+        )
+
+    truth = topk(
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    )
+    approx = topk(
+        qp.join(q, "q_id").join(
+            base,
+            (F.col("cell") == F.col("p_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+    )
+    n_approx = approx.agg(F.count(F.lit(1)).alias("na"))
+    a = approx.select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vec")
+    )
+    hits = (
+        truth.join(
+            a,
+            (truth["q_id"] == a["a_qid"]) & (truth["vec_id"] == a["a_vec"]),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("a_vec").alias("h"),
+            F.count(F.lit(1)).alias("t_n"),
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("t_n").cast("long").alias("n_truth"),
+        F.sum("h").cast("long").alias("n_hits"),
+        F.expr("sum(h) * 1000000 div sum(t_n)").alias("recall_ppm"),
+        F.min(F.expr("h * 1000000 div t_n"))
+        .cast("long")
+        .alias("worst_query_recall_ppm"),
+    ).crossJoin(F.broadcast(n_approx)).select(
+        "n_queries",
+        "n_truth",
+        F.col("na").cast("long").alias("n_approx"),
+        "n_hits",
+        "recall_ppm",
+        "worst_query_recall_ppm",
     )
 
 
@@ -9565,7 +9699,8 @@ def llm_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     same deterministic fold-ordered cosine, so the measurement is
 #     under the same bit-exact differential gate as the operators.
 # ---------------------------------------------------------------------------
-_RECALL_Q = 30  # query set: vec_id < 30 (matches llm_sim_topk_ivf)
+_RECALL_Q = 30  # query set: vec_id < 30 (matches llm_sim_topk_ivf;
+# first pinned at section 19g — same value, re-stated here for locality)
 _RECALL_K = 3
 
 
