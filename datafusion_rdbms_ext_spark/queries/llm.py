@@ -6320,6 +6320,394 @@ _REGISTRY["llm_semdedup_shard_eval"].oracle = _REGISTRY[
 
 
 # ---------------------------------------------------------------------------
+# 19g-2. BEAM-PROBED TREE SEARCH (round 14 continuation): the
+#      single-path walk commits to ONE prefix per level, so a query
+#      near an upper-level Voronoi boundary probes leaves that cannot
+#      contain its true neighbors — the measured cause of
+#      llm_ann_recall_tree's worst-query 0. The beam walk keeps the
+#      top-``beam`` prefixes at every level and selects the final
+#      ``nprobe`` leaves ACROSS them — the hierarchical-k-means /
+#      IMI multi-path descent (PAPERS.md: Babenko & Lempitsky,
+#      inverted multi-index) — at the SAME leaf-scan budget: still
+#      nprobe leaves of ~target occupancy, they are just better
+#      leaves. beam=1 is BIT-IDENTICAL to the single-path probes
+#      (property-pinned), so the knob strictly generalizes the
+#      round-14 search.
+# ---------------------------------------------------------------------------
+_TREE_BEAM = 2  # pinned gate beam width (upper-level multi-path)
+
+
+def tree_probe_beam(
+    q: DataFrame,
+    cents1: DataFrame,
+    keyed_cents: list[DataFrame],
+    beam: int = _TREE_BEAM,
+    nprobe: int = _SEM_NPROBE,
+    pack: int | None = None,
+) -> DataFrame:
+    """(vec_id, cell): each query vector's ``nprobe`` nearest LEAF
+    cells of a frozen depth-b tree, selected across the query's
+    ``beam`` best prefixes per level (ties (dist, packed key) — for
+    ``beam=1`` this collapses to the single-path probe order, which
+    the round-14 property pin relies on).
+
+    Scale: entirely map-side like :func:`tree_assign_frozen` — each
+    level is one broadcast join against that level's keyed centroid
+    arrays; the per-query expansion is beam * b_l rows before the
+    per-query rank window prunes back to beam (leaves: nprobe), so
+    the walk costs O(depth * beam * fanout * dim) flops per query
+    and the only shuffle is the metadata-sized (vec_id, dist, key)
+    rank — never vectors, never corpus-sized."""
+    pack = pack or _TREE_PACK
+    cents_arr = cents1.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cs")
+    )
+    ranked1 = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _l2q(F.col("eq"), c.getField("cemb")).alias("dist"),
+                    c.getField("cid").alias("cid"),
+                ),
+            )
+        ),
+        1,
+        beam,
+    )
+    vecs = (
+        q.crossJoin(F.broadcast(cents_arr))
+        .select("vec_id", "eq", F.explode(ranked1).alias("p"))
+        .select("vec_id", "eq", F.col("p.cid").cast("long").alias("cell"))
+    )
+    for i, cents in enumerate(keyed_cents):
+        keep = nprobe if i == len(keyed_cents) - 1 else beam
+        cents_arr = _cents_arr_keyed(cents)
+        expanded = (
+            vecs.join(F.broadcast(cents_arr), "cell")
+            .select(
+                "vec_id",
+                "eq",
+                "cell",
+                F.explode(
+                    F.transform(
+                        F.col("cs"),
+                        lambda c: F.struct(
+                            _l2q(F.col("eq"), c.getField("cemb")).alias(
+                                "dist"
+                            ),
+                            c.getField("cid").alias("cid"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                "vec_id",
+                "eq",
+                (
+                    F.col("cell") * F.lit(pack).cast("long")
+                    + F.col("p.cid").cast("long")
+                ).alias("cell"),
+                F.col("p.dist").alias("dist"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        vecs = (
+            expanded.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= keep)
+            .select("vec_id", "eq", "cell")
+        )
+    return vecs.select("vec_id", "cell")
+
+
+def _sql_tree_beam_probes(
+    branching: tuple[int, ...],
+    beam: int,
+    nprobe: int,
+    panel_where: str = "",
+    out: str = "beam_probes",
+) -> str:
+    """DuckDB CTE chain mirroring :func:`tree_probe_beam` against an
+    exported tree (compose after ``_sql_lloyds_cells(k=b_1)`` and
+    ``_sql_tree_deep_cells(B, export_cents=True)``): level 1 keeps
+    the ``beam`` nearest level-1 centroids per query, each deeper
+    level ranks ALL children of the surviving prefixes by
+    (dist, packed key) and keeps ``beam`` (leaves: ``nprobe``).
+    Emits ``{out} (vec_id, key)``."""
+    parts = [
+        f"""
+    {out}_l1 AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS key, eq FROM (
+        SELECT e.vec_id, e.eq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, c.cid) AS rk
+        FROM (SELECT * FROM eqv {panel_where}) e CROSS JOIN centroids c) WHERE rk <= {beam}
+    )"""
+    ]
+    prev = f"{out}_l1"
+    for lvl in range(2, len(branching) + 1):
+        keep = nprobe if lvl == len(branching) else beam
+        parts.append(
+            f"""
+    {out}_l{lvl} AS (
+      SELECT vec_id, key, eq FROM (
+        SELECT e.vec_id, e.key * {_TREE_PACK} + c.cid AS key, e.eq,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_SQL_ASSIGN_DIST}, e.key * {_TREE_PACK} + c.cid) AS rk
+        FROM {prev} e JOIN d{lvl}_cents c ON c.key = e.key) WHERE rk <= {keep}
+    )"""
+        )
+        prev = f"{out}_l{lvl}"
+    parts.append(f"""
+    {out} AS (SELECT vec_id, key FROM {prev})""")
+    return ",".join(parts)
+
+
+@register(
+    "llm_sim_topk_tree_beam",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(k=_TREE_SEARCH_B[0])},
+    {_sql_tree_deep_cells(_TREE_SEARCH_B, export_cents=True)},
+    {_sql_tree_beam_probes(_TREE_SEARCH_B, _TREE_BEAM, _SEM_NPROBE, panel_where="WHERE vec_id < 30")},
+    base AS (SELECT b.vec_id, dc.key AS cell, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN deep_cells dc ON dc.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id < 30),
+    pairs AS (
+      SELECT p.vec_id AS q_id, b.vec_id,
+             {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+      FROM beam_probes p
+      JOIN q ON q.q_id = p.vec_id
+      JOIN base b ON b.cell = p.key AND b.vec_id <> p.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+      FROM pairs
+    )
+    SELECT q_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY q_id, rk
+    """,
+    doc="Beam-probed tree ANN search (round 14 continuation): the "
+    "single-path walk's worst-query-0 recall loss comes from "
+    "upper-level Voronoi boundaries, so the query keeps its 2 best "
+    "prefixes per level and selects the final nprobe leaves ACROSS "
+    "them — SAME leaf-scan budget as llm_sim_topk_tree (nprobe "
+    "leaves of ~target occupancy), strictly better leaf selection; "
+    "beam=1 is bit-identical to the single-path probes "
+    "(property-pinned). The oracle re-runs the keyed chains, the "
+    "beam descent and the exact cosine re-rank.",
+    tags=("llm", "similarity", "bench"),
+)
+def llm_sim_topk_tree_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (4,3)/beam-2/nprobe-2 gate configuration;
+    `sim_topk_tree_beam` is the self-scaling entry."""
+    return sim_topk_tree_beam(spark, branching=_TREE_SEARCH_B)
+
+
+def sim_topk_tree_beam(
+    spark: SparkSession,
+    branching: tuple[int, ...] | list[int] | None = None,
+    target: int = 64,
+    fanout: int = 8,
+    beam: int = _TREE_BEAM,
+    nprobe: int = _SEM_NPROBE,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k cosine neighbors via the beam walk over the depth-b
+    tree (``branching=None`` derives the log-depth shape as
+    :func:`semdedup_prune_tree_deep`).
+
+    Scale: training is the same O(depth) keyed-chain jobs as every
+    tree entry (one index serves dedup, maintenance, admission and
+    both search shapes); the beam descent is map-side per level; the
+    candidate join shuffles on the packed leaf key only — work per
+    query stays nprobe * leaf occupancy, which the log-depth shape
+    holds ~constant."""
+    pack_base = _TREE_PACK
+    if branching is None:
+        import math
+
+        n = spark.table("embeddings").count()
+        depth = max(2, math.ceil(math.log(max(n / target, 2), fanout)))
+        branching = (fanout,) * depth
+        pack_base = fanout + 1
+    cents1, keyed, asg = tree_train_deep(
+        _quantize(spark), branching, pack=pack_base
+    )
+    base = _vectors_with_norm(spark).drop("label").join(asg, "vec_id")
+    qp = tree_probe_beam(
+        _quantize(spark).filter(F.col("vec_id") < 30),
+        cents1,
+        keyed,
+        beam=beam,
+        nprobe=nprobe,
+        pack=pack_base,
+    ).select(F.col("vec_id").alias("q_id"), F.col("cell").alias("p_cell"))
+    q = base.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = qp.join(q, "q_id").join(
+        base,
+        (F.col("cell") == F.col("p_cell"))
+        & (F.col("vec_id") != F.col("q_id")),
+    )
+    cos = (
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cos")
+    scored = pairs.select("q_id", "vec_id", cos)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+@register(
+    "llm_ann_recall_tree_beam",
+    oracle=f"""
+    WITH {_sql_lloyds_cells(k=_TREE_SEARCH_B[0])},
+    {_sql_tree_deep_cells(_TREE_SEARCH_B, export_cents=True)},
+    {_sql_tree_beam_probes(_TREE_SEARCH_B, _TREE_BEAM, _SEM_NPROBE, panel_where=f"WHERE vec_id < {_RECALL_Q}")},
+    base AS (SELECT b.vec_id, dc.key AS cell, b.embedding, {_SQL_NORM} AS nrm
+             FROM embeddings b JOIN deep_cells dc ON dc.vec_id = b.vec_id),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+          FROM base WHERE vec_id < {_RECALL_Q}),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) DESC, b.vec_id
+               ) AS rk
+        FROM q, base b WHERE b.vec_id <> q.q_id
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) DESC, b.vec_id
+               ) AS rk
+        FROM beam_probes p
+        JOIN q ON q.q_id = p.vec_id
+        JOIN base b ON b.cell = p.key AND b.vec_id <> p.vec_id
+      ) WHERE rk <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT t.q_id, COUNT(a.vec_id) AS h, COUNT(*) AS t_n
+      FROM truth t LEFT JOIN approx a
+        ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+      GROUP BY t.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(t_n) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST(SUM(h) AS BIGINT) AS n_hits,
+           CAST(SUM(h) * 1000000 // SUM(t_n) AS BIGINT) AS recall_ppm,
+           CAST(MIN(h * 1000000 // t_n) AS BIGINT) AS worst_query_recall_ppm
+    FROM hits
+    """,
+    doc=f"Recall@{_RECALL_K} of the BEAM-probed tree search vs exact "
+    "brute force over the same panel — the measured answer to "
+    "whether multi-path descent recovers the single-path walk's "
+    "worst-query-0 loss AT THE SAME leaf-scan budget (2 leaves "
+    "either way; compare llm_ann_recall_tree). The oracle re-runs "
+    "the keyed chains, the beam descent, both searched sets and the "
+    "hit rollup.",
+    tags=("llm", "similarity", "quality"),
+)
+def llm_ann_recall_tree_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall@k report: beam-probed tree search vs brute
+    force (same panel, same metric columns as llm_ann_recall_tree so
+    the two rows read side-by-side).
+
+    Scale: truth is brute force over the FIXED query panel only; the
+    approx side is the production beam-probed plan — both reduce to
+    (q_id, neighbor) pairs before the metadata-sized eval join."""
+    cents1, keyed, asg = tree_train_deep(_quantize(spark), _TREE_SEARCH_B)
+    base = _vectors_with_norm(spark).drop("label").join(asg, "vec_id")
+    q = base.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qp = tree_probe_beam(
+        _quantize(spark).filter(F.col("vec_id") < _RECALL_Q),
+        cents1,
+        keyed,
+        beam=_TREE_BEAM,
+        nprobe=_SEM_NPROBE,
+    ).select(F.col("vec_id").alias("q_id"), F.col("cell").alias("p_cell"))
+    cos = (
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm"))
+    ).alias("cos")
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select("q_id", "vec_id", cos)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _RECALL_K)
+            .select("q_id", "vec_id")
+        )
+
+    truth = topk(
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    )
+    approx = topk(
+        qp.join(q, "q_id").join(
+            base,
+            (F.col("cell") == F.col("p_cell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+    )
+    n_approx = approx.agg(F.count(F.lit(1)).alias("na"))
+    a = approx.select(
+        F.col("q_id").alias("a_qid"), F.col("vec_id").alias("a_vec")
+    )
+    hits = (
+        truth.join(
+            a,
+            (truth["q_id"] == a["a_qid"]) & (truth["vec_id"] == a["a_vec"]),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("a_vec").alias("h"),
+            F.count(F.lit(1)).alias("t_n"),
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("t_n").cast("long").alias("n_truth"),
+        F.sum("h").cast("long").alias("n_hits"),
+        F.expr("sum(h) * 1000000 div sum(t_n)").alias("recall_ppm"),
+        F.min(F.expr("h * 1000000 div t_n"))
+        .cast("long")
+        .alias("worst_query_recall_ppm"),
+    ).crossJoin(F.broadcast(n_approx)).select(
+        "n_queries",
+        "n_truth",
+        F.col("na").cast("long").alias("n_approx"),
+        "n_hits",
+        "recall_ppm",
+        "worst_query_recall_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
 # 19h. TREE-INDEX MAINTENANCE + ADMISSION (round 14 — VERDICT r13
 #      next #3): the deploy recommendation is the log-depth tree, so
 #      the maintenance/admission forms ride it too. Train and frozen-

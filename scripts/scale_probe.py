@@ -278,6 +278,20 @@ def _extra_probes():
         "kcenter_prepick_k100": lambda spark, sf: (
             llm.kcenter_select_prepick(spark, k=100, nbuckets=32)
         ),
+        # round-14 continuation: both tree-search shapes on the
+        # self-scaling log-depth index (depth derives from N at
+        # constant fan-out). The pair measures (a) that probed search
+        # grows ~linearly in corpus size (training dominates; the
+        # probed candidate set per query is nprobe leaves of ~target
+        # occupancy, held constant by the occupancy cap) and (b) that
+        # the beam walk's multi-path descent costs ~nothing on top of
+        # single-path at the same leaf budget.
+        "sim_topk_tree_default": lambda spark, sf: (
+            llm.sim_topk_tree(spark)
+        ),
+        "sim_topk_tree_beam_default": lambda spark, sf: (
+            llm.sim_topk_tree_beam(spark)
+        ),
     }
 
 RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "3"))

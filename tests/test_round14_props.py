@@ -129,3 +129,77 @@ def test_tree_maintain_gate_row_matches_oracle(spark, oracle):
     for _, n_vecs, n_moved, n_new, dc, dbo, adm in got:
         assert n_moved <= n_vecs
         assert dc + dbo + adm == n_new
+
+
+def test_tree_beam1_equals_single_path_probes(spark):
+    """The beam walk's generalization claim: beam=1 reproduces the
+    single-path probe set BIT-IDENTICALLY — same level-1 argmin, and
+    at the leaf level ranking by (dist, packed key) within one
+    prefix coincides with the single-path (dist, cid) order (the
+    packed key is monotone in cid at fixed prefix). So the gate
+    row's beam=2 differs from llm_sim_topk_tree ONLY by multi-path
+    prefix selection."""
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _SEM_NPROBE,
+        _TREE_SEARCH_B,
+        _quantize,
+        tree_index_deep,
+        tree_probe_beam,
+        tree_train_deep,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    _, single = tree_index_deep(spark, _TREE_SEARCH_B, nprobe=_SEM_NPROBE)
+    cents1, keyed, _ = tree_train_deep(_quantize(spark), _TREE_SEARCH_B)
+    panel = _quantize(spark).filter(F.col("vec_id") < 30)
+    beam1 = tree_probe_beam(panel, cents1, keyed, beam=1, nprobe=_SEM_NPROBE)
+    a = sorted(map(tuple, single.filter(F.col("vec_id") < 30).collect()))
+    b = sorted(map(tuple, beam1.collect()))
+    assert a == b and len(b) == 30 * _SEM_NPROBE
+
+
+def test_tree_beam_probes_nearer_leaves_at_same_budget(spark):
+    """The same-budget improvement claim: per query, beam=2 still
+    emits exactly nprobe leaves, and the summed centroid distance of
+    its probed leaves is <= beam=1's — top-nprobe over a SUPERSET of
+    candidate leaves (two prefixes' children vs one's) can only get
+    nearer. Verified against the exported leaf centroids in exact
+    integer arithmetic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.queries.llm import (
+        _SEM_NPROBE,
+        _TREE_PACK,
+        _TREE_SEARCH_B,
+        _quantize,
+        tree_probe_beam,
+        tree_train_deep,
+    )
+
+    ensure_tables(spark, SF_DIR)
+    cents1, keyed, _ = tree_train_deep(_quantize(spark), _TREE_SEARCH_B)
+    leaf_cents = {
+        (r["cell"], r["cid"]): np.array(r["cemb"], dtype=np.int64)
+        for r in keyed[-1].collect()
+    }
+    panel = _quantize(spark).filter(F.col("vec_id") < 30).localCheckpoint()
+    eq = {r["vec_id"]: np.array(r["eq"], dtype=np.int64) for r in panel.collect()}
+
+    def dist_sum(probes):
+        by_q: dict[int, int] = {}
+        for r in probes.collect():
+            prefix, cid = divmod(r["cell"], _TREE_PACK)
+            d = leaf_cents[(prefix, cid)] - eq[r["vec_id"]]
+            by_q[r["vec_id"]] = by_q.get(r["vec_id"], 0) + int(d @ d)
+        return by_q
+
+    d1 = dist_sum(tree_probe_beam(panel, cents1, keyed, beam=1, nprobe=_SEM_NPROBE))
+    d2 = dist_sum(tree_probe_beam(panel, cents1, keyed, beam=2, nprobe=_SEM_NPROBE))
+    assert set(d1) == set(d2) == set(eq)
+    assert all(d2[q] <= d1[q] for q in d1)
+    assert any(d2[q] < d1[q] for q in d1)  # the knob actually engages
