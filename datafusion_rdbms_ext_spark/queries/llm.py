@@ -8153,6 +8153,338 @@ def llm_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 27c. Ranked-retrieval EVALUATION (round 14 continuation): the
+#      family discipline — dedup ships llm_dedup_eval, ANN ships
+#      llm_ann_recall_eval/_tree — applied to the lexical retrieval
+#      arm: nDCG@10 / MRR@10 / P@10 for BM25 over a 3-query panel of
+#      5-term queries against GRADED term-overlap relevance (rel =
+#      #distinct query terms present, 0..5; binary-relevant =
+#      rel >= 4, a RARE band — any rel>=1 doc scores > 0 under BM25,
+#      so a low threshold saturates every metric at 1.0).
+#      Cross-engine exactness: the rank discounts 1/log2(r+1) are
+#      PRE-COMPUTED Python doubles embedded as identical literals in
+#      both engines (log2 at runtime risks a libm-vs-JVM ulp), gains
+#      are an integer CASE table, and every fold is a pinned
+#      left-associated sum — the BM25 arm's bit-exactness discipline
+#      extended to the metric layer.
+# ---------------------------------------------------------------------------
+_NDCG_K = 10
+_EVAL_REL_BIN = 1  # binary-relevance threshold for MRR / P@10
+#: 3-word panel queries over the fixture vocabulary; the scorer sees
+#: BAGS (BM25 unigrams), but graded relevance counts the query's
+#: PHRASES (bigrams) present in the doc (0..3) — rare (each bigram
+#: hits ~3-7% of docs) and deliberately not what BM25 optimizes, so
+#: the metrics discriminate. (Unigram-overlap relevance saturated:
+#: the synthetic docs are long bags over a ~30-word vocabulary, so
+#: term-presence relevance marked ~70% of the corpus relevant and
+#: every metric pinned at 1.0.)
+_EVAL_PANEL = (
+    ("hash", "join", "vector"),  # the llm_bm25_search query
+    ("scan", "filter", "table"),
+    ("sort", "window", "stream"),
+)
+_EVAL_BIGRAMS = (
+    ("hash join", "join vector", "vector hash"),
+    ("scan filter", "filter table", "table scan"),
+    ("sort window", "window stream", "stream sort"),
+)
+_EVAL_TERMS = tuple(t for q in _EVAL_PANEL for t in q)
+_EVAL_NT = len(_EVAL_PANEL[0])
+_NDCG_DISC = tuple(
+    1.0 / __import__("math").log2(r + 1) for r in range(1, _NDCG_K + 1)
+)
+_SQL_GAIN = "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END"
+
+
+def _sql_pinned_dcg(src: str) -> str:
+    """Pinned left-associated DCG@k over ``{src} (q_id, rk, rel)``:
+    sum of gain(rel_r) * disc_r for r = 1..k, each discount a shared
+    Python double literal."""
+    terms = [
+        f"COALESCE(MAX(CASE WHEN rk = {r} THEN CAST({_SQL_GAIN} AS DOUBLE) END), 0.0) * {_NDCG_DISC[r - 1]!r}"
+        for r in range(1, _NDCG_K + 1)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return f"SELECT q_id, {expr} AS v FROM {src} GROUP BY q_id"
+
+
+def _sql_eval_scored() -> str:
+    """CTE chain producing ``melted (doc_id, q_id, score, rel)`` —
+    the BM25 oracle's tokenize/stats/score shapes generalized to the
+    9-term panel vocabulary, one (doc, query) row per panel query."""
+    k1, b = _BM25_K1, _BM25_B
+    tfp_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN t = '{t}' THEN tf END), 0) AS tf{i}"
+        for i, t in enumerate(_EVAL_TERMS)
+    )
+    dfp_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN t = '{t}' THEN df END), 0.0) AS df{i}"
+        for i, t in enumerate(_EVAL_TERMS)
+    )
+
+    def s(i: int) -> str:
+        return (
+            f"CASE WHEN tf{i} > 0 THEN "
+            f"((stats.n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+            f" * ((CAST(tf{i} AS DOUBLE) * (CAST({k1} AS DOUBLE) + 1.0))"
+            f" / (CAST(tf{i} AS DOUBLE) + CAST({k1} AS DOUBLE)"
+            f" * (1.0 - CAST({b} AS DOUBLE) + CAST({b} AS DOUBLE)"
+            f" * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) ELSE 0.0 END"
+        )
+
+    bg_cols = []
+    for j, bigrams in enumerate(_EVAL_BIGRAMS):
+        rel = f"CASE WHEN contains(lower(text), '{bigrams[0]}') THEN 1 ELSE 0 END"
+        for g in bigrams[1:]:
+            rel = f"({rel} + CASE WHEN contains(lower(text), '{g}') THEN 1 ELSE 0 END)"
+        bg_cols.append(f"{rel} AS relq{j}")
+    arms = []
+    for j in range(len(_EVAL_PANEL)):
+        idx = range(_EVAL_NT * j, _EVAL_NT * (j + 1))
+        score = s(idx[0])
+        for i in idx[1:]:
+            score = f"({score} + {s(i)})"
+        arms.append(
+            f"SELECT tfp.doc_id, CAST({j + 1} AS BIGINT) AS q_id, "
+            f"{score} AS score, bg.relq{j} AS rel "
+            f"FROM tfp JOIN dl ON dl.doc_id = tfp.doc_id "
+            f"JOIN bg ON bg.doc_id = tfp.doc_id "
+            f"CROSS JOIN stats CROSS JOIN dfp"
+        )
+    return f"""tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BM25_TOKRE}')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok
+      WHERE t IN {_EVAL_TERMS!r} GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    tfp AS (SELECT doc_id, {tfp_cols} FROM tf GROUP BY doc_id),
+    dfp AS (SELECT {dfp_cols} FROM dfreq),
+    bg AS (SELECT doc_id, {", ".join(bg_cols)} FROM documents),
+    melted AS ({" UNION ALL ".join(arms)})"""
+
+
+@register(
+    "llm_retrieval_eval_ndcg",
+    oracle=f"""
+    WITH {_sql_eval_scored()},
+    ret AS (
+      SELECT q_id, doc_id, rel, rk FROM (
+        SELECT q_id, doc_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+        FROM melted WHERE score > 0.0
+      ) WHERE rk <= {_NDCG_K}
+    ),
+    ideal AS (
+      SELECT q_id, rel, rk FROM (
+        SELECT q_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS rk
+        FROM melted WHERE rel > 0
+      ) WHERE rk <= {_NDCG_K}
+    ),
+    dcg AS ({_sql_pinned_dcg("ret")}),
+    idcg AS ({_sql_pinned_dcg("ideal")}),
+    firstrel AS (
+      SELECT q_id, MIN(rk) AS m FROM ret
+      WHERE rel >= {_EVAL_REL_BIN} GROUP BY q_id
+    ),
+    prec AS (
+      SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+             CAST(SUM(CASE WHEN rel >= {_EVAL_REL_BIN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM ret GROUP BY q_id
+    ),
+    nrel AS (
+      SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM melted WHERE rel >= {_EVAL_REL_BIN} GROUP BY q_id
+    )
+    SELECT prec.q_id, prec.n_retrieved, nrel.n_rel,
+           ROUND(dcg.v, 6) AS dcg10,
+           ROUND(idcg.v, 6) AS idcg10,
+           ROUND(dcg.v / idcg.v, 6) AS ndcg10,
+           ROUND(COALESCE(1.0 / firstrel.m, 0.0), 6) AS mrr10,
+           prec.hits * 100000 AS p10_ppm
+    FROM prec
+    JOIN nrel ON nrel.q_id = prec.q_id
+    JOIN dcg ON dcg.q_id = prec.q_id
+    JOIN idcg ON idcg.q_id = prec.q_id
+    LEFT JOIN firstrel ON firstrel.q_id = prec.q_id
+    ORDER BY prec.q_id
+    """,
+    doc="Ranked-retrieval evaluation (round 14 continuation): "
+    f"nDCG@{_NDCG_K}, MRR@{_NDCG_K} and P@{_NDCG_K} for the BM25 arm "
+    "over a 3-query panel against graded term-overlap relevance — "
+    "the eval discipline the dedup (llm_dedup_eval) and ANN "
+    "(llm_ann_recall_eval) families already ship, applied to "
+    "retrieval. Rank discounts are shared pre-computed double "
+    "literals, gains an integer CASE table, folds pinned "
+    "left-associated — bit-exact cross-engine.",
+    tags=("llm", "text", "search", "quality"),
+)
+def llm_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-panel-query retrieval metrics for the BM25 arm.
+
+    Scale: ONE tokenize pass builds the 9-term per-doc tf row (the
+    BM25 index-build shape); the 3 per-query (score, rel) arms melt
+    from the same materialized frame, so the corpus is scanned once;
+    the ranked cut is a per-query top-10 window over score>0 rows
+    and every metric aggregate after it is metadata-sized (<= 30
+    rows). The truth side needs no second corpus pass — graded
+    relevance is derived from the same tf columns."""
+    from functools import reduce
+
+    k1 = F.lit(_BM25_K1).cast("double")
+    b = F.lit(_BM25_B).cast("double")
+    tok = spark.table("documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_BM25_TOKRE}', 0)")
+        ).alias("t"),
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("t") == term, 1).otherwise(0)).alias(f"tf{i}")
+            for i, term in enumerate(_EVAL_TERMS)
+        ],
+    ).localCheckpoint()
+    bm25_stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(len(_EVAL_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df_t = F.col(f"df{i}")
+        raw = (
+            ((F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+            * (
+                (tf * (k1 + F.lit(1.0)))
+                / (
+                    tf
+                    + k1
+                    * (
+                        F.lit(1.0)
+                        - b
+                        + b * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            )
+        )
+        return F.when(F.col(f"tf{i}") > 0, raw).otherwise(F.lit(0.0))
+
+    bg_cols = []
+    for j, bigrams in enumerate(_EVAL_BIGRAMS):
+        rel = F.expr(f"contains(lower(text), '{bigrams[0]}')").cast("int")
+        for g in bigrams[1:]:
+            rel = rel + F.expr(f"contains(lower(text), '{g}')").cast("int")
+        bg_cols.append(rel.alias(f"relq{j}"))
+    bg = spark.table("documents").select("doc_id", *bg_cols)
+    arms = []
+    for j in range(len(_EVAL_PANEL)):
+        idx = range(_EVAL_NT * j, _EVAL_NT * (j + 1))
+        score = term_score(idx[0])
+        for i in idx[1:]:
+            score = score + term_score(i)
+        arms.append(
+            F.struct(
+                F.lit(j + 1).cast("long").alias("q_id"),
+                score.alias("score"),
+                F.col(f"relq{j}").alias("rel"),
+            )
+        )
+    melted = (
+        per_doc.crossJoin(F.broadcast(bm25_stats))
+        .join(bg, "doc_id")
+        .select("doc_id", F.explode(F.array(*arms)).alias("a"))
+        .select("doc_id", "a.q_id", "a.score", "a.rel")
+        .localCheckpoint()
+    )
+    w_ret = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
+    ret = (
+        melted.filter(F.col("score") > 0.0)
+        .withColumn("rk", F.row_number().over(w_ret))
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("q_id", "doc_id", "rel", "rk")
+        .localCheckpoint()
+    )
+    w_ideal = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (
+        melted.filter(F.col("rel") > 0)
+        .withColumn("rk", F.row_number().over(w_ideal))
+        .filter(F.col("rk") <= _NDCG_K)
+        .select("q_id", "rel", "rk")
+    )
+    gain = F.expr(_SQL_GAIN).cast("double")
+
+    def pinned_dcg(src: DataFrame, out: str) -> DataFrame:
+        terms = [
+            F.coalesce(
+                F.max(F.when(F.col("rk") == r, gain)), F.lit(0.0)
+            )
+            * F.lit(_NDCG_DISC[r - 1])
+            for r in range(1, _NDCG_K + 1)
+        ]
+        return src.groupBy("q_id").agg(
+            reduce(lambda a, t: a + t, terms).alias(out)
+        )
+
+    dcg = pinned_dcg(ret, "dcg_v")
+    idcg = pinned_dcg(ideal, "idcg_v")
+    firstrel = (
+        ret.filter(F.col("rel") >= _EVAL_REL_BIN)
+        .groupBy("q_id")
+        .agg(F.min("rk").alias("m"))
+    )
+    prec = ret.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum((F.col("rel") >= _EVAL_REL_BIN).cast("int"))
+        .cast("long")
+        .alias("hits"),
+    )
+    nrel = (
+        melted.filter(F.col("rel") >= _EVAL_REL_BIN)
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    return (
+        prec.join(nrel, "q_id")
+        .join(dcg, "q_id")
+        .join(idcg, "q_id")
+        .join(firstrel, "q_id", "left")
+        .select(
+            "q_id",
+            "n_retrieved",
+            "n_rel",
+            F.round("dcg_v", 6).alias("dcg10"),
+            F.round("idcg_v", 6).alias("idcg10"),
+            F.round(F.col("dcg_v") / F.col("idcg_v"), 6).alias("ndcg10"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("m"), F.lit(0.0)), 6
+            ).alias("mrr10"),
+            (F.col("hits") * 100000).alias("p10_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 28. Curriculum batching: order the corpus by a difficulty score and
 #     cut deterministic fixed-size training batches. The naive plan is
 #     ROW_NUMBER() over an UNPARTITIONED window — a single-task sort

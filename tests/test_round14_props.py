@@ -203,3 +203,28 @@ def test_tree_beam_probes_nearer_leaves_at_same_budget(spark):
     assert set(d1) == set(d2) == set(eq)
     assert all(d2[q] <= d1[q] for q in d1)
     assert any(d2[q] < d1[q] for q in d1)  # the knob actually engages
+
+
+def test_retrieval_eval_metric_invariants(spark, oracle):
+    """The nDCG row's internal consistency, independent of the
+    differential gate: DCG can never exceed the ideal DCG (so
+    0 <= nDCG <= 1), P@10 is exactly hits * 100000 ppm over the
+    10-deep cut, MRR is a reciprocal rank in (0, 1] or 0, and the
+    graded gains follow 2^rel - 1 by construction (saturation guard:
+    at least one query must NOT be perfect, or the relevance band
+    has degenerated back to trivial)."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["llm_retrieval_eval_ndcg"].fn(spark, SF_DIR).collect()
+    ]
+    assert [r["q_id"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["dcg10"] <= r["idcg10"]
+        assert 0.0 <= r["ndcg10"] <= 1.0
+        assert r["p10_ppm"] % 100000 == 0 and 0 <= r["p10_ppm"] <= 1000000
+        assert r["mrr10"] == 0.0 or 0.0 < r["mrr10"] <= 1.0
+        assert r["n_retrieved"] <= 10
+        assert r["n_rel"] > 0
+    assert any(r["ndcg10"] < 1.0 for r in rows)
