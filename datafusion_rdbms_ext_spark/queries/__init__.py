@@ -200,13 +200,14 @@ from ..sources import sqlite_fed  # noqa: E402,F401
 #: ROUND-14 ROTATION QUEUE: every query registered before round 14
 #: is driver-proven (336/336 cumulative after the r13 gate, VERDICT
 #: r13 recomputed it as exact set equality; the doc-sync guard
-#: re-verifies mechanically). Eight round-14 operators landed AFTER
+#: re-verifies mechanically). Nine round-14 operators landed AFTER
 #: the 50-slot curation and lead the r15 rotation:
 #: stream_semdedup_tree_admission, fed_postgres_transparent_datasource,
 #: fed_postgres_transparent_semijoin, llm_sim_topk_tree,
 #: llm_ann_recall_tree, llm_sim_topk_tree_beam,
-#: llm_ann_recall_tree_beam and llm_retrieval_eval_ndcg (all green
-#: in the local differential gate today).
+#: llm_ann_recall_tree_beam, llm_retrieval_eval_ndcg and
+#: llm_retrieval_eval_arms (all green in the local differential
+#: gate today).
 #: ROUND-14 ROTATION (VERDICT r13 next #1): 3 sentinels, the three
 #: round-14 additions (first-time proof in their own round: the
 #: SQLite-dialect transparent semi-join, tree-index maintenance,

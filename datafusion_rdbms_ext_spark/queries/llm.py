@@ -8485,6 +8485,316 @@ def llm_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 27d. Retrieval ARM comparison under one truth (round 14
+#      continuation): the serving stack ships three rankers — the
+#      BM25 arm, the dense cosine arm, and their RRF fusion
+#      (llm_hybrid_search_rrf) — but nothing measured WHICH retrieves
+#      better. This row scores all three on the canonical hybrid
+#      query (the _BM25_TERMS bag + query vector {_RRF_QVEC}) against
+#      the same graded bigram-phrase truth as 27c. Every arm is
+#      restricted to the documents-with-embeddings universe so each
+#      ranked item carries a relevance label (the serving rows rank
+#      the full embedding space; this is the eval variant, and the
+#      restriction is part of the operator's contract).
+# ---------------------------------------------------------------------------
+
+
+def _sql_arm_metrics(ret: str, ideal: str) -> str:
+    """Shared metric CTE tail over ``{ret} (arm, doc_id, rel, rk)``
+    and ``{ideal} (rel, rk)``: pinned DCG per arm, a single IDCG,
+    first-relevant rank, P@k — mirror of the 27c metric layer keyed
+    by arm."""
+    terms = [
+        f"COALESCE(MAX(CASE WHEN rk = {r} THEN CAST({_SQL_GAIN} AS DOUBLE) END), 0.0) * {_NDCG_DISC[r - 1]!r}"
+        for r in range(1, _NDCG_K + 1)
+    ]
+    dcg_expr = terms[0]
+    for t in terms[1:]:
+        dcg_expr = f"({dcg_expr} + {t})"
+    return f"""dcg AS (SELECT arm, {dcg_expr} AS v FROM {ret} GROUP BY arm),
+    idcg AS (SELECT {dcg_expr} AS v FROM {ideal}),
+    firstrel AS (
+      SELECT arm, MIN(rk) AS m FROM {ret}
+      WHERE rel >= {_EVAL_REL_BIN} GROUP BY arm
+    ),
+    prec AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+             CAST(SUM(CASE WHEN rel >= {_EVAL_REL_BIN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits
+      FROM {ret} GROUP BY arm
+    )"""
+
+
+@register(
+    "llm_retrieval_eval_arms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_BM25_TOKRE}')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok
+      WHERE t IN {_BM25_TERMS!r} GROUP BY doc_id, t
+    ),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+             ((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * (CAST({_BM25_K1} AS DOUBLE) + 1.0))
+                / (CAST(tf.tf AS DOUBLE)
+                   + CAST({_BM25_K1} AS DOUBLE)
+                     * (1.0 - CAST({_BM25_B} AS DOUBLE)
+                        + CAST({_BM25_B} AS DOUBLE)
+                          * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) AS s
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+              JOIN dfreq ON dfreq.t = tf.t
+              CROSS JOIN stats
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN t = '{_BM25_TERMS[0]}' THEN s END), 0.0) AS s1,
+             COALESCE(MAX(CASE WHEN t = '{_BM25_TERMS[1]}' THEN s END), 0.0) AS s2,
+             COALESCE(MAX(CASE WHEN t = '{_BM25_TERMS[2]}' THEN s END), 0.0) AS s3
+      FROM scored GROUP BY doc_id
+    ),
+    bgq AS (
+      SELECT doc_id,
+             ((CASE WHEN contains(lower(text), '{_EVAL_BIGRAMS[0][0]}') THEN 1 ELSE 0 END
+               + CASE WHEN contains(lower(text), '{_EVAL_BIGRAMS[0][1]}') THEN 1 ELSE 0 END)
+              + CASE WHEN contains(lower(text), '{_EVAL_BIGRAMS[0][2]}') THEN 1 ELSE 0 END) AS rel
+      FROM documents WHERE doc_id <> {_RRF_QVEC}
+    ),
+    {_SQL_BASE},
+    q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM base
+          WHERE vec_id = {_RRF_QVEC}),
+    lexr AS (
+      SELECT p.doc_id, ROW_NUMBER() OVER (ORDER BY ((s1 + s2) + s3) DESC, p.doc_id) AS rk
+      FROM pivoted p JOIN bgq g ON g.doc_id = p.doc_id
+      WHERE ((s1 + s2) + s3) > 0.0
+    ),
+    vecr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rk
+      FROM (
+        SELECT b.vec_id AS doc_id,
+               {_SQL_PAIR_DOT} / (q.q_nrm * b.nrm) AS cos
+        FROM base b CROSS JOIN q
+        JOIN bgq g ON g.doc_id = b.vec_id
+      ) ranked_src
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.rk), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + v.rk), 0.0), 9) AS rrf
+      FROM (SELECT * FROM lexr WHERE rk <= {_RRF_ARM_K}) l
+      FULL OUTER JOIN (SELECT * FROM vecr WHERE rk <= {_RRF_ARM_K}) v
+        ON l.doc_id = v.doc_id
+    ),
+    rrfr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    ),
+    ret AS (
+      SELECT arm, r.doc_id, g.rel, r.rk FROM (
+        SELECT 'bm25' AS arm, doc_id, rk FROM lexr WHERE rk <= {_NDCG_K}
+        UNION ALL
+        SELECT 'dense' AS arm, doc_id, rk FROM vecr WHERE rk <= {_NDCG_K}
+        UNION ALL
+        SELECT 'rrf' AS arm, doc_id, rk FROM rrfr WHERE rk <= {_NDCG_K}
+      ) r JOIN bgq g ON g.doc_id = r.doc_id
+    ),
+    ideal AS (
+      SELECT rel, rk FROM (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+        FROM bgq WHERE rel > 0
+      ) WHERE rk <= {_NDCG_K}
+    ),
+    {_sql_arm_metrics("ret", "ideal")},
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM bgq
+             WHERE rel >= {_EVAL_REL_BIN})
+    SELECT prec.arm, prec.n_retrieved, nrel.n_rel,
+           ROUND(dcg.v, 6) AS dcg10,
+           ROUND(idcg.v, 6) AS idcg10,
+           ROUND(dcg.v / idcg.v, 6) AS ndcg10,
+           ROUND(COALESCE(1.0 / firstrel.m, 0.0), 6) AS mrr10,
+           prec.hits * 100000 AS p10_ppm
+    FROM prec
+    CROSS JOIN nrel CROSS JOIN idcg
+    JOIN dcg ON dcg.arm = prec.arm
+    LEFT JOIN firstrel ON firstrel.arm = prec.arm
+    ORDER BY prec.arm
+    """,
+    doc="Retrieval arm comparison (round 14 continuation): nDCG@10 / "
+    "MRR@10 / P@10 for the BM25 arm, the dense cosine arm and their "
+    "RRF fusion on the canonical hybrid query, under the SAME graded "
+    "bigram-phrase truth — the measured answer to which ranker the "
+    "serving stack should lead with. All arms restricted to the "
+    "docs-with-embeddings universe so every ranked item is "
+    "labelable; same pinned-literal metric layer as "
+    "llm_retrieval_eval_ndcg.",
+    tags=("llm", "text", "search", "quality"),
+)
+def llm_retrieval_eval_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm retrieval metrics on the canonical hybrid query.
+
+    Scale: the BM25 arm reuses the one-pass index shape; the dense
+    arm broadcasts ONE query vector over a map-side scan; rankings
+    cut to K rows before every metric aggregate (<= 30 labeled rows
+    total); the fusion join is K-vs-K metadata."""
+    from functools import reduce
+
+    rel0 = F.expr(
+        f"contains(lower(text), '{_EVAL_BIGRAMS[0][0]}')"
+    ).cast("int")
+    rel1 = F.expr(
+        f"contains(lower(text), '{_EVAL_BIGRAMS[0][1]}')"
+    ).cast("int")
+    rel2 = F.expr(
+        f"contains(lower(text), '{_EVAL_BIGRAMS[0][2]}')"
+    ).cast("int")
+    bgq = (
+        spark.table("documents")
+        .filter(F.col("doc_id") != _RRF_QVEC)
+        .select("doc_id", ((rel0 + rel1) + rel2).alias("rel"))
+        .localCheckpoint()
+    )
+    # TakeOrdered cut FIRST, rank window over exactly K rows after —
+    # the llm_hybrid_search_rrf discipline (never an unpartitioned
+    # rank window over the corpus).
+    lexr = (
+        _bm25_scores(spark)
+        .join(bgq.select("doc_id"), "doc_id")
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_ARM_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rk")
+        .localCheckpoint()
+    )
+    base = _vectors_with_norm(spark)
+    q = base.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    vecr = (
+        base.crossJoin(F.broadcast(q))
+        .join(
+            bgq.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_ARM_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("cos").desc(), "doc_id")),
+        )
+        .select("doc_id", "rk")
+        .localCheckpoint()
+    )
+    l20 = lexr.filter(F.col("rk") <= _RRF_ARM_K).select(
+        "doc_id", F.col("rk").alias("lex_rk")
+    )
+    v20 = vecr.filter(F.col("rk") <= _RRF_ARM_K).select(
+        "doc_id", F.col("rk").alias("vec_rk")
+    )
+    rrf_score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rk")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rk")), F.lit(0.0)
+        ),
+        9,
+    )
+    rrfr = (
+        l20.join(v20, "doc_id", "full_outer")
+        .select("doc_id", rrf_score.alias("rrf"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("rrf").desc(), "doc_id")),
+        )
+        .select("doc_id", "rk")
+    )
+
+    def arm(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.filter(F.col("rk") <= _NDCG_K)
+            .join(bgq, "doc_id")
+            .select(F.lit(name).alias("arm"), "doc_id", "rel", "rk")
+        )
+
+    ret = (
+        arm(lexr, "bm25").unionAll(arm(vecr, "dense")).unionAll(arm(rrfr, "rrf"))
+    ).localCheckpoint()
+    ideal = (
+        bgq.filter(F.col("rel") > 0)
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id")),
+        )
+        .select("rel", "rk")
+    )
+    gain = F.expr(_SQL_GAIN).cast("double")
+    dcg_terms = [
+        F.coalesce(F.max(F.when(F.col("rk") == r, gain)), F.lit(0.0))
+        * F.lit(_NDCG_DISC[r - 1])
+        for r in range(1, _NDCG_K + 1)
+    ]
+    dcg = ret.groupBy("arm").agg(
+        reduce(lambda a, t: a + t, dcg_terms).alias("dcg_v")
+    )
+    idcg = ideal.agg(reduce(lambda a, t: a + t, dcg_terms).alias("idcg_v"))
+    firstrel = (
+        ret.filter(F.col("rel") >= _EVAL_REL_BIN)
+        .groupBy("arm")
+        .agg(F.min("rk").alias("m"))
+    )
+    prec = ret.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+        F.sum((F.col("rel") >= _EVAL_REL_BIN).cast("int"))
+        .cast("long")
+        .alias("hits"),
+    )
+    nrel = bgq.filter(F.col("rel") >= _EVAL_REL_BIN).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    return (
+        prec.crossJoin(F.broadcast(nrel))
+        .crossJoin(F.broadcast(idcg))
+        .join(dcg, "arm")
+        .join(firstrel, "arm", "left")
+        .select(
+            "arm",
+            "n_retrieved",
+            "n_rel",
+            F.round("dcg_v", 6).alias("dcg10"),
+            F.round("idcg_v", 6).alias("idcg10"),
+            F.round(F.col("dcg_v") / F.col("idcg_v"), 6).alias("ndcg10"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("m"), F.lit(0.0)), 6
+            ).alias("mrr10"),
+            (F.col("hits") * 100000).alias("p10_ppm"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 28. Curriculum batching: order the corpus by a difficulty score and
 #     cut deterministic fixed-size training batches. The naive plan is
 #     ROW_NUMBER() over an UNPARTITIONED window — a single-task sort

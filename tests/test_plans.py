@@ -179,6 +179,9 @@ def test_broadcast_hints_only_on_fixed_dims():
             "tau", "est",
             # ANN recall eval: the 1-row approx-pair count.
             "n_approx",
+            # retrieval eval: the 1-row relevant-doc count and the
+            # 1-row ideal-DCG aggregate (round-14 continuation).
+            "nrel", "idcg",
             # embedding outlier audit: the label -> centroid array
             # table (one row per LABEL — class-count-sized).
             "cent",

@@ -228,3 +228,24 @@ def test_retrieval_eval_metric_invariants(spark, oracle):
         assert r["n_retrieved"] <= 10
         assert r["n_rel"] > 0
     assert any(r["ndcg10"] < 1.0 for r in rows)
+
+
+def test_retrieval_arms_share_one_truth(spark, oracle):
+    """The arm comparison's comparability contract: all three arms
+    are scored against the SAME ideal (identical idcg10 and n_rel on
+    every row — one truth, three rankers), each arm retrieves the
+    full 10-deep cut, and the metric bounds hold per arm."""
+    from datafusion_rdbms_ext_spark.queries import REGISTRY
+
+    rows = [
+        r.asDict()
+        for r in REGISTRY["llm_retrieval_eval_arms"].fn(spark, SF_DIR).collect()
+    ]
+    assert [r["arm"] for r in rows] == ["bm25", "dense", "rrf"]
+    assert len({r["idcg10"] for r in rows}) == 1
+    assert len({r["n_rel"] for r in rows}) == 1
+    for r in rows:
+        assert r["n_retrieved"] == 10
+        assert r["dcg10"] <= r["idcg10"]
+        assert 0.0 <= r["ndcg10"] <= 1.0
+        assert r["p10_ppm"] % 100000 == 0
