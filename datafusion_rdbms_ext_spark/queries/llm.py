@@ -1191,23 +1191,73 @@ _INT_MEAN_SQL = (
 )
 
 
-def _update_centroids(assigned: DataFrame) -> DataFrame:
-    """Lloyd's update: per-component integer mean. posexplode feeds a
-    (cid, pos)-keyed partial aggregation, so the shuffle carries only
-    K*dim partial sums — independent of corpus size."""
-    comps = assigned.select("cid", F.posexplode("eq").alias("pos", "val"))
-    means = comps.groupBy("cid", "pos").agg(
-        F.expr(_INT_MEAN_SPARK).alias("comp")
-    )
-    return means.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
-            lambda s: s.getField("comp"),
-        ).alias("cemb")
+def _int_mean_components(dim: int = _IVF_DIM) -> Column:
+    """The centroid array as ONE aggregation: per component i, the
+    exact integer mean of ``eq[i]`` under the same
+    round-half-away-from-zero formula as ``_INT_MEAN_SPARK``
+    (SUM(eq[i]) and COUNT(*) over the group are, row for row, the
+    SUM(val)/COUNT(*) the posexplode form computed per (group, pos) —
+    every eq array in the group is exactly ``dim`` long, so the
+    per-pos group is the group itself; PQ codebooks train on
+    _PQ_SUBDIM-long subspace slices and pass that dim). One wide
+    aggregate buffer (dim SUMs + COUNT) replaces posexplode (N*dim
+    rows map-side) plus a second (group, pos)-keyed shuffle and the
+    collect_list/array_sort reassembly — one exchange instead of
+    two, and the shuffle still carries only K*dim partial sums
+    (guide §2.3/§2.4)."""
+    comps = []
+    for i in range(dim):
+        s = f"SUM(eq[{i}])"
+        comps.append(
+            F.expr(
+                f"CAST(CASE WHEN {s} < 0"
+                f" THEN -((2 * -{s} + COUNT(*)) DIV (2 * COUNT(*)))"
+                f" ELSE (2 * {s} + COUNT(*)) DIV (2 * COUNT(*)) END"
+                f" AS BIGINT)"
+            )
+        )
+    return F.array(*comps)
+
+
+def _update_centroids(assigned: DataFrame, dim: int = _IVF_DIM) -> DataFrame:
+    """Lloyd's update: per-component integer mean in ONE partial
+    aggregation — the shuffle carries K*dim partial sums, independent
+    of corpus size (see :func:`_int_mean_components`)."""
+    return assigned.groupBy("cid").agg(
+        _int_mean_components(dim).alias("cemb")
     )
 
 
-def _lloyds(vecs: DataFrame, k: int, iters: int, seed_tag: str) -> DataFrame:
+def _overlap(*thunks):
+    """Evaluate INDEPENDENT eager chains in parallel driver threads
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially). The iterative quantizer chains end in blocking
+    localCheckpoint actions whose jobs are tiny at any one moment —
+    sequential chains leave the cluster idle during every driver
+    round-trip, so two independent trainings (aged + maintained index,
+    the two shard clusterings) back-fill each other's gaps under the
+    default FIFO scheduler. Results in thunk order; exceptions
+    propagate. Each thunk must be self-contained (no shared mutable
+    driver state); values are unchanged because every chain is
+    deterministic and isolated."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futs]
+
+
+def _lloyds(
+    vecs: DataFrame,
+    k: int,
+    iters: int,
+    seed_tag: str,
+    dim: int = _IVF_DIM,
+) -> DataFrame:
     """(cid, cemb) after ``iters`` rounds of DataFrame-native Lloyd's
     over ``vecs`` (vec_id, eq). Seeding is deterministic (portable md5
     rank of vec_id, distributed top-K via orderBy+limit — no
@@ -1225,7 +1275,7 @@ def _lloyds(vecs: DataFrame, k: int, iters: int, seed_tag: str) -> DataFrame:
         .select("cid", F.col("eq").alias("cemb"))
     )
     for _ in range(iters):
-        cents = _update_centroids(_assign_cells(vecs, cents))
+        cents = _update_centroids(_assign_cells(vecs, cents), dim)
     return cents
 
 
@@ -1551,7 +1601,9 @@ def _pq_codebooks(spark: SparkSession) -> list[DataFrame]:
     over that subspace's 16-dim slices, seeded independently."""
     vecs = _quantize(spark)
     return [
-        _lloyds(_pq_sub(vecs, m), _PQ_K, _PQ_ITERS, f"pqseed{m}")
+        _lloyds(
+            _pq_sub(vecs, m), _PQ_K, _PQ_ITERS, f"pqseed{m}", dim=_PQ_SUBDIM
+        )
         for m in range(_PQ_M)
     ]
 
@@ -4240,22 +4292,25 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round11_props.py and test_round12_props.py; this
     query puts the MAGNITUDES under the differential gate."""
     q2 = _quantize(spark)
+
     # level-1 index trained once and kept as centroids (not just the
     # assignment) so the round-13 level-1 probe expansion shares the
-    # exact frozen index with the assignment below
-    cents1 = _learned_centroids(spark, _IVF_K).localCheckpoint()
-    cells1 = (
-        _assign_cells(q2, cents1)
-        .select("vec_id", F.col("cid").alias("cell"))
-        .localCheckpoint()
+    # exact frozen index with the assignment below; the two levels
+    # are independent trainings — overlap them (guide §2.6)
+    def _level(k: int, seed: str, col: str):
+        cents = _learned_centroids(spark, k, seed).localCheckpoint()
+        cells = (
+            _assign_cells(q2, cents)
+            .select("vec_id", F.col("cid").alias(col))
+            .localCheckpoint()
+        )
+        return cents, cells
+
+    (cents1, cells1), (cents2, cells2) = _overlap(
+        lambda: _level(_IVF_K, "ivfseed", "cell"),
+        lambda: _level(_SEM_K2, "ivfseed2", "cell2"),
     )
     probes1 = _probe_cells(q2, cents1, _SEM_NPROBE)
-    cents2 = _learned_centroids(spark, _SEM_K2, "ivfseed2").localCheckpoint()
-    cells2 = (
-        _assign_cells(q2, cents2)
-        .select("vec_id", F.col("cid").alias("cell2"))
-        .localCheckpoint()
-    )
     probes2 = _probe_cells(q2, cents2, _SEM_NPROBE).withColumnRenamed(
         "cell", "cell2"
     )
@@ -4561,9 +4616,9 @@ def semdedup_admit_batch(
             .filter(F.col("vec_id") % mod != 0)
             .count()
         )
-    cents = _lloyds(
-        q.filter(~is_new), k, _IVF_ITERS, "ivfseed"
-    ).localCheckpoint()
+    # the trained centroids have one consumer (the full assignment) —
+    # no checkpoint; the chain runs once inside that broadcast
+    cents = _lloyds(q.filter(~is_new), k, _IVF_ITERS, "ivfseed")
     cells_all = _assign_cells(q, cents).select(
         "vec_id", F.col("cid").alias("cell")
     ).localCheckpoint()
@@ -4665,11 +4720,13 @@ def semdedup_prune_sharded(
         d1, d2 = sharded_shard_counts(spark.table("embeddings").count())
         k1 = k1 or d1
         k2 = k2 or d2
-    cells1 = learned_ivf_cells(spark, k1).localCheckpoint()
-    cells2 = (
-        learned_ivf_cells(spark, k2, seed="ivfseed2")
-        .withColumnRenamed("cell", "cell2")
-        .localCheckpoint()
+    cells1, cells2 = _overlap(
+        lambda: learned_ivf_cells(spark, k1).localCheckpoint(),
+        lambda: (
+            learned_ivf_cells(spark, k2, seed="ivfseed2")
+            .withColumnRenamed("cell", "cell2")
+            .localCheckpoint()
+        ),
     )
     base = (
         _vectors_with_norm(spark)
@@ -4810,17 +4867,19 @@ def semdedup_prune_sharded_mp(
     # (base side) and the probe expansion (query side) reuse the
     # same frozen centroids — without the checkpoint the Lloyd's
     # subtree would plan and execute twice.
-    cents1 = _learned_centroids(spark, k1).localCheckpoint()
-    cells1 = (
-        _assign_cells(q2, cents1)
-        .select("vec_id", F.col("cid").alias("cell"))
-        .localCheckpoint()
-    )
-    cents2 = _learned_centroids(spark, k2, "ivfseed2").localCheckpoint()
-    cells2 = (
-        _assign_cells(q2, cents2)
-        .select("vec_id", F.col("cid").alias("cell2"))
-        .localCheckpoint()
+    def _level(k: int, seed: str, col: str):
+        cents = _learned_centroids(spark, k, seed).localCheckpoint()
+        cells = (
+            _assign_cells(q2, cents)
+            .select("vec_id", F.col("cid").alias(col))
+            .localCheckpoint()
+        )
+        return cents, cells
+
+    # the two levels are independent trainings — overlap them
+    (cents1, cells1), (cents2, cells2) = _overlap(
+        lambda: _level(k1, "ivfseed", "cell"),
+        lambda: _level(k2, "ivfseed2", "cell2"),
     )
     probes2 = _probe_cells(q2, cents2, nprobe).withColumnRenamed(
         "cell", "cell2"
@@ -5025,16 +5084,20 @@ def semdedup_maintain_report(
         k_new = default_ivf_k(grown_q.count())
     if k_old is None:
         k_old = _IVF_K
-    # the aged index: trained before the stale_mod ingests landed
-    cents_old = _lloyds(
-        grown_q.filter(F.col("vec_id") % stale_mod != 0),
-        k_old,
-        _IVF_ITERS,
-        "ivfseed",
-    ).localCheckpoint()
-    # maintenance: retrain on the grown corpus (deterministic → equal
-    # to a fresh index), then reassign everything map-side
-    cents_new = _lloyds(grown_q, k_new, _IVF_ITERS, "ivfseed").localCheckpoint()
+    # the aged index (trained before the stale_mod ingests landed)
+    # and the maintenance retrain (grown corpus, deterministic →
+    # equal to a fresh index) are independent chains — overlap them
+    cents_old, cents_new = _overlap(
+        lambda: _lloyds(
+            grown_q.filter(F.col("vec_id") % stale_mod != 0),
+            k_old,
+            _IVF_ITERS,
+            "ivfseed",
+        ).localCheckpoint(),
+        lambda: _lloyds(
+            grown_q, k_new, _IVF_ITERS, "ivfseed"
+        ).localCheckpoint(),
+    )
     old_asg = _assign_cells(q, cents_old).select(
         "vec_id", F.col("cid").alias("old_cell")
     )
@@ -5230,21 +5293,14 @@ def _assign_keyed(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _update_keyed(assigned: DataFrame) -> DataFrame:
-    """Keyed Lloyd's update: per-(cell, cid, pos) integer mean in one
+    """Keyed Lloyd's update: per-(cell, cid) integer means in ONE
     partial aggregation — the shuffle carries b1*b2*dim partial sums
     regardless of corpus size (the keyed twin of
-    :func:`_update_centroids`, same ``_INT_MEAN_SPARK`` formula)."""
-    comps = assigned.select(
-        "cell", "cid", F.posexplode("eq").alias("pos", "val")
-    )
-    means = comps.groupBy("cell", "cid", "pos").agg(
-        F.expr(_INT_MEAN_SPARK).alias("comp")
-    )
-    return means.groupBy("cell", "cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
-            lambda s: s.getField("comp"),
-        ).alias("cemb")
+    :func:`_update_centroids`; see :func:`_int_mean_components` for
+    why one wide aggregate replaces the posexplode two-shuffle
+    form)."""
+    return assigned.groupBy("cell", "cid").agg(
+        _int_mean_components().alias("cemb")
     )
 
 
@@ -5323,7 +5379,9 @@ def hierarchical_index(
     and integer means — which is what the unchanged per-cell DuckDB
     oracle (_sql_tree_cells) verifies."""
     q = _quantize(spark)
-    cents1 = _lloyds(q, b1, _IVF_ITERS, seed1).localCheckpoint()
+    # cents1 has one consumer (the level-1 assignment) — no
+    # checkpoint; its chain runs once inside that broadcast
+    cents1 = _lloyds(q, b1, _IVF_ITERS, seed1)
     vecs = (
         _assign_cells(q, cents1)
         .select(F.col("cid").alias("cell"), "vec_id", "eq")
@@ -5332,17 +5390,24 @@ def hierarchical_index(
     cents = _seed_keyed(vecs, b2, seed2)
     for _ in range(_IVF_ITERS):
         cents = _update_keyed(_assign_keyed(vecs, cents))
-    # frozen once for both consumers (assignment + probes)
-    cents = cents.localCheckpoint()
+    if nprobe is not None:
+        # frozen once for both consumers (assignment + probes),
+        # which then checkpoint in parallel (guide §2.6)
+        cents = cents.localCheckpoint()
+        out, probes = _overlap(
+            lambda: _assign_keyed(vecs, cents)
+            .select("vec_id", "cell", F.col("cid").alias("subcell"))
+            .localCheckpoint(),
+            lambda: _probe_keyed(vecs, cents, nprobe).localCheckpoint(),
+        )
+        return out, probes
+    # single consumer: skip the centroid checkpoint
     out = (
         _assign_keyed(vecs, cents)
         .select("vec_id", "cell", F.col("cid").alias("subcell"))
         .localCheckpoint()
     )
-    probes: DataFrame | None = None
-    if nprobe is not None:
-        probes = _probe_keyed(vecs, cents, nprobe).localCheckpoint()
-    return out, probes
+    return out, None
 
 
 def hierarchical_cells(
@@ -5657,7 +5722,11 @@ def tree_index_deep(
             f"{len(branching)} — pass a tighter pack (fanout+1)"
         )
     q = _quantize(spark)
-    cents1 = _lloyds(q, branching[0], _IVF_ITERS, seed1).localCheckpoint()
+    # cents1 feeds exactly one consumer (the level-1 assignment), so
+    # no checkpoint: its chain executes once inside the assignment's
+    # broadcast — one fewer blocking materialization (guide §5:
+    # checkpoint only what is reused).
+    cents1 = _lloyds(q, branching[0], _IVF_ITERS, seed1)
     vecs = (
         _assign_cells(q, cents1)
         .select(F.col("cid").cast("long").alias("cell"), "vec_id", "eq")
@@ -5668,10 +5737,14 @@ def tree_index_deep(
         cents = _seed_keyed(vecs, b, _level_seed(lvl))
         for _ in range(_IVF_ITERS):
             cents = _update_keyed(_assign_keyed(vecs, cents))
-        cents = cents.localCheckpoint()
         if nprobe is not None and lvl == len(branching):
-            probes = (
-                _probe_keyed(vecs, cents, nprobe)
+            # two consumers (probe expansion + final assignment):
+            # freeze the trained centroids once, then run the two
+            # independent checkpoints in parallel (guide §2.6)
+            cents = cents.localCheckpoint()
+            prev = vecs
+            probes, vecs = _overlap(
+                lambda: _probe_keyed(prev, cents, nprobe)
                 .select(
                     "vec_id",
                     (
@@ -5679,20 +5752,33 @@ def tree_index_deep(
                         + F.col("subcell").cast("long")
                     ).alias("cell"),
                 )
+                .localCheckpoint(),
+                lambda: _assign_keyed(prev, cents)
+                .select(
+                    (
+                        F.col("cell") * F.lit(pack).cast("long")
+                        + F.col("cid").cast("long")
+                    ).alias("cell"),
+                    "vec_id",
+                    "eq",
+                )
+                .localCheckpoint(),
+            )
+        else:
+            # single consumer: the trained centroids execute once
+            # inside the assignment's broadcast — skip the checkpoint
+            vecs = (
+                _assign_keyed(vecs, cents)
+                .select(
+                    (
+                        F.col("cell") * F.lit(pack).cast("long")
+                        + F.col("cid").cast("long")
+                    ).alias("cell"),
+                    "vec_id",
+                    "eq",
+                )
                 .localCheckpoint()
             )
-        vecs = (
-            _assign_keyed(vecs, cents)
-            .select(
-                (
-                    F.col("cell") * F.lit(pack).cast("long")
-                    + F.col("cid").cast("long")
-                ).alias("cell"),
-                "vec_id",
-                "eq",
-            )
-            .localCheckpoint()
-        )
     return vecs.select("vec_id", "cell"), probes
 
 
@@ -6996,10 +7082,14 @@ def semdedup_tree_maintain_report(
         pack = fanout + 1
     roll = pack ** (len(branching) - 1)
     is_stale = F.col("vec_id") % stale_mod == 0
-    ag_c1, ag_k, ag_asg = tree_train_deep(
-        grown_q.filter(~is_stale), branching, pack=pack
+    # aged tree and maintained tree are independent trainings (each a
+    # sequential O(depth) chain of blocking checkpoints) — overlap them
+    (ag_c1, ag_k, ag_asg), (mt_c1, mt_k, mt_asg) = _overlap(
+        lambda: tree_train_deep(
+            grown_q.filter(~is_stale), branching, pack=pack
+        ),
+        lambda: tree_train_deep(grown_q, branching, pack=pack),
     )
-    mt_c1, mt_k, mt_asg = tree_train_deep(grown_q, branching, pack=pack)
     # training assignments are frozen assignments of the same rows
     # (each level assigns against its final centroids), so only rows
     # OUTSIDE each training set walk the frozen tree: the stale+batch

@@ -1420,11 +1420,32 @@ def wap_attempt(
             shutil.rmtree(tmp, ignore_errors=True)
     sdf = spark.read.parquet(stage_dir)
     table = read_version(spark, root, version_from)
-    v_null = sdf.filter(F.col("text").isNull()).count()
-    v_dup = sdf.join(
-        table.select("doc_id"), "doc_id", "left_semi"
-    ).count()
-    n_staged = sdf.count()
+    # ONE aggregation job for all three audit counts (was three
+    # sequential actions): the left join against the DISTINCT
+    # snapshot keys marks collisions without multiplying staged rows,
+    # so COUNT(*) is the staged count, COUNT(hit) the semi-join
+    # count, and the NULL-text sum the completeness violation count.
+    audit = (
+        sdf.join(
+            table.select("doc_id").distinct().withColumn(
+                "__hit", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_staged"),
+            F.coalesce(
+                F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("v_null"),
+            F.count("__hit").alias("v_dup"),
+        )
+        .first()
+    )
+    n_staged = int(audit["n_staged"])
+    v_null = int(audit["v_null"])
+    v_dup = int(audit["v_dup"])
     published = (v_null + v_dup) == 0
     if published and not os.path.exists(
         os.path.join(root, f"v{version_to}.json")
@@ -2073,9 +2094,24 @@ def branch_commit(
             shutil.rmtree(tmp, ignore_errors=True)
     sdf = spark.read.parquet(stage_dir)
     table = read_version(spark, root, parent)
-    bad = (
-        sdf.filter(F.col("text").isNull()).count()
-        + sdf.join(table.select("doc_id"), "doc_id", "left_semi").count()
+    # one aggregation job for both audit counts (was two actions);
+    # the DISTINCT probe side keeps COUNT(hit) == the semi-join count
+    bad = int(
+        sdf.join(
+            table.select("doc_id").distinct().withColumn(
+                "__hit", F.lit(1)
+            ),
+            "doc_id",
+            "left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            + F.count("__hit")
+        )
+        .first()[0]
     )
     if bad:
         raise RuntimeError(
@@ -3354,10 +3390,14 @@ def source_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
     )
-    n_total = ranked.count()
+    # the row total folds into the ONE job as a broadcast scalar
+    # (rn is a dense 1..N global rank, so MAX(rn) == COUNT(*)) —
+    # previously a separate driver-sequential .count() action
+    n_total = ranked.agg(F.max("rn").alias("_n"))
     return (
-        ranked.select(
-            F.expr(f"((rn - 1) * {_HIST_BUCKETS}) div {n_total}")
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            F.expr(f"((rn - 1) * {_HIST_BUCKETS}) div _n")
             .cast("long")
             .alias("bucket"),
             F.col("l_extendedprice").alias("v"),
