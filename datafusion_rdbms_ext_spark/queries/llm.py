@@ -8897,10 +8897,18 @@ def llm_retrieval_eval_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURRICULUM_BATCH = 64
 
 
-def _global_rank(df: DataFrame, cols: list, parts: int = 32) -> DataFrame:
+def _global_rank(
+    df: DataFrame, cols: list, parts: int = 32, total_col: str | None = None
+) -> DataFrame:
     """Append a global ROW_NUMBER ``rn`` over ``cols`` order without a
     data-sized single-partition window. Requires a total order (pass a
-    tiebreaker column last)."""
+    tiebreaker column last). ``total_col`` additionally attaches the
+    row total N as a broadcast scalar column — computed as SUM over
+    the SAME <= ``parts``-row counts frame the offsets come from, so
+    a caller that needs N (bucket arithmetic) gets it without a
+    separate count() action AND without duplicating the ranked
+    subtree (a ``ranked.agg(MAX(rn))`` branch replans the checkpoint
+    join + offsets window a second time — round-14 plan-rail catch)."""
     # Stamp the partition id, then materialize: the frame feeds both
     # the local-rank window and the per-partition counts — without
     # truncation each branch re-runs the scan + range shuffle (plan
@@ -8920,11 +8928,17 @@ def _global_rank(df: DataFrame, cols: list, parts: int = 32) -> DataFrame:
     offsets = counts.withColumn(
         "_ofs", F.coalesce(F.sum("_pc").over(wofs), F.lit(0))
     ).select("_pid", "_ofs")
-    return (
+    out = (
         d.join(F.broadcast(offsets), "_pid")
         .withColumn("rn", (F.col("_ofs") + F.col("_lrn")).cast("long"))
         .drop("_pid", "_lrn", "_ofs")
     )
+    if total_col is not None:
+        # 1-row N = SUM of the per-partition counts (identical to
+        # MAX(rn) over the dense 1..N rank, bit-for-bit).
+        tot = counts.agg(F.sum("_pc").cast("long").alias(total_col))
+        out = out.crossJoin(F.broadcast(tot))
+    return out
 
 
 @register(

@@ -3384,19 +3384,19 @@ def source_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; the exact form is what the differential gate can prove."""
     from ..queries.llm import _global_rank
 
+    # the row total folds into the ONE job as a broadcast scalar
+    # (previously a separate driver-sequential .count() action);
+    # _global_rank derives N from its own <=32-row per-partition
+    # counts frame, so the ranked subtree is never planned twice.
     ranked = _global_rank(
         spark.table("lineitem").select(
             "l_extendedprice", "l_orderkey", "l_linenumber"
         ),
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        total_col="_n",
     )
-    # the row total folds into the ONE job as a broadcast scalar
-    # (rn is a dense 1..N global rank, so MAX(rn) == COUNT(*)) —
-    # previously a separate driver-sequential .count() action
-    n_total = ranked.agg(F.max("rn").alias("_n"))
     return (
-        ranked.crossJoin(F.broadcast(n_total))
-        .select(
+        ranked.select(
             F.expr(f"((rn - 1) * {_HIST_BUCKETS}) div _n")
             .cast("long")
             .alias("bucket"),

@@ -714,6 +714,11 @@ _UNPARTITIONED_WINDOW_AUDITED = {
     "llm_cluster_purity": 4,
     # top-K arm rank over a pre-limited candidate set (RRF K=10)
     "llm_hybrid_search_rrf": 2,
+    # ranked-retrieval eval (round-14 build): the ideal-DCG rank over
+    # the limit(_NDCG_K)-cut relevant set — <= 10 rows by construction
+    # (the arm rank windows sit behind eager localCheckpoints and never
+    # reach the final plan).
+    "llm_retrieval_eval_arms": 1,
     # histogram-selection cumulative sums: rows = distinct bucket
     # values of a quantized bounded domain (latency seconds within
     # the funnel window; milli-quantized norms)
