@@ -1191,40 +1191,32 @@ _INT_MEAN_SQL = (
 )
 
 
-def _int_mean_components(dim: int = _IVF_DIM) -> Column:
-    """The centroid array as ONE aggregation: per component i, the
-    exact integer mean of ``eq[i]`` under the same
-    round-half-away-from-zero formula as ``_INT_MEAN_SPARK``
-    (SUM(eq[i]) and COUNT(*) over the group are, row for row, the
-    SUM(val)/COUNT(*) the posexplode form computed per (group, pos) —
-    every eq array in the group is exactly ``dim`` long, so the
-    per-pos group is the group itself; PQ codebooks train on
-    _PQ_SUBDIM-long subspace slices and pass that dim). One wide
-    aggregate buffer (dim SUMs + COUNT) replaces posexplode (N*dim
-    rows map-side) plus a second (group, pos)-keyed shuffle and the
-    collect_list/array_sort reassembly — one exchange instead of
-    two, and the shuffle still carries only K*dim partial sums
-    (guide §2.3/§2.4)."""
-    comps = []
-    for i in range(dim):
-        s = f"SUM(eq[{i}])"
-        comps.append(
-            F.expr(
-                f"CAST(CASE WHEN {s} < 0"
-                f" THEN -((2 * -{s} + COUNT(*)) DIV (2 * COUNT(*)))"
-                f" ELSE (2 * {s} + COUNT(*)) DIV (2 * COUNT(*)) END"
-                f" AS BIGINT)"
-            )
-        )
-    return F.array(*comps)
-
-
 def _update_centroids(assigned: DataFrame, dim: int = _IVF_DIM) -> DataFrame:
-    """Lloyd's update: per-component integer mean in ONE partial
-    aggregation — the shuffle carries K*dim partial sums, independent
-    of corpus size (see :func:`_int_mean_components`)."""
-    return assigned.groupBy("cid").agg(
-        _int_mean_components(dim).alias("cemb")
+    """Lloyd's update: per-component integer mean. posexplode feeds a
+    (cid, pos)-keyed partial aggregation, so the shuffle carries only
+    K*dim partial sums — independent of corpus size.
+
+    Round-14 measurement (guide §1: re-measure after each change): a
+    one-exchange rewrite — ``dim`` SUM(eq[i]) columns + COUNT in ONE
+    wide aggregate — was tried and REVERTED. It shuffles the same
+    K*dim partials in one exchange instead of two, but the dim-wide
+    CASE/DIV expression trees, nested once per Lloyd's iteration
+    inside every broadcast subtree, cost far more in codegen and
+    per-row evaluation than the extra exchange saves: isolated
+    best-of-3 at sf0.1 was llm_semdedup 8.32s vs 4.66s, tree_deep
+    8.77s vs 5.59s, sim_topk_tree 5.80s vs 3.86s in posexplode's
+    favor. ``dim`` is accepted for signature stability (PQ codebooks
+    train on _PQ_SUBDIM-long slices); the posexplode form derives
+    positions from the data."""
+    comps = assigned.select("cid", F.posexplode("eq").alias("pos", "val"))
+    means = comps.groupBy("cid", "pos").agg(
+        F.expr(_INT_MEAN_SPARK).alias("comp")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+            lambda s: s.getField("comp"),
+        ).alias("cemb")
     )
 
 
@@ -5293,14 +5285,23 @@ def _assign_keyed(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _update_keyed(assigned: DataFrame) -> DataFrame:
-    """Keyed Lloyd's update: per-(cell, cid) integer means in ONE
+    """Keyed Lloyd's update: per-(cell, cid, pos) integer mean in one
     partial aggregation — the shuffle carries b1*b2*dim partial sums
     regardless of corpus size (the keyed twin of
-    :func:`_update_centroids`; see :func:`_int_mean_components` for
-    why one wide aggregate replaces the posexplode two-shuffle
-    form)."""
-    return assigned.groupBy("cell", "cid").agg(
-        _int_mean_components().alias("cemb")
+    :func:`_update_centroids`, same ``_INT_MEAN_SPARK`` formula; see
+    there for why the one-exchange wide-aggregate rewrite was
+    measured and reverted)."""
+    comps = assigned.select(
+        "cell", "cid", F.posexplode("eq").alias("pos", "val")
+    )
+    means = comps.groupBy("cell", "cid", "pos").agg(
+        F.expr(_INT_MEAN_SPARK).alias("comp")
+    )
+    return means.groupBy("cell", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+            lambda s: s.getField("comp"),
+        ).alias("cemb")
     )
 
 
@@ -7289,22 +7290,37 @@ def llm_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_CMS_D)
         ],
     )
-    est = qh
-    for d in range(_CMS_D):
-        cd = F.broadcast(
-            cms.filter(F.col("d") == d).select(
-                F.col("b").alias(f"b{d}"), F.col("c").alias(f"c{d}")
-            )
+    # ONE broadcast of the whole d*w counter matrix as a sorted
+    # struct array, probed map-side per hash row — the previous four
+    # broadcast-filtered joins each re-planned (and re-executed) the
+    # sketch-build subtree, so `documents` was scanned and the (d, b)
+    # aggregation recomputed four times per run (round 14, guide
+    # §2.4: 5 scans -> 2). A (d, b) bucket a top token hashes to
+    # always holds at least that token's own count, so the array
+    # probe never misses — exactly the rows the inner joins kept.
+    cms_arr = cms.agg(
+        F.array_sort(F.collect_list(F.struct("d", "b", "c"))).alias("cs")
+    )
+
+    def bucket_count(d: int) -> Column:
+        hit = F.filter(
+            F.col("cs"),
+            lambda s: (s.getField("d") == F.lit(d))
+            & (s.getField("b") == F.col(f"b{d}")),
         )
-        est = est.join(cd, f"b{d}")
-    return est.select(
-        F.col("t").alias("token"),
-        "exact_n",
-        F.least(*[F.col(f"c{d}") for d in range(_CMS_D)]).alias("est_n"),
-        (
-            F.least(*[F.col(f"c{d}") for d in range(_CMS_D)]) - F.col("exact_n")
-        ).alias("overcount"),
-    ).orderBy(F.desc("exact_n"), "token")
+        return F.element_at(hit, 1).getField("c")
+
+    est_n = F.least(*[bucket_count(d) for d in range(_CMS_D)])
+    return (
+        qh.crossJoin(F.broadcast(cms_arr))
+        .select(
+            F.col("t").alias("token"),
+            "exact_n",
+            est_n.alias("est_n"),
+            (est_n - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "token")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9842,7 +9858,12 @@ def _sql_bpe_oracle() -> str:
     )
 
 
-def bpe_train(words: DataFrame, rounds: int, batch: int = 1):
+def bpe_train(
+    words: DataFrame,
+    rounds: int,
+    batch: int = 1,
+    measure_tokens: bool = True,
+):
     """Learn BPE merge rules from a (s, freq) symbol-string vocabulary.
 
     ``batch=1`` is classic sequential BPE (Sennrich 2016): one
@@ -9913,10 +9934,21 @@ def bpe_train(words: DataFrame, rounds: int, batch: int = 1):
         # APPLY path needs) — the trainer only consumes (s, freq).
         others = [c for c in words.columns if c != "s"]
         words = words.select(F.trim(col).alias("s"), *others).localCheckpoint()
-        tokens_after = int(
-            words.agg(
-                F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t")
-            ).collect()[0]["t"]
+        # the per-round corpus token count is one extra vocab-sized
+        # aggregation ACTION per round — callers that only consume
+        # the rewritten vocabulary (the composed pipeline, the apply
+        # path) skip it (round 14: rounds blocking actions saved;
+        # the registered trainer keeps the exact measurement)
+        tokens_after = (
+            int(
+                words.agg(
+                    F.sum(
+                        F.col("freq") * F.size(F.split("s", " "))
+                    ).alias("t")
+                ).collect()[0]["t"]
+            )
+            if measure_tokens
+            else None
         )
         for i, (pair, cnt) in enumerate(chosen):
             step += 1
@@ -10187,7 +10219,9 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The trainer passes the word identity through untouched, so the
     # returned vocabulary IS the word -> merged-symbol-string map.
-    _rules, merged_words = bpe_train(words, _BPE_ROUNDS, batch=1)
+    _rules, merged_words = bpe_train(
+        words, _BPE_ROUNDS, batch=1, measure_tokens=False
+    )
     tok_map = merged_words.select(
         "word", F.size(F.split("s", " ")).alias("nt")
     )
@@ -10430,7 +10464,9 @@ def llm_pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    _rules, merged = bpe_train(words, _BPE_ROUNDS, batch=1)
+    _rules, merged = bpe_train(
+        words, _BPE_ROUNDS, batch=1, measure_tokens=False
+    )
     tok_map = merged.select("word", F.size(F.split("s", " ")).alias("nt"))
     exploded = surv.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
@@ -11311,7 +11347,9 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    _rules, merged_words = bpe_train(words, _BPE_ROUNDS, batch=1)
+    _rules, merged_words = bpe_train(
+        words, _BPE_ROUNDS, batch=1, measure_tokens=False
+    )
     tok_map = merged_words.select(
         "word", F.size(F.split("s", " ")).alias("nt")
     )

@@ -520,7 +520,12 @@ def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = ptot.withColumn(
         "_ofs", F.coalesce(F.sum("_pt").over(wofs), F.lit(0).cast(d.schema["rev"].dataType))
     ).select("_pid", "_ofs")
-    total = rev.agg(F.sum("rev").alias("total"))
+    # grand total folded from the <= _ABC_PARTS per-partition totals
+    # of the checkpointed frame — the previous rev.agg() re-planned
+    # the orders scan + revenue rollup a second time (round 14, guide
+    # §2.4; exact decimal sums are associative, so the fold is
+    # value-identical to the direct sum)
+    total = ptot.agg(F.sum("_pt").alias("total"))
     walked = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn("cum", F.col("_ofs") + F.col("_lcum"))
@@ -754,26 +759,34 @@ _BASKET_MINSUP = 2
 def olap_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs co-occurring in at least MINSUP orders.
 
-    Scale: the self-join keys on l_orderkey (co-partitioned shuffle,
-    no broadcast needed — both sides are the same relation), pairs
-    are bounded per order by basket size, and the support rollup is
-    map-side-combinable. At 100 TB add a support-based item prune
-    (classic A-priori level 1) before pairing; the fixture's item
-    frequencies make that prune a no-op here so the differential
-    stays exact."""
-    items = (
-        spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    Scale: ONE shuffle keyed on l_orderkey builds each basket as a
+    sorted distinct item array (collect_set subsumes the DISTINCT),
+    then the within-basket pairs are generated MAP-SIDE from the
+    array (quadratic only in basket size) and roll up map-side-
+    combined — round 14 rewrite of the items-self-join form, which
+    planned the scan+DISTINCT twice and re-exchanged both sides on
+    l_orderkey (4 exchanges + a sort-merge join -> 2 exchanges, no
+    join; value-identical because sorted distinct arrays enumerate
+    exactly the a < b pairs the join+filter produced). At 100 TB add
+    a support-based item prune (classic A-priori level 1) before
+    pairing; the fixture's item frequencies make that prune a no-op
+    here so the differential stays exact."""
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
-    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MINSUP)
         .orderBy(F.desc("support"), "part_a", "part_b")

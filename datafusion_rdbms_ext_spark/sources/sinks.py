@@ -1377,6 +1377,61 @@ def source_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wap_stage(
+    spark: SparkSession, root: str, staged: DataFrame, stage_name: str
+) -> str:
+    """Stage a candidate batch as its own immutable file group and
+    return the stage directory. Stages are IMMUTABLE once written (a
+    published manifest points at these exact file paths — an
+    overwrite would orphan it): write to a temp dir and atomically
+    rename into place, the same discipline as the result cache
+    (ADVICE r8 #5)."""
+    stage_dir = os.path.join(root, f"stage_{stage_name}")
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        # _unique_suffix, not PID-only: two driver threads (e.g.
+        # foreachBatch) racing the same stage_name share a PID and
+        # would rmtree each other's in-flight staging write.
+        tmp = f"{stage_dir}.tmp.{_unique_suffix()}"
+        staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, stage_dir)
+        except OSError:  # another writer staged the identical batch
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage_dir
+
+
+def _wap_publish(
+    root: str, version_from: int, version_to: int, stage_name: str
+) -> None:
+    """Commit the manifest that makes a clean-audited stage visible:
+    the old snapshot's files plus the staged ones — metadata only,
+    no data movement."""
+    import glob as _glob
+    import json
+
+    if os.path.exists(os.path.join(root, f"v{version_to}.json")):
+        return  # an identical deterministic publish already won
+    with open(os.path.join(root, f"v{version_from}.json")) as fh:
+        prev = json.load(fh)
+    stage_files = sorted(
+        _glob.glob(os.path.join(root, f"stage_{stage_name}", "*.parquet"))
+    )
+    payload = {
+        "version": version_to,
+        "files": sorted(prev["files"]) + stage_files,
+        "appended": stage_files,
+        "published_from_stage": stage_name,
+    }
+    if prev.get("delete_vectors"):
+        payload["delete_vectors"] = prev["delete_vectors"]
+    try:
+        _write_manifest(root, version_to, payload)
+    except CommitConflict:
+        pass  # concurrent identical publish won the link race
+
+
 def wap_attempt(
     spark: SparkSession,
     root: str,
@@ -1398,27 +1453,7 @@ def wap_attempt(
     against the snapshot (a left-semi probe — at scale this prunes
     through the skipping index rather than scanning the table).
     Returns the audit report either way."""
-    import glob as _glob
-    import json
-
-    stage_dir = os.path.join(root, f"stage_{stage_name}")
-    # stages are IMMUTABLE once written (a published manifest points
-    # at these exact file paths — an overwrite would orphan it):
-    # write to a temp dir and atomically rename into place, the same
-    # discipline as the result cache (ADVICE r8 #5)
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        # _unique_suffix, not PID-only: two driver threads (e.g.
-        # foreachBatch) racing the same stage_name share a PID and
-        # would rmtree each other's in-flight staging write.
-        tmp = f"{stage_dir}.tmp.{_unique_suffix()}"
-        staged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, stage_dir)
-        except OSError:  # another writer staged the identical batch
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-    sdf = spark.read.parquet(stage_dir)
+    sdf = spark.read.parquet(_wap_stage(spark, root, staged, stage_name))
     table = read_version(spark, root, version_from)
     # ONE aggregation job for all three audit counts (was three
     # sequential actions): the left join against the DISTINCT
@@ -1447,26 +1482,8 @@ def wap_attempt(
     v_null = int(audit["v_null"])
     v_dup = int(audit["v_dup"])
     published = (v_null + v_dup) == 0
-    if published and not os.path.exists(
-        os.path.join(root, f"v{version_to}.json")
-    ):
-        with open(os.path.join(root, f"v{version_from}.json")) as fh:
-            prev = json.load(fh)
-        stage_files = sorted(
-            _glob.glob(os.path.join(stage_dir, "*.parquet"))
-        )
-        payload = {
-            "version": version_to,
-            "files": sorted(prev["files"]) + stage_files,
-            "appended": stage_files,
-            "published_from_stage": stage_name,
-        }
-        if prev.get("delete_vectors"):
-            payload["delete_vectors"] = prev["delete_vectors"]
-        try:
-            _write_manifest(root, version_to, payload)
-        except CommitConflict:
-            pass  # concurrent identical publish won the link race
+    if published:
+        _wap_publish(root, version_from, version_to, stage_name)
     return {
         "staged_rows": n_staged,
         "null_violations": v_null,
@@ -1548,6 +1565,8 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     serve at scale. This is the ingestion discipline that makes the
     expectations report (source_expectations) a GATE instead of a
     dashboard."""
+    from ..queries.llm import _overlap
+
     root = mor_update_root(spark, sf_dir)
     docs = spark.table("documents")
     bad = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 210)).select(
@@ -1559,25 +1578,57 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 20000).alias("doc_id"), "text"
     )
-    rows = []
-    for name, cand in (("bad", bad), ("good", good)):
-        rep = wap_attempt(spark, root, 6, 7, cand, name)
-        # a rejected batch reports the snapshot it audited against —
-        # even when a later (or earlier, on re-run) attempt has
-        # already published v7
-        visible = read_version(
-            spark, root, 7 if rep["published"] else 6
-        ).count()
-        rows.append(
-            (
-                name,
-                rep["staged_rows"],
-                rep["null_violations"],
-                rep["key_collisions"],
-                rep["published"],
-                visible,
-            )
+    # Round-14 fusion (guide §2.4/§2.6): both candidates audit against
+    # the SAME v6 snapshot, so the two single-candidate audit jobs
+    # (each re-scanning v6 for its distinct keys) fuse into ONE
+    # aggregation grouped by candidate, and the per-attempt
+    # read_version().count() pair collapses to ONE v6 count run in
+    # PARALLEL with the audit (the v7 count is v6 + staged_rows by
+    # the manifest append arithmetic the publish itself performs:
+    # v7.files == v6.files + stage files, verified by
+    # tests/test_round14_opt.py::test_wap_fused_matches_sequential).
+    staged = {
+        name: spark.read.parquet(_wap_stage(spark, root, cand, name))
+        .withColumn("candidate", F.lit(name))
+        for name, cand in (("bad", bad), ("good", good))
+    }
+    table = read_version(spark, root, 6)
+    audit_df = (
+        staged["bad"]
+        .unionByName(staged["good"])
+        .join(
+            table.select("doc_id").distinct().withColumn("__hit", F.lit(1)),
+            "doc_id",
+            "left",
         )
+        .groupBy("candidate")
+        .agg(
+            F.count(F.lit(1)).alias("n_staged"),
+            F.coalesce(
+                F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("v_null"),
+            F.count("__hit").alias("v_dup"),
+        )
+    )
+    audit_rows, v6_count = _overlap(
+        lambda: {r["candidate"]: r for r in audit_df.collect()},
+        lambda: table.count(),
+    )
+    rows = []
+    for name in ("bad", "good"):
+        rep = audit_rows[name]
+        n_staged = int(rep["n_staged"])
+        v_null = int(rep["v_null"])
+        v_dup = int(rep["v_dup"])
+        published = (v_null + v_dup) == 0
+        if published:
+            _wap_publish(root, 6, 7, name)
+        # a rejected batch reports the snapshot it audited against —
+        # a published one the appended snapshot (v6 files + its own
+        # staged rows)
+        visible = v6_count + n_staged if published else v6_count
+        rows.append((name, n_staged, v_null, v_dup, published, visible))
     return spark.createDataFrame(
         rows,
         "candidate string, staged_rows long, null_violations long, "

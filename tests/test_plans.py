@@ -148,6 +148,10 @@ def test_broadcast_hints_only_on_fixed_dims():
             "q", "cents_arr", "mix_spec", "candidates", "total", "ns",
             "tot", "probes", "edges", "tri", "n", "lex",
             "cb.select(", "cms.filter(", "hpos.withColumn(",
+            # count-min audit (round 14): the whole d*w counter
+            # matrix collapsed to ONE row of <= d*w structs —
+            # fixed-size at any scale, same bound as cms.filter.
+            "cms_arr",
             # BM25: per-term document frequencies (|query terms| = 3
             # rows) and the 1-row corpus stats (N, avgdl).
             "dfreq", "bm25_stats",
@@ -509,11 +513,22 @@ def test_substring_dedup_no_cartesian_and_hashed_keys(spark):
 
 
 def test_cms_counters_broadcast_to_audit_join(spark):
-    """The d x w counter table is fixed-size — its four audit joins
-    must all be broadcasts, never shuffled hash joins."""
+    """The d x w counter table is fixed-size — it must reach the
+    audit probe as a broadcast, never a shuffled join. Round 14: the
+    four per-row broadcast-filtered joins (each of which re-planned
+    and re-executed the whole sketch-build subtree, scanning
+    documents four times) collapsed into ONE broadcast of the full
+    counter matrix as a sorted struct array, probed map-side — so
+    exactly one broadcast and at most two scans remain."""
     df = _df(spark, "llm_cms_counts")
     assert not has_cartesian(df)
-    assert broadcast_joins(df) >= 4, plan_string(df)[:2000]
+    p = plan_string(df)
+    assert "ResolvedHint (strategy=broadcast)" in p or "Broadcast" in p
+    # the sketch-build subtree must appear ONCE: the token explode
+    # twice (sketch build + exact top-N) plus one (d, b) struct-array
+    # explode — the pre-round-14 shape planned 9 (each of the four
+    # broadcast-filtered joins re-planned token + struct explodes)
+    assert p.count("explode") <= 3, p[:2000]
 
 
 def test_bloom_probe_is_broadcast(spark):

@@ -5,9 +5,13 @@ contract requires bit-identical values. These tests pin the internal
 equivalences directly (the 348-query differential gate pins the
 end-to-end values):
 
-1. The one-aggregation Lloyd's update (``_int_mean_components``)
-   equals the posexplode + (group, pos)-keyed two-shuffle form it
-   replaced — flat and keyed variants.
+1. The Lloyd's update equals the posexplode + (group, pos)-keyed
+   reference semantics — flat and keyed variants, including the
+   PQ subspace dim. (A one-exchange wide-aggregate rewrite was
+   tried mid-round and REVERTED after isolated measurement showed
+   it ~1.5x slower at sf0.1 — dim-wide CASE/DIV expression trees
+   nested per Lloyd's iteration cost more than the saved exchange;
+   these pins keep either implementation honest.)
 2. ``_overlap`` preserves thunk order and propagates exceptions.
 3. The fused single-job WAP audit aggregation equals the three
    separate actions it replaced (null count / semi-join count /
@@ -120,6 +124,57 @@ def test_overlap_order_and_errors():
     assert _overlap(lambda: "only") == ["only"]
     with pytest.raises(ValueError, match="boom"):
         _overlap(lambda: 1, lambda: (_ for _ in ()).throw(ValueError("boom")))
+
+
+def test_wap_fused_matches_sequential(spark):
+    """The round-14 fused sink_wap_publish (one two-candidate audit
+    aggregation + one v6 count, v7 visible derived by the manifest
+    append arithmetic) returns row-identical output to the
+    sequential per-candidate wap_attempt + read_version().count()
+    form it replaced."""
+    from datafusion_rdbms_ext_spark.queries.base import ensure_tables
+    from datafusion_rdbms_ext_spark.sources.sinks import (
+        mor_update_root,
+        read_version,
+        sink_wap_publish,
+        wap_attempt,
+    )
+    from tests.conftest import SMOKE_SF_DIR
+
+    ensure_tables(spark, SMOKE_SF_DIR)
+    fused = sink_wap_publish(spark, SMOKE_SF_DIR).collect()
+
+    root = mor_update_root(spark, SMOKE_SF_DIR)
+    docs = spark.table("documents")
+    bad = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 210)
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    good = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    seq = []
+    for name, cand in (("bad", bad), ("good", good)):
+        rep = wap_attempt(spark, root, 6, 7, cand, name)
+        visible = read_version(
+            spark, root, 7 if rep["published"] else 6
+        ).count()
+        seq.append(
+            (
+                name,
+                rep["staged_rows"],
+                rep["null_violations"],
+                rep["key_collisions"],
+                rep["published"],
+                visible,
+            )
+        )
+    assert [tuple(r) for r in fused] == seq
+    assert [r["published"] for r in fused] == [False, True]
 
 
 def test_wap_audit_fusion_counts(spark):
