@@ -1075,26 +1075,38 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def olap_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confidence/lift for co-purchased part pairs (integer ppm).
 
-    Scale: the pair join is the same orderkey-equi-keyed self-join
-    as olap_frequent_pairs (bounded per basket); the item counts and
-    the 1-row basket total join onto the SUPPORT-FILTERED pair set —
-    affinity-pair-sized, not item-pair-sized."""
-    items = (
-        spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    Scale: ONE basket-building shuffle feeds all three readouts
+    (round 14 — the same basket-array rewrite as
+    olap_frequent_pairs, which this previously mirrored as an items
+    self-join planned three more times for the counts/total): pairs
+    generate map-side from each sorted distinct item array, item
+    counts explode the same checkpointed baskets frame, and the
+    basket total is its 1-row count; the item counts and total join
+    onto the SUPPORT-FILTERED pair set — affinity-pair-sized, not
+    item-pair-sized."""
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint()  # feeds pairs, item counts, basket total
     )
-    n = items.agg(
-        F.countDistinct("l_orderkey").alias("n_orders")
-    )
-    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MINSUP)
