@@ -1148,16 +1148,79 @@ def _l2q(a, b) -> Column:
     )
 
 
-def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment, fully MAP-SIDE: the K centroids
-    collapse to one broadcast array-of-structs row, and each vector
-    picks argmin(dist, cid) with array_min — no shuffle, no N*K row
-    blowup. This is the distributed-k-means assignment step done the
-    scalable way (a crossJoin+groupBy(vec) formulation would shuffle
-    N*K rows per iteration)."""
+#: Cap on centroid VALUES (rows * dim) carried as a driver-side list /
+#: folded plan literal. Centroid state is metadata the broadcast path
+#: already collects to the driver in full (BroadcastExchange ships the
+#: whole relation through the driver), so holding it as Python ints is
+#: byte-equivalent driver pressure — the cap only bounds the PLAN
+#: literal size (64k longs = 512 KB). Above it (self-scaling K at
+#: 100 TB) every helper falls back to the distributed broadcast chain.
+_CENT_LOCAL_MAX = 1 << 16
+
+_CS_TYPE = "array<struct<cid:int,cemb:array<bigint>>>"
+
+
+def _sql_cemb(emb) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in emb) + ")"
+
+
+def _cs_literal(rows) -> Column:
+    """The sorted (cid, cemb) struct array as ONE foldable literal
+    expression — the driver-local twin of the broadcast one-row
+    ``collect_list`` aggregate (ConstantFolding collapses it to a
+    single Literal before codegen, so per-row cost is identical to
+    reading the broadcast array)."""
+    items = ",".join(
+        f"named_struct('cid',{int(cid)},'cemb',{_sql_cemb(emb)})"
+        for cid, emb in rows
+    )
+    return F.expr(f"CAST(array({items}) AS {_CS_TYPE})")
+
+
+def _local_cents_df(spark: SparkSession, rows) -> DataFrame:
+    """(cid, cemb) DataFrame built from driver-held centroid rows,
+    tagged with ``_local_cents`` so the assignment/probe helpers take
+    the literal fast path (zero jobs to re-ship the centroids)."""
+    df = spark.createDataFrame(
+        [(int(c), [int(v) for v in e]) for c, e in rows],
+        "cid int, cemb array<bigint>",
+    )
+    df._local_cents = [(int(c), [int(v) for v in e]) for c, e in rows]
+    return df
+
+
+def _ckpt_unless_local(cents: DataFrame) -> DataFrame:
+    """localCheckpoint for distributed centroid frames; a no-op for
+    driver-local ones (already materialized — a checkpoint would only
+    add a job AND strip the fast-path tag)."""
+    if getattr(cents, "_local_cents", None) is not None:
+        return cents
+    if getattr(cents, "_local_keyed_cents", None) is not None:
+        return cents
+    return cents.localCheckpoint()
+
+
+def _with_cents_cs(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """``vecs`` plus a ``cs`` column holding the full sorted
+    (cid, cemb) centroid array: a folded literal when the centroids
+    are driver-local (no job), else the broadcast one-row aggregate."""
+    local = getattr(cents, "_local_cents", None)
+    if local:
+        return vecs.withColumn("cs", _cs_literal(local))
     cents_arr = cents.agg(
         F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cs")
     )
+    return vecs.crossJoin(F.broadcast(cents_arr))
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, fully MAP-SIDE: the K centroids
+    collapse to one broadcast array-of-structs row (or a folded plan
+    literal when driver-local), and each vector picks argmin(dist,
+    cid) with array_min — no shuffle, no N*K row blowup. This is the
+    distributed-k-means assignment step done the scalable way (a
+    crossJoin+groupBy(vec) formulation would shuffle N*K rows per
+    iteration)."""
     best = F.array_min(
         F.transform(
             F.col("cs"),
@@ -1167,7 +1230,7 @@ def _assign_cells(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             ),
         )
     )
-    return vecs.crossJoin(F.broadcast(cents_arr)).select(
+    return _with_cents_cs(vecs, cents).select(
         "vec_id", "eq", best.getField("cid").alias("cid")
     )
 
@@ -1255,7 +1318,24 @@ def _lloyds(
     rank of vec_id, distributed top-K via orderBy+limit — no
     data-sized global window), so engine and oracle run the SAME
     k-means bit-for-bit. Shared by the IVF coarse index (full vectors)
-    and the PQ codebooks (per-subspace slices)."""
+    and the PQ codebooks (per-subspace slices).
+
+    Round 15 (guide §1.2 "the distributed algorithm" + §5 driver
+    notes): when the centroid state is plan-literal-sized
+    (k*dim <= _CENT_LOCAL_MAX) each iteration runs as ONE collect job
+    — map-side assignment against the previous round's folded-literal
+    centroids feeding the same (cid, pos) integer-mean aggregation,
+    whose K*dim result rows come back to the driver. The old form
+    nested every iteration inside the next one's BroadcastExchange,
+    costing 3 sequential AQE stage round-trips + a broadcast build per
+    iteration; centroids are metadata the broadcast path already
+    collected to the driver anyway, so this moves no new bytes and
+    changes no integer (same assignment expression, same
+    _INT_MEAN_SPARK aggregate — bit-identical, oracle-gated). Above
+    the cap (self-scaling K at 100 TB) the distributed chain below is
+    the unchanged production path."""
+    if 0 < k * dim <= _CENT_LOCAL_MAX:
+        return _lloyds_local(vecs, k, iters, seed_tag)
     seed_rows = (
         vecs.withColumn("h", _phash(F.col("vec_id").cast("string"), seed_tag))
         .orderBy("h", "vec_id")
@@ -1268,6 +1348,47 @@ def _lloyds(
     )
     for _ in range(iters):
         cents = _update_centroids(_assign_cells(vecs, cents), dim)
+    return cents
+
+
+def _lloyds_local(
+    vecs: DataFrame, k: int, iters: int, seed_tag: str
+) -> DataFrame:
+    """Driver-local-iteration Lloyd's: same seeding (top-K by the
+    portable hash rank — TakeOrdered returns the rows already in
+    (h, vec_id) order; re-sorted defensively on the collected longs),
+    same map-side assignment, same distributed integer-mean
+    aggregation; only the K*dim centroid RESULT rows land on the
+    driver instead of being re-broadcast through a nested subtree."""
+    spark = vecs.sparkSession
+    seed = (
+        vecs.withColumn("h", _phash(F.col("vec_id").cast("string"), seed_tag))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .select("h", "vec_id", "eq")
+        .collect()
+    )
+    seed.sort(key=lambda r: (r["h"], r["vec_id"]))
+    rows = [(i + 1, list(r["eq"])) for i, r in enumerate(seed)]
+    if not rows:
+        # empty training set: keep the distributed empty-cents shape
+        return _local_cents_df(spark, [])
+    cents = _local_cents_df(spark, rows)
+    for _ in range(iters):
+        means = (
+            _assign_cells(vecs, cents)
+            .select("cid", F.posexplode("eq").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.expr(_INT_MEAN_SPARK).alias("comp"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in means:
+            acc.setdefault(r["cid"], {})[r["pos"]] = r["comp"]
+        rows = [
+            (cid, [m[p] for p in sorted(m)]) for cid, m in sorted(acc.items())
+        ]
+        cents = _local_cents_df(spark, rows)
     return cents
 
 
@@ -1300,9 +1421,6 @@ def _probe_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     IVF search-time recall knob. Same map-side shape as assignment
     (broadcast centroid array), but keeps the first ``nprobe`` of the
     distance-sorted struct array instead of the argmin."""
-    cents_arr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cs")
-    )
     ranked = F.slice(
         F.array_sort(
             F.transform(
@@ -1317,7 +1435,7 @@ def _probe_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
         nprobe,
     )
     return (
-        vecs.crossJoin(F.broadcast(cents_arr))
+        _with_cents_cs(vecs, cents)
         .select("vec_id", F.explode(ranked).alias("p"))
         .select("vec_id", F.col("p.cid").alias("cell"))
     )
@@ -4290,7 +4408,7 @@ def llm_semdedup_shard_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact frozen index with the assignment below; the two levels
     # are independent trainings — overlap them (guide §2.6)
     def _level(k: int, seed: str, col: str):
-        cents = _learned_centroids(spark, k, seed).localCheckpoint()
+        cents = _ckpt_unless_local(_learned_centroids(spark, k, seed))
         cells = (
             _assign_cells(q2, cents)
             .select("vec_id", F.col("cid").alias(col))
@@ -4860,7 +4978,7 @@ def semdedup_prune_sharded_mp(
     # same frozen centroids — without the checkpoint the Lloyd's
     # subtree would plan and execute twice.
     def _level(k: int, seed: str, col: str):
-        cents = _learned_centroids(spark, k, seed).localCheckpoint()
+        cents = _ckpt_unless_local(_learned_centroids(spark, k, seed))
         cells = (
             _assign_cells(q2, cents)
             .select("vec_id", F.col("cid").alias(col))
@@ -5263,6 +5381,57 @@ def _cents_arr_keyed(cents: DataFrame) -> DataFrame:
     )
 
 
+def _local_keyed_df(spark: SparkSession, rows, cell_type: str) -> DataFrame:
+    """(cell, cid, cemb) DataFrame from driver-held keyed centroid
+    rows, tagged with ``_local_keyed_cents`` for the map-literal fast
+    path (the keyed twin of :func:`_local_cents_df`)."""
+    data = [
+        (c, int(cid), [int(v) for v in e]) for c, cid, e in rows
+    ]
+    df = spark.createDataFrame(
+        data, f"cell {cell_type}, cid int, cemb array<bigint>"
+    )
+    df._local_keyed_cents = data
+    return df
+
+
+def _cs_map_literal(rows) -> Column:
+    """cell -> sorted (cid, cemb) struct array as ONE foldable map
+    literal — the driver-local twin of broadcasting
+    :func:`_cents_arr_keyed` (BIGINT keys; callers probe with
+    ``element_at(map, cell.cast("long"))``)."""
+    by_cell: dict = {}
+    for cell, cid, emb in rows:
+        by_cell.setdefault(int(cell), []).append((int(cid), emb))
+    entries = ",".join(
+        f"{cell}L,CAST(array("
+        + ",".join(
+            f"named_struct('cid',{cid},'cemb',{_sql_cemb(emb)})"
+            for cid, emb in sorted(cs)
+        )
+        + f") AS {_CS_TYPE})"
+        for cell, cs in sorted(by_cell.items())
+    )
+    return F.expr(f"map({entries})")
+
+
+def _with_cents_cs_keyed(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """``vecs`` plus its own cell's ``cs`` centroid array, with inner
+    -join semantics (vectors whose cell trained no centroids drop
+    out): a folded map-literal probe when the keyed centroids are
+    driver-local (no job, no join), else the broadcast equi-join on
+    ``cell``."""
+    local = getattr(cents, "_local_keyed_cents", None)
+    if local:
+        return vecs.withColumn(
+            "cs", F.element_at(_cs_map_literal(local), F.col("cell").cast("long"))
+        ).filter(F.col("cs").isNotNull())
+    # cents_arr: per-cell centroid arrays — metadata-sized (see
+    # _cents_arr_keyed), the whitelisted bounded-cardinality broadcast
+    cents_arr = _cents_arr_keyed(cents)
+    return vecs.join(F.broadcast(cents_arr), "cell")
+
+
 def _assign_keyed(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Per-cell nearest-sub-centroid assignment, map-side: vecs
     (cell, vec_id, eq) join the BROADCAST per-cell centroid arrays on
@@ -5278,8 +5447,7 @@ def _assign_keyed(vecs: DataFrame, cents: DataFrame) -> DataFrame:
             ),
         )
     )
-    cents_arr = _cents_arr_keyed(cents)
-    return vecs.join(F.broadcast(cents_arr), "cell").select(
+    return _with_cents_cs_keyed(vecs, cents).select(
         "cell", "vec_id", "eq", best.getField("cid").alias("cid")
     )
 
@@ -5321,6 +5489,57 @@ def _seed_keyed(vecs: DataFrame, b2: int, seed_tag: str) -> DataFrame:
     )
 
 
+def _train_keyed(
+    vecs: DataFrame,
+    b: int,
+    seed_tag: str,
+    prefixes: int,
+    iters: int = _IVF_ITERS,
+) -> DataFrame:
+    """One keyed Lloyd's level: per-cell seeding + ``iters`` keyed
+    update rounds. When the level's centroid state is plan-literal-
+    sized (prefixes * b * dim values, same cap as :func:`_lloyds`)
+    the level runs driver-local-iteration style: the seed window
+    collects once, and each round is ONE collect job (map-literal
+    assignment feeding the same (cell, cid, pos) integer-mean
+    aggregation) instead of three nested shuffle stages + a keyed
+    broadcast build per round. Bit-identical by construction (same
+    seeding window, same assignment expression, same
+    _INT_MEAN_SPARK aggregate); above the cap the distributed keyed
+    chain is the unchanged production path."""
+    if prefixes * b * _IVF_DIM > _CENT_LOCAL_MAX:
+        cents = _seed_keyed(vecs, b, seed_tag)
+        for _ in range(iters):
+            cents = _update_keyed(_assign_keyed(vecs, cents))
+        return cents
+    spark = vecs.sparkSession
+    cell_type = vecs.schema["cell"].dataType.simpleString()
+    seed = _seed_keyed(vecs, b, seed_tag).collect()
+    rows = sorted(
+        (r["cell"], r["cid"], list(r["cemb"])) for r in seed
+    )
+    if not rows:
+        return _local_keyed_df(spark, [], cell_type)
+    cents = _local_keyed_df(spark, rows, cell_type)
+    for _ in range(iters):
+        means = (
+            _assign_keyed(vecs, cents)
+            .select("cell", "cid", F.posexplode("eq").alias("pos", "val"))
+            .groupBy("cell", "cid", "pos")
+            .agg(F.expr(_INT_MEAN_SPARK).alias("comp"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in means:
+            acc.setdefault((r["cell"], r["cid"]), {})[r["pos"]] = r["comp"]
+        rows = [
+            (cell, cid, [m[p] for p in sorted(m)])
+            for (cell, cid), m in sorted(acc.items())
+        ]
+        cents = _local_keyed_df(spark, rows, cell_type)
+    return cents
+
+
 def _probe_keyed(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """(vec_id, cell, subcell): each vector's ``nprobe`` nearest
     sub-centroids WITHIN its own level-1 cell — the keyed twin of
@@ -5339,9 +5558,8 @@ def _probe_keyed(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
         1,
         nprobe,
     )
-    cents_arr = _cents_arr_keyed(cents)
     return (
-        vecs.join(F.broadcast(cents_arr), "cell")
+        _with_cents_cs_keyed(vecs, cents)
         .select("cell", "vec_id", F.explode(ranked).alias("p"))
         .select("vec_id", "cell", F.col("p.cid").alias("subcell"))
     )
@@ -5388,13 +5606,11 @@ def hierarchical_index(
         .select(F.col("cid").alias("cell"), "vec_id", "eq")
         .localCheckpoint()
     )
-    cents = _seed_keyed(vecs, b2, seed2)
-    for _ in range(_IVF_ITERS):
-        cents = _update_keyed(_assign_keyed(vecs, cents))
+    cents = _train_keyed(vecs, b2, seed2, b1)
     if nprobe is not None:
         # frozen once for both consumers (assignment + probes),
         # which then checkpoint in parallel (guide §2.6)
-        cents = cents.localCheckpoint()
+        cents = _ckpt_unless_local(cents)
         out, probes = _overlap(
             lambda: _assign_keyed(vecs, cents)
             .select("vec_id", "cell", F.col("cid").alias("subcell"))
@@ -5735,14 +5951,15 @@ def tree_index_deep(
     )
     probes: DataFrame | None = None
     for lvl, b in enumerate(branching[1:], start=2):
-        cents = _seed_keyed(vecs, b, _level_seed(lvl))
-        for _ in range(_IVF_ITERS):
-            cents = _update_keyed(_assign_keyed(vecs, cents))
+        prefixes = 1
+        for bb in branching[: lvl - 1]:
+            prefixes *= bb
+        cents = _train_keyed(vecs, b, _level_seed(lvl), prefixes)
         if nprobe is not None and lvl == len(branching):
             # two consumers (probe expansion + final assignment):
             # freeze the trained centroids once, then run the two
             # independent checkpoints in parallel (guide §2.6)
-            cents = cents.localCheckpoint()
+            cents = _ckpt_unless_local(cents)
             prev = vecs
             probes, vecs = _overlap(
                 lambda: _probe_keyed(prev, cents, nprobe)
@@ -6446,9 +6663,6 @@ def tree_probe_beam(
     and the only shuffle is the metadata-sized (vec_id, dist, key)
     rank — never vectors, never corpus-sized."""
     pack = pack or _TREE_PACK
-    cents_arr = cents1.agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cemb"))).alias("cs")
-    )
     ranked1 = F.slice(
         F.array_sort(
             F.transform(
@@ -6463,15 +6677,14 @@ def tree_probe_beam(
         beam,
     )
     vecs = (
-        q.crossJoin(F.broadcast(cents_arr))
+        _with_cents_cs(q, cents1)
         .select("vec_id", "eq", F.explode(ranked1).alias("p"))
         .select("vec_id", "eq", F.col("p.cid").cast("long").alias("cell"))
     )
     for i, cents in enumerate(keyed_cents):
         keep = nprobe if i == len(keyed_cents) - 1 else beam
-        cents_arr = _cents_arr_keyed(cents)
         expanded = (
-            vecs.join(F.broadcast(cents_arr), "cell")
+            _with_cents_cs_keyed(vecs, cents)
             .select(
                 "vec_id",
                 "eq",
@@ -6838,7 +7051,7 @@ def tree_train_deep(
     for b in branching:
         if b >= pack:
             raise ValueError(f"fan-out {b} >= packing base {pack}")
-    cents1 = _lloyds(q_train, branching[0], _IVF_ITERS, seed1).localCheckpoint()
+    cents1 = _ckpt_unless_local(_lloyds(q_train, branching[0], _IVF_ITERS, seed1))
     vecs = (
         _assign_cells(q_train, cents1)
         .select(F.col("cid").cast("long").alias("cell"), "vec_id", "eq")
@@ -6846,10 +7059,12 @@ def tree_train_deep(
     )
     keyed: list[DataFrame] = []
     for lvl, b in enumerate(branching[1:], start=2):
-        cents = _seed_keyed(vecs, b, _level_seed(lvl))
-        for _ in range(_IVF_ITERS):
-            cents = _update_keyed(_assign_keyed(vecs, cents))
-        cents = cents.localCheckpoint()
+        prefixes = 1
+        for bb in branching[: lvl - 1]:
+            prefixes *= bb
+        cents = _ckpt_unless_local(
+            _train_keyed(vecs, b, _level_seed(lvl), prefixes)
+        )
         keyed.append(cents)
         vecs = (
             _assign_keyed(vecs, cents)
@@ -12040,7 +12255,10 @@ def llm_select_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kcenter_select(
-    spark: SparkSession, k: int = _KC_K, checkpoint_every: int = 8
+    spark: SparkSession,
+    k: int = _KC_K,
+    checkpoint_every: int = 8,
+    pool: int = 256,
 ) -> DataFrame:
     """(rk, vec_id, d2): k cover points; d2 is the pick's exact
     squared quantized distance to the previously-selected set (0 for
@@ -12058,10 +12276,11 @@ def kcenter_select(
     when the candidate set exhausts (k >= N), matching the oracle
     recursion's early termination (ADVICE r13 #4).
 
-    Scale: each of the k-1 steps is ONE map-side pass + a
-    TakeOrdered(1); no shuffle grows with N, no pair
-    materialization, driver state is k rows. For large k compose
-    with :func:`kcenter_select_prepick` (partition-sample pre-pick):
+    Scale: each distributed pass is ONE map-side pass + a
+    TakeOrdered(pool+1); no shuffle grows with N, no pair
+    materialization, driver state is k + pool*dim values — both
+    constants. For large k compose with
+    :func:`kcenter_select_prepick` (partition-sample pre-pick):
     one distributed pass picks k cover points per bucket, then the
     exact greedy runs driver-side over the pooled candidates in
     milliseconds per pick."""
@@ -12077,36 +12296,72 @@ def kcenter_select(
         return spark.createDataFrame([], "rk bigint, vec_id bigint, d2 bigint")
     seed = seed_rows[0]
     picked = [(1, int(seed["vec_id"]), 0)]
-    newest = seed["eq"]
-    state = eq.withColumn("picked", F.col("vec_id") == int(seed["vec_id"]))
-    first = True
+    picked_ids = {int(seed["vec_id"])}
+    # Round 15 (VERDICT r14 next #4): LAZY greedy — instead of one
+    # TakeOrdered(1) job per pick, each distributed pass collects the
+    # top (pool+1) candidates WITH their vectors, and as many
+    # subsequent picks as the standard lazy-greedy bound allows run
+    # driver-side over that cached pool (d2min only DECREASES, so any
+    # uncached candidate stays <= the bound = the (pool+1)-th exact
+    # value at refresh time; a cached candidate strictly above the
+    # bound is therefore the true global argmax). Every pick is
+    # BIT-IDENTICAL to the per-pick form: pool values are exact
+    # integers updated in exact Python arithmetic, the first pick
+    # after a refresh is the TakeOrdered head itself, and a tie with
+    # the bound forces a refresh (an uncached candidate could tie
+    # with a smaller vec_id). Driver state stays O(pool * dim) — a
+    # constant — and the job count drops from k-1 passes to the
+    # number of refreshes (1 + however often the bound is hit).
+    pending = [list(seed["eq"])]  # picks not yet folded into d2min
+    state, first, folds = eq, True, 0
     while len(picked) < k:
-        nd = _l2q(
-            F.col("eq"),
-            F.array(*[F.lit(int(v)).cast("long") for v in newest]),
-        )
-        state = state.withColumn(
-            "d2min", nd if first else F.least(F.col("d2min"), nd)
-        )
-        first = False
-        if len(picked) % checkpoint_every == 0:
-            state = state.localCheckpoint()
-        cand = (
-            state.filter(~F.col("picked"))
+        # distributed refresh: fold pending picks into the running
+        # min-d2 column (one dim-vector of literals per pick —
+        # constant plan growth, same as the r14 form), then ONE
+        # TakeOrdered(pool+1) pass
+        for v in pending:
+            nd = _l2q(
+                F.col("eq"),
+                F.array(*[F.lit(int(x)).cast("long") for x in v]),
+            )
+            state = state.withColumn(
+                "d2min", nd if first else F.least(F.col("d2min"), nd)
+            )
+            first = False
+            folds += 1
+            if folds % checkpoint_every == 0:
+                state = state.localCheckpoint()
+        pending = []
+        rows = (
+            state.filter(~F.col("vec_id").isin(sorted(picked_ids)))
             .orderBy(F.desc("d2min"), "vec_id")
-            .limit(1)
+            .limit(pool + 1)
             .collect()
         )
-        if not cand:
+        if not rows:
             break  # candidate set exhausted (k >= N): oracle parity
-        cand = cand[0]
-        picked.append(
-            (len(picked) + 1, int(cand["vec_id"]), int(cand["d2min"]))
-        )
-        newest = cand["eq"]
-        state = state.withColumn(
-            "picked", F.col("picked") | (F.col("vec_id") == int(cand["vec_id"]))
-        )
+        bound = int(rows[pool]["d2min"]) if len(rows) > pool else None
+        cache = [
+            [int(r["d2min"]), int(r["vec_id"]), list(r["eq"])]
+            for r in rows[:pool]
+        ]
+        fresh = True  # pool values exact AND globally ranked
+        while len(picked) < k and cache:
+            bi = min(
+                range(len(cache)), key=lambda i: (-cache[i][0], cache[i][1])
+            )
+            bd2, bid, bemb = cache[bi]
+            if not fresh and bound is not None and bd2 <= bound:
+                break  # an uncached candidate could win — refresh
+            picked.append((len(picked) + 1, bid, bd2))
+            picked_ids.add(bid)
+            pending.append(bemb)
+            del cache[bi]
+            for c in cache:  # exact integer update vs the newest pick
+                d = sum((a - b) * (a - b) for a, b in zip(c[2], bemb))
+                if d < c[0]:
+                    c[0] = d
+            fresh = False
     return spark.createDataFrame(
         picked, "rk bigint, vec_id bigint, d2 bigint"
     )

@@ -773,6 +773,10 @@ def olap_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     here so the differential stays exact."""
     baskets = (
         spark.table("lineitem")
+        # ADVICE r14 #1: the old equi-join form silently dropped a
+        # NULL-key basket; TPC-H l_orderkey is never null, but pin
+        # the equivalence for arbitrary inputs
+        .filter(F.col("l_orderkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
@@ -909,21 +913,25 @@ def _ntile5_distributed(base: DataFrame, metric: str, out: str) -> DataFrame:
                = r + ceil((rn - r(q+1)) / q)         otherwise —
     bit-identical to Spark's/DuckDB's NTILE (hash-asserted in
     tests/test_rfm_quintiles.py). ``n`` rides in as a broadcast
-    one-row aggregate, never a driver collect."""
+    one-row aggregate, never a driver collect — since round 15 via
+    _global_rank's ``total_col`` (SUM over the same <= 32-row
+    per-partition counts frame the offsets come from, bit-identical
+    to COUNT(*) of the ranked frame), which drops the separate
+    ``ranked.agg(count)`` broadcast subtree each quintile pass paid
+    (that aggregate re-executed the offsets join just to count
+    rows)."""
     from .llm import _global_rank
 
-    ranked = _global_rank(base.select("user_id", metric), [metric, "user_id"])
-    n1 = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = _global_rank(
+        base.select("user_id", metric), [metric, "user_id"], total_col="_n"
+    )
     rn, n = F.col("rn"), F.col("_n")
     q, r = (n / 5).cast("long"), n % 5
     pivot = r * (q + 1)
     bucket = F.when(
         rn <= pivot, F.ceil(rn / (q + 1))
     ).otherwise(r + F.ceil((rn - pivot) / F.greatest(q, F.lit(1))))
-    return (
-        ranked.crossJoin(F.broadcast(n1))
-        .select("user_id", bucket.cast("int").alias(out))
-    )
+    return ranked.select("user_id", bucket.cast("int").alias(out))
 
 
 # ---------------------------------------------------------------------------
@@ -1001,12 +1009,22 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # NTILE(5) ... ORDER BY rec_days DESC == ascending on -rec_days
-    # (rec_days is an exact integer day count, so negation is exact)
-    rec = _ntile5_distributed(
-        base.withColumn("_neg_rec", -F.col("rec_days")), "_neg_rec", "r"
+    # (rec_days is an exact integer day count, so negation is exact).
+    # The three quintile passes are independent chains over the SAME
+    # checkpointed base, each ending in _global_rank's blocking
+    # localCheckpoint — run them in parallel driver threads (guide
+    # §2.6; round-15, VERDICT r14 next #2) so the three range
+    # shuffles back-fill each other's driver round-trips. Values
+    # unchanged: each chain is deterministic and isolated.
+    from .llm import _overlap
+
+    rec, frq, mon = _overlap(
+        lambda: _ntile5_distributed(
+            base.withColumn("_neg_rec", -F.col("rec_days")), "_neg_rec", "r"
+        ),
+        lambda: _ntile5_distributed(base, "freq", "f"),
+        lambda: _ntile5_distributed(base, "cents", "m"),
     )
-    frq = _ntile5_distributed(base, "freq", "f")
-    mon = _ntile5_distributed(base, "cents", "m")
     scored = (
         base.select("user_id", "cents")
         .join(rec.select("user_id", "r"), "user_id")
@@ -1086,6 +1104,9 @@ def olap_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     item-pair-sized."""
     baskets = (
         spark.table("lineitem")
+        # ADVICE r14 #1: keep the NULL-key basket out (and out of
+        # n_orders) exactly like the old join/countDistinct form
+        .filter(F.col("l_orderkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint()  # feeds pairs, item counts, basket total

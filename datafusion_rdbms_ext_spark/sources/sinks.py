@@ -1424,8 +1424,13 @@ def _wap_publish(
         "appended": stage_files,
         "published_from_stage": stage_name,
     }
-    if prev.get("delete_vectors"):
-        payload["delete_vectors"] = prev["delete_vectors"]
+    # carry BOTH delete sidecar flavors forward (ADVICE r14 #3: the
+    # other publish sites copy equality_deletes too; dropping it here
+    # would resurrect equality-deleted rows if published over such a
+    # base — v6 has none today, but the helper is shared)
+    for key in ("delete_vectors", "equality_deletes"):
+        if prev.get(key):
+            payload[key] = prev[key]
     try:
         _write_manifest(root, version_to, payload)
     except CommitConflict:
@@ -1617,17 +1622,41 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for name in ("bad", "good"):
-        rep = audit_rows[name]
-        n_staged = int(rep["n_staged"])
-        v_null = int(rep["v_null"])
-        v_dup = int(rep["v_dup"])
+        # a candidate that staged zero rows emits no audit group —
+        # degrade to the sequential form's n_staged=0 clean report
+        # instead of a KeyError (ADVICE r14 #4)
+        rep = audit_rows.get(name)
+        n_staged = int(rep["n_staged"]) if rep is not None else 0
+        v_null = int(rep["v_null"]) if rep is not None else 0
+        v_dup = int(rep["v_dup"]) if rep is not None else 0
         published = (v_null + v_dup) == 0
         if published:
             _wap_publish(root, 6, 7, name)
         # a rejected batch reports the snapshot it audited against —
         # a published one the appended snapshot (v6 files + its own
-        # staged rows)
-        visible = v6_count + n_staged if published else v6_count
+        # staged rows). The append arithmetic is only valid when v7
+        # really is THIS stage appended to v6: if a divergent v7
+        # already existed (crashed prior run, non-identical stage),
+        # _wap_publish early-returned and the honest number is the
+        # real snapshot count (ADVICE r14 #2; the manifest check is a
+        # tiny json read, so deterministic replays stay arithmetic).
+        visible = v6_count
+        if published:
+            import glob as _glob
+            import json as _json
+
+            with open(os.path.join(root, "v7.json")) as fh:
+                m7 = _json.load(fh)
+            stage_files = sorted(
+                _glob.glob(os.path.join(root, f"stage_{name}", "*.parquet"))
+            )
+            if (
+                m7.get("appended") == stage_files
+                and m7.get("published_from_stage") == name
+            ):
+                visible = v6_count + n_staged
+            else:
+                visible = read_version(spark, root, 7).count()
         rows.append((name, n_staged, v_null, v_dup, published, visible))
     return spark.createDataFrame(
         rows,

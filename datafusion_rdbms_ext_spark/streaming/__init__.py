@@ -1987,6 +1987,7 @@ def stream_semdedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_ITERS,
         _IVF_K,
         _assign_cells,
+        _ckpt_unless_local,
         _dot,
         _lloyds,
         _quantize,
@@ -2000,9 +2001,9 @@ def stream_semdedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # frozen index: trained on the corpus ONCE, before the stream
     q = _quantize(spark)
-    cents = _lloyds(
-        q.filter(~is_new), _IVF_K, _IVF_ITERS, "ivfseed"
-    ).localCheckpoint()
+    cents = _ckpt_unless_local(
+        _lloyds(q.filter(~is_new), _IVF_K, _IVF_ITERS, "ivfseed")
+    )
     corpus = (
         _vectors_with_norm(spark)
         .join(

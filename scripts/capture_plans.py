@@ -25,7 +25,10 @@ from datafusion_rdbms_ext_spark.queries.base import ensure_tables  # noqa: E402
 from datafusion_rdbms_ext_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "plans", "r14")
+OUT_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+)
 
 
 def main() -> None:
