@@ -271,15 +271,23 @@ def _lsh_index(spark: SparkSession):
         .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
     )
     hx = F.md5(F.col("s"))
+    # Round 15 (guide §2.4): every consumer references bands and hs
+    # TWICE (both sides of the candidate join, both sides of the
+    # verify intersection) — without truncation the scan + shingle +
+    # hash subtree planned AND executed up to 12x per query (r15
+    # before-plan: 12 parquet scans in llm_dedup_minhash_lsh).
+    # Materialize the hashed occurrence stream once (the "write the
+    # token table" move of an inverted-index build, the same step
+    # llm_minhash_containment already took), then freeze the two
+    # derived index tables in PARALLEL (guide §2.6) so each is
+    # computed exactly once. 16-32 bytes per occurrence, hashes only
+    # — shingle strings still never leave their scan partition.
     occ = ds0.select(
         "doc_id",
         F.xxhash64("s").alias("hsh"),
         F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("a"),
         F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("b"),
     )
-    hs = occ.select("doc_id", "hsh").distinct()
-    cnt = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-
     sig = occ.groupBy("doc_id").agg(
         *[
             F.min((F.col("a") + i * F.col("b")) % _P).alias(f"m{i}")
@@ -303,9 +311,13 @@ def _lsh_index(spark: SparkSession):
         ]
     )
     keys = ["band"] + [f"k{j + 1}" for j in range(_R)]
-    bands = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
-        "doc_id", *[F.col(f"x.{k}").alias(k) for k in keys]
+    hs, bands = _overlap(
+        lambda: occ.select("doc_id", "hsh").distinct().localCheckpoint(),
+        lambda: sig.select("doc_id", F.explode(band_structs).alias("x"))
+        .select("doc_id", *[F.col(f"x.{k}").alias(k) for k in keys])
+        .localCheckpoint(),
     )
+    cnt = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     return bands, hs, cnt, keys, sig
 
@@ -446,22 +458,22 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = obs0.get["s"]
     for _ in range(_CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dlbl").alias("nlbl"))
-            .select(F.col("src").alias("node"), "nlbl")
-        )
+        # Round 15 (guide §2.4): the label update is ONE aggregation —
+        # each node's own label UNIONed with its neighbors' labels,
+        # min per node — instead of the old left join of labels
+        # against the neighbor-min rollup (which cost a second keyed
+        # exchange per round). min(own, min(neighbors)) is the same
+        # integer either way, and every node appears in the union's
+        # own-label leg, so the node set is unchanged.
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dlbl")),
+            "dst",
+        ).select(F.col("src").alias("node"), F.col("dlbl").alias("lbl"))
         obs = Observation()
         labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
             .observe(obs, F.sum("lbl").alias("s"))
             .localCheckpoint(eager=True)
         )
@@ -863,12 +875,16 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp_expr = term if fp_expr is None else fp_expr + term
     fp = sums.select("doc_id", fp_expr.cast("long").alias("f"))
+    # four consumers (both sides of both half-bucket joins) — freeze
+    # the 4-longs-per-doc fingerprint table once instead of running
+    # the tokenize + 32-bit-sum aggregation four times (round-15 plan
+    # probe: 8 parquet scans for a 1-scan job)
     halves = fp.select(
         "doc_id",
         "f",
         F.expr("(f >> 16) & 65535").alias("hi"),
         F.expr("f & 65535").alias("lo"),
-    )
+    ).localCheckpoint()
     a_hi = halves.select(F.col("doc_id").alias("da"), F.col("f").alias("fa"), "hi")
     b_hi = halves.select(F.col("doc_id").alias("db"), F.col("f").alias("fb"), F.col("hi").alias("hi2"))
     a_lo = halves.select(F.col("doc_id").alias("da"), F.col("f").alias("fa"), "lo")
@@ -3991,9 +4007,14 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    # the df-capped posting table feeds BOTH sides of the self-join —
+    # materialize once (16 bytes/row), the same move (and r7 A/B
+    # precedent) as llm_dedup_ngram_exact; without it the W-gram
+    # explode+distinct subtree planned and ran twice more (round-15
+    # plan probe: 8 parquet scans for a 2-scan job)
     rare = grams.join(
         df_counts.filter((F.col("c") >= 2) & (F.col("c") <= _SPAN_CAP)), "h"
-    ).select("doc_id", "h")
+    ).select("doc_id", "h").localCheckpoint()
     a = rare.select(F.col("doc_id").alias("doc_a"), "h")
     b = rare.select(F.col("doc_id").alias("doc_b"), "h")
     return (
@@ -9510,21 +9531,36 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     nb = cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     pairs = inter.join(na, "da").join(nb, "db")
-    fwd = pairs.select(
-        F.col("da").alias("contained"),
-        F.col("db").alias("container"),
-        "i",
-        (F.col("i").cast("double") / F.col("na").cast("double")).alias("containment"),
-    )
-    rev = pairs.select(
-        F.col("db").alias("contained"),
-        F.col("da").alias("container"),
-        "i",
-        (F.col("i").cast("double") / F.col("nb").cast("double")).alias("containment"),
-    )
+    # Round 15 (guide §2.4): the old fwd/rev UNION referenced `pairs`
+    # twice, planning (and at sf0.1 executing) the whole posting-list
+    # pair join TWICE — 24 scans of the token checkpoint in the
+    # before-plan. The directional expansion is a per-pair MAP-side
+    # explode of the two projections: same multiset of rows, one pair
+    # subtree.
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("da").alias("contained"),
+                    F.col("db").alias("container"),
+                    F.col("i").alias("i"),
+                    (F.col("i").cast("double") / F.col("na").cast("double")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("db").alias("contained"),
+                    F.col("da").alias("container"),
+                    F.col("i").alias("i"),
+                    (F.col("i").cast("double") / F.col("nb").cast("double")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     return (
-        fwd.unionByName(rev)
-        .filter(F.col("containment") >= _CONTAIN_TAU)
+        both.filter(F.col("containment") >= _CONTAIN_TAU)
         .select(
             "contained",
             "container",
@@ -10148,23 +10184,25 @@ def bpe_train(
         # Preserve any extra columns (e.g. the word identity the
         # APPLY path needs) — the trainer only consumes (s, freq).
         others = [c for c in words.columns if c != "s"]
-        words = words.select(F.trim(col).alias("s"), *others).localCheckpoint()
-        # the per-round corpus token count is one extra vocab-sized
-        # aggregation ACTION per round — callers that only consume
-        # the rewritten vocabulary (the composed pipeline, the apply
-        # path) skip it (round 14: rounds blocking actions saved;
-        # the registered trainer keeps the exact measurement)
-        tokens_after = (
-            int(
-                words.agg(
-                    F.sum(
-                        F.col("freq") * F.size(F.split("s", " "))
-                    ).alias("t")
-                ).collect()[0]["t"]
-            )
-            if measure_tokens
-            else None
-        )
+        rewritten = words.select(F.trim(col).alias("s"), *others)
+        # the per-round corpus token count rides the checkpoint's own
+        # materialization job via observe (round 15 — the same move
+        # as llm_dedup_clusters' fixpoint scalar; round 14 had only
+        # dropped it for the vocabulary-only callers): one action per
+        # round instead of two, same exact aggregate for the
+        # registered trainer's output.
+        if measure_tokens:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            words = rewritten.observe(
+                obs,
+                F.sum(F.col("freq") * F.size(F.split("s", " "))).alias("t"),
+            ).localCheckpoint()
+            tokens_after = int(obs.get["t"])
+        else:
+            words = rewritten.localCheckpoint()
+            tokens_after = None
         for i, (pair, cnt) in enumerate(chosen):
             step += 1
             last = i == len(chosen) - 1

@@ -2160,39 +2160,56 @@ def branch_commit(
         branch_advance(root, branch, parent, version_to)
         return version_to
     stage_dir = os.path.join(root, f"stage_{stage_name}")
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
-        # _unique_suffix, not PID-only: two driver threads (e.g.
-        # foreachBatch) racing the same stage_name share a PID and
-        # would rmtree each other's in-flight staging write.
-        tmp = f"{stage_dir}.tmp.{_unique_suffix()}"
-        staged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, stage_dir)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
-    sdf = spark.read.parquet(stage_dir)
     table = read_version(spark, root, parent)
-    # one aggregation job for both audit counts (was two actions);
-    # the DISTINCT probe side keeps COUNT(hit) == the semi-join count
-    bad = int(
-        sdf.join(
-            table.select("doc_id").distinct().withColumn(
-                "__hit", F.lit(1)
-            ),
-            "doc_id",
-            "left",
-        )
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)),
-                F.lit(0),
+
+    def _audit(sdf) -> int:
+        # one aggregation job for both audit counts (was two actions);
+        # the DISTINCT probe side keeps COUNT(hit) == semi-join count
+        return int(
+            sdf.join(
+                table.select("doc_id").distinct().withColumn(
+                    "__hit", F.lit(1)
+                ),
+                "doc_id",
+                "left",
             )
-            + F.count("__hit")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
+                + F.count("__hit")
+            )
+            .first()[0]
         )
-        .first()[0]
-    )
+
+    if os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+        # replayed batch: audit the durable files, exactly as before
+        bad = _audit(spark.read.parquet(stage_dir))
+    else:
+        # Round 15 (guide §2.6, VERDICT r14 next #5): the stage write
+        # and the audit aggregation are independent jobs over the SAME
+        # deterministic batch (the files the write produces ARE the
+        # rows the audit lineage reads), so run them in parallel
+        # driver threads instead of write-then-read-back. The audit
+        # verdict and the staged bytes are unchanged; a failing audit
+        # leaves the staged files exactly like the sequential form.
+        from ..queries.llm import _overlap
+
+        def _write() -> None:
+            # _unique_suffix, not PID-only: two driver threads (e.g.
+            # foreachBatch) racing the same stage_name share a PID and
+            # would rmtree each other's in-flight staging write.
+            tmp = f"{stage_dir}.tmp.{_unique_suffix()}"
+            staged.coalesce(1).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, stage_dir)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        _, bad = _overlap(_write, lambda: _audit(staged))
     if bad:
         raise RuntimeError(
             f"branch WAP audit failed for {stage_name!r}: {bad} violations"
