@@ -9517,6 +9517,11 @@ def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sdf = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    # NOT checkpointed: with `hashed` already materialized the
+    # posting-table rebuild is two cheap hash joins from the
+    # checkpoint — the extra materialization re-measured WORSE
+    # (r15 A/B: 2.60s -> 2.95s best), mirroring ngram_exact's r7
+    # finding that only ONE of (token table, posting table) pays.
     rare = hashed.join(
         sdf.filter((F.col("c") >= 2) & (F.col("c") <= _DF_CAP)), "h"
     ).select("doc_id", "h")
