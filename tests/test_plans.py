@@ -509,7 +509,15 @@ def test_substring_dedup_no_cartesian_and_hashed_keys(spark):
     df = _df(spark, "llm_dedup_substring")
     assert not has_cartesian(df)
     p = plan_string(df)
-    assert "xxhash64" in p, "W-grams must be hashed map-side at the explode"
+    # Round 15: the df-capped posting table is localCheckpointed (the
+    # ngram_exact r7 move), so the map-side xxhash64 lives inside the
+    # checkpointed subtree. The contract — no W-gram STRING ever
+    # crosses a shuffle — then shows in the final plan as the pair
+    # join reading ONLY the materialized (doc_id, h) long table, with
+    # no parquet scan left to smuggle strings in.
+    assert "xxhash64" in p or (
+        "ExistingRDD" in p and "Scan parquet" not in p
+    ), "W-grams must be hashed map-side (in-plan or behind the checkpoint)"
 
 
 def test_cms_counters_broadcast_to_audit_join(spark):
